@@ -1,0 +1,135 @@
+"""Row-level table diff (reference J1-J4, row_level/reconciler.py).
+
+The reference pulls both PK sets into Python, takes set differences /
+intersections, then re-fetches rows in batched ``IN`` lookups of 1000 —
+three passes plus an N+1 workaround. In Spark the entire
+MISSING / EXTRA / MODIFIED classification is ONE full-outer join:
+
+    source FULL OUTER JOIN target ON pk
+      target side NULL               -> MISSING   (J1: source - target)
+      source side NULL               -> EXTRA     (J2: target - source)
+      both present, any col differs  -> MODIFIED  (J3: compare columns)
+
+One shuffle on the PK, map-side classification, no driver materialization.
+At 100 TB the join co-partitions both sides by PK; if one side is small
+Catalyst/AQE broadcasts it automatically.
+
+Comparison semantics match the reference: NULL==NULL equal, float
+tolerance 1e-9, whitespace-insensitive strings (F13-F15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.functions.canonical import (
+    _resolve_fields,
+    null_safe_equal,
+    null_safe_equal_sql,
+)
+
+MISSING = "MISSING"
+EXTRA = "EXTRA"
+MODIFIED = "MODIFIED"
+
+
+def _compare_fields(df: DataFrame, pk_cols: list[str], compare_cols: list[str] | None):
+    fields = _resolve_fields(df, compare_cols)
+    pk = set(pk_cols)
+    return [(n, t) for n, t in fields if n not in pk]
+
+
+def diff_tables(
+    source: DataFrame,
+    target: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    float_tol: float = 1e-9,
+    trim_strings: bool = True,
+) -> DataFrame:
+    """Discrepancy DataFrame: ``(*pk_cols, diff_type, modified_columns)``.
+
+    ``modified_columns`` is a comma-joined, schema-ordered column-name list
+    (empty string for MISSING/EXTRA). Only discrepant rows are returned;
+    matching rows are filtered out map-side after the join.
+    """
+    fields = _compare_fields(source, pk_cols, compare_cols)
+    s = source.select(
+        *pk_cols, *[c for c, _ in fields], F.lit(1).alias("__s_present")
+    ).alias("s")
+    t = target.select(
+        *pk_cols, *[c for c, _ in fields], F.lit(1).alias("__t_present")
+    ).alias("t")
+
+    joined = s.join(t, pk_cols, "full_outer")
+
+    modified_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~null_safe_equal(
+                        F.col(f"s.{c}"), F.col(f"t.{c}"), dt, float_tol, trim_strings
+                    ),
+                    F.lit(c),
+                )
+                for c, dt in fields
+            ]
+        )
+    )
+    diff_type = (
+        F.when(F.col("t.__t_present").isNull(), F.lit(MISSING))
+        .when(F.col("s.__s_present").isNull(), F.lit(EXTRA))
+        .when(F.size(modified_cols) > 0, F.lit(MODIFIED))
+    )
+    return (
+        joined.select(
+            *pk_cols,
+            diff_type.alias("diff_type"),
+            F.when(diff_type == MODIFIED, F.concat_ws(",", modified_cols))
+            .otherwise(F.lit(""))
+            .alias("modified_columns"),
+        )
+        .filter(F.col("diff_type").isNotNull())
+    )
+
+
+def diff_tables_sql(
+    df: DataFrame,
+    source_sql: str,
+    target_sql: str,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    float_tol: float = 1e-9,
+    trim_strings: bool = True,
+) -> str:
+    """DuckDB oracle SQL mirroring diff_tables.
+
+    ``df`` supplies the schema; ``source_sql``/``target_sql`` are subqueries
+    (or view names) for each side.
+    """
+    fields = _compare_fields(df, pk_cols, compare_cols)
+    # plain equality, matching Spark's equi-join-on-names (NULL keys never match)
+    pk_join = " AND ".join(f"s.{c} = t.{c}" for c in pk_cols)
+    pk_out = ", ".join(f"COALESCE(s.{c}, t.{c}) AS {c}" for c in pk_cols)
+    mods = ", ".join(
+        f"CASE WHEN NOT {null_safe_equal_sql(f's.{c}', f't.{c}', dt, float_tol, trim_strings)} "
+        f"THEN '{c}' END"
+        for c, dt in fields
+    )
+    # list_filter drops the NULLs from non-modified slots, like array_compact
+    mod_list = f"list_filter([{mods}], x -> x IS NOT NULL)"
+    return f"""
+SELECT {pk_out},
+       CASE WHEN t.__t_present IS NULL THEN '{MISSING}'
+            WHEN s.__s_present IS NULL THEN '{EXTRA}'
+            WHEN len({mod_list}) > 0 THEN '{MODIFIED}' END AS diff_type,
+       CASE WHEN t.__t_present IS NULL OR s.__s_present IS NULL THEN ''
+            ELSE array_to_string({mod_list}, ',') END AS modified_columns
+FROM (SELECT *, 1 AS __s_present FROM ({source_sql})) s
+FULL OUTER JOIN (SELECT *, 1 AS __t_present FROM ({target_sql})) t
+  ON {pk_join}
+WHERE (CASE WHEN t.__t_present IS NULL THEN '{MISSING}'
+            WHEN s.__s_present IS NULL THEN '{EXTRA}'
+            WHEN len({mod_list}) > 0 THEN '{MODIFIED}' END) IS NOT NULL
+"""

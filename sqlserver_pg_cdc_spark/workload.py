@@ -1,0 +1,402 @@
+"""Driver-facing workload catalog: named queries + DuckDB oracle SQL.
+
+Each entry maps one operator family from SURVEY.md §2 to
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` (the implementation
+  under test, built on the engine's operators), and
+- an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+
+Column names are aliased identically on both sides; value canonicalization
+follows functions/canonical.py, which is verified bit-identical across
+engines.
+
+Perturbation convention: reconciliation queries need a source/target pair,
+but the testdata has one copy of each table. We derive the target
+deterministically (drop keys % 97, add shifted copies of keys % 101,
+mutate values on keys % 89 / % 83) — the same discrepancy-injection
+pattern the reference's e2e suite uses (tests/e2e/test_reconciliation.py
+deletes/mutates target rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.checksum import (
+    incremental_checksum,
+    table_checksum,
+    table_checksum_sql,
+)
+from sqlserver_pg_cdc_spark.operators.diff import diff_tables, diff_tables_sql
+from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs rows-only check
+
+
+def _perturb_orders(df: DataFrame) -> DataFrame:
+    base = df.filter(F.col("o_orderkey") % 97 != 0)
+    extra = df.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    mutated = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    return mutated.unionByName(extra)
+
+
+_PERTURB_ORDERS_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+# CDC-envelope view of the events fixture: event_id is the LSN analog,
+# user_id the PK, event_type maps onto Debezium ops
+# (signup -> c/insert, error -> d/delete, everything else -> u/update).
+_CDC_OP = {"signup": "c", "error": "d"}
+
+
+def _cdc_events(df: DataFrame) -> DataFrame:
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    return df.select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id"),
+        F.col("ts"),
+        op.alias("op"),
+        F.col("value"),
+    )
+
+
+_CDC_EVENTS_SQL = """
+    SELECT event_id AS lsn, user_id, ts,
+           CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+           value
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# reconciliation plane (SURVEY §2.1, §2.3, §2.4)
+# ---------------------------------------------------------------------------
+
+def q_counts_compare_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A5: row-count reconciliation of source vs perturbed target."""
+    src = load_table(spark, sf_dir, "orders")
+    tgt = _perturb_orders(src)
+    s = src.agg(F.count(F.lit(1)).alias("source_count"))
+    t = tgt.agg(F.count(F.lit(1)).alias("target_count"))
+    return s.crossJoin(t).select(
+        "source_count",
+        "target_count",
+        (F.col("target_count") - F.col("source_count")).alias("difference"),
+        (F.col("source_count") == F.col("target_count")).alias("is_match"),
+        F.when(F.col("source_count") == F.col("target_count"), "MATCH")
+        .otherwise("MISMATCH")
+        .alias("status"),
+    )
+
+
+_Q_COUNTS_SQL = f"""
+SELECT source_count, target_count,
+       target_count - source_count AS difference,
+       source_count = target_count AS is_match,
+       CASE WHEN source_count = target_count THEN 'MATCH' ELSE 'MISMATCH' END AS status
+FROM (SELECT count(*) AS source_count FROM orders),
+     (SELECT count(*) AS target_count FROM ({_PERTURB_ORDERS_SQL}))
+"""
+
+
+def _mk_checksum_query(table: str, mode: str = "commutative"):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return table_checksum(load_table(spark, sf_dir, table), mode=mode)
+
+    return fn
+
+
+def _mk_checksum_oracle(spark_probe_df: DataFrame, table: str, mode: str = "commutative"):
+    return table_checksum_sql(spark_probe_df, table, mode=mode)
+
+
+def q_checksum_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/S7: delta checksum of events changed after the cutoff."""
+    df = load_table(spark, sf_dir, "events")
+    return incremental_checksum(df, "ts", "2024-01-15 00:00:00")
+
+
+def q_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3: full-outer-join diff -> MISSING/EXTRA/MODIFIED rows."""
+    src = load_table(spark, sf_dir, "orders")
+    return diff_tables(src, _perturb_orders(src), ["o_orderkey"])
+
+
+def q_diff_summary_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+A8: discrepancy roll-up with reference severity buckets
+    (<0.1% LOW, <1% MEDIUM, <10% HIGH, else CRITICAL; generator.py:178-202)."""
+    src = load_table(spark, sf_dir, "orders")
+    d = diff_tables(src, _perturb_orders(src), ["o_orderkey"])
+    total = src.agg(F.count(F.lit(1)).alias("source_count"))
+    per_type = d.groupBy("diff_type").agg(F.count(F.lit(1)).alias("cnt"))
+    # double-typed percentage: (cnt * 100.0) / total, same op order as oracle
+    pct = F.col("cnt").cast("double") * 100.0 / F.col("source_count").cast("double")
+    return (
+        per_type.crossJoin(total)
+        .select(
+            "diff_type",
+            "cnt",
+            pct.alias("pct"),
+            F.when(pct < 0.1, "LOW")
+            .when(pct < 1.0, "MEDIUM")
+            .when(pct < 10.0, "HIGH")
+            .otherwise("CRITICAL")
+            .alias("severity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics over the star schema (scan/filter/agg/join/sort/limit coverage)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> groupBy -> decimal-exact
+    sums (map-side partial agg, one shuffle on the tiny group key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # the source doubles carry 2-dp values, so casting the INPUTS to
+    # decimal is exact on both engines; all arithmetic then stays in exact
+    # decimal space (cross-engine rounding of raw double products is NOT
+    # reproducible — Spark rounds the shortest repr, DuckDB the exact
+    # binary value). Final sums rounded to scale 2 on exact decimals.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            # keep the exact scale (4 / 6 digits) — a final scale-2 cast
+            # hits .xx5 ties where Spark (HALF_UP) and DuckDB (half-even)
+            # disagree; full scale needs no rounding at all
+            F.sum(price * one_minus_disc).alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> broadcast join -> top-k.
+    customer is tiny relative to lineitem, so it broadcasts; revenue is
+    decimal-exact so the top-10 cut is deterministic."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q_SHIPPING_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_events_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream (batch view)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
+_Q_EVENTS_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC plane, batch-checkable projections (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St5's within-batch dedup: latest change per key by LSN
+    (row_number over PK ordered by lsn desc), with the soft-delete rewrite
+    (St3) applied — exactly what foreachBatch MERGEs into the target."""
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("lsn").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "lsn",
+            "op",
+            "value",
+            F.when(F.col("op") == "d", "true").otherwise("false").alias("__deleted"),
+        )
+    )
+
+
+_Q_CDC_LATEST_SQL = f"""
+SELECT user_id, lsn, op, value,
+       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ({_CDC_EVENTS_SQL})
+) WHERE rn = 1
+"""
+
+
+def q_cdc_active_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the canonical active-row filter over the applied CDC state
+    (__deleted IS NULL OR __deleted = 'false')."""
+    state = q_cdc_latest_state(spark, sf_dir)
+    return (
+        state.filter((F.col("__deleted").isNull()) | (F.col("__deleted") == "false"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("active_value"),
+        )
+    )
+
+
+_Q_CDC_ACTIVE_SQL = f"""
+SELECT count(*) AS active_users,
+       sum(CAST(value AS DECIMAL(18,2))) AS active_value
+FROM ({_Q_CDC_LATEST_SQL})
+WHERE __deleted IS NULL OR __deleted = 'false'
+"""
+
+
+def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
+    """Assemble the full name -> QuerySpec catalog.
+
+    Checksum oracles need the table schema for canonicalization; we read it
+    from the sf0.001 parquet footers (cheap, metadata only) via a probe
+    session only when one is provided, else lazily at first use.
+    """
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = spark or get_spark()
+    probe_dir = sf_dir or "/root/testdata/sf0.001"
+
+    catalog: dict[str, QuerySpec] = {
+        "counts_compare_orders": QuerySpec(q_counts_compare_orders, _Q_COUNTS_SQL),
+        "diff_orders": QuerySpec(q_diff_orders, None),  # oracle built below
+        "diff_summary_severity": QuerySpec(q_diff_summary_severity, None),
+        "checksum_incremental_events": QuerySpec(q_checksum_incremental_events, None),
+        "pricing_summary": QuerySpec(q_pricing_summary, _Q_PRICING_SQL),
+        "shipping_priority": QuerySpec(q_shipping_priority, _Q_SHIPPING_SQL),
+        "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
+        "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
+        "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
+    }
+
+    # schema-dependent oracles (need DataFrame probes)
+    for table in ("customer", "orders", "lineitem", "events"):
+        df = load_table(spark, probe_dir, table)
+        catalog[f"checksum_{table}"] = QuerySpec(
+            _mk_checksum_query(table), _mk_checksum_oracle(df, table)
+        )
+
+    ev = load_table(spark, probe_dir, "events")
+    catalog["checksum_incremental_events"] = QuerySpec(
+        q_checksum_incremental_events,
+        table_checksum_sql(ev, "events", where="ts > TIMESTAMP '2024-01-15 00:00:00'"),
+    )
+
+    orders = load_table(spark, probe_dir, "orders")
+    diff_sql = diff_tables_sql(
+        orders, "SELECT * FROM orders", _PERTURB_ORDERS_SQL, ["o_orderkey"]
+    )
+    catalog["diff_orders"] = QuerySpec(q_diff_orders, diff_sql)
+    catalog["diff_summary_severity"] = QuerySpec(
+        q_diff_summary_severity,
+        f"""
+        SELECT diff_type, cnt, pct,
+               CASE WHEN pct < 0.1 THEN 'LOW' WHEN pct < 1.0 THEN 'MEDIUM'
+                    WHEN pct < 10.0 THEN 'HIGH' ELSE 'CRITICAL' END AS severity
+        FROM (
+            SELECT diff_type, count(*) AS cnt,
+                   CAST(count(*) AS DOUBLE) * 100.0 / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS pct
+            FROM ({diff_sql}) GROUP BY diff_type
+        )
+        """,
+    )
+    return catalog

@@ -1,0 +1,73 @@
+"""Checksum operator tests: oracle parity, order-insensitivity,
+determinism, incremental composition, empty input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.checksum import (
+    incremental_checksum,
+    ordered_checksum,
+    table_checksum,
+    table_checksum_sql,
+)
+from tests.conftest import load
+
+
+@pytest.mark.parametrize("mode", ["commutative", "sorted"])
+@pytest.mark.parametrize("table", ["customer", "orders", "lineitem"])
+def test_checksum_oracle_parity(spark, duck, table, mode):
+    df = load(spark, table)
+    got = table_checksum(df, mode=mode).collect()[0]
+    want = duck.execute(table_checksum_sql(df, table, mode=mode)).fetchone()
+    assert (got["checksum"], got["row_count"]) == want
+
+
+def test_checksum_order_insensitive(spark):
+    df = load(spark, "customer")
+    a = table_checksum(df).collect()[0]
+    b = table_checksum(df.orderBy(F.col("c_acctbal").desc())).collect()[0]
+    assert a == b
+
+
+def test_checksum_detects_single_value_change(spark):
+    df = load(spark, "customer")
+    mutated = df.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, F.col("c_acctbal") + 0.01).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    assert (
+        table_checksum(df).collect()[0]["checksum"]
+        != table_checksum(mutated).collect()[0]["checksum"]
+    )
+
+
+def test_checksum_empty_input_parity(spark, duck):
+    df = load(spark, "customer").filter(F.lit(False))
+    for mode in ("commutative", "sorted"):
+        got = table_checksum(df, mode=mode).collect()[0]
+        want = duck.execute(
+            table_checksum_sql(df, "customer", mode=mode, where="1=0")
+        ).fetchone()
+        assert (got["checksum"], got["row_count"]) == want
+        assert got["row_count"] == 0
+
+
+def test_incremental_checksum_matches_filtered_full(spark):
+    df = load(spark, "events")
+    since = "2024-01-15 00:00:00"
+    inc = incremental_checksum(df, "ts", since).collect()[0]
+    full_on_delta = table_checksum(df.filter(F.col("ts") > since)).collect()[0]
+    assert inc == full_on_delta
+    assert 0 < inc["row_count"] < df.count()
+
+
+def test_ordered_checksum_is_order_sensitive(spark):
+    df = load(spark, "region")
+    fwd = ordered_checksum(df, ["r_regionkey"])
+    rev = ordered_checksum(df.withColumn("neg", -F.col("r_regionkey")), ["neg"],
+                           cols=["r_regionkey", "r_name"])
+    assert fwd != rev
+    # deterministic across invocations
+    assert fwd == ordered_checksum(df, ["r_regionkey"])

@@ -1,0 +1,132 @@
+"""Row-level diff tests: MISSING/EXTRA/MODIFIED classification, comparison
+semantics (NULL, float tolerance, whitespace), composite PKs, oracle parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.diff import diff_tables, diff_tables_sql
+from tests.conftest import load
+
+
+def _perturbed_orders(df):
+    """Deterministic discrepancy injection on orders:
+    - drop keys % 97 == 0          -> MISSING
+    - add keys shifted by 10^9     -> EXTRA
+    - bump totalprice % 89 == 0    -> MODIFIED (o_totalprice)
+    - re-status keys % 83 == 0     -> MODIFIED (o_orderstatus)
+    """
+    base = df.filter(F.col("o_orderkey") % 97 != 0)
+    extra = df.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    mutated = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return mutated.unionByName(extra)
+
+
+def test_diff_classification(spark):
+    src = load(spark, "orders")
+    tgt = _perturbed_orders(src)
+    d = diff_tables(src, tgt, ["o_orderkey"]).cache()
+
+    missing = {r["o_orderkey"] for r in d.filter(F.col("diff_type") == "MISSING").collect()}
+    extra = {r["o_orderkey"] for r in d.filter(F.col("diff_type") == "EXTRA").collect()}
+    modified = {
+        r["o_orderkey"]: r["modified_columns"]
+        for r in d.filter(F.col("diff_type") == "MODIFIED").collect()
+    }
+
+    src_keys = {r[0] for r in src.select("o_orderkey").collect()}
+    assert missing == {k for k in src_keys if k % 97 == 0}
+    assert extra == {k + 1_000_000_000 for k in src_keys if k % 101 == 0}
+    assert all(k % 89 == 0 or k % 83 == 0 for k in modified)
+    for k, cols in modified.items():
+        expect = []
+        if k % 83 == 0:
+            expect.append("o_orderstatus")
+        if k % 89 == 0:
+            expect.append("o_totalprice")
+        assert cols == ",".join(expect)
+    d.unpersist()
+
+
+def test_diff_oracle_parity(spark, duck):
+    src = load(spark, "orders")
+    tgt = _perturbed_orders(src)
+    got = sorted(
+        tuple(r) for r in diff_tables(src, tgt, ["o_orderkey"]).collect()
+    )
+    target_sql = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+    """
+    sql = diff_tables_sql(src, "SELECT * FROM orders", target_sql, ["o_orderkey"])
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want
+
+
+def test_diff_null_and_tolerance_semantics(spark):
+    schema = "pk int, s string, f double"
+    src = spark.createDataFrame(
+        [
+            (1, None, 1.0),          # NULL == NULL -> match
+            (2, "a ", 2.0),          # trailing space -> match (trim)
+            (3, "x", 3.0),           # f differs below tolerance -> match
+            (4, "x", 4.0),           # f differs above tolerance -> MODIFIED
+            (5, None, 5.0),          # NULL vs value -> MODIFIED
+        ],
+        schema,
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, None, 1.0),
+            (2, "a", 2.0),
+            (3, "x", 3.0 + 1e-12),
+            (4, "x", 4.0 + 1e-6),
+            (5, "set", 5.0),
+        ],
+        schema,
+    )
+    d = {r["pk"]: (r["diff_type"], r["modified_columns"])
+         for r in diff_tables(src, tgt, ["pk"]).collect()}
+    assert set(d) == {4, 5}
+    assert d[4] == ("MODIFIED", "f")
+    assert d[5] == ("MODIFIED", "s")
+
+
+def test_diff_composite_pk(spark):
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+    # diff requires unique PKs, so dedup first
+    src = load(spark, "lineitem").dropDuplicates(["l_orderkey", "l_linenumber"])
+    pk = ["l_orderkey", "l_linenumber"]
+    tgt = src.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") % 7 == 0) & (F.col("l_linenumber") == 1),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    d = diff_tables(src, tgt, pk).collect()
+    assert len(d) > 0
+    assert all(r["diff_type"] == "MODIFIED" and r["modified_columns"] == "l_quantity" for r in d)
+
+
+def test_diff_identical_tables_empty(spark):
+    src = load(spark, "customer")
+    assert diff_tables(src, src, ["c_custkey"]).count() == 0

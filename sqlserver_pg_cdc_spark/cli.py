@@ -1,0 +1,230 @@
+"""Reconciliation CLI (reference O5, cli/parser.py + cli/commands.py).
+
+``reconcile run`` over parquet table pairs, ``reconcile report`` to
+re-format a saved report, ``reconcile schedule`` for interval runs.
+Exit code 1 iff the report status is FAIL (reference commands.py:248-253).
+
+The reference points at two live databases; this engine points at two
+data directories (parquet roots), each holding one file/dir per table —
+the same reconciliation surface, Spark-native IO.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="reconcile", description="Spark reconciliation engine")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="reconcile tables between two parquet roots")
+    run.add_argument("--source-dir", required=True)
+    run.add_argument("--target-dir", required=True)
+    run.add_argument("--tables", nargs="+", help="table names (basename without .parquet)")
+    run.add_argument("--tables-file", help="file with one table name per line")
+    run.add_argument("--validate-checksums", action="store_true")
+    run.add_argument("--row-level", action="store_true")
+    run.add_argument("--pk-columns", nargs="+", help="primary key column(s)")
+    run.add_argument("--generate-repair", metavar="OUT_SQL", help="write repair SQL here")
+    run.add_argument("--repair-dialect", default="postgresql",
+                     choices=["postgresql", "sqlserver"])
+    run.add_argument("--parallel", action="store_true")
+    run.add_argument("--parallel-workers", type=int, default=4)
+    run.add_argument("--format", default="console", choices=["json", "csv", "console"])
+    run.add_argument("--output", help="write report to this path")
+
+    rep = sub.add_parser("report", help="re-format a saved JSON report")
+    rep.add_argument("report_path")
+    rep.add_argument("--format", default="console", choices=["json", "csv", "console"])
+
+    sched = sub.add_parser("schedule", help="run reconciliation on an interval")
+    sched.add_argument("--interval-seconds", type=float, required=True)
+    sched.add_argument("--max-runs", type=int, default=0, help="0 = forever")
+    sched.add_argument("--output-dir", required=True)
+    for a in ("--source-dir", "--target-dir"):
+        sched.add_argument(a, required=True)
+    sched.add_argument("--tables", nargs="+")
+    sched.add_argument("--validate-checksums", action="store_true")
+    return p
+
+
+def _table_list(args) -> list[str]:
+    tables = list(args.tables or [])
+    if getattr(args, "tables_file", None):
+        with open(args.tables_file) as f:
+            tables.extend(line.strip() for line in f if line.strip())
+    if not tables:
+        raise SystemExit("no tables given (--tables / --tables-file)")
+    return tables
+
+
+def _emit(report: dict, fmt: str, output: str | None) -> None:
+    from sqlserver_pg_cdc_spark.operators.report import (
+        export_report_csv,
+        export_report_json,
+        format_report_console,
+        report_to_csv,
+    )
+
+    if output:
+        if fmt == "json":
+            export_report_json(report, output)
+        elif fmt == "csv":
+            export_report_csv(report, output)
+        else:
+            with open(output, "w") as f:
+                f.write(format_report_console(report))
+        return
+    if fmt == "json":
+        print(json.dumps(report, indent=2, default=str))
+    elif fmt == "csv":
+        print(report_to_csv(report))
+    else:
+        print(format_report_console(report))
+
+
+def cmd_run(args) -> int:
+    from sqlserver_pg_cdc_spark.operators.diff import diff_tables
+    from sqlserver_pg_cdc_spark.operators.repair import generate_repair_script
+    from sqlserver_pg_cdc_spark.operators.report import generate_report
+    from sqlserver_pg_cdc_spark.runner import ParallelReconciler, reconcile_table
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+    spark = get_spark("reconcile-cli")
+    tables = _table_list(args)
+    kwargs = dict(
+        validate_checksums=args.validate_checksums,
+        row_level=args.row_level,
+        pk_cols=args.pk_columns,
+    )
+
+    def _kwargs_for(src) -> dict:
+        # a global --pk-columns only applies to tables that carry those
+        # columns; others get counts/checksums but no row-level diff
+        if kwargs["pk_cols"] and not set(kwargs["pk_cols"]) <= set(src.columns):
+            return {**kwargs, "pk_cols": None, "row_level": False}
+        return kwargs
+
+    if args.parallel:
+        rec = ParallelReconciler(spark, max_workers=args.parallel_workers)
+
+        def _pair(t):
+            return (load_table(spark, args.source_dir, t),
+                    load_table(spark, args.target_dir, t))
+
+        # split by pk applicability (schema read = parquet footer, cheap)
+        with_pk, without_pk = [], []
+        for t in tables:
+            src = load_table(spark, args.source_dir, t)
+            (with_pk if kwargs["pk_cols"] and set(kwargs["pk_cols"]) <= set(src.columns)
+             else without_pk).append(t)
+        results = []
+        for group, gk in (
+            (with_pk, kwargs),
+            (without_pk, {**kwargs, "pk_cols": None, "row_level": False}),
+        ):
+            if not group:
+                continue
+            pairs = {t: (lambda t=t: _pair(t)) for t in group}
+            results.extend(
+                r.result if r.status == "success" else {"table": r.table, "match": False,
+                                                        "error": r.error}
+                for r in rec.reconcile_tables(pairs, **gk)
+            )
+    else:
+        results = []
+        for t in tables:
+            # per-table error capture (reference scheduler/jobs.py:129):
+            # one broken table degrades the report, not the whole run
+            try:
+                src = load_table(spark, args.source_dir, t)
+                tgt = load_table(spark, args.target_dir, t)
+                results.append(reconcile_table(src, tgt, t, **_kwargs_for(src)))
+            except Exception as e:  # noqa: BLE001
+                results.append(
+                    {"table": t, "match": False, "error": f"{type(e).__name__}: {e}"}
+                )
+
+    report = generate_report(results)
+    _emit(report, args.format, args.output)
+
+    if args.generate_repair:
+        if not args.pk_columns:
+            raise SystemExit("--generate-repair requires --pk-columns")
+        for t in tables:
+            src = load_table(spark, args.source_dir, t)
+            tgt = load_table(spark, args.target_dir, t)
+            if not set(args.pk_columns) <= set(src.columns):
+                print(f"-- skipping repair for {t}: pk columns not present", file=sys.stderr)
+                continue
+            d = diff_tables(src, tgt, args.pk_columns, include_values=True)
+            script = generate_repair_script(
+                d, args.pk_columns, t, dialect=args.repair_dialect
+            )
+            path = (
+                args.generate_repair
+                if len(tables) == 1
+                else f"{args.generate_repair}.{t}.sql"
+            )
+            with open(path, "w") as f:
+                f.write(script)
+
+    return 1 if report["status"] == "FAIL" else 0
+
+
+def cmd_report(args) -> int:
+    with open(args.report_path) as f:
+        report = json.load(f)
+    _emit(report, args.format, None)
+    return 0
+
+
+def cmd_schedule(args) -> int:
+    """Interval scheduler (reference O3, scheduler/scheduler.py) — a thin
+    loop around cmd_run writing timestamped reports; cron/Airflow is the
+    production analog."""
+    os.makedirs(args.output_dir, exist_ok=True)
+    runs = 0
+    while True:
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        ns = argparse.Namespace(
+            source_dir=args.source_dir,
+            target_dir=args.target_dir,
+            tables=args.tables,
+            tables_file=None,
+            validate_checksums=args.validate_checksums,
+            row_level=False,
+            pk_columns=None,
+            generate_repair=None,
+            repair_dialect="postgresql",
+            parallel=False,
+            parallel_workers=4,
+            format="json",
+            output=os.path.join(args.output_dir, f"reconcile_{ts}.json"),
+        )
+        cmd_run(ns)
+        runs += 1
+        if args.max_runs and runs >= args.max_runs:
+            return 0
+        time.sleep(args.interval_seconds)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = create_parser().parse_args(argv)
+    if args.command == "run":
+        return cmd_run(args)
+    if args.command == "report":
+        return cmd_report(args)
+    if args.command == "schedule":
+        return cmd_schedule(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,12 +47,17 @@ def diff_tables(
     compare_cols: list[str] | None = None,
     float_tol: float = 1e-9,
     trim_strings: bool = True,
+    include_values: bool = False,
 ) -> DataFrame:
     """Discrepancy DataFrame: ``(*pk_cols, diff_type, modified_columns)``.
 
     ``modified_columns`` is a comma-joined, schema-ordered column-name list
     (empty string for MISSING/EXTRA). Only discrepant rows are returned;
     matching rows are filtered out map-side after the join.
+
+    With ``include_values`` two struct columns ``source_data`` /
+    ``target_data`` carry the compared column values of each side (NULL
+    struct for the absent side) — the input for repair-script generation.
     """
     fields = _compare_fields(source, pk_cols, compare_cols)
     s = source.select(
@@ -82,16 +87,23 @@ def diff_tables(
         .when(F.col("s.__s_present").isNull(), F.lit(EXTRA))
         .when(F.size(modified_cols) > 0, F.lit(MODIFIED))
     )
-    return (
-        joined.select(
-            *pk_cols,
-            diff_type.alias("diff_type"),
-            F.when(diff_type == MODIFIED, F.concat_ws(",", modified_cols))
-            .otherwise(F.lit(""))
-            .alias("modified_columns"),
+    out_cols = [
+        *pk_cols,
+        diff_type.alias("diff_type"),
+        F.when(diff_type == MODIFIED, F.concat_ws(",", modified_cols))
+        .otherwise(F.lit(""))
+        .alias("modified_columns"),
+    ]
+    if include_values:
+        s_struct = F.struct(*[F.col(f"s.{c}").alias(c) for c, _ in fields])
+        t_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c, _ in fields])
+        out_cols.append(
+            F.when(F.col("s.__s_present").isNotNull(), s_struct).alias("source_data")
         )
-        .filter(F.col("diff_type").isNotNull())
-    )
+        out_cols.append(
+            F.when(F.col("t.__t_present").isNotNull(), t_struct).alias("target_data")
+        )
+    return joined.select(*out_cols).filter(F.col("diff_type").isNotNull())
 
 
 def diff_tables_sql(

@@ -1,0 +1,150 @@
+"""CDC change application (reference St2-St8, SURVEY §2.8).
+
+The reference's sink chain is configuration: Debezium envelope ->
+ExtractNewRecordState (keep ``after``, add ``__op``) -> AddDeletedField
+SMT (``__deleted='true'`` iff op=='d') -> RegexRouter -> JDBC upsert
+batch 3000 (docker/configs/kafka-connect/postgresql-sink.json:23-58).
+Here the whole chain is a handful of DataFrame transforms plus an
+idempotent keyed upsert inside ``foreachBatch``:
+
+- within-batch dedup to the latest LSN per key (row_number window) — the
+  correctness keystone for at-least-once delivery (FR-005);
+- cross-batch idempotence via an LSN guard: an incoming change only
+  replaces the stored row when its LSN is >= the stored LSN, so replays
+  after checkpoint recovery are no-ops;
+- deletes are soft (rewrite mode): the row survives with
+  ``__deleted='true'``.
+
+The local target is a parquet directory rewritten per batch (read ->
+merge -> atomic swap). On a real deployment the same ``merge_upsert``
+frame feeds a Delta ``MERGE WHEN MATCHED ... WHEN NOT MATCHED`` or a JDBC
+upsert — swap the sink, keep the semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+OP_COL = "__op"
+DELETED_COL = "__deleted"
+STALE_COL = "__stale"
+
+
+def unwrap_envelope(df: DataFrame, lsn_col: str = "lsn") -> DataFrame:
+    """St2: flatten a Debezium-style envelope struct row
+    ``(before, after, op, ts_ms, lsn)`` into business columns + __op.
+    Deletes carry no after image -> use the before image (rewrite mode,
+    AddDeletedField.java:62-90)."""
+    payload = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    flat = df.select(
+        payload.alias("__row"), F.col("op").alias(OP_COL), F.col("ts_ms"), F.col(lsn_col)
+    )
+    return flat.select("__row.*", OP_COL, "ts_ms", lsn_col)
+
+
+def with_soft_delete(df: DataFrame) -> DataFrame:
+    """St3: delete rewrite — __deleted='true' iff op=='d'."""
+    return df.withColumn(
+        DELETED_COL, F.when(F.col(OP_COL) == "d", "true").otherwise("false")
+    )
+
+
+def with_stale_flag(df: DataFrame, ts_ms_col: str = "ts_ms", max_age_hours: int = 24) -> DataFrame:
+    """St7 (FR-008): events older than the window are flagged and applied,
+    never dropped — this is NOT a watermark discard."""
+    age_ms = max_age_hours * 3600 * 1000
+    now_ms = F.unix_millis(F.current_timestamp())
+    return df.withColumn(STALE_COL, (now_ms - F.col(ts_ms_col)) > age_ms)
+
+
+def latest_per_key(df: DataFrame, pk_cols: list[str], lsn_col: str = "lsn") -> DataFrame:
+    """St5 within-batch dedup: keep only the highest-LSN change per key."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(lsn_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame | None,
+    changes: DataFrame,
+    pk_cols: list[str],
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Keyed upsert with LSN guard (idempotent replay).
+
+    Equivalent Delta statement::
+
+        MERGE INTO t USING c ON <pk> AND c.lsn >= t.lsn
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+    Expressed relationally: keep target rows whose key is absent from the
+    batch OR whose stored LSN is newer; add all batch rows not superseded
+    by a newer stored row. One shuffle on the PK.
+    """
+    deduped = latest_per_key(changes, pk_cols, lsn_col)
+    if target is None:
+        return deduped
+    stale_keys = deduped.select(*pk_cols, F.col(lsn_col).alias("__new_lsn"))
+    kept = (
+        target.join(stale_keys, pk_cols, "left")
+        .filter(F.col("__new_lsn").isNull() | (F.col(lsn_col) > F.col("__new_lsn")))
+        .drop("__new_lsn")
+    )
+    newer_target = target.select(*pk_cols, F.col(lsn_col).alias("__old_lsn"))
+    applied = (
+        deduped.join(newer_target, pk_cols, "left")
+        .filter(F.col("__old_lsn").isNull() | (F.col(lsn_col) >= F.col("__old_lsn")))
+        .drop("__old_lsn")
+    )
+    return kept.unionByName(applied)
+
+
+class ParquetUpsertSink:
+    """foreachBatch sink applying merge_upsert into a parquet directory
+    with an atomic directory swap (local stand-in for Delta MERGE)."""
+
+    def __init__(self, spark: SparkSession, target_dir: str, pk_cols: list[str],
+                 lsn_col: str = "lsn", dlq_dir: str | None = None):
+        self.spark = spark
+        self.target_dir = target_dir
+        self.pk_cols = pk_cols
+        self.lsn_col = lsn_col
+        self.dlq_dir = dlq_dir
+
+    def read_target(self) -> DataFrame | None:
+        if not os.path.exists(self.target_dir):
+            return None
+        return self.spark.read.parquet(self.target_dir)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            merged = merge_upsert(
+                self.read_target(), batch_df, self.pk_cols, self.lsn_col
+            )
+            tmp = f"{self.target_dir}__tmp_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
+            if os.path.exists(self.target_dir):
+                os.rename(self.target_dir, old)
+                os.rename(tmp, self.target_dir)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(tmp, self.target_dir)
+        except Exception as e:  # St10: error routing, not query death
+            if self.dlq_dir is None:
+                raise
+            (
+                batch_df.withColumn("__error_class", F.lit(type(e).__name__))
+                .withColumn("__error_message", F.lit(str(e)[:2000]))
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self.dlq_dir)
+            )

@@ -1,0 +1,103 @@
+"""End-to-end CDC replication pipeline (reference St1-St8 composed).
+
+Reference flow (SURVEY §3.2): SQL Server CT tables -> Debezium poll
+(ORDER BY lsn, 500 ms) -> Kafka/Avro -> SMT unwrap + soft delete ->
+RegexRouter -> JDBC upsert -> DLQ on failure.
+
+Spark flow: one Structured Streaming query per source — readStream (file
+source here; Kafka or an incremental JDBC poll in production) -> unwrap
+-> soft delete -> stale flag -> foreachBatch {latest-per-key dedup,
+LSN-guarded upsert, DLQ} with a checkpoint for resume (St6).
+
+Tests drive it with ``Trigger.AvailableNow`` over a spool directory;
+swapping the trigger to ``processingTime='500ms'`` reproduces the
+reference's poll cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sqlserver_pg_cdc_spark.streaming.apply import (
+    ParquetUpsertSink,
+    unwrap_envelope,
+    with_soft_delete,
+    with_stale_flag,
+)
+
+
+def change_stream_schema(payload_schema: T.StructType) -> T.StructType:
+    """Debezium-envelope schema for a given business-row schema."""
+    return T.StructType(
+        [
+            T.StructField("before", payload_schema, True),
+            T.StructField("after", payload_schema, True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+
+
+class CdcPipeline:
+    """File-spool CDC source -> transform -> idempotent upsert sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        target_dir: str,
+        checkpoint_dir: str,
+        payload_schema: T.StructType,
+        pk_cols: list[str],
+        dlq_dir: str | None = None,
+        stale_hours: int = 24,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.target_dir = target_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.payload_schema = payload_schema
+        self.pk_cols = pk_cols
+        self.dlq_dir = dlq_dir
+        self.stale_hours = stale_hours
+
+    def _transform(self, raw: DataFrame) -> DataFrame:
+        flat = unwrap_envelope(raw)
+        flat = with_soft_delete(flat)
+        return with_stale_flag(flat, max_age_hours=self.stale_hours)
+
+    def run_available_now(self) -> None:
+        """Drain everything currently in the spool, then stop (test mode /
+        batch catch-up; production uses a processingTime trigger)."""
+        raw = (
+            self.spark.readStream.schema(change_stream_schema(self.payload_schema))
+            .json(self.source_dir)
+        )
+        sink = ParquetUpsertSink(
+            self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
+        )
+        q = (
+            self._transform(raw)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def target(self) -> DataFrame | None:
+        sink = ParquetUpsertSink(self.spark, self.target_dir, self.pk_cols)
+        return sink.read_target()
+
+    def active_rows(self) -> DataFrame | None:
+        """P3: the canonical active-row view over the applied state."""
+        t = self.target()
+        if t is None:
+            return None
+        from pyspark.sql import functions as F
+
+        return t.filter(
+            (F.col("__deleted").isNull()) | (F.col("__deleted") == "false")
+        )

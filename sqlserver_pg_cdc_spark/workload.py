@@ -291,6 +291,119 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# transformation plane (SURVEY §2.7, §2.9)
+# ---------------------------------------------------------------------------
+
+def q_pii_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5/F8: expression-based PII masking over synthesized contact
+    fields (the testdata has no PII columns; emails/SSNs are derived
+    deterministically from the key, including malformed cases that must
+    full-mask or pass through)."""
+    from sqlserver_pg_cdc_spark.functions import masking
+
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    email = (
+        F.when(ck % 11 == 0, F.concat(F.lit("u"), ck.cast("string"), F.lit("@@ex.com")))
+        .when(ck % 13 == 0, F.concat(F.lit("a@ex"), ck.cast("string"), F.lit(".com")))
+        .when(ck % 17 == 0, F.lit("noatsign"))
+        .otherwise(F.concat(F.lit("user"), ck.cast("string"), F.lit("@example.com")))
+    )
+    ssn = F.when(
+        ck % 7 == 0, F.concat(F.lit("123-45-"), F.lpad((ck % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.lit("12345"))
+    return c.select(
+        "c_custkey",
+        masking.mask_email(email).alias("email_masked"),
+        masking.mask_ssn(ssn).alias("ssn_masked"),
+        masking.hash_value(ck.cast("string"), "workload-salt", truncate=16).alias(
+            "custkey_hashed"
+        ),
+    )
+
+
+def _pii_mask_customer_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import masking
+
+    email = """
+    CASE WHEN c_custkey % 11 = 0 THEN 'u' || CAST(c_custkey AS VARCHAR) || '@@ex.com'
+         WHEN c_custkey % 13 = 0 THEN 'a@ex' || CAST(c_custkey AS VARCHAR) || '.com'
+         WHEN c_custkey % 17 = 0 THEN 'noatsign'
+         ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@example.com' END
+    """
+    ssn = """
+    CASE WHEN c_custkey % 7 = 0 THEN '123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         ELSE '12345' END
+    """
+    return f"""
+SELECT c_custkey,
+       {masking.mask_email_sql('email')} AS email_masked,
+       {masking.mask_ssn_sql('ssn')} AS ssn_masked,
+       {masking.hash_value_sql('CAST(c_custkey AS VARCHAR)', 'workload-salt', truncate=16)} AS custkey_hashed
+FROM (SELECT c_custkey, ({email}) AS email, ({ssn}) AS ssn FROM customer)
+"""
+
+
+def q_type_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: type conversion with both failure modes — NULL-on-error
+    (Spark-native try_cast) and keep-original (reference parity)."""
+    from sqlserver_pg_cdc_spark.operators.transform import (
+        conversion_failed,
+        convert_type,
+        convert_type_keep_original,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderkey") % 7 == 0, F.lit("not_a_number")).otherwise(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    )
+    src = o.select("o_orderkey", raw.alias("raw"))
+    return src.select(
+        "o_orderkey",
+        "raw",
+        convert_type("raw", "decimal(12,2)").alias("strict"),
+        convert_type_keep_original("raw", "decimal(12,2)").alias("keep"),
+        conversion_failed("raw", "decimal(12,2)").alias("conv_error"),
+    )
+
+
+_Q_TYPE_CONVERT_SQL = """
+SELECT o_orderkey, raw,
+       TRY_CAST(raw AS DECIMAL(12,2)) AS strict,
+       CASE WHEN TRY_CAST(raw AS DECIMAL(12,2)) IS NOT NULL
+            THEN CAST(TRY_CAST(raw AS DECIMAL(12,2)) AS VARCHAR)
+            ELSE raw END AS keep,
+       raw IS NOT NULL AND TRY_CAST(raw AS DECIMAL(12,2)) IS NULL AS conv_error
+FROM (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'not_a_number'
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS raw
+    FROM orders
+)
+"""
+
+
+def q_gdpr_pseudonymize_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F11: GDPR pipeline — regex field dispatch hashes *name* columns,
+    leaves everything else untouched."""
+    from sqlserver_pg_cdc_spark.operators.transform import create_gdpr_pipeline
+
+    s = load_table(spark, sf_dir, "supplier")
+    return create_gdpr_pipeline("workload-salt").apply(s).select(
+        "s_suppkey", F.col("s_name").alias("name_hashed"), "s_nationkey"
+    )
+
+
+_Q_GDPR_SQL = """
+SELECT s_suppkey,
+       CASE WHEN s_name IS NULL THEN NULL
+            ELSE sha256('workload-salt' || CAST(s_name AS VARCHAR)) END AS name_hashed,
+       s_nationkey
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC plane, batch-checkable projections (SURVEY §2.8)
 # ---------------------------------------------------------------------------
 
@@ -366,6 +479,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
+        "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
+        "type_convert_orders": QuerySpec(q_type_convert_orders, _Q_TYPE_CONVERT_SQL),
+        "gdpr_pseudonymize_supplier": QuerySpec(q_gdpr_pseudonymize_supplier, _Q_GDPR_SQL),
     }
 
     # schema-dependent oracles (need DataFrame probes)

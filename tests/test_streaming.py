@@ -1,0 +1,189 @@
+"""CDC streaming-plane tests, mirroring the reference integration suite
+(tests/integration/test_replication_flow.py: insert :147, update :173,
+delete :214, NULLs :291) plus idempotent replay, out-of-order delivery,
+stale flagging, and checkpoint resume."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlserver_pg_cdc_spark.streaming.apply import (
+    latest_per_key,
+    merge_upsert,
+    unwrap_envelope,
+    with_soft_delete,
+)
+from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ]
+)
+
+NOW_MS = int(time.time() * 1000)
+
+
+def _event(lsn, op, row, ts_ms=None):
+    e = {"op": op, "lsn": lsn, "ts_ms": ts_ms if ts_ms is not None else NOW_MS + lsn}
+    if op == "d":
+        e["before"], e["after"] = row, None
+    else:
+        e["before"], e["after"] = None, row
+    return e
+
+
+def _spool(path, events, fname="batch.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _mk_pipeline(spark, tmp_path, **kw):
+    return CdcPipeline(
+        spark,
+        source_dir=str(tmp_path / "spool"),
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        payload_schema=PAYLOAD,
+        pk_cols=["id"],
+        **kw,
+    )
+
+
+def _state(pipeline):
+    t = pipeline.target()
+    return {
+        r["id"]: (r["name"], r["amount"], r["__deleted"]) for r in t.collect()
+    }
+
+
+def test_insert_update_delete_flow(spark, tmp_path):
+    events = [
+        _event(1, "c", {"id": 1, "name": "alice", "amount": 10.0}),
+        _event(2, "c", {"id": 2, "name": "bob", "amount": 20.0}),
+        _event(3, "u", {"id": 1, "name": "alice2", "amount": 11.0}),
+        _event(4, "d", {"id": 2, "name": "bob", "amount": 20.0}),
+        _event(5, "c", {"id": 3, "name": None, "amount": None}),  # NULLs preserved
+    ]
+    p = _mk_pipeline(spark, tmp_path)
+    _spool(p.source_dir, events)
+    p.run_available_now()
+
+    st = _state(p)
+    assert st[1] == ("alice2", 11.0, "false")  # update applied
+    assert st[2] == ("bob", 20.0, "true")  # soft delete: row kept, flagged
+    assert st[3] == (None, None, "false")  # NULL round-trip
+    active = {r["id"] for r in p.active_rows().collect()}
+    assert active == {1, 3}
+
+
+def test_out_of_order_and_duplicate_delivery(spark, tmp_path):
+    """At-least-once semantics (FR-005): duplicates and reordering within
+    a batch must not change the outcome — latest LSN wins."""
+    events = [
+        _event(12, "u", {"id": 1, "name": "late", "amount": 3.0}),
+        _event(10, "c", {"id": 1, "name": "first", "amount": 1.0}),
+        _event(11, "u", {"id": 1, "name": "mid", "amount": 2.0}),
+        _event(11, "u", {"id": 1, "name": "mid", "amount": 2.0}),  # dup
+    ]
+    p = _mk_pipeline(spark, tmp_path)
+    _spool(p.source_dir, events)
+    p.run_available_now()
+    assert _state(p)[1] == ("late", 3.0, "false")
+
+
+def test_checkpoint_resume_and_idempotent_replay(spark, tmp_path):
+    p = _mk_pipeline(spark, tmp_path)
+    _spool(p.source_dir, [_event(1, "c", {"id": 1, "name": "a", "amount": 1.0})], "b1.json")
+    p.run_available_now()
+    assert _state(p)[1] == ("a", 1.0, "false")
+
+    # second spool file: one new key, one replayed OLD change for id=1
+    _spool(
+        p.source_dir,
+        [
+            _event(0, "u", {"id": 1, "name": "stale-replay", "amount": 0.0}),
+            _event(2, "c", {"id": 2, "name": "b", "amount": 2.0}),
+        ],
+        "b2.json",
+    )
+    p.run_available_now()
+    st = _state(p)
+    assert st[1] == ("a", 1.0, "false")  # older LSN did not overwrite
+    assert st[2] == ("b", 2.0, "false")
+
+    # replaying the same spool (fresh checkpoint) is a no-op on the target
+    p2 = CdcPipeline(
+        spark, p.source_dir, p.target_dir, str(tmp_path / "ckpt2"), PAYLOAD, ["id"]
+    )
+    p2.run_available_now()
+    assert _state(p2) == st
+
+
+def test_stale_event_flagged_not_dropped(spark, tmp_path):
+    """FR-008: events older than 24h are applied with a staleness flag."""
+    old_ms = NOW_MS - 48 * 3600 * 1000
+    p = _mk_pipeline(spark, tmp_path)
+    _spool(
+        p.source_dir,
+        [
+            _event(1, "c", {"id": 1, "name": "old", "amount": 1.0}, ts_ms=old_ms),
+            _event(2, "c", {"id": 2, "name": "new", "amount": 2.0}),
+        ],
+    )
+    p.run_available_now()
+    flags = {r["id"]: r["__stale"] for r in p.target().collect()}
+    assert flags == {1: True, 2: False}
+
+
+def test_unwrap_uses_before_image_for_deletes(spark):
+    env = spark.createDataFrame(
+        [
+            (None, {"id": 1, "name": "x", "amount": 1.0}, "c", 100, 1),
+            ({"id": 1, "name": "x", "amount": 1.0}, None, "d", 200, 2),
+        ],
+        T.StructType(
+            [
+                T.StructField("before", PAYLOAD),
+                T.StructField("after", PAYLOAD),
+                T.StructField("op", T.StringType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("lsn", T.LongType()),
+            ]
+        ),
+    )
+    flat = with_soft_delete(unwrap_envelope(env))
+    rows = {r["lsn"]: r for r in flat.collect()}
+    assert rows[2]["id"] == 1 and rows[2]["__deleted"] == "true"
+    assert rows[1]["__deleted"] == "false"
+
+
+def test_merge_upsert_is_batch_idempotent(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 5, "false")], "id long, name string, lsn long, __deleted string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "a2", 7, "false"), (2, "b", 6, "false")],
+        "id long, name string, lsn long, __deleted string",
+    )
+    once = merge_upsert(base, batch, ["id"])
+    twice = merge_upsert(once, batch, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert {r["name"] for r in once.collect()} == {"a2", "b"}
+
+
+def test_latest_per_key_composite(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "x"), (1, 10, 3, "y"), (1, 11, 2, "z")],
+        "a long, b long, lsn long, v string",
+    )
+    got = {(r["a"], r["b"]): r["v"] for r in latest_per_key(df, ["a", "b"]).collect()}
+    assert got == {(1, 10): "y", (1, 11): "z"}

@@ -1,0 +1,176 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-set heuristic), quality scoring, token counting,
+document fingerprinting, and shingling — each as a pure Column expression
+with a DuckDB-SQL twin for the oracle harness. All arithmetic is integer
+or same-order IEEE double (no transcendentals), so results are
+bit-identical across engines.
+
+These are extensions beyond the reference's surface (BASELINE.json north
+star): the operators a 100 TB document-corpus pipeline needs before
+training — filter by language/quality, count tokens, fingerprint for
+dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed stopword registries (tiny, broadcast as literals into the plan)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que", "por", "con"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty strings removed."""
+    return F.filter(
+        F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def tokens_sql(col: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), t -> t <> '')"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(col: str) -> str:
+    return f"len({tokens_sql(col)})"
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language distinct-stopword hit count."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over stopword hits with fixed priority en>de>fr>es; 'und'
+    (undetermined) when nothing matches."""
+    scores = lang_scores(col)
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # iterate in REVERSE priority so earlier languages win ties via >=
+    for lang in reversed(_LANG_ORDER):
+        s = scores[lang]
+        cond = s >= best_score
+        take = (s > 0) & cond
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def lang_id_sql(col: str) -> str:
+    toks = tokens_sql(col)
+    score = {
+        lang: f"len(list_intersect({toks}, {_sql_array(words)}))"
+        for lang, words in STOPWORDS.items()
+    }
+    # same reverse fold, expressed as nested CASE on materialized scores
+    inner = f"SELECT {', '.join(f'{score[l]} AS s_{l}' for l in _LANG_ORDER)}"
+    expr = "'und'"
+    best = "0"
+    for lang in reversed(_LANG_ORDER):
+        expr = f"CASE WHEN s_{lang} > 0 AND s_{lang} >= ({best}) THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN s_{lang} >= ({best}) THEN s_{lang} ELSE ({best}) END"
+    return f"(SELECT {expr} FROM ({inner}))"
+
+
+def _sql_array(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def punct_count(col: Column | str) -> Column:
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def punct_count_sql(col: str) -> str:
+    return f"length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g'))"
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: token volume (capped), low
+    punctuation density, stopword presence. Rational arithmetic only —
+    identical IEEE ops on both engines."""
+    c = _c(col)
+    n_tok = token_count(c).cast("double")
+    length = F.greatest(F.length(c), F.lit(1)).cast("double")
+    punct_ratio = punct_count(c).cast("double") / length
+    sw_hits = sum(lang_scores(c).values()).cast("double")
+    sw_component = F.least(sw_hits / F.lit(5.0), F.lit(1.0))
+    vol_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return vol_component * 0.5 + (F.lit(1.0) - punct_ratio) * 0.3 + sw_component * 0.2
+
+
+def quality_score_sql(col: str) -> str:
+    toks = tokens_sql(col)
+    sw = " + ".join(
+        f"len(list_intersect({toks}, {_sql_array(w)}))" for w in STOPWORDS.values()
+    )
+    return (
+        f"(least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.5"
+        f" + (1.0 - CAST({punct_count_sql(col)} AS DOUBLE)"
+        f"   / CAST(greatest(length({col}), 1) AS DOUBLE)) * 0.3"
+        f" + least(CAST(({sw}) AS DOUBLE) / 5.0, 1.0) * 0.2)"
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + collapse whitespace + trim — the canonical doc form."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def normalize_text_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Stable content fingerprint over the normalized text (the rolling-
+    hash analog, expressed as one md5 over the canonical form)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5({normalize_text_sql(col)})"
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct), the dedup/minhash unit."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # guard: Spark's sequence(1, m) with m < 1 counts DOWN, not empty
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(col: str, k: int = 3) -> str:
+    toks = tokens_sql(col)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )

@@ -1,0 +1,391 @@
+"""Document deduplication for training-data pipelines.
+
+Five families, each designed for 100 TB scale:
+
+- exact: one hash-groupBy on the content fingerprint (map-side combine,
+  single shuffle on a 128-bit key).
+- n-gram Jaccard: shingle-set similarity join, blocked to avoid the O(n²)
+  cross product.
+- MinHash + LSH: per-doc signature via one explode+groupBy pass (k min
+  aggregates), banded into buckets, candidate pairs from equi-joins on
+  the band key — the classic sub-quadratic near-dup path.
+- SimHash: 60-bit sign-aggregated token hashes; near-dups share the
+  simhash (or differ in few bits).
+- embedding cosine: near-dup pairs above a cosine threshold, label-blocked
+  here; the ANN machinery lives in operators/similarity.py.
+
+Every hash is md5-derived so the DuckDB oracle can reproduce results
+bit-for-bit (Spark's xxhash64/hash have no DuckDB twin). At production
+scale, swap ``_hex_to_long``'s md5 for xxhash64 — one line, same plan
+shape, no oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+# 15 hex chars = 60 bits: fits bigint exactly in both engines
+_HEX_LEN = 15
+
+
+def _hex_to_long(hex_col: Column) -> Column:
+    return F.conv(F.substring(hex_col, 1, _HEX_LEN), 16, 10).cast("bigint")
+
+
+def _hex_to_long_sql(hex_expr: str) -> str:
+    return f"(('0x' || substr({hex_expr}, 1, {_HEX_LEN}))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one groupBy on the
+    fingerprint; keeps the minimum id as the canonical representative."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dup_groups_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT fp, count(*) AS n_docs, min({id_col}) AS keep_id
+FROM (SELECT {id_col}, {fingerprint_sql(text_col)} AS fp FROM {table})
+GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    ``block_col`` keys the self-join (same language, same length bucket,
+    an LSH band...) — without it this is a cross join, which is only
+    acceptable for validation-scale inputs.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(text_col, k).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    ).filter(F.size("sh") > 0)
+    a = base.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"), "blk")
+    b = base.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"), "blk")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jacc = inter / union
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> str:
+    blk = block_col if block_col else "0"
+    sh = shingles_sql(text_col, k)
+    return f"""
+WITH base AS (
+    SELECT {id_col} AS doc, {sh} AS sh, {blk} AS blk FROM {table}
+), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
+SELECT x.doc AS a, y.doc AS b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+FROM nonempty x JOIN nonempty y ON x.blk = y.blk AND x.doc < y.doc
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, h0..h{n-1}) — column per hash function.
+
+    One explode + one groupBy: hash_i(shingle) = md5(i|shingle) and the
+    signature component is the MIN hex string per i. Map-side partial min
+    makes this a single cheap shuffle on the doc id.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def _minhash_signatures_sql(
+    table: str, id_col: str, text_col: str, num_hashes: int, k: int
+) -> str:
+    sh = shingles_sql(text_col, k)
+    mins = ", ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    return f"""
+SELECT doc, {mins}
+FROM (SELECT {id_col} AS doc, unnest({sh}) AS sh FROM {table})
+GROUP BY doc
+"""
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join per band, union candidate pairs.
+
+    Docs agreeing on ALL hashes of any band collide; each band is one
+    equi-join on a 128-bit band key — no cross product anywhere.
+    """
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        keyed = signatures.select(
+            "doc", F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        )
+        left = keyed.select(F.col("doc").alias("a"), "band_key")
+        right = keyed.select(F.col("doc").alias("b"), "band_key")
+        pair_frames.append(
+            left.join(right, "band_key").filter(F.col("a") < F.col("b")).select("a", "b")
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    rows = num_hashes // bands
+    return lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, num_hashes, k), bands, rows
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> str:
+    rows = num_hashes // bands
+    sig = _minhash_signatures_sql(table, id_col, text_col, num_hashes, k)
+    sep = " || '|' || "
+    keyed_ctes, band_selects = [], []
+    for b in range(bands):
+        concat = sep.join(f"h{b * rows + r}" for r in range(rows))
+        keyed_ctes.append(
+            f"keyed{b} AS (SELECT doc, md5({concat}) AS band_key FROM sig)"
+        )
+        band_selects.append(
+            f"SELECT x.doc AS a, y.doc AS b FROM keyed{b} x JOIN keyed{b} y "
+            f"ON x.band_key = y.band_key AND x.doc < y.doc"
+        )
+    union = " UNION ".join(band_selects)  # UNION dedups, matching .distinct()
+    return f"WITH sig AS ({sig}), {', '.join(keyed_ctes)} {union}"
+
+
+def minhash_jaccard_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The scale path: LSH candidate generation + exact Jaccard verify.
+
+    Only pairs colliding in an LSH band get their true shingle-set Jaccard
+    computed — candidates are O(near-dups), not O(n²/blocks). This is the
+    composition to use beyond validation scale (the blocked
+    ngram_jaccard_pairs cross-join is ~25x slower at sf0.1 already).
+    """
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "a").join(b, "b")
+        .select("a", "b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_jaccard_verified_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> str:
+    cands = minhash_lsh_pairs_sql(table, id_col, text_col, num_hashes, bands, k)
+    sh = shingles_sql(text_col, k)
+    return f"""
+WITH cands AS ({cands}),
+     sh AS (SELECT {id_col} AS doc, {sh} AS s FROM {table})
+SELECT a, b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+FROM cands JOIN sh x ON cands.a = x.doc JOIN sh y ON cands.b = y.doc
+WHERE len(x.s) > 0 AND len(y.s) > 0
+  AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars -> bigint-safe in both engines
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document.
+
+    Each token contributes +1/-1 per bit position (sign of md5 bit);
+    the fingerprint sets bit b iff the aggregate is >= 0. One explode +
+    one groupBy with 60 conditional-sum aggregates — stays in codegen.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).select("doc", _hex_to_long(F.md5(F.col("tok"))).alias("th"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = exploded.groupBy("doc").agg(*aggs)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = tokens_sql(text_col)
+    th = _hex_to_long_sql("md5(tok)")
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc, ({fp}) AS simhash FROM (
+    SELECT doc, {sums} FROM (
+        SELECT {id_col} AS doc, {th} AS th
+        FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+    ) GROUP BY doc
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold; optionally blocked (label,
+    LSH bucket from operators/similarity.py) to avoid the cross join."""
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), "blk")
+    b = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), "blk")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> str:
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine_sql
+
+    blk = block_col if block_col else "0"
+    cos = cosine_sql("x.v", "y.v")
+    return f"""
+WITH base AS (SELECT {id_col} AS doc, {vec_col} AS v, {blk} AS blk FROM {table})
+SELECT x.doc AS a, y.doc AS b, {cos} AS cosine
+FROM base x JOIN base y ON x.blk = y.blk AND x.doc < y.doc
+WHERE {cos} >= {threshold}
+"""

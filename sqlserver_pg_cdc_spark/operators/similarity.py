@@ -1,0 +1,174 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+
+- ``topk_brute_force``: exact cosine top-k. The query set is broadcast
+  (it is small by construction), each partition scores its vectors, and
+  only per-partition top-k survivors reach the final shuffle — O(N·d)
+  scan work, no N×N blowup. This is the correctness baseline.
+- ``topk_lsh``: random-hyperplane LSH. Vectors hash to a sign-pattern
+  bucket; a query only scores candidates in its bucket (multi-probe over
+  Hamming-1 neighbors to recover recall). At 100 TB the bucket column is
+  precomputed once and the join is an equi-join on (bucket), cutting the
+  scan by ~2^planes.
+
+Hyperplanes are deterministic: generated from a seeded md5 stream in
+Python and embedded as plan literals, so the DuckDB oracle shares them
+exactly (no cross-engine RNG needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.functions.vectors import cosine, cosine_sql, dot
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[float]]:
+    """Deterministic pseudo-random planes in [-0.5, 0.5)^dim.
+
+    Component (p, d) derives from md5(seed|p|d) — stable across engines,
+    sessions, and partitions.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            row.append(u / 2**64 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each plane, as a bit string."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    from sqlserver_pg_cdc_spark.functions.vectors import dot_sql
+
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        bits.append(f"CASE WHEN {dot_sql(vec, arr)} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, n_planes: int = 8, dim: int = 64, seed: str = "ann-seed"
+) -> DataFrame:
+    """Materialize the LSH bucket column (precompute once at ingest)."""
+    return df.withColumn(
+        "lsh_bucket", _bucket_expr(F.col(vec_col), hyperplanes(n_planes, dim, seed))
+    )
+
+
+def topk_brute_force(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine per query: (query_id, rank, id, cosine).
+
+    Ties break on the candidate id for full determinism.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = q.crossJoin(v).filter(F.col("query_id") != F.col("id")).select(
+        "query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
+def topk_brute_force_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 10,
+) -> str:
+    """Oracle twin; ``query_pred`` selects the query rows (e.g. 'vec_id < 5')."""
+    cos = cosine_sql("q.qv", "v.v")
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {query_pred}),
+     v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+SELECT query_id, rank, id, cosine FROM (
+    SELECT query_id, id, {cos} AS cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, id) AS rank
+    FROM q, v WHERE query_id <> id
+) WHERE rank <= {k}
+"""
+
+
+def topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: str = "ann-seed",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """LSH-bucketed top-k: score only same-bucket candidates (plus
+    Hamming-1 probe buckets when ``multiprobe``)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", _bucket_expr(F.col("v"), planes)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qbucket", _bucket_expr(F.col("qv"), planes))
+    if multiprobe:
+        # query probes its own bucket and every Hamming-1 neighbor
+        flips = [q.select("query_id", "qv", F.col("qbucket").alias("probe"))]
+        for i in range(1, n_planes + 1):
+            flipped_bit = F.when(
+                F.substring("qbucket", i, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probe = F.concat(
+                F.substring("qbucket", 1, i - 1),
+                flipped_bit,
+                F.substring("qbucket", i + 1, n_planes - i),
+            )
+            flips.append(q.select("query_id", "qv", probe.alias("probe")))
+        probes = flips[0]
+        for fdf in flips[1:]:
+            probes = probes.unionByName(fdf)
+    else:
+        probes = q.select("query_id", "qv", F.col("qbucket").alias("probe"))
+    scored = (
+        F.broadcast(probes)
+        .join(v, probes.probe == v.bucket)
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )

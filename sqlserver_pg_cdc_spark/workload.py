@@ -457,6 +457,94 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 """
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality score, token count, fingerprint per document —
+    one projection pass, all JVM-side expressions."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _text_analysis_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    return f"""
+SELECT doc_id,
+       {TX.token_count_sql('text')} AS n_tokens,
+       {TX.lang_id_sql('text')} AS lang_pred,
+       {TX.quality_score_sql('text')} AS quality,
+       {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus plus planted whitespace-variant copies
+    of the first 20 docs (the fixture itself has no byte-identical dups,
+    so the query must find exactly the planted ones)."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return DD.exact_dup_groups(corpus, "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate + exact-Jaccard-verify composition — the scale path
+    (the blocked cross-join variant is 25x slower at sf0.1 and quadratic
+    beyond)."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.minhash_jaccard_verified_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, block_col="label",
+    )
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_brute_force
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_brute_force(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+
+
 def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
     """Assemble the full name -> QuerySpec catalog.
 
@@ -483,6 +571,50 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "type_convert_orders": QuerySpec(q_type_convert_orders, _Q_TYPE_CONVERT_SQL),
         "gdpr_pseudonymize_supplier": QuerySpec(q_gdpr_pseudonymize_supplier, _Q_GDPR_SQL),
     }
+
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_brute_force_sql
+
+    catalog.update(
+        {
+            "text_analysis": QuerySpec(q_text_analysis, _text_analysis_sql()),
+            "dedup_exact": QuerySpec(
+                q_dedup_exact,
+                DD.exact_dup_groups_sql(
+                    "(SELECT doc_id, text FROM documents UNION ALL "
+                    " SELECT doc_id + 1000000, '  ' || text || '  ' "
+                    " FROM documents WHERE doc_id < 20)",
+                    "doc_id",
+                    "text",
+                ),
+            ),
+            "dedup_minhash_lsh": QuerySpec(
+                q_dedup_minhash_lsh,
+                DD.minhash_lsh_pairs_sql("documents", "doc_id", "text"),
+            ),
+            "dedup_simhash": QuerySpec(
+                q_dedup_simhash, DD.simhash_sql("documents", "doc_id", "text")
+            ),
+            "dedup_ngram_jaccard": QuerySpec(
+                q_dedup_ngram_jaccard,
+                DD.minhash_jaccard_verified_pairs_sql(
+                    "documents", "doc_id", "text", threshold=0.2
+                ),
+            ),
+            "embedding_near_dup": QuerySpec(
+                q_embedding_near_dup,
+                DD.embedding_near_dup_pairs_sql(
+                    "embeddings", "vec_id", "embedding", threshold=0.3, block_col="label"
+                ),
+            ),
+            "ann_topk_cosine": QuerySpec(
+                q_ann_topk_cosine,
+                topk_brute_force_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5", k=10
+                ),
+            ),
+        }
+    )
 
     # schema-dependent oracles (need DataFrame probes)
     for table in ("customer", "orders", "lineitem", "events"):

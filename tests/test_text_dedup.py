@@ -1,0 +1,226 @@
+"""Text analysis, dedup, and similarity-search tests: semantics plus
+cross-engine oracle parity on the documents/embeddings fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.functions import text as TX
+from sqlserver_pg_cdc_spark.functions.vectors import cosine
+from sqlserver_pg_cdc_spark.operators import dedup as DD
+from sqlserver_pg_cdc_spark.operators.similarity import (
+    topk_brute_force,
+    topk_brute_force_sql,
+    topk_lsh,
+    with_lsh_bucket,
+)
+from tests.conftest import load
+
+
+# --- text functions -------------------------------------------------------
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("  The quick  fox ",), ("",), (" ",)], "t string")
+    rows = df.select(
+        TX.tokens("t").alias("tk"), TX.token_count("t").alias("n")
+    ).collect()
+    assert rows[0]["tk"] == ["the", "quick", "fox"] and rows[0]["n"] == 3
+    assert rows[1]["n"] == 0 and rows[2]["n"] == 0
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "t string")
+    rows = df.select(TX.shingles("t", 3).alias("sh")).collect()
+    assert rows[0]["sh"] == []  # fewer tokens than k
+    assert sorted(rows[1]["sh"]) == ["a b c", "b c d"]
+
+
+def test_lang_id_basics(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat et la maison est un jardin",),
+            ("el perro y los gatos es una casa",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(TX.lang_id("t")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+@pytest.mark.parametrize(
+    "expr,sql",
+    [
+        (TX.token_count, TX.token_count_sql),
+        (TX.lang_id, TX.lang_id_sql),
+        (TX.quality_score, TX.quality_score_sql),
+        (TX.fingerprint, TX.fingerprint_sql),
+        (TX.punct_count, TX.punct_count_sql),
+    ],
+    ids=["token_count", "lang_id", "quality", "fingerprint", "punct"],
+)
+def test_text_fn_oracle_parity_on_documents(spark, duck, expr, sql):
+    df = load(spark, "documents")
+    got = {r["doc_id"]: r["v"] for r in df.select("doc_id", expr("text").alias("v")).collect()}
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"SELECT doc_id, {sql('text')} FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# --- dedup ----------------------------------------------------------------
+
+def _docs_with_dups(spark):
+    base = load(spark, "documents")
+    # plant exact dups (whitespace variants) and near-dups (token swap)
+    exact = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.substring("text", 1, 0)), F.col("text"), F.lit(" ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    near = base.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words appended here")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = _docs_with_dups(spark)
+    groups = DD.exact_dup_groups(df, "doc_id", "text").collect()
+    keep = {r["keep_id"]: r["n_docs"] for r in groups}
+    planted = {k for k in keep if k < 10}
+    assert planted == set(range(10))
+    assert all(keep[k] == 2 for k in planted)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs_with_dups(spark)
+    pairs = {
+        (r["a"], r["b"])
+        for r in DD.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    # exact dups must collide on every band; near dups on at least one
+    exact_hits = sum((i, i + 10000) in pairs for i in range(10))
+    near_hits = sum((i, i + 20000) in pairs for i in range(10, 20))
+    assert exact_hits == 10
+    assert near_hits >= 8  # probabilistic but heavily stacked
+    # sanity: vastly fewer pairs than the cross product
+    assert len(pairs) < 1000
+
+
+def test_ngram_jaccard_scores(spark):
+    df = _docs_with_dups(spark)
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.3, block_col="source"
+        ).collect()
+    }
+    exact = [(i, i + 10000) for i in range(10)]
+    assert all(pairs.get(p) == 1.0 for p in exact)
+
+
+def test_simhash_near_dups_close(spark):
+    df = _docs_with_dups(spark)
+    sh = {r["doc"]: r["simhash"] for r in DD.simhash(df, "doc_id", "text").collect()}
+    for i in range(10):
+        assert sh[i] == sh[i + 10000]  # identical token multiset -> equal
+    for i in range(10, 20):
+        ham = bin(sh[i] ^ sh[i + 20000]).count("1")
+        assert ham <= 12  # near-dup stays within a few bits of 60
+
+
+@pytest.mark.parametrize(
+    "mk,mk_sql",
+    [
+        (
+            lambda df: DD.exact_dup_groups(df, "doc_id", "text"),
+            lambda: DD.exact_dup_groups_sql("documents", "doc_id", "text"),
+        ),
+        (
+            lambda df: DD.minhash_lsh_pairs(df, "doc_id", "text"),
+            lambda: DD.minhash_lsh_pairs_sql("documents", "doc_id", "text"),
+        ),
+        (
+            lambda df: DD.simhash(df, "doc_id", "text"),
+            lambda: DD.simhash_sql("documents", "doc_id", "text"),
+        ),
+        (
+            lambda df: DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.2, block_col="lang"
+            ),
+            lambda: DD.ngram_jaccard_pairs_sql(
+                "documents", "doc_id", "text", threshold=0.2, block_col="lang"
+            ),
+        ),
+    ],
+    ids=["exact", "minhash_lsh", "simhash", "ngram_jaccard"],
+)
+def test_dedup_oracle_parity(spark, duck, mk, mk_sql):
+    df = load(spark, "documents")
+    got = sorted(tuple(r) for r in mk(df).collect())
+    want = sorted(tuple(r) for r in duck.execute(mk_sql()).fetchall())
+    assert got == want
+
+
+# --- similarity search ----------------------------------------------------
+
+def test_topk_brute_force_oracle_parity(spark, duck):
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r) for r in topk_brute_force(emb, q, "vec_id", "embedding", k=10).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            topk_brute_force_sql("embeddings", "vec_id", "embedding", "vec_id < 5", k=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_topk_lsh_recall_vs_exact(spark):
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    approx = topk_lsh(emb, q, "vec_id", "embedding", k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # the fixture embeddings are UNclustered (uniform random), so the
+    # ceiling for any bucketing scheme is modest; the signal that LSH
+    # works is recall exceeding the probed fraction of the space
+    # (4 planes + Hamming-1 multiprobe scans ~5/16 = 31%)
+    assert mean_recall > 0.33, f"mean recall {mean_recall} <= probed fraction"
+
+
+def test_embedding_near_dup_blocked(spark):
+    emb = load(spark, "embeddings")
+    pairs = DD.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.8, block_col="label"
+    )
+    rows = pairs.collect()
+    assert all(r["cosine"] >= 0.8 for r in rows)
+
+
+def test_lsh_bucket_column(spark):
+    emb = load(spark, "embeddings")
+    b = with_lsh_bucket(emb, "embedding", n_planes=8)
+    rows = b.select("lsh_bucket").distinct().collect()
+    assert 1 < len(rows) <= 256
+    assert all(len(r[0]) == 8 and set(r[0]) <= {"0", "1"} for r in rows)

@@ -171,26 +171,36 @@ GROUP BY doc
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join per band, union candidate pairs.
+    """Band the signature and bucket-join: docs agreeing on ALL hashes of
+    any band collide.
 
-    Docs agreeing on ALL hashes of any band collide; each band is one
-    equi-join on a 128-bit band key — no cross product anywhere.
+    Plan shape matters here: banding via ONE explode into (band_id,
+    band_key) rows and ONE self-join on that composite key — not a join
+    per band, which re-executes the whole signature sub-DAG per band
+    (4 bands were 16 shuffles; this form is 3). No cross product anywhere.
     """
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        keyed = signatures.select(
-            "doc", F.md5(F.concat_ws("|", *cols)).alias("band_key")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                )
+            ).alias("band_key"),
         )
-        left = keyed.select(F.col("doc").alias("a"), "band_key")
-        right = keyed.select(F.col("doc").alias("b"), "band_key")
-        pair_frames.append(
-            left.join(right, "band_key").filter(F.col("a") < F.col("b")).select("a", "b")
-        )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        for b in range(bands)
+    ]
+    keyed = signatures.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc", "bk.band_id", "bk.band_key")
+    left = keyed.select(F.col("doc").alias("a"), "band_id", "band_key")
+    right = keyed.select(F.col("doc").alias("b"), "band_id", "band_key")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,122 @@
+"""JDBC sources & sinks (reference S9-S11).
+
+The reference's connection pools (db_pool/base.py:125-565) vanish here:
+Spark's JDBC datasource manages connections per partition. What remains
+user-visible is *partitioned read planning* — the replacement for the
+reference's OFFSET pagination (S3) — and the upsert sink semantics.
+
+No database exists in this test environment, so these builders are
+exercised up to the option dict and the SQL they generate; the
+``read``/``write`` calls themselves are thin Spark API pass-throughs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcConfig:
+    url: str  # jdbc:postgresql://... / jdbc:sqlserver://...
+    user: str
+    password: str
+    driver: str | None = None
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def properties(self) -> dict[str, str]:
+        props = {"user": self.user, "password": self.password, **self.extra}
+        if self.driver:
+            props["driver"] = self.driver
+        return props
+
+
+def partitioned_read_options(
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Partitioned JDBC scan options — N concurrent range queries instead
+    of the reference's serial LIMIT/OFFSET chunking (compare/checksum.py:
+    144-276). Bounds come from ``SELECT min(pk), max(pk)`` or catalog
+    stats; each executor reads one range."""
+    return {
+        "dbtable": table,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+    }
+
+
+def read_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    reader = spark.read.format("jdbc").option("url", cfg.url)
+    for k, v in cfg.properties().items():
+        reader = reader.option(k, v)
+    if partition_column and bounds:
+        for k, v in partitioned_read_options(
+            table, partition_column, bounds[0], bounds[1], num_partitions
+        ).items():
+            reader = reader.option(k, v)
+    else:
+        reader = reader.option("dbtable", table)
+    return reader.load()
+
+
+def incremental_poll_query(
+    table: str,
+    lsn_column: str,
+    last_lsn: str | int,
+    order_columns: list[str] | None = None,
+    limit: int | None = 2048,
+) -> str:
+    """The Debezium-poll analog as SQL (reference data-model.md:366-371:
+    ``WHERE __$start_lsn > ? ORDER BY __$start_lsn, __$seqval``) — used by
+    a driver loop that feeds micro-batches into the CDC apply path when no
+    Kafka is present (BASELINE.json's stated Spark approach)."""
+    order = ", ".join(order_columns or [lsn_column])
+    lsn_lit = f"'{last_lsn}'" if isinstance(last_lsn, str) else str(last_lsn)
+    q = f"SELECT * FROM {table} WHERE {lsn_column} > {lsn_lit} ORDER BY {order}"
+    if limit:
+        q += f" LIMIT {limit}"
+    return q
+
+
+def upsert_write_options(table: str, pk_cols: list[str], batch_size: int = 3000) -> dict:
+    """Sink-side shape of the reference's JDBC upsert connector
+    (postgresql-sink.json:23-34). Spark's own JDBC writer has no upsert
+    mode; production deployments route foreachBatch through a MERGE/
+    INSERT..ON CONFLICT statement built from these options."""
+    return {
+        "dbtable": table,
+        "insert.mode": "upsert",
+        "pk.fields": ",".join(pk_cols),
+        "batchsize": str(batch_size),
+    }
+
+
+def on_conflict_upsert_sql(table: str, columns: list[str], pk_cols: list[str]) -> str:
+    """PostgreSQL INSERT ... ON CONFLICT DO UPDATE for the foreachBatch
+    sink path (the reference sink's upsert semantics, FR-005)."""
+    collist = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    updates = ", ".join(
+        f"{c} = EXCLUDED.{c}" for c in columns if c not in pk_cols
+    )
+    conflict = ", ".join(pk_cols)
+    return (
+        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )

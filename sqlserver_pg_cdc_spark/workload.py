@@ -545,6 +545,30 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level featurization of opaque payload columns (the corrupt/
+    dup prefilter that runs before any codec); payloads synthesized from
+    document text since the fixture carries no real media."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import binary_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_features(d, "doc_id", "payload")
+
+
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    fake codec — not SQL-expressible, so the driver records the weaker
+    rows-only check."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_images
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return decode_images(d, "doc_id", "payload")
+
+
 def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
     """Assemble the full name -> QuerySpec catalog.
 
@@ -615,6 +639,18 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
         }
     )
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import binary_features_sql
+
+    catalog["multimodal_binary_features"] = QuerySpec(
+        q_multimodal_binary_features,
+        binary_features_sql(
+            "(SELECT doc_id, encode(text) AS payload FROM documents)",
+            "doc_id",
+            "payload",
+        ),
+    )
+    catalog["multimodal_image_decode"] = QuerySpec(q_multimodal_image_decode, None)
 
     # schema-dependent oracles (need DataFrame probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -1,0 +1,147 @@
+"""Multimodal plumbing, plan advisor, JDBC option builders."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.multimodal import (
+    binary_features,
+    binary_features_sql,
+    decode_images,
+    resize_images_stub,
+    sample_audio_frames,
+    with_metadata,
+)
+from sqlserver_pg_cdc_spark.plans.advisor import analyze_plan, recommend_layout
+from sqlserver_pg_cdc_spark.sources.jdbc import (
+    JdbcConfig,
+    incremental_poll_query,
+    on_conflict_upsert_sql,
+    partitioned_read_options,
+    upsert_write_options,
+)
+from tests.conftest import load
+
+
+def _binary_docs(spark):
+    return (
+        load(spark, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+def test_binary_features_oracle_parity(spark, duck):
+    df = _binary_docs(spark)
+    got = sorted(tuple(r) for r in binary_features(df, "doc_id", "payload").collect())
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            binary_features_sql(
+                "(SELECT doc_id, encode(text) AS payload FROM documents)",
+                "doc_id",
+                "payload",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_with_metadata_struct(spark):
+    df = with_metadata(_binary_docs(spark), "payload", mime="text/plain")
+    row = df.filter(F.col("doc_id") == 0).collect()[0]["metadata"]
+    assert row["mime"] == "text/plain"
+    assert row["n_bytes"] > 0
+    assert row["width"] is None and row["sample_rate"] is None
+
+
+def test_decode_images_fake_deterministic(spark):
+    df = _binary_docs(spark).limit(50)
+    a = {r["doc_id"]: tuple(r) for r in decode_images(df, "doc_id", "payload").collect()}
+    b = {r["doc_id"]: tuple(r) for r in decode_images(df, "doc_id", "payload").collect()}
+    assert a == b  # deterministic fake
+    some = next(iter(a.values()))
+    assert 64 <= some[1] <= 255 and 64 <= some[2] <= 255 and some[3] == 3
+    assert 0.0 <= some[4] <= 1.0
+
+
+def test_decode_images_strict_raises(spark):
+    df = _binary_docs(spark).limit(2)
+    with pytest.raises(Exception) as ei:
+        decode_images(df, "doc_id", "payload", decoder="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or "image library" in str(ei.value)
+
+
+def test_audio_frame_fanout(spark):
+    df = _binary_docs(spark).limit(10)
+    frames = sample_audio_frames(df, "doc_id", "payload", frame_ms=500).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 10
+    for doc_frames in by_doc.values():
+        idxs = sorted(f["frame_idx"] for f in doc_frames)
+        assert idxs == list(range(len(idxs)))  # dense frame indices
+        assert all(f["frame_offset_ms"] == f["frame_idx"] * 500 for f in doc_frames)
+        assert all(f["rms"] >= 0 for f in doc_frames)
+
+
+def test_resize_stub_raises(spark):
+    df = _binary_docs(spark).limit(1)
+    with pytest.raises(Exception):
+        resize_images_stub(df, "doc_id", "payload", 224, 224).collect()
+
+
+# --- advisor --------------------------------------------------------------
+
+def test_analyze_plan_detects_pushdown_and_joins(spark):
+    li = load(spark, "lineitem").filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    m = analyze_plan(li)
+    assert m.pushed_filters >= 1  # filter reached the parquet scan
+    assert not m.has_cartesian
+
+    orders = load(spark, "orders")
+    joined = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    mj = analyze_plan(joined)
+    assert any("BroadcastHashJoin" in j for j in mj.joins)
+
+
+def test_analyze_plan_flags_cartesian(spark):
+    a = load(spark, "region")
+    b = load(spark, "nation")
+    m = analyze_plan(a.crossJoin(b))
+    assert m.has_cartesian
+    assert any("cartesian" in w for w in m.warnings)
+
+
+def test_recommend_layout():
+    class FakeDF:
+        columns = [f"c{i}" for i in range(25)]
+
+    recs = recommend_layout(FakeDF(), join_keys=["pk"], filter_keys=["ds"])
+    assert any("bucket" in r for r in recs)
+    assert any("partition" in r for r in recs)
+    assert any("25 columns" in r for r in recs)
+
+
+# --- jdbc builders --------------------------------------------------------
+
+def test_jdbc_builders():
+    cfg = JdbcConfig("jdbc:postgresql://h/db", "u", "p", driver="org.postgresql.Driver")
+    assert cfg.properties()["driver"] == "org.postgresql.Driver"
+
+    opts = partitioned_read_options("t", "id", 0, 1000, num_partitions=8)
+    assert opts["numPartitions"] == "8" and opts["partitionColumn"] == "id"
+
+    q = incremental_poll_query("cdc.t_CT", "__$start_lsn", 123,
+                               order_columns=["__$start_lsn", "__$seqval"])
+    assert q == (
+        "SELECT * FROM cdc.t_CT WHERE __$start_lsn > 123 "
+        "ORDER BY __$start_lsn, __$seqval LIMIT 2048"
+    )
+
+    up = upsert_write_options("t", ["id"], batch_size=3000)
+    assert up["insert.mode"] == "upsert" and up["batchsize"] == "3000"
+
+    sql = on_conflict_upsert_sql("t", ["id", "a", "b"], ["id"])
+    assert "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b" in sql

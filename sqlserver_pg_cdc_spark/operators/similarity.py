@@ -121,6 +121,76 @@ SELECT query_id, rank, id, cosine FROM (
 """
 
 
+def with_ivf_cell(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat with deterministic centroids: the first ``n_cells``
+    vectors (by id) act as centroids; every vector is assigned to its
+    max-cosine cell. Returns (assigned, centroids).
+
+    At scale: centroids come from k-means (or a sample), the assigned
+    table is written partitioned by cell, and a query probes only its
+    nearest cell(s) — the candidate set shrinks by ~n_cells.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = (
+        vectors.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"))
+    )
+    scored = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+        .crossJoin(F.broadcast(centroids)) \
+        .select("id", "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("cc"))
+    w = W.partitionBy("id").orderBy(F.col("cc").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell_id")
+    )
+    return assigned, centroids
+
+
+def topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: assign corpus to cells once, probe each query's
+    ``n_probe`` nearest cells, exact cosine within the probed candidates."""
+    from pyspark.sql import Window as W
+
+    assigned, centroids = with_ivf_cell(vectors, id_col, vec_col, n_cells)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cell_id", cosine(F.col("qv"), F.col("cv")).alias("cc")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cell_id"))
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
 def topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

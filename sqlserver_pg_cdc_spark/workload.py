@@ -598,6 +598,86 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 """
 
 
+def q_checksum_ordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: order-sensitive SHA-256 digest (sequential fold == hash of the
+    ordered concatenation, so it runs as one distributed aggregate)."""
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
+
+    return ordered_checksum_df(load_table(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets aggregation (beyond the reference's surface;
+    subtotal rows carry NULL group keys on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        )
+    )
+
+
+_Q_PRICING_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation over business data (absent in the reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.agg(
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+    b = li.agg(F.countDistinct("l_orderkey", "l_linenumber").alias("n_line_keys"))
+    return a.crossJoin(b)
+
+
+_Q_DISTINCT_SQL = """
+SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers_with_orders,
+       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_statuses,
+       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS n_line_keys
+"""
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus selection: the composed text-analysis filter a
+    data pipeline runs before tokenization (quality + language gates)."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.token_count("text").alias("n_tokens"),
+            TX.lang_id("text").alias("lang_pred"),
+            TX.quality_score("text").alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "n_tokens", "lang_pred")
+    )
+
+
+def _corpus_select_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    return f"""
+SELECT doc_id, n_tokens, lang_pred FROM (
+    SELECT doc_id,
+           {TX.token_count_sql('text')} AS n_tokens,
+           {TX.lang_id_sql('text')} AS lang_pred,
+           {TX.quality_score_sql('text')} AS quality
+    FROM documents
+) WHERE quality >= 0.5 AND n_tokens >= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -733,6 +813,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "customer_order_ranks": QuerySpec(q_customer_order_ranks, _Q_ORDER_RANKS_SQL),
         "customer_set_ops": QuerySpec(q_customer_set_ops, _Q_SET_OPS_SQL),
         "events_windowed": QuerySpec(q_events_windowed, _Q_EVENTS_WINDOWED_SQL),
+        "pricing_rollup": QuerySpec(q_pricing_rollup, _Q_PRICING_ROLLUP_SQL),
+        "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),
+        "corpus_select": QuerySpec(q_corpus_select, _corpus_select_sql()),
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
@@ -803,6 +886,14 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         catalog[f"checksum_{table}"] = QuerySpec(
             _mk_checksum_query(table), _mk_checksum_oracle(df, table)
         )
+
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df_sql
+
+    orders_probe = load_table(spark, probe_dir, "orders")
+    catalog["checksum_ordered_orders"] = QuerySpec(
+        q_checksum_ordered_orders,
+        ordered_checksum_df_sql(orders_probe, "orders", ["o_orderkey"]),
+    )
 
     ev = load_table(spark, probe_dir, "events")
     catalog["checksum_incremental_events"] = QuerySpec(

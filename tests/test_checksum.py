@@ -71,3 +71,31 @@ def test_ordered_checksum_is_order_sensitive(spark):
     assert fwd != rev
     # deterministic across invocations
     assert fwd == ordered_checksum(df, ["r_regionkey"])
+
+
+def test_checksum_fast_mode_properties(spark):
+    """xxhash64 fast mode: deterministic, permutation-invariant,
+    change-sensitive (no oracle — no cross-engine xxhash64 twin)."""
+    df = load(spark, "customer")
+    a = table_checksum(df, mode="fast").collect()[0]
+    b = table_checksum(df.orderBy(F.col("c_name").desc()), mode="fast").collect()[0]
+    assert a == b and a["row_count"] == df.count()
+    mutated = df.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 3, F.col("c_acctbal") + 0.01).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    assert table_checksum(mutated, mode="fast").collect()[0]["checksum"] != a["checksum"]
+
+
+def test_ordered_checksum_df_equals_serial_fold(spark):
+    """The distributed sha2(ordered concat) form must equal the serial
+    hashlib fold (they are mathematically the same digest)."""
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
+
+    df = load(spark, "nation")
+    serial = ordered_checksum(df, ["n_nationkey"])
+    dist = ordered_checksum_df(df, ["n_nationkey"]).collect()[0]
+    assert dist["checksum"] == serial
+    assert dist["row_count"] == df.count()

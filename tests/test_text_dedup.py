@@ -224,3 +224,23 @@ def test_lsh_bucket_column(spark):
     rows = b.select("lsh_bucket").distinct().collect()
     assert 1 < len(rows) <= 256
     assert all(len(r[0]) == 8 and set(r[0]) <= {"0", "1"} for r in rows)
+
+
+def test_topk_ivf_matches_bruteforce_shape_and_recall(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    ivf = topk_ivf(emb, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=4).collect()
+    es, vs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["id"])
+    for r in ivf:
+        vs.setdefault(r["query_id"], set()).add(r["id"])
+    assert set(vs) == set(es)
+    recalls = [len(es[k] & vs.get(k, set())) / len(es[k]) for k in es]
+    mean = sum(recalls) / len(recalls)
+    # probing 4/8 cells on unclustered vectors: recall must beat the
+    # probed fraction
+    assert mean > 0.5, f"ivf mean recall {mean}"

@@ -379,16 +379,18 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold; optionally blocked (label,
     LSH bucket from operators/similarity.py) to avoid the cross join."""
-    from sqlserver_pg_cdc_spark.functions.vectors import cosine
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
 
+    # norm precomputed per vector, not per pair (O(n) vs O(pairs) sqrt-dots)
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nv"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
     )
-    a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), "blk")
-    b = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), "blk")
-    cos = cosine(F.col("va"), F.col("vb"))
+    a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"), "blk")
+    b = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "blk")
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))

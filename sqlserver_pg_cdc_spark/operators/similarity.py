@@ -85,13 +85,25 @@ def topk_brute_force(
 
     Ties break on the candidate id for full determinism.
     """
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
     qid = query_id_col or id_col
+    # norms precomputed ONCE per vector — cosine() inline would recompute
+    # both norms per (query, candidate) pair, an O(N*Q*d) waste
     q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+        )
     )
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("vn")
+    )
     scored = q.crossJoin(v).filter(F.col("query_id") != F.col("id")).select(
-        "query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+        "query_id",
+        "id",
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
@@ -137,13 +149,18 @@ def with_ivf_cell(
     """
     from pyspark.sql import Window as W
 
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
     centroids = (
         vectors.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"))
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"),
+                norm(vec_col).alias("cn"))
     )
-    scored = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+    scored = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                            norm(vec_col).alias("vn")) \
         .crossJoin(F.broadcast(centroids)) \
-        .select("id", "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("cc"))
+        .select("id", "v", "cell_id",
+                (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cc"))
     w = W.partitionBy("id").orderBy(F.col("cc").desc(), F.col("cell_id"))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -166,22 +183,29 @@ def topk_ivf(
     ``n_probe`` nearest cells, exact cosine within the probed candidates."""
     from pyspark.sql import Window as W
 
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
     assigned, centroids = with_ivf_cell(vectors, id_col, vec_col, n_cells)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       norm(vec_col).alias("qn"))
     qs = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "cell_id", cosine(F.col("qv"), F.col("cv")).alias("cc")
+        "query_id", "qv", "qn", "cell_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cc"),
     )
     wq = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cell_id"))
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "qn", "cell_id")
     )
+    # assigned carries v but not vn (with_ivf_cell drops it); re-derive once
+    assigned_n = assigned.withColumn("vn", norm(F.col("v")))
     scored = (
         F.broadcast(probes)
-        .join(assigned, "cell_id")
+        .join(assigned_n, "cell_id")
         .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .select("query_id", "id",
+                (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
@@ -204,16 +228,20 @@ def topk_lsh(
 ) -> DataFrame:
     """LSH-bucketed top-k: score only same-bucket candidates (plus
     Hamming-1 probe buckets when ``multiprobe``)."""
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
     planes = hyperplanes(n_planes, dim, seed)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       norm(vec_col).alias("vn")).withColumn(
         "bucket", _bucket_expr(F.col("v"), planes)
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
     ).withColumn("qbucket", _bucket_expr(F.col("qv"), planes))
     if multiprobe:
         # query probes its own bucket and every Hamming-1 neighbor
-        flips = [q.select("query_id", "qv", F.col("qbucket").alias("probe"))]
+        flips = [q.select("query_id", "qv", "qn", F.col("qbucket").alias("probe"))]
         for i in range(1, n_planes + 1):
             flipped_bit = F.when(
                 F.substring("qbucket", i, 1) == "1", F.lit("0")
@@ -223,17 +251,18 @@ def topk_lsh(
                 flipped_bit,
                 F.substring("qbucket", i + 1, n_planes - i),
             )
-            flips.append(q.select("query_id", "qv", probe.alias("probe")))
+            flips.append(q.select("query_id", "qv", "qn", probe.alias("probe")))
         probes = flips[0]
         for fdf in flips[1:]:
             probes = probes.unionByName(fdf)
     else:
-        probes = q.select("query_id", "qv", F.col("qbucket").alias("probe"))
+        probes = q.select("query_id", "qv", "qn", F.col("qbucket").alias("probe"))
     scored = (
         F.broadcast(probes)
         .join(v, probes.probe == v.bucket)
         .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", "id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .select("query_id", "id",
+                (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"))
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))

@@ -140,6 +140,47 @@ _MH_BITS = 48
 _MH_MOD = 1 << _MH_BITS
 
 
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, sh: array<string>) — the shared input of signatures and
+    verification. Compute once; persist (or write to a table) when both
+    consumers run in one job.
+
+    NOTE deliberately no ``size(sh) > 0`` filter here: a filter on the
+    computed column makes Catalyst evaluate the (expensive) shingle
+    expression twice — once for the predicate, once for the downstream
+    explode (no cross-operator CSE). Exploding an empty array already
+    yields no rows; filter AFTER persist when the empty docs matter.
+    """
+    return df.select(F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh"))
+
+
+def _signatures_from_exploded(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    hashed = exploded.select(
+        "doc",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring(F.md5("shingle"), 13, 12), 16, 10).cast("bigint").alias("b"),
+    )
+    aggs = [
+        F.min(F.pmod(F.col("a") + F.lit(i) * F.col("b"), F.lit(_MH_MOD))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures_from_shingles(
+    sh_df: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Signatures from a MATERIALIZED (persisted/table) shingle frame.
+
+    Only use on cached/stored input: exploding a freshly-projected array
+    column defeats generator inlining and re-evaluates the shingle
+    expression ~4x slower than the direct form in minhash_signatures.
+    """
+    return _signatures_from_exploded(
+        sh_df.select("doc", F.explode("sh").alias("shingle")), num_hashes
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
@@ -149,20 +190,14 @@ def minhash_signatures(
     is the classic two-hash construction h_i = (a + i*b) mod 2^48 with
     (a, b) the two 48-bit halves of the shingle's md5 — 16x less hashing
     than md5-per-function, same statistical behavior. Map-side partial
-    min keeps this a single cheap shuffle on the doc id.
+    min keeps this a single cheap shuffle on the doc id. The explode is
+    applied DIRECTLY to the shingle expression (single projection) so the
+    generator stays inside codegen.
     """
     exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("sh")
-    ).select(
-        "doc",
-        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint").alias("b"),
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
     )
-    aggs = [
-        F.min(F.pmod(F.col("a") + F.lit(i) * F.col("b"), F.lit(_MH_MOD))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy("doc").agg(*aggs)
+    return _signatures_from_exploded(exploded, num_hashes)
 
 
 def _minhash_signatures_sql(
@@ -273,10 +308,16 @@ def minhash_jaccard_verified_pairs(
     composition to use beyond validation scale (the blocked
     ngram_jaccard_pairs cross-join is ~25x slower at sf0.1 already).
     """
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # the shingle frame feeds BOTH signature generation and verification;
+    # persist it so the expensive tokenize+shingle pass runs once (at
+    # warehouse scale, write it to a table instead)
+    sh = shingle_frame(df, id_col, text_col, k).persist()
+    # the persisted frame is materialized once; the verify joins filter
+    # empties from the CACHED data, not by recomputing shingles
+    sh = sh.filter(F.size("sh") > 0)
+    sig = minhash_signatures_from_shingles(sh, num_hashes)
+    rows = num_hashes // bands
+    cands = lsh_candidate_pairs(sig, bands, rows)
     a = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -23,7 +23,17 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests")
+    import tempfile
+
+    s = get_spark(
+        app_name="tests",
+        extra_conf={
+            # static conf: must be set at session creation (bucketed-table
+            # tests need a throwaway warehouse)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+            "spark.sql.catalogImplementation": "in-memory",
+        },
+    )
     yield s
 
 

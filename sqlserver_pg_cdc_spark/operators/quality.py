@@ -1,0 +1,121 @@
+"""Data-quality checks & table profiling.
+
+The reference is at heart a data-quality engine (reconciliation = the
+cross-system check); these are the single-table checks that complete the
+family — the constraints its replication assumes (PK uniqueness, FK
+integrity, NOT NULL) but never verifies:
+
+- ``check_not_null`` / ``check_unique`` / ``check_referential`` /
+  ``check_range``: each returns one result row
+  (check_name, column, violations, passed) and stays fully distributed
+  (violation counting is an aggregate; uniqueness is a groupBy-count;
+  referential is a left-anti join).
+- ``run_checks``: unions any number of checks into one report frame.
+- ``profile_table``: per-column null count, distinct count, canonical
+  min/max — one aggregate pass per column batch.
+
+All oracle-expressible; violations never leave the cluster.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.functions.canonical import canon_col, canon_sql
+
+
+def _result(df: DataFrame, check: str, column: str, violations: Column) -> DataFrame:
+    return df.agg(violations.cast("long").alias("violations")).select(
+        F.lit(check).alias("check_name"),
+        F.lit(column).alias("column_name"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    return _result(df, "not_null", col, F.count_if(F.col(col).isNull()))
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations = rows beyond the first per duplicate key group."""
+    dup_extra = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("violations"))
+    )
+    name = ",".join(cols)
+    return dup_extra.select(
+        F.lit("unique").alias("check_name"),
+        F.lit(name).alias("column_name"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def check_referential(
+    child: DataFrame, parent: DataFrame, fk_cols: list[str], pk_cols: list[str]
+) -> DataFrame:
+    """Orphaned child rows: FK set minus parent PK set (left-anti join —
+    the reference's set-difference, kept distributed)."""
+    cond = [child[f] == parent[p] for f, p in zip(fk_cols, pk_cols)]
+    orphans = child.join(parent, cond, "left_anti")
+    name = ",".join(fk_cols)
+    return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit("referential").alias("check_name"),
+        F.lit(name).alias("column_name"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def check_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    out_of_range = F.count_if(
+        F.col(col).isNotNull() & ((F.col(col) < lo) | (F.col(col) > hi))
+    )
+    return _result(df, "range", col, out_of_range)
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check single-row frames into one report."""
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (column_name, n_nulls, n_distinct, min_canon,
+    max_canon). min/max are computed on the native type, then rendered in
+    the cross-engine canonical form."""
+    fields = [(f.name, f.dataType) for f in df.schema.fields
+              if cols is None or f.name in cols]
+    profiles = []
+    for name, dtype in fields:
+        c = F.col(name)
+        profiles.append(
+            df.agg(
+                F.count_if(c.isNull()).cast("long").alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                canon_col(F.min(c), dtype).alias("min_canon"),
+                canon_col(F.max(c), dtype).alias("max_canon"),
+            ).select(F.lit(name).alias("column_name"), "n_nulls", "n_distinct",
+                     "min_canon", "max_canon")
+        )
+    return reduce(lambda a, b: a.unionByName(b), profiles)
+
+
+def profile_table_sql(df: DataFrame, table: str, cols: list[str] | None = None) -> str:
+    fields = [(f.name, f.dataType) for f in df.schema.fields
+              if cols is None or f.name in cols]
+    selects = []
+    for name, dtype in fields:
+        selects.append(
+            f"SELECT '{name}' AS column_name, "
+            f"count(*) FILTER (WHERE {name} IS NULL) AS n_nulls, "
+            f"count(DISTINCT {name}) AS n_distinct, "
+            f"{canon_sql(f'min({name})', dtype)} AS min_canon, "
+            f"{canon_sql(f'max({name})', dtype)} AS max_canon "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(selects)

@@ -678,6 +678,87 @@ SELECT doc_id, n_tokens, lang_pred FROM (
 """
 
 
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (nulls, distincts, canonical min/max)."""
+    from sqlserver_pg_cdc_spark.operators.quality import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "customer"))
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the star schema: PK uniqueness, NOT NULL,
+    FK integrity (orders->customer, lineitem->orders), value ranges."""
+    from sqlserver_pg_cdc_spark.operators.quality import (
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return run_checks(
+        [
+            check_unique(cust, ["c_custkey"]),
+            check_not_null(orders, "o_orderdate"),
+            check_referential(orders, cust, ["o_custkey"], ["c_custkey"]),
+            check_referential(li, orders, ["l_orderkey"], ["o_orderkey"]),
+            check_range(li, "l_discount", 0.0, 1.0),
+            check_unique(li, ["l_orderkey", "l_linenumber"]),
+        ]
+    )
+
+
+_Q_QUALITY_SQL = """
+SELECT 'unique' AS check_name, 'c_custkey' AS column_name,
+       coalesce(sum(n - 1), 0) AS violations, coalesce(sum(n - 1), 0) = 0 AS passed
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'not_null', 'o_orderdate',
+       count(*) FILTER (WHERE o_orderdate IS NULL),
+       count(*) FILTER (WHERE o_orderdate IS NULL) = 0
+FROM orders
+UNION ALL
+SELECT 'referential', 'o_custkey', count(*), count(*) = 0
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'referential', 'l_orderkey', count(*), count(*) = 0
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'range', 'l_discount',
+       count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 1.0)),
+       count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 1.0)) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique', 'l_orderkey,l_linenumber',
+       coalesce(sum(n - 1), 0), coalesce(sum(n - 1), 0) = 0
+FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+"""
+
+
+def q_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 10% sample: reproducible across engines/partitionings;
+    output is the sample's count + commutative checksum so the whole
+    sample is value-verified without shipping rows."""
+    from sqlserver_pg_cdc_spark.operators.checksum import table_checksum
+    from sqlserver_pg_cdc_spark.operators.sampling import deterministic_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return table_checksum(deterministic_sample(ev, "event_id", 0.1))
+
+
+def q_sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordered stratified sample: 5 orders per (status, priority)."""
+    from sqlserver_pg_cdc_spark.operators.sampling import stratified_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return stratified_sample(o, ["o_orderstatus", "o_orderpriority"], "o_orderkey", 5)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -869,6 +950,36 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
 
     from sqlserver_pg_cdc_spark.operators.multimodal import binary_features_sql
+
+    from sqlserver_pg_cdc_spark.operators.checksum import table_checksum_sql as _tcs
+    from sqlserver_pg_cdc_spark.operators.quality import profile_table_sql
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        deterministic_sample_sql,
+        stratified_sample_sql,
+    )
+
+    cust_probe = load_table(spark, probe_dir, "customer")
+    catalog["profile_customer"] = QuerySpec(
+        q_profile_customer, profile_table_sql(cust_probe, "customer")
+    )
+    catalog["quality_checks"] = QuerySpec(q_quality_checks, _Q_QUALITY_SQL)
+    ev_probe = load_table(spark, probe_dir, "events")
+    catalog["sample_events"] = QuerySpec(
+        q_sample_events,
+        _tcs(
+            ev_probe,
+            f"({deterministic_sample_sql('events', 'event_id', 0.1)})",
+        ),
+    )
+    catalog["sample_stratified_orders"] = QuerySpec(
+        q_sample_stratified_orders,
+        stratified_sample_sql(
+            "(SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders)",
+            ["o_orderstatus", "o_orderpriority"],
+            "o_orderkey",
+            5,
+        ),
+    )
 
     catalog["multimodal_binary_features"] = QuerySpec(
         q_multimodal_binary_features,

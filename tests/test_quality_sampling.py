@@ -1,0 +1,94 @@
+"""Data-quality checks, profiling, deterministic sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.quality import (
+    check_not_null,
+    check_range,
+    check_referential,
+    check_unique,
+    profile_table,
+    run_checks,
+)
+from sqlserver_pg_cdc_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from tests.conftest import load
+
+
+def test_checks_detect_injected_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -1.0), (2, None, 3.0)],  # dup pk, null, range
+        "id int, name string, score double",
+    )
+    parent = spark.createDataFrame([(1,)], "id int")
+    report = {
+        (r["check_name"], r["column_name"]): (r["violations"], r["passed"])
+        for r in run_checks(
+            [
+                check_unique(df, ["id"]),
+                check_not_null(df, "name"),
+                check_range(df, "score", 0.0, 10.0),
+                check_referential(df, parent, ["id"], ["id"]),
+            ]
+        ).collect()
+    }
+    assert report[("unique", "id")] == (1, False)
+    assert report[("not_null", "name")] == (1, False)
+    assert report[("range", "score")] == (1, False)
+    assert report[("referential", "id")] == (1, False)  # id=2 orphaned
+
+
+def test_checks_pass_on_clean_data(spark):
+    cust = load(spark, "customer")
+    rows = run_checks(
+        [check_unique(cust, ["c_custkey"]), check_not_null(cust, "c_name")]
+    ).collect()
+    assert all(r["passed"] for r in rows)
+
+
+def test_quality_finds_real_lineitem_duplicates(spark):
+    """The synthetic lineitem genuinely has duplicate composite keys —
+    the uniqueness check must report them, not paper over them."""
+    li = load(spark, "lineitem")
+    [r] = check_unique(li, ["l_orderkey", "l_linenumber"]).collect()
+    assert r["passed"] is False and r["violations"] > 0
+
+
+def test_profile_table_shape(spark):
+    prof = {r["column_name"]: r for r in profile_table(load(spark, "region")).collect()}
+    assert set(prof) == {"r_regionkey", "r_name"}
+    assert prof["r_regionkey"]["n_nulls"] == 0
+    assert prof["r_regionkey"]["n_distinct"] == 5
+    assert prof["r_regionkey"]["min_canon"] == "0"
+    assert prof["r_regionkey"]["max_canon"] == "4"
+
+
+def test_deterministic_sample_is_stable_and_sized(spark):
+    ev = load(spark, "events")
+    s1 = deterministic_sample(ev, "event_id", 0.1)
+    s2 = deterministic_sample(ev.repartition(13), "event_id", 0.1)
+    ids1 = sorted(r["event_id"] for r in s1.select("event_id").collect())
+    ids2 = sorted(r["event_id"] for r in s2.select("event_id").collect())
+    assert ids1 == ids2  # partitioning-independent
+    n = ev.count()
+    assert 0.05 * n < len(ids1) < 0.15 * n  # ~10%
+
+    # disjoint split property: 10% and the next 10% band don't overlap
+    s_rest = deterministic_sample(ev, "event_id", 0.2).exceptAll(s1)
+    assert s_rest.join(s1, "event_id", "left_semi").count() == 0
+
+
+def test_stratified_sample_caps_per_stratum(spark):
+    o = load(spark, "orders").select("o_orderkey", "o_orderstatus")
+    s = stratified_sample(o, ["o_orderstatus"], "o_orderkey", 7)
+    counts = {r["o_orderstatus"]: r["n"] for r in
+              s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 7 for v in counts.values())
+    assert set(counts) == {r[0] for r in o.select("o_orderstatus").distinct().collect()}
+    # deterministic across invocations
+    a = sorted(r["o_orderkey"] for r in s.collect())
+    b = sorted(r["o_orderkey"] for r in stratified_sample(o, ["o_orderstatus"], "o_orderkey", 7).collect())
+    assert a == b

@@ -33,6 +33,10 @@ def create_parser() -> argparse.ArgumentParser:
     run.add_argument("--generate-repair", metavar="OUT_SQL", help="write repair SQL here")
     run.add_argument("--repair-dialect", default="postgresql",
                      choices=["postgresql", "sqlserver"])
+    run.add_argument("--incremental", action="store_true",
+                     help="delta checksums over rows changed since the last run")
+    run.add_argument("--state-dir", help="state directory for incremental mode")
+    run.add_argument("--change-col", help="change-tracking column (incremental mode)")
     run.add_argument("--parallel", action="store_true")
     run.add_argument("--parallel-workers", type=int, default=4)
     run.add_argument("--format", default="console", choices=["json", "csv", "console"])
@@ -104,6 +108,18 @@ def cmd_run(args) -> int:
         pk_cols=args.pk_columns,
     )
 
+    tracker = None
+    if getattr(args, "incremental", False):
+        if not args.state_dir or not args.change_col:
+            raise SystemExit("--incremental requires --state-dir and --change-col")
+        from sqlserver_pg_cdc_spark.state import IncrementalStateTracker
+
+        if args.parallel:
+            raise SystemExit("--incremental and --parallel cannot be combined")
+        tracker = IncrementalStateTracker(args.state_dir)
+        kwargs["validate_checksums"] = True
+        kwargs["change_col"] = args.change_col
+
     def _kwargs_for(src) -> dict:
         # a global --pk-columns only applies to tables that carry those
         # columns; others get counts/checksums but no row-level diff
@@ -145,7 +161,19 @@ def cmd_run(args) -> int:
             try:
                 src = load_table(spark, args.source_dir, t)
                 tgt = load_table(spark, args.target_dir, t)
-                results.append(reconcile_table(src, tgt, t, **_kwargs_for(src)))
+                kw = _kwargs_for(src)
+                if tracker is not None:
+                    prior = tracker.load(t)
+                    kw = {**kw, "since": prior.last_run if prior else None}
+                res = reconcile_table(src, tgt, t, **kw)
+                if tracker is not None:
+                    tracker.record_run(
+                        t,
+                        res.get("source_checksum", ""),
+                        res.get("source_count", 0),
+                        mode=res.get("checksum_mode", "full"),
+                    )
+                results.append(res)
             except Exception as e:  # noqa: BLE001
                 results.append(
                     {"table": t, "match": False, "error": f"{type(e).__name__}: {e}"}

@@ -41,11 +41,16 @@ def reconcile_table(
     validate_checksums: bool = False,
     row_level: bool = False,
     compare_cols: list[str] | None = None,
+    change_col: str | None = None,
+    since: str | None = None,
 ) -> dict[str, Any]:
     """One table's comparison record (input to report.generate_report).
 
     counts always; checksums opt-in (A3 commutative — one extra pass per
-    side); row-level diff opt-in and only meaningful with pk_cols.
+    side); row-level diff opt-in and only meaningful with pk_cols. With
+    ``change_col``+``since`` the checksum runs in incremental (delta)
+    mode over rows changed after the cutoff (reference A4: 10-100x on
+    low-churn tables — pushdown does the pruning).
     """
     out: dict[str, Any] = {"table": table, "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat()}
     sc, tc = source.count(), target.count()
@@ -57,8 +62,19 @@ def reconcile_table(
         status="MATCH" if sc == tc else "MISMATCH",
     )
     if validate_checksums:
-        s_sum = table_checksum(source, compare_cols).collect()[0]["checksum"]
-        t_sum = table_checksum(target, compare_cols).collect()[0]["checksum"]
+        if change_col and since:
+            from sqlserver_pg_cdc_spark.operators.checksum import incremental_checksum
+
+            s_sum = incremental_checksum(source, change_col, since, compare_cols).collect()[0]
+            t_sum = incremental_checksum(target, change_col, since, compare_cols).collect()[0]
+            out["checksum_mode"] = "delta"
+            out["delta_rows"] = s_sum["row_count"]
+            s_sum, t_sum = s_sum["checksum"], t_sum["checksum"]
+        else:
+            s_sum = table_checksum(source, compare_cols).collect()[0]["checksum"]
+            t_sum = table_checksum(target, compare_cols).collect()[0]["checksum"]
+            if change_col:
+                out["checksum_mode"] = "full"
         out.update(
             source_checksum=s_sum,
             target_checksum=t_sum,

@@ -1,0 +1,204 @@
+"""Scheduler/cron, retry, credentials, incremental CLI mode, and the
+capstone end-to-end flow: CDC replication then reconciliation."""
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.credentials import DbCredentials, from_env, resolve
+from sqlserver_pg_cdc_spark.scheduler import (
+    CronSchedule,
+    Scheduler,
+    retry_with_backoff,
+)
+from tests.conftest import load
+
+
+# --- cron -----------------------------------------------------------------
+
+def test_cron_parse_and_match():
+    c = CronSchedule.parse("*/15 9-17 * * 1-5")
+    assert c.matches(dt.datetime(2026, 8, 12, 9, 0))   # Wednesday
+    assert c.matches(dt.datetime(2026, 8, 12, 17, 45))
+    assert not c.matches(dt.datetime(2026, 8, 12, 18, 0))  # after hours
+    assert not c.matches(dt.datetime(2026, 8, 15, 10, 0))  # Saturday
+    assert not c.matches(dt.datetime(2026, 8, 12, 9, 7))   # off-step minute
+
+
+def test_cron_next_fire():
+    c = CronSchedule.parse("30 2 * * *")
+    nxt = c.next_fire(dt.datetime(2026, 8, 12, 2, 30))
+    assert nxt == dt.datetime(2026, 8, 13, 2, 30)  # strictly after
+
+
+def test_cron_rejects_bad_specs():
+    for bad in ("* * * *", "61 * * * *", "* 25 * * *", "x * * * *"):
+        with pytest.raises(ValueError):
+            CronSchedule.parse(bad)
+
+
+def test_scheduler_interval_fires_in_order():
+    fired = []
+    s = Scheduler()
+    s.add_interval_job("a", lambda: fired.append("a"), seconds=10)
+    s.add_interval_job("b", lambda: fired.append("b"), seconds=25)
+    clock = {"t": dt.datetime(2026, 1, 1)}
+
+    def now():
+        return clock["t"]
+
+    def sleep(sec):
+        clock["t"] += dt.timedelta(seconds=sec)
+
+    s.run(max_fires=5, now_fn=now, sleep_fn=sleep)
+    assert fired == ["a", "a", "b", "a", "a"]  # 10,20,25,30,40
+
+
+# --- retry ----------------------------------------------------------------
+
+def test_retry_succeeds_after_failures():
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    out = retry_with_backoff(flaky, retries=5, base_delay=1.0, jitter=0.0,
+                             sleep_fn=delays.append)
+    assert out == "ok" and calls["n"] == 3
+    assert delays == [1.0, 2.0]  # exponential base 2
+
+
+def test_retry_respects_classifier_and_budget():
+    def always_value_error():
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError):
+        retry_with_backoff(
+            always_value_error,
+            retries=5,
+            retryable=lambda e: isinstance(e, ConnectionError),
+            sleep_fn=lambda s: None,
+        )
+
+    calls = {"n": 0}
+
+    def always_conn_error():
+        calls["n"] += 1
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        retry_with_backoff(always_conn_error, retries=2, sleep_fn=lambda s: None)
+    assert calls["n"] == 3  # initial + 2 retries
+
+
+# --- credentials ----------------------------------------------------------
+
+def test_credentials_from_env(monkeypatch):
+    monkeypatch.setenv("SRC_USER", "u1")
+    monkeypatch.setenv("SRC_PASSWORD", "s3cret")
+    c = from_env("SRC")
+    assert c == DbCredentials("u1", "s3cret")
+    assert "s3cret" not in repr(c)  # never leaked in repr
+
+    monkeypatch.delenv("SRC_PASSWORD")
+    with pytest.raises(ValueError, match="SRC_PASSWORD"):
+        from_env("SRC")
+
+
+def test_credentials_vault_gated():
+    with pytest.raises(RuntimeError, match="hvac"):
+        resolve("X", use_vault=True)
+
+
+# --- incremental CLI mode -------------------------------------------------
+
+def test_cli_incremental_state_roundtrip(tmp_path):
+    env_dir = "/root/testdata/sf0.001"
+    state = tmp_path / "state"
+    out = tmp_path / "r.json"
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "run",
+        "--source-dir", env_dir, "--target-dir", env_dir,
+        "--tables", "events", "--incremental",
+        "--state-dir", str(state), "--change-col", "ts",
+        "--format", "json", "--output", str(out),
+    ]
+    r1 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    st = json.loads((state / "events.json").read_text())
+    assert st["mode"] == "full" and st["row_count"] == 1000
+
+    # second run: prior state exists -> delta mode; identical dirs -> PASS
+    r2 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    st2 = json.loads((state / "events.json").read_text())
+    assert st2["mode"] == "delta"
+    report = json.loads(out.read_text())
+    assert report["status"] == "PASS"
+
+
+# --- capstone: replicate via CDC, then reconcile --------------------------
+
+def test_e2e_replicate_then_reconcile(spark, tmp_path):
+    """The reference's whole story in one flow: a change stream is
+    applied to a target (soft deletes and all), then reconciliation
+    proves source-active-rows == target-active-rows."""
+    from pyspark.sql import types as T
+
+    from sqlserver_pg_cdc_spark.operators.diff import diff_tables
+    from sqlserver_pg_cdc_spark.runner import reconcile_table
+    from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
+
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    now_ms = int(time.time() * 1000)
+    events = []
+    lsn = 0
+    # 50 inserts, 10 updates, 5 deletes
+    for i in range(50):
+        lsn += 1
+        events.append({"op": "c", "lsn": lsn, "ts_ms": now_ms,
+                       "before": None, "after": {"id": i, "v": f"v{i}"}})
+    for i in range(10):
+        lsn += 1
+        events.append({"op": "u", "lsn": lsn, "ts_ms": now_ms,
+                       "before": None, "after": {"id": i, "v": f"v{i}-updated"}})
+    for i in range(45, 50):
+        lsn += 1
+        events.append({"op": "d", "lsn": lsn, "ts_ms": now_ms,
+                       "before": {"id": i, "v": f"v{i}"}, "after": None})
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    with open(spool / "changes.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    p = CdcPipeline(spark, str(spool), str(tmp_path / "tgt"),
+                    str(tmp_path / "ckpt"), payload, ["id"])
+    p.run_available_now()
+
+    # source truth = final state computed independently
+    rows = [(i, f"v{i}-updated" if i < 10 else f"v{i}") for i in range(45)]
+    source = spark.createDataFrame(rows, "id long, v string")
+    target_active = p.active_rows().select("id", "v")
+
+    res = reconcile_table(source, target_active, "t", pk_cols=["id"],
+                          validate_checksums=True, row_level=True)
+    assert res["match"] and res["checksum_match"]
+    assert res["row_level"] == {"missing": 0, "extra": 0, "modified": 0}
+    assert diff_tables(source, target_active, ["id"]).count() == 0

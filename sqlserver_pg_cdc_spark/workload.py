@@ -372,8 +372,10 @@ WHERE order_seq <= 3
 
 
 def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations (SURVEY §2.6): customers with orders but no events
-    activity (except/anti), plus intersection and union counts."""
+    """Set operations (SURVEY §2.6): except/intersect/union/anti — all
+    four derived from ONE full-outer join of the two distinct key sets
+    (presence flags -> conditional counts), plus one anti-join count,
+    instead of four separate jobs."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")
     )
@@ -383,15 +385,25 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_users = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k")
     ).distinct()
-    ordered_not_active = order_cust.exceptAll(event_users).count()
-    both = order_cust.intersect(event_users).count()
-    either = order_cust.union(event_users).distinct().count()
-    never_ordered = cust.join(order_cust, "k", "left_anti").count()
-    return (
-        cust.sparkSession.createDataFrame(
-            [(ordered_not_active, both, either, never_ordered)],
-            "ordered_not_active long, both long, either long, never_ordered long",
+    flags = (
+        order_cust.withColumn("__o", F.lit(1))
+        .join(event_users.withColumn("__e", F.lit(1)), "k", "full_outer")
+        .agg(
+            F.count_if(F.col("__o").isNotNull() & F.col("__e").isNull()).alias(
+                "ordered_not_active"
+            ),
+            F.count_if(F.col("__o").isNotNull() & F.col("__e").isNotNull()).alias("both"),
+            F.count(F.lit(1)).alias("either"),
         )
+    )
+    never = cust.join(order_cust, "k", "left_anti").agg(
+        F.count(F.lit(1)).alias("never_ordered")
+    )
+    return flags.crossJoin(never).select(
+        F.col("ordered_not_active").cast("long"),
+        F.col("both").cast("long"),
+        F.col("either").cast("long"),
+        F.col("never_ordered").cast("long"),
     )
 
 
@@ -408,6 +420,28 @@ SELECT
      UNION SELECT DISTINCT user_id FROM events)) AS either,
   (SELECT count(*) FROM customer
    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS never_ordered
+"""
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile, verified
+    bit-identical to DuckDB's quantile_cont)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+_Q_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
 """
 
 
@@ -895,6 +929,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "customer_set_ops": QuerySpec(q_customer_set_ops, _Q_SET_OPS_SQL),
         "events_windowed": QuerySpec(q_events_windowed, _Q_EVENTS_WINDOWED_SQL),
         "pricing_rollup": QuerySpec(q_pricing_rollup, _Q_PRICING_ROLLUP_SQL),
+        "order_percentiles": QuerySpec(q_order_percentiles, _Q_PERCENTILES_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),
         "corpus_select": QuerySpec(q_corpus_select, _corpus_select_sql()),
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),

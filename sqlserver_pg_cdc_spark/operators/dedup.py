@@ -311,10 +311,10 @@ def minhash_jaccard_verified_pairs(
     # the shingle frame feeds BOTH signature generation and verification;
     # persist it so the expensive tokenize+shingle pass runs once (at
     # warehouse scale, write it to a table instead)
-    sh = shingle_frame(df, id_col, text_col, k).persist()
+    sh_cached = shingle_frame(df, id_col, text_col, k).persist()
     # the persisted frame is materialized once; the verify joins filter
     # empties from the CACHED data, not by recomputing shingles
-    sh = sh.filter(F.size("sh") > 0)
+    sh = sh_cached.filter(F.size("sh") > 0)
     sig = minhash_signatures_from_shingles(sh, num_hashes)
     rows = num_hashes // bands
     cands = lsh_candidate_pairs(sig, bands, rows)
@@ -322,11 +322,17 @@ def minhash_jaccard_verified_pairs(
     b = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    result = (
         cands.join(a, "a").join(b, "b")
         .select("a", "b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (small) verified-pair set so the big shingle cache
+    # can be released now instead of leaking for the session lifetime
+    result = result.persist()
+    result.count()
+    sh_cached.unpersist()
+    return result
 
 
 def minhash_jaccard_verified_pairs_sql(

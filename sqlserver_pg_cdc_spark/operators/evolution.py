@@ -56,6 +56,10 @@ def align_to_evolved(df: DataFrame, evolved: T.StructType) -> DataFrame:
     d = diff_schemas(df.schema, evolved)
     if d.type_changed:
         raise ValueError(f"incompatible schema change (type): {d.type_changed}")
+    if d.removed:
+        # the evolved schema lacks columns the frame carries: projecting
+        # would silently drop data — callers route such batches to the DLQ
+        raise ValueError(f"incompatible schema change (dropped columns): {d.removed}")
     by_name = {f.name: f for f in df.schema.fields}
     cols = []
     for f in evolved.fields:

@@ -48,7 +48,20 @@ def format_value(value: Any, dialect: str = POSTGRESQL) -> str:
         return "1" if value else "0"
     if isinstance(value, str):
         return "'" + value.replace("'", "''") + "'"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        import math
+
+        # NaN/Infinity: bare 'nan'/'inf' is invalid SQL. PostgreSQL
+        # accepts the quoted spellings for float columns; SQL Server has
+        # no representable NaN -> NULL.
+        if math.isnan(value) or math.isinf(value):
+            if dialect == POSTGRESQL:
+                if math.isnan(value):
+                    return "'NaN'"
+                return "'Infinity'" if value > 0 else "'-Infinity'"
+            return "NULL"
+        return str(value)
+    if isinstance(value, int):
         return str(value)
     if isinstance(value, _dt.datetime):
         if dialect == POSTGRESQL:

@@ -135,10 +135,15 @@ class ParallelReconciler:
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
+        # table_timeout_s is a RUN deadline: once it passes, undone tables
+        # are reported as timeouts, queued ones are cancelled, and the
+        # executor is shut down WITHOUT waiting so stragglers can't block
+        # the caller past the deadline (their results are discarded).
         results: list[TableResult] = []
-        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.max_workers)
+        try:
+            start = time.time()
             futures = {pool.submit(run_one, n, mk): n for n, mk in pairs.items()}
-            deadline = time.time() + self.table_timeout_s
             wait(futures, timeout=self.table_timeout_s,
                  return_when=FIRST_EXCEPTION if self.fail_fast else ALL_COMPLETED)
             for fut, name in futures.items():
@@ -148,9 +153,11 @@ class ParallelReconciler:
                     fut.cancel()
                     results.append(
                         TableResult(name, status="timeout",
-                                    error=f"exceeded {self.table_timeout_s}s",
-                                    duration_s=max(0.0, time.time() - (deadline - self.table_timeout_s)))
+                                    error=f"run deadline {self.table_timeout_s}s exceeded",
+                                    duration_s=round(time.time() - start, 3))
                     )
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         return results
 
     @staticmethod

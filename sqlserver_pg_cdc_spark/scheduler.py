@@ -21,7 +21,7 @@ from typing import Callable
 # 5-field cron (minute hour day-of-month month day-of-week)
 # ---------------------------------------------------------------------------
 
-_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
 
 
 def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
@@ -84,8 +84,8 @@ class CronSchedule:
 
 
 def _to_cron_dow(dow: frozenset) -> set[int]:
-    # cron: 0=Sunday..6=Saturday; python weekday(): 0=Monday..6=Sunday
-    return {(d - 1) % 7 for d in dow}
+    # cron: 0=Sunday..6=Saturday, 7=Sunday (vixie); python weekday(): 0=Mon..6=Sun
+    return {((d % 7) - 1) % 7 for d in dow}
 
 
 class Scheduler:
@@ -103,13 +103,14 @@ class Scheduler:
 
     def run(self, max_fires: int | None = None, now_fn=None, sleep_fn=time.sleep) -> int:
         """Run until ``max_fires`` total job firings (None = forever).
-        ``now_fn``/``sleep_fn`` injectable for tests."""
+        ``now_fn``/``sleep_fn`` injectable for tests. Jobs are tracked by
+        registration index, so duplicate names cannot shadow each other."""
         now_fn = now_fn or (lambda: _dt.datetime.now())
         fires = 0
-        next_at: dict[str, _dt.datetime] = {}
-        for name, _, trig in self._jobs:
+        next_at: dict[int, _dt.datetime] = {}
+        for idx, (_, _, trig) in enumerate(self._jobs):
             now = now_fn()
-            next_at[name] = (
+            next_at[idx] = (
                 now + _dt.timedelta(seconds=trig)
                 if isinstance(trig, float)
                 else trig.next_fire(now)
@@ -117,14 +118,15 @@ class Scheduler:
         while max_fires is None or fires < max_fires:
             if not self._jobs:
                 return fires
-            name, fn, trig = min(self._jobs, key=lambda j: next_at[j[0]])
-            wait = (next_at[name] - now_fn()).total_seconds()
+            idx = min(next_at, key=next_at.get)
+            _, fn, trig = self._jobs[idx]
+            wait = (next_at[idx] - now_fn()).total_seconds()
             if wait > 0:
                 sleep_fn(wait)
             fn()
             fires += 1
             now = now_fn()
-            next_at[name] = (
+            next_at[idx] = (
                 now + _dt.timedelta(seconds=trig)
                 if isinstance(trig, float)
                 else trig.next_fire(now)

@@ -75,6 +75,19 @@ def read_table(
     return reader.load()
 
 
+import re as _re
+
+# CDC identifiers include $ (SQL Server __$start_lsn) and dotted
+# schema-qualification (cdc.table_CT)
+_CDC_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*$")
+
+
+def _safe_ident(name: str) -> str:
+    if not _CDC_IDENT.match(name or ""):
+        raise ValueError(f"invalid identifier for generated SQL: {name!r}")
+    return name
+
+
 def incremental_poll_query(
     table: str,
     lsn_column: str,
@@ -85,12 +98,21 @@ def incremental_poll_query(
     """The Debezium-poll analog as SQL (reference data-model.md:366-371:
     ``WHERE __$start_lsn > ? ORDER BY __$start_lsn, __$seqval``) — used by
     a driver loop that feeds micro-batches into the CDC apply path when no
-    Kafka is present (BASELINE.json's stated Spark approach)."""
-    order = ", ".join(order_columns or [lsn_column])
-    lsn_lit = f"'{last_lsn}'" if isinstance(last_lsn, str) else str(last_lsn)
+    Kafka is present (BASELINE.json's stated Spark approach).
+
+    Identifiers are validated (letters/digits/_/$ with optional schema
+    qualification) and string LSNs are quote-escaped — this SQL goes to a
+    live database."""
+    _safe_ident(table)
+    _safe_ident(lsn_column)
+    order = ", ".join(_safe_ident(c) for c in (order_columns or [lsn_column]))
+    if isinstance(last_lsn, str):
+        lsn_lit = "'" + last_lsn.replace("'", "''") + "'"
+    else:
+        lsn_lit = str(int(last_lsn))
     q = f"SELECT * FROM {table} WHERE {lsn_column} > {lsn_lit} ORDER BY {order}"
     if limit:
-        q += f" LIMIT {limit}"
+        q += f" LIMIT {int(limit)}"
     return q
 
 

@@ -919,9 +919,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 
     catalog: dict[str, QuerySpec] = {
         "counts_compare_orders": QuerySpec(q_counts_compare_orders, _Q_COUNTS_SQL),
-        "diff_orders": QuerySpec(q_diff_orders, None),  # oracle built below
-        "diff_summary_severity": QuerySpec(q_diff_summary_severity, None),
-        "checksum_incremental_events": QuerySpec(q_checksum_incremental_events, None),
+        # diff_orders / diff_summary_severity / checksum_incremental_events
+        # need schema probes; they are added below
         "pricing_summary": QuerySpec(q_pricing_summary, _Q_PRICING_SQL),
         "shipping_priority": QuerySpec(q_shipping_priority, _Q_SHIPPING_SQL),
         "local_supplier_volume": QuerySpec(q_local_supplier_volume, _Q_LOCAL_SUPPLIER_SQL),
@@ -993,16 +992,20 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         stratified_sample_sql,
     )
 
-    cust_probe = load_table(spark, probe_dir, "customer")
+    # one schema probe per table, shared by every oracle below
+    probes = {
+        t: load_table(spark, probe_dir, t)
+        for t in ("customer", "orders", "lineitem", "events")
+    }
+
     catalog["profile_customer"] = QuerySpec(
-        q_profile_customer, profile_table_sql(cust_probe, "customer")
+        q_profile_customer, profile_table_sql(probes["customer"], "customer")
     )
     catalog["quality_checks"] = QuerySpec(q_quality_checks, _Q_QUALITY_SQL)
-    ev_probe = load_table(spark, probe_dir, "events")
     catalog["sample_events"] = QuerySpec(
         q_sample_events,
         _tcs(
-            ev_probe,
+            probes["events"],
             f"({deterministic_sample_sql('events', 'event_id', 0.1)})",
         ),
     )
@@ -1026,19 +1029,17 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_image_decode"] = QuerySpec(q_multimodal_image_decode, None)
 
-    # schema-dependent oracles (need DataFrame probes)
+    # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):
-        df = load_table(spark, probe_dir, table)
         catalog[f"checksum_{table}"] = QuerySpec(
-            _mk_checksum_query(table), _mk_checksum_oracle(df, table)
+            _mk_checksum_query(table), _mk_checksum_oracle(probes[table], table)
         )
 
     from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df_sql
 
-    orders_probe = load_table(spark, probe_dir, "orders")
     catalog["checksum_ordered_orders"] = QuerySpec(
         q_checksum_ordered_orders,
-        ordered_checksum_df_sql(orders_probe, "orders", ["o_orderkey"]),
+        ordered_checksum_df_sql(probes["orders"], "orders", ["o_orderkey"]),
     )
 
     ev = load_table(spark, probe_dir, "events")

@@ -202,3 +202,57 @@ def test_e2e_replicate_then_reconcile(spark, tmp_path):
     assert res["match"] and res["checksum_match"]
     assert res["row_level"] == {"missing": 0, "extra": 0, "modified": 0}
     assert diff_tables(source, target_active, ["id"]).count() == 0
+
+
+# --- review-fix regressions ----------------------------------------------
+
+def test_cron_accepts_dow_seven_as_sunday():
+    c = CronSchedule.parse("0 0 * * 7")
+    assert c.matches(dt.datetime(2026, 8, 16, 0, 0))  # a Sunday
+    assert not c.matches(dt.datetime(2026, 8, 17, 0, 0))  # Monday
+
+
+def test_scheduler_duplicate_names_both_fire():
+    fired = []
+    s = Scheduler()
+    s.add_interval_job("sync", lambda: fired.append("A"), seconds=10)
+    s.add_interval_job("sync", lambda: fired.append("B"), seconds=15)
+    clock = {"t": dt.datetime(2026, 1, 1)}
+    s.run(max_fires=4, now_fn=lambda: clock["t"],
+          sleep_fn=lambda sec: clock.__setitem__("t", clock["t"] + dt.timedelta(seconds=sec)))
+    assert "A" in fired and "B" in fired  # 10,15,20,30
+
+
+def test_repair_nan_infinity_literals():
+    from sqlserver_pg_cdc_spark.operators.repair import format_value
+
+    assert format_value(float("nan")) == "'NaN'"
+    assert format_value(float("inf")) == "'Infinity'"
+    assert format_value(float("-inf")) == "'-Infinity'"
+    assert format_value(float("nan"), "sqlserver") == "NULL"
+
+
+def test_evolution_rejects_dropped_columns(spark):
+    from pyspark.sql import types as T
+
+    from sqlserver_pg_cdc_spark.operators.evolution import align_to_evolved
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, name string, extra int")
+    target = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="dropped columns"):
+        align_to_evolved(df, target)
+
+
+def test_jdbc_poll_query_rejects_injection():
+    from sqlserver_pg_cdc_spark.sources.jdbc import incremental_poll_query
+
+    # legit CDC identifiers still work
+    q = incremental_poll_query("cdc.t_CT", "__$start_lsn", "0x0AB'),(",  # quote in LSN
+                               order_columns=["__$start_lsn", "__$seqval"])
+    assert "''" in q  # escaped, not raw
+    with pytest.raises(ValueError):
+        incremental_poll_query("t; DROP TABLE x", "lsn", 1)
+    with pytest.raises(ValueError):
+        incremental_poll_query("t", "lsn or 1=1", 1)

@@ -413,6 +413,76 @@ SELECT doc, ({fp}) AS simhash FROM (
 """
 
 
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // _SIMHASH_BANDS  # 15 bits per band
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded.
+
+    Pigeonhole: two fingerprints within ``max_hamming`` <= 2*bands-2 bits
+    must agree exactly on at least one of the 4 15-bit bands, so the
+    candidate join is an equi-join on (band_id, band_value) — never a
+    cross product. Exact Hamming distance (bit_count of xor) filters
+    candidates; both primitives verified identical in DuckDB.
+    """
+    # the fingerprint frame feeds both sides of the self-join; persist it
+    # so the 60-aggregate simhash DAG runs once, release after the (small)
+    # pair set materializes
+    fp = simhash(df, id_col, text_col).persist()
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("band_val"),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ]
+    keyed = fp.select(
+        "doc", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc", "simhash", "bk.band_id", "bk.band_val")
+    left = keyed.select(F.col("doc").alias("a"), F.col("simhash").alias("ha"),
+                        "band_id", "band_val")
+    right = keyed.select(F.col("doc").alias("b"), F.col("simhash").alias("hb"),
+                         "band_id", "band_val")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    result = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .persist()
+    )
+    result.count()
+    fp.unpersist()
+    return result
+
+
+def simhash_near_pairs_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 6
+) -> str:
+    fp = simhash_sql(table, id_col, text_col)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, simhash, {b} AS band_id, "
+        f"(simhash >> {b * _SIMHASH_BAND_BITS}) & {mask} AS band_val FROM fp"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH fp AS ({fp}), keyed AS ({band_rows})
+SELECT DISTINCT x.doc AS a, y.doc AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM keyed x JOIN keyed y
+  ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc < y.doc
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -863,6 +863,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash Hamming near-pairs over the corpus plus planted
+    near-duplicate variants (suffix-extended copies of docs 0-9), which
+    must land within a few bits of their originals."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny appended suffix")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return DD.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=6)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.operators import dedup as DD
 
@@ -961,6 +976,17 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "dedup_simhash": QuerySpec(
                 q_dedup_simhash, DD.simhash_sql("documents", "doc_id", "text")
+            ),
+            "dedup_simhash_pairs": QuerySpec(
+                q_dedup_simhash_pairs,
+                DD.simhash_near_pairs_sql(
+                    "(SELECT doc_id, text FROM documents UNION ALL "
+                    " SELECT doc_id + 2000000, text || ' tiny appended suffix' "
+                    " FROM documents WHERE doc_id < 10)",
+                    "doc_id",
+                    "text",
+                    max_hamming=6,
+                ),
             ),
             "dedup_ngram_jaccard": QuerySpec(
                 q_dedup_ngram_jaccard,

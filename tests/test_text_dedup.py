@@ -244,3 +244,14 @@ def test_topk_ivf_matches_bruteforce_shape_and_recall(spark):
     # probing 4/8 cells on unclustered vectors: recall must beat the
     # probed fraction
     assert mean > 0.5, f"ivf mean recall {mean}"
+
+
+def test_simhash_near_pairs_finds_planted(spark):
+    df = _docs_with_dups(spark)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in DD.simhash_near_pairs(df, "doc_id", "text", max_hamming=6).collect()}
+    # exact dups (identical token multiset) -> hamming 0, always found
+    exact_hits = [(i, i + 10000) for i in range(10)]
+    assert all(pairs.get(p) == 0 for p in exact_hits)
+    # cache released after materialization
+    assert all(h <= 6 for h in pairs.values())

@@ -73,9 +73,6 @@ _PERTURB_ORDERS_SQL = """
 # CDC-envelope view of the events fixture: event_id is the LSN analog,
 # user_id the PK, event_type maps onto Debezium ops
 # (signup -> c/insert, error -> d/delete, everything else -> u/update).
-_CDC_OP = {"signup": "c", "error": "d"}
-
-
 def _cdc_events(df: DataFrame) -> DataFrame:
     op = (
         F.when(F.col("event_type") == "signup", F.lit("c"))

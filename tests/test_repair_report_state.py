@@ -226,3 +226,57 @@ def test_cli_run_match_and_mismatch(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads(out.read_text())
     assert report["status"] == "PASS" and report["total_tables"] == 2
+
+
+def test_parallel_reconciler_fail_fast_cancels(spark):
+    """fail_fast: after the first failure, queued tables are cancelled."""
+    import time as _time
+
+    order = []
+
+    def bad():
+        order.append("bad")
+        raise RuntimeError("first failure")
+
+    def slow_ok():
+        order.append("ok")
+        _time.sleep(0.5)
+        d = load(spark, "region")
+        return d, d
+
+    rec = ParallelReconciler(spark, max_workers=1, fail_fast=True)
+    results = {r.table: r for r in rec.reconcile_tables(
+        {"bad": bad, "later1": slow_ok, "later2": slow_ok})}
+    assert results["bad"].status == "failed"
+    cancelled = [t for t in ("later1", "later2")
+                 if results[t].status == "failed" and "cancelled" in (results[t].error or "")]
+    assert cancelled, f"expected at least one cancelled table: { {t: (results[t].status, results[t].error) for t in results} }"
+
+
+def test_diff_finds_exactly_injected_discrepancies(spark):
+    """Completeness: K injected discrepancies -> exactly K diff rows of
+    the right types, nothing else."""
+    src = load(spark, "customer")
+    keys = [r[0] for r in src.select("c_custkey").orderBy("c_custkey").limit(9).collect()]
+    drop, mutate, add_base = keys[0:3], keys[3:6], keys[6:9]
+    tgt = (
+        src.filter(~F.col("c_custkey").isin(drop))
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey").isin(mutate), F.col("c_acctbal") + 7.5)
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            src.filter(F.col("c_custkey").isin(add_base)).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    d = diff_tables(src, tgt, ["c_custkey"]).collect()
+    by_type = {}
+    for r in d:
+        by_type.setdefault(r["diff_type"], set()).add(r["c_custkey"])
+    assert by_type["MISSING"] == set(drop)
+    assert by_type["MODIFIED"] == set(mutate)
+    assert by_type["EXTRA"] == {k + 10_000_000 for k in add_base}
+    assert len(d) == 9

@@ -187,3 +187,43 @@ def test_latest_per_key_composite(spark):
     )
     got = {(r["a"], r["b"]): r["v"] for r in latest_per_key(df, ["a", "b"]).collect()}
     assert got == {(1, 10): "y", (1, 11): "z"}
+
+
+def test_dlq_routing_on_sink_failure(spark, tmp_path):
+    """St10: a failing apply must land the batch in the DLQ with error
+    context instead of killing the query (errors.tolerance=all analog)."""
+    from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+    class FailingSink(ParquetUpsertSink):
+        def read_target(self):
+            raise RuntimeError("simulated target corruption")
+
+    dlq = str(tmp_path / "dlq")
+    sink = FailingSink(
+        spark, str(tmp_path / "tgt"), ["id"], dlq_dir=dlq
+    )
+    batch = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, v string, lsn long"
+    )
+    sink(batch, batch_id=7)  # must not raise
+    rejected = spark.read.parquet(dlq)
+    rows = rejected.collect()
+    assert len(rows) == 2
+    assert all(r["__error_class"] == "RuntimeError" for r in rows)
+    assert all("simulated target corruption" in r["__error_message"] for r in rows)
+    assert all(r["__batch_id"] == 7 for r in rows)
+
+
+def test_sink_without_dlq_raises(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+    class FailingSink(ParquetUpsertSink):
+        def read_target(self):
+            raise RuntimeError("boom")
+
+    sink = FailingSink(spark, str(tmp_path / "tgt"), ["id"])  # no dlq_dir
+    batch = spark.createDataFrame([(1, 1)], "id long, lsn long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        sink(batch, batch_id=0)

@@ -462,6 +462,77 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's latest order as
+    of the event time — windowed union implementation (one shuffle, no
+    range explosion) vs DuckDB's native ASOF JOIN as oracle."""
+    from sqlserver_pg_cdc_spark.operators.temporal import as_of_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), F.col("ts"), "event_id", "event_type"
+    )
+    # dedupe the right side to ONE row per (key, ts) — with ties neither
+    # engine's as-of pick is deterministic; highest orderkey wins here
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("last_order_price"),
+        )
+    )
+    return as_of_join(
+        ev, orders, ["custkey"], "ts", "o_orderdate",
+        right_value_cols=["o_orderkey", "last_order_price"],
+    ).select("event_id", "custkey", "event_type", "o_orderkey", "last_order_price")
+
+
+_Q_ASOF_SQL = """
+SELECT l.event_id, l.custkey, l.event_type, r.o_orderkey, r.last_order_price
+FROM (SELECT user_id AS custkey, ts, event_id, event_type FROM events) l
+ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
+                       CAST(o_totalprice AS DECIMAL(12,2)) AS last_order_price
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY o_custkey, o_orderdate
+                          ORDER BY o_orderkey DESC) AS __rn
+                      FROM orders) WHERE __rn = 1) r
+  ON l.custkey = r.custkey AND l.ts >= r.o_orderdate
+"""
+
+
+def q_range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitem quantities bucketed into tier intervals
+    (broadcast interval side; binned variant for big-big cases)."""
+    from sqlserver_pg_cdc_spark.operators.temporal import range_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = li.sparkSession.createDataFrame(
+        [("low", 0.0, 15.0), ("mid", 15.0 + 1e-9, 35.0), ("high", 35.0 + 1e-9, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        range_join(li.select("l_quantity"), tiers, "l_quantity", "lo", "hi")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q_RANGE_SQL = """
+SELECT tier, count(*) AS n
+FROM lineitem
+JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0 + 1e-9, 35.0), ('high', 35.0 + 1e-9, 1e9))
+     t(tier, lo, hi)
+  ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # transformation plane (SURVEY §2.7, §2.9)
 # ---------------------------------------------------------------------------
@@ -941,6 +1012,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "events_windowed": QuerySpec(q_events_windowed, _Q_EVENTS_WINDOWED_SQL),
         "pricing_rollup": QuerySpec(q_pricing_rollup, _Q_PRICING_ROLLUP_SQL),
         "order_percentiles": QuerySpec(q_order_percentiles, _Q_PERCENTILES_SQL),
+        "asof_latest_order": QuerySpec(q_asof_latest_order, _Q_ASOF_SQL),
+        "range_join_price_tiers": QuerySpec(q_range_join_price_tiers, _Q_RANGE_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),
         "corpus_select": QuerySpec(q_corpus_select, _corpus_select_sql()),
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),

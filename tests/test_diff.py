@@ -130,3 +130,43 @@ def test_diff_composite_pk(spark):
 def test_diff_identical_tables_empty(spark):
     src = load(spark, "customer")
     assert diff_tables(src, src, ["c_custkey"]).count() == 0
+
+
+def test_as_of_join_semantics(spark):
+    """Point-in-time lookup: latest right row with ts <= left ts per key;
+    equal timestamps visible; no prior row -> NULLs."""
+    from sqlserver_pg_cdc_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 60, "r60")],
+        "k long, ts long, val string",
+    )
+    got = {
+        r["ev"]: r["val"]
+        for r in as_of_join(left, right, ["k"], "ts", "ts",
+                            right_value_cols=["val"]).collect()
+    }
+    assert got == {
+        "e0": None,     # nothing at or before ts=5
+        "e1": "r10",    # equal ts is visible
+        "e2": "r15",    # latest of {10, 15}
+        "e3": None,     # right row is after the left ts
+    }
+
+
+def test_binned_range_join_matches_broadcast(spark):
+    from sqlserver_pg_cdc_spark.operators.temporal import binned_range_join, range_join
+
+    li = load(spark, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    tiers = spark.createDataFrame(
+        [("a", 0.0, 20.0), ("b", 20.5, 40.0), ("c", 40.5, 100.0)],
+        "tier string, lo double, hi double",
+    )
+    plain = range_join(li, tiers, "l_quantity", "lo", "hi").groupBy("tier").count()
+    binned = binned_range_join(li, tiers, "l_quantity", "lo", "hi", bin_width=7.0) \
+        .groupBy("tier").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, binned.collect()))

@@ -729,6 +729,28 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_pricing_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag rows x linestatus columns (explicit value list
+    so the plan needs no extra distinct pass; oracle = conditional
+    aggregation, the relational equivalent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+_Q_PRICING_PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS qty_open,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation over business data (absent in the reference)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1013,6 +1035,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "pricing_rollup": QuerySpec(q_pricing_rollup, _Q_PRICING_ROLLUP_SQL),
         "order_percentiles": QuerySpec(q_order_percentiles, _Q_PERCENTILES_SQL),
         "asof_latest_order": QuerySpec(q_asof_latest_order, _Q_ASOF_SQL),
+        "pricing_pivot": QuerySpec(q_pricing_pivot, _Q_PRICING_PIVOT_SQL),
         "range_join_price_tiers": QuerySpec(q_range_join_price_tiers, _Q_RANGE_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),
         "corpus_select": QuerySpec(q_corpus_select, _corpus_select_sql()),

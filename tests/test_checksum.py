@@ -99,3 +99,15 @@ def test_ordered_checksum_df_equals_serial_fold(spark):
     dist = ordered_checksum_df(df, ["n_nationkey"]).collect()[0]
     assert dist["checksum"] == serial
     assert dist["row_count"] == df.count()
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """S8: the approximate-aggregate family — approx_count_distinct must
+    land within its documented rsd of the exact count (no cross-engine
+    oracle: HLL implementations differ)."""
+    li = load(spark, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3x rsd

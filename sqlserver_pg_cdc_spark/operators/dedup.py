@@ -508,10 +508,15 @@ def embedding_near_dup_pairs(
     a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"), "blk")
     b = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "blk")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(b, "blk").filter(F.col("a") < F.col("b"))
+    # the pair stream is byte-small but compute-heavy (one 64-dim dot per
+    # row); AQE's size-based coalescing collapses it to ~1 partition and
+    # single-threads the scoring. An EXPLICIT repartition (which AQE
+    # respects) spreads the dots across the cluster.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_parts, "a", "b")
     return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cos.alias("cosine"))
+        pairs.select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -121,11 +121,15 @@ def cmd_run(args) -> int:
         kwargs["change_col"] = args.change_col
 
     def _kwargs_for(src) -> dict:
-        # a global --pk-columns only applies to tables that carry those
-        # columns; others get counts/checksums but no row-level diff
-        if kwargs["pk_cols"] and not set(kwargs["pk_cols"]) <= set(src.columns):
-            return {**kwargs, "pk_cols": None, "row_level": False}
-        return kwargs
+        # a global --pk-columns / --change-col only applies to tables that
+        # carry those columns; others degrade gracefully (no row-level
+        # diff / full instead of delta checksum)
+        kw = kwargs
+        if kw["pk_cols"] and not set(kw["pk_cols"]) <= set(src.columns):
+            kw = {**kw, "pk_cols": None, "row_level": False}
+        if kw.get("change_col") and kw["change_col"] not in src.columns:
+            kw = {**kw, "change_col": None}
+        return kw
 
     if args.parallel:
         rec = ParallelReconciler(spark, max_workers=args.parallel_workers)

@@ -329,6 +329,9 @@ def minhash_jaccard_verified_pairs(
     )
     # materialize the (small) verified-pair set so the big shingle cache
     # can be released now instead of leaking for the session lifetime
+    # NOTE: the returned frame is persisted (it replaced the much larger
+    # shingle cache); callers looping over many corpora should unpersist
+    # it when done
     result = result.persist()
     result.count()
     sh_cached.unpersist()
@@ -413,21 +416,31 @@ SELECT doc, ({fp}) AS simhash FROM (
 """
 
 
-_SIMHASH_BANDS = 4
-_SIMHASH_BAND_BITS = SIMHASH_BITS // _SIMHASH_BANDS  # 15 bits per band
+_SIMHASH_BANDS = 6
+_SIMHASH_BAND_BITS = SIMHASH_BITS // _SIMHASH_BANDS  # 10 bits per band
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 5
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded.
 
-    Pigeonhole: two fingerprints within ``max_hamming`` <= 2*bands-2 bits
-    must agree exactly on at least one of the 4 15-bit bands, so the
-    candidate join is an equi-join on (band_id, band_value) — never a
-    cross product. Exact Hamming distance (bit_count of xor) filters
+    Pigeonhole: ``bands`` bands can absorb at most ``bands`` differing
+    bits one-per-band, so any pair within Hamming <= bands-1 is
+    GUARANTEED to agree exactly on some band — with 6 bands of 10 bits
+    the equi-join on (band_id, band_value) has full recall for
+    max_hamming <= 5 (the default). Beyond bands-1 the candidate set is
+    approximate. Exact Hamming distance (bit_count of xor) filters
     candidates; both primitives verified identical in DuckDB.
     """
+    if max_hamming > _SIMHASH_BANDS - 1:
+        import warnings
+
+        warnings.warn(
+            f"banded recall is only guaranteed for hamming <= {_SIMHASH_BANDS - 1}; "
+            f"pairs up to {max_hamming} are found best-effort",
+            stacklevel=2,
+        )
     # the fingerprint frame feeds both sides of the self-join; persist it
     # so the 60-aggregate simhash DAG runs once, release after the (small)
     # pair set materializes
@@ -464,7 +477,7 @@ def simhash_near_pairs(
 
 
 def simhash_near_pairs_sql(
-    table: str, id_col: str, text_col: str, max_hamming: int = 6
+    table: str, id_col: str, text_col: str, max_hamming: int = 5
 ) -> str:
     fp = simhash_sql(table, id_col, text_col)
     mask = (1 << _SIMHASH_BAND_BITS) - 1

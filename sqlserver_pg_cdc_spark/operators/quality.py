@@ -61,8 +61,13 @@ def check_referential(
 ) -> DataFrame:
     """Orphaned child rows: FK set minus parent PK set (left-anti join —
     the reference's set-difference, kept distributed)."""
-    cond = [child[f] == parent[p] for f, p in zip(fk_cols, pk_cols)]
-    orphans = child.join(parent, cond, "left_anti")
+    # SQL FK semantics (MATCH SIMPLE): a row with any NULL FK component
+    # satisfies the constraint — exclude those before orphan counting
+    non_null = child
+    for f in fk_cols:
+        non_null = non_null.filter(F.col(f).isNotNull())
+    cond = [non_null[f] == parent[p] for f, p in zip(fk_cols, pk_cols)]
+    orphans = non_null.join(parent, cond, "left_anti")
     name = ",".join(fk_cols)
     return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
         F.lit("referential").alias("check_name"),
@@ -87,22 +92,34 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column profile: (column_name, n_nulls, n_distinct, min_canon,
     max_canon). min/max are computed on the native type, then rendered in
-    the cross-engine canonical form."""
+    the cross-engine canonical form.
+
+    ONE aggregation scan computes every column's stats side by side; the
+    single wide result row is reshaped to per-column rows on the driver
+    (a handful of values, never data)."""
     fields = [(f.name, f.dataType) for f in df.schema.fields
               if cols is None or f.name in cols]
-    profiles = []
-    for name, dtype in fields:
+    aggs = []
+    for i, (name, dtype) in enumerate(fields):
         c = F.col(name)
-        profiles.append(
-            df.agg(
-                F.count_if(c.isNull()).cast("long").alias("n_nulls"),
-                F.countDistinct(c).cast("long").alias("n_distinct"),
-                canon_col(F.min(c), dtype).alias("min_canon"),
-                canon_col(F.max(c), dtype).alias("max_canon"),
-            ).select(F.lit(name).alias("column_name"), "n_nulls", "n_distinct",
-                     "min_canon", "max_canon")
+        aggs.extend(
+            [
+                F.count_if(c.isNull()).cast("long").alias(f"__nn{i}"),
+                F.countDistinct(c).cast("long").alias(f"__nd{i}"),
+                canon_col(F.min(c), dtype).alias(f"__mn{i}"),
+                canon_col(F.max(c), dtype).alias(f"__mx{i}"),
+            ]
         )
-    return reduce(lambda a, b: a.unionByName(b), profiles)
+    wide = df.agg(*aggs).collect()[0]
+    rows = [
+        (name, wide[f"__nn{i}"], wide[f"__nd{i}"], wide[f"__mn{i}"], wide[f"__mx{i}"])
+        for i, (name, _) in enumerate(fields)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column_name string, n_nulls long, n_distinct long, "
+        "min_canon string, max_canon string",
+    )
 
 
 def profile_table_sql(df: DataFrame, table: str, cols: list[str] | None = None) -> str:

@@ -66,7 +66,16 @@ def salted_broadcast_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join a skewed large side against a small side with the small side
-    replicated ``salt`` ways, so one hot key spreads over ``salt`` tasks."""
+    replicated ``salt`` ways, so one hot key spreads over ``salt`` tasks.
+
+    Only probe-side-preserving modes are valid: a replicated build side
+    would emit ``salt`` copies of every unmatched small row under
+    right/full outer joins."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_broadcast_join supports {sorted(allowed)}; got {how!r}"
+        )
     salts = large.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     large_s = with_salt(large, salt)
     small_s = small.crossJoin(F.broadcast(salts))

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import time
-from concurrent.futures import ALL_COMPLETED, FIRST_EXCEPTION, ThreadPoolExecutor, wait
+from concurrent.futures import ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -144,8 +144,10 @@ class ParallelReconciler:
         try:
             start = time.time()
             futures = {pool.submit(run_one, n, mk): n for n, mk in pairs.items()}
-            wait(futures, timeout=self.table_timeout_s,
-                 return_when=FIRST_EXCEPTION if self.fail_fast else ALL_COMPLETED)
+            # NB: run_one converts exceptions to results, so no future ever
+            # completes exceptionally — fail_fast works through the stop
+            # flag (queued tables cancel), not through early wait() return
+            wait(futures, timeout=self.table_timeout_s)
             for fut, name in futures.items():
                 if fut.done():
                     results.append(fut.result())

@@ -51,6 +51,8 @@ class CronSchedule:
     dom: frozenset
     month: frozenset
     dow: frozenset
+    dom_any: bool = True  # field was '*'
+    dow_any: bool = True
 
     @classmethod
     def parse(cls, expr: str) -> "CronSchedule":
@@ -61,16 +63,23 @@ class CronSchedule:
             frozenset(_parse_field(f, lo, hi))
             for f, (lo, hi) in zip(fields, _FIELD_RANGES)
         ]
-        return cls(*parsed)
+        return cls(*parsed, dom_any=fields[2] == "*", dow_any=fields[4] == "*")
 
     def matches(self, t: _dt.datetime) -> bool:
-        return (
+        base = (
             t.minute in self.minute
             and t.hour in self.hour
-            and t.day in self.dom
             and t.month in self.month
-            and t.weekday() in _to_cron_dow(self.dow)
         )
+        if not base:
+            return False
+        dom_ok = t.day in self.dom
+        dow_ok = t.weekday() in _to_cron_dow(self.dow)
+        # vixie-cron day semantics: when BOTH day fields are restricted,
+        # either may match (OR); otherwise both constraints apply
+        if not self.dom_any and not self.dow_any:
+            return dom_ok or dow_ok
+        return dom_ok and dow_ok
 
     def next_fire(self, after: _dt.datetime) -> _dt.datetime:
         """Next matching minute strictly after ``after`` (scans minutes;
@@ -123,7 +132,17 @@ class Scheduler:
             wait = (next_at[idx] - now_fn()).total_seconds()
             if wait > 0:
                 sleep_fn(wait)
-            fn()
+            # per-fire error isolation: one failing job must not kill the
+            # scheduler loop (pair with retry_with_backoff inside the job
+            # for transient errors)
+            try:
+                fn()
+            except Exception:  # noqa: BLE001
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "scheduled job %r failed; continuing", self._jobs[idx][0]
+                )
             fires += 1
             now = now_fn()
             next_at[idx] = (

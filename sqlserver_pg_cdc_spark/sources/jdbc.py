@@ -94,6 +94,7 @@ def incremental_poll_query(
     last_lsn: str | int,
     order_columns: list[str] | None = None,
     limit: int | None = 2048,
+    dialect: str = "sqlserver",
 ) -> str:
     """The Debezium-poll analog as SQL (reference data-model.md:366-371:
     ``WHERE __$start_lsn > ? ORDER BY __$start_lsn, __$seqval``) — used by
@@ -110,8 +111,10 @@ def incremental_poll_query(
         lsn_lit = "'" + last_lsn.replace("'", "''") + "'"
     else:
         lsn_lit = str(int(last_lsn))
-    q = f"SELECT * FROM {table} WHERE {lsn_column} > {lsn_lit} ORDER BY {order}"
-    if limit:
+    # the primary target is SQL Server CT tables, which take TOP, not LIMIT
+    top = f"TOP {int(limit)} " if limit and dialect == "sqlserver" else ""
+    q = f"SELECT {top}* FROM {table} WHERE {lsn_column} > {lsn_lit} ORDER BY {order}"
+    if limit and dialect != "sqlserver":
         q += f" LIMIT {int(limit)}"
     return q
 

@@ -965,7 +965,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" tiny appended suffix")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(planted)
-    return DD.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=6)
+    return DD.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=5)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,7 +1078,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                     " FROM documents WHERE doc_id < 10)",
                     "doc_id",
                     "text",
-                    max_hamming=6,
+                    max_hamming=5,
                 ),
             ),
             "dedup_ngram_jaccard": QuerySpec(

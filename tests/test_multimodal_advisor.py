@@ -135,10 +135,13 @@ def test_jdbc_builders():
 
     q = incremental_poll_query("cdc.t_CT", "__$start_lsn", 123,
                                order_columns=["__$start_lsn", "__$seqval"])
+    # default dialect targets SQL Server CT tables: TOP, not LIMIT
     assert q == (
-        "SELECT * FROM cdc.t_CT WHERE __$start_lsn > 123 "
-        "ORDER BY __$start_lsn, __$seqval LIMIT 2048"
+        "SELECT TOP 2048 * FROM cdc.t_CT WHERE __$start_lsn > 123 "
+        "ORDER BY __$start_lsn, __$seqval"
     )
+    q_pg = incremental_poll_query("t_changes", "lsn", 123, dialect="postgresql")
+    assert q_pg.endswith("ORDER BY lsn LIMIT 2048")
 
     up = upsert_write_options("t", ["id"], batch_size=3000)
     assert up["insert.mode"] == "upsert" and up["batchsize"] == "3000"

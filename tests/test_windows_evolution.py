@@ -169,3 +169,45 @@ def test_align_to_evolved_projection(spark):
     out = align_to_evolved(df, NEW)
     assert out.schema == NEW
     assert out.collect()[0]["age"] is None
+
+
+def test_windowed_append_mode_emits_closed_windows(spark, tmp_path):
+    """Append mode + watermark: only windows the watermark has passed are
+    emitted; late rows beyond the watermark are dropped from closed
+    windows (the standard streaming-agg contract — contrast with the CDC
+    plane's never-drop staleness flag)."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {"user_id": 1, "value": 1.0, "ts": "2024-01-01 10:00:00", "event_type": "a"},
+        {"user_id": 1, "value": 2.0, "ts": "2024-01-01 10:20:00", "event_type": "a"},
+        # an event far ahead moves the watermark past the 10:00 window
+        {"user_id": 2, "value": 9.0, "ts": "2024-01-03 00:00:00", "event_type": "a"},
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = "user_id long, value double, ts timestamp, event_type string"
+    stream = spark.readStream.schema(schema).json(src)
+    from sqlserver_pg_cdc_spark.streaming.windows import windowed_event_counts
+
+    q = (
+        windowed_event_counts(stream, window_len="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("append_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM append_test").collect()
+    }
+    # the 10:00 window is closed (watermark advanced to Jan 2 23:00) and
+    # emitted with both rows; the Jan 3 window stays open and unemitted
+    assert ("2024-01-01T10:00:00", 2) in first
+    assert not any(s.startswith("2024-01-03") for s, _ in first)

@@ -650,6 +650,65 @@ FROM supplier
 # CDC plane, batch-checkable projections (SURVEY §2.8)
 # ---------------------------------------------------------------------------
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user. Spark's
+    session_window ends sessions at last_event + gap; the oracle rebuilds
+    identical sessions relationally (lag -> new-session flag -> cumulative
+    session id -> group)."""
+    from sqlserver_pg_cdc_spark.streaming.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+_Q_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM (
+    SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def q_pii_mask_udf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F6/F7: the format-preserving Arrow-UDF maskers (phone, credit
+    card, IP) over synthesized fields — positional re-injection is not
+    SQL-expressible, so the driver records the rows-only check; exact
+    semantics are pinned by the unit fixtures."""
+    from sqlserver_pg_cdc_spark.functions import masking
+
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    phone = F.concat(
+        F.lit("("), F.lpad((ck % 900 + 100).cast("string"), 3, "0"),
+        F.lit(") 555-"), F.lpad((ck % 10000).cast("string"), 4, "0"),
+    )
+    cc = F.concat(F.lit("4532-1234-5678-"), F.lpad((ck % 10000).cast("string"), 4, "0"))
+    ip = F.concat(
+        F.lit("10."), (ck % 256).cast("string"), F.lit("."),
+        (F.floor(ck / 7).cast("long") % 256).cast("string"), F.lit(".1"),
+    )
+    return c.select(
+        "c_custkey",
+        masking.mask_phone(phone).alias("phone_masked"),
+        masking.mask_credit_card(cc).alias("cc_masked"),
+        masking.mask_ip(ip).alias("ip_masked"),
+        masking.luhn_check(cc).alias("cc_luhn_valid"),
+    )
+
+
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """St5's within-batch dedup: latest change per key by LSN
     (row_number over PK ordered by lsn desc), with the soft-delete rewrite
@@ -1042,6 +1101,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
+        "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
+        "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, None),
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
         "type_convert_orders": QuerySpec(q_type_convert_orders, _Q_TYPE_CONVERT_SQL),
         "gdpr_pseudonymize_supplier": QuerySpec(q_gdpr_pseudonymize_supplier, _Q_GDPR_SQL),

@@ -533,6 +533,71 @@ GROUP BY tier
 """
 
 
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS subquery (semi-join) — orders counted per
+    priority when at least one lineitem shipped after the order date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = o.alias("o2").join(
+        li.alias("l2"),
+        (F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
+        & (F.col("l2.l_shipdate") > F.col("o2.o_orderdate")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/conditional scalar-function families over customer
+    (the breadth a SQL user expects day one), all with exact cross-engine
+    twins. Day-of-week is normalized to ISO Monday=1 (native conventions
+    differ: Spark dayofweek Sunday=1, DuckDB dayofweek Sunday=0)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.lower(F.translate("o_orderstatus", "OF", "of")).alias("status_lc"),
+        F.length(F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_"))).alias("prio_len"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        # ISO day of week: Monday=1..Sunday=7, identical both engines
+        F.dayofweek(F.date_add(F.col("o_orderdate").cast("date"), -1)).alias("iso_dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.greatest(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias("gmax"),
+    )
+
+
+_Q_SCALAR_SQL = """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 3)) AS prio3,
+       lower(translate(o_orderstatus, 'OF', 'of')) AS status_lc,
+       length(replace(o_orderpriority, '-', '_')) AS prio_len,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       greatest(o_orderkey % 7, o_orderkey % 5) AS gmax
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # transformation plane (SURVEY §2.7, §2.9)
 # ---------------------------------------------------------------------------
@@ -1095,6 +1160,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "order_percentiles": QuerySpec(q_order_percentiles, _Q_PERCENTILES_SQL),
         "asof_latest_order": QuerySpec(q_asof_latest_order, _Q_ASOF_SQL),
         "pricing_pivot": QuerySpec(q_pricing_pivot, _Q_PRICING_PIVOT_SQL),
+        "order_priority_exists": QuerySpec(q_order_priority_exists, _Q_EXISTS_SQL),
+        "scalar_function_showcase": QuerySpec(q_scalar_function_showcase, _Q_SCALAR_SQL),
         "range_join_price_tiers": QuerySpec(q_range_join_price_tiers, _Q_RANGE_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),
         "corpus_select": QuerySpec(q_corpus_select, _corpus_select_sql()),

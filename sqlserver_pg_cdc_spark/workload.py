@@ -558,6 +558,43 @@ GROUP BY o_orderpriority
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated-aggregate comparison: revenue from
+    lineitems whose quantity is below 50% of their part's average.
+    The correlated scalar subquery decorrelates to one aggregate + one
+    join (the plan Catalyst produces for the SQL form too)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    # per-part average via exact decimal sum/count; the 0.5x threshold in
+    # decimal space: avg = sum/cnt -> compare 2*qty*cnt < sum (integer-ish
+    # cross-multiplication avoids division scale differences entirely)
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt")
+    )
+    joined = li.join(per_part, li.l_partkey == per_part.pk)
+    below = joined.filter(
+        (qty * 2 * F.col("qty_cnt")) < F.col("qty_sum")
+    )
+    return below.agg(
+        F.sum(price).alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q_SMALL_QTY_SQL = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS small_qty_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+             count(*) AS qty_cnt
+      FROM lineitem GROUP BY l_partkey) p
+  ON l.l_partkey = p.pk
+WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * qty_cnt < qty_sum
+"""
+
+
 def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/conditional scalar-function families over customer
     (the breadth a SQL user expects day one), all with exact cross-engine
@@ -1161,6 +1198,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "asof_latest_order": QuerySpec(q_asof_latest_order, _Q_ASOF_SQL),
         "pricing_pivot": QuerySpec(q_pricing_pivot, _Q_PRICING_PIVOT_SQL),
         "order_priority_exists": QuerySpec(q_order_priority_exists, _Q_EXISTS_SQL),
+        "small_quantity_revenue": QuerySpec(q_small_quantity_revenue, _Q_SMALL_QTY_SQL),
         "scalar_function_showcase": QuerySpec(q_scalar_function_showcase, _Q_SCALAR_SQL),
         "range_join_price_tiers": QuerySpec(q_range_join_price_tiers, _Q_RANGE_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),

@@ -558,6 +558,73 @@ GROUP BY o_orderpriority
 """
 
 
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-flavored: NOT EXISTS + scalar subquery — customers with
+    above-average balance who never placed an order, counted per nation.
+    Scalar subquery = crossJoin of a 1-row aggregate; NOT EXISTS =
+    left-anti join. Average compared by decimal cross-multiplication
+    (bal * n > total) to keep division out of the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    # correlated NOT EXISTS with an extra predicate: no order since 2000
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("k")).distinct()
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    stats = cust.agg(
+        F.sum(bal).alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        bal * F.col("bal_cnt") > F.col("bal_sum")
+    )
+    inactive = rich.join(orders, rich.c_custkey == orders.k, "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal).alias("total_balance"),
+    )
+
+
+_Q_RICH_INACTIVE_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(14,2))) AS total_balance
+FROM customer c,
+     (SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS bal_sum,
+             count(*) AS bal_cnt FROM customer) s
+WHERE CAST(c_acctbal AS DECIMAL(14,2)) * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+def q_customer_order_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain left-outer join with NULL handling: every customer with
+    order count and spend, zeros for the orderless."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.k, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(14,2)")).alias("total_spend"),
+    )
+
+
+_Q_CUSTOMER_OUTER_SQL = """
+SELECT c_custkey,
+       coalesce(n, 0) AS n_orders,
+       coalesce(spend, CAST(0 AS DECIMAL(14,2))) AS total_spend
+FROM customer
+LEFT JOIN (SELECT o_custkey AS k, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+           FROM orders GROUP BY o_custkey) p
+  ON c_custkey = p.k
+"""
+
+
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style correlated-aggregate comparison: revenue from
     lineitems whose quantity is below 50% of their part's average.
@@ -1199,6 +1266,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "pricing_pivot": QuerySpec(q_pricing_pivot, _Q_PRICING_PIVOT_SQL),
         "order_priority_exists": QuerySpec(q_order_priority_exists, _Q_EXISTS_SQL),
         "small_quantity_revenue": QuerySpec(q_small_quantity_revenue, _Q_SMALL_QTY_SQL),
+        "rich_inactive_customers": QuerySpec(q_rich_inactive_customers, _Q_RICH_INACTIVE_SQL),
+        "customer_order_outer": QuerySpec(q_customer_order_outer, _Q_CUSTOMER_OUTER_SQL),
         "scalar_function_showcase": QuerySpec(q_scalar_function_showcase, _Q_SCALAR_SQL),
         "range_join_price_tiers": QuerySpec(q_range_join_price_tiers, _Q_RANGE_SQL),
         "distinct_counts": QuerySpec(q_distinct_counts, _Q_DISTINCT_SQL),

@@ -7,12 +7,19 @@ DuckDB over the same sf directory, then compares:
 - column-name set
 - order-insensitive multiset of rows (columns sorted by name, values
   stringified)
+- output dtypes: any Spark DecimalType output column, or any DECIMAL /
+  HUGEINT column in the oracle's result, is flagged as a failure even when
+  the values match. The driver's comparator normalizes oracle values
+  through float64, so Decimal('1234.50') vs '1234.5' (or HUGEINT 0 vs
+  '0.0') hash-mismatches despite identical values — final outputs must be
+  double/BIGINT on both engines (round-1 verdict, 11 queries).
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import os
 import sys
 import time
@@ -31,9 +38,33 @@ def _norm(v) -> str:
         return "<NULL>"
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # mimic the driver: decimals are read back through float64
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _hash_unsafe_duck_cols(con, sql: str) -> list[str]:
+    """Column names whose DuckDB type the driver float64-normalizes."""
+    bad = []
+    for row in con.execute(f"DESCRIBE {sql}").fetchall():
+        name, typ = row[0], row[1]
+        t = typ.upper()
+        if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+            bad.append(f"{name}:{typ}")
+    return bad
+
+
+def _hash_unsafe_spark_cols(df) -> list[str]:
+    from pyspark.sql.types import DecimalType
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
 
 
 def _rows_multiset(cols, rows):
@@ -75,6 +106,12 @@ def main() -> int:
         duck_s = time.time() - t0
 
         problems = []
+        unsafe_s = _hash_unsafe_spark_cols(df)
+        if unsafe_s:
+            problems.append(f"spark decimal output (driver hash-unsafe): {unsafe_s}")
+        unsafe_d = _hash_unsafe_duck_cols(con, oracles[name])
+        if unsafe_d:
+            problems.append(f"oracle DECIMAL/HUGEINT output (driver hash-unsafe): {unsafe_d}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):

@@ -462,7 +462,9 @@ def simhash_near_pairs(
                         "band_id", "band_val")
     right = keyed.select(F.col("doc").alias("b"), F.col("simhash").alias("hb"),
                          "band_id", "band_val")
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # long to sidestep engine-specific narrow widths (DuckDB bit_count
+    # yields TINYINT; Spark int) — identical values either way
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     result = (
         left.join(right, ["band_id", "band_val"])
         .filter(F.col("a") < F.col("b"))
@@ -489,7 +491,7 @@ def simhash_near_pairs_sql(
     return f"""
 WITH fp AS ({fp}), keyed AS ({band_rows})
 SELECT DISTINCT x.doc AS a, y.doc AS b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM keyed x JOIN keyed y
   ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc < y.doc
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}

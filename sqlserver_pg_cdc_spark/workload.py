@@ -195,13 +195,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            # keep the exact scale (4 / 6 digits) — a final scale-2 cast
-            # hits .xx5 ties where Spark (HALF_UP) and DuckDB (half-even)
-            # disagree; full scale needs no rounding at all
-            F.sum(price * one_minus_disc).alias("sum_disc_price"),
-            F.sum(price * one_minus_disc * one_plus_tax).alias("sum_charge"),
+            # arithmetic stays in exact decimal space; FINAL outputs are
+            # cast to double on both engines (exact decimal -> nearest
+            # double is the same IEEE operation everywhere, and a double
+            # output survives any float64 normalization downstream —
+            # Decimal('1234.50') vs '1234.5' string forms do not)
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # keep the exact scale (4 / 6 digits) until the final cast — a
+            # scale-2 rounding hits .xx5 ties where Spark (HALF_UP) and
+            # DuckDB (half-even) disagree; full scale needs no rounding
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -209,13 +214,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -242,24 +247,30 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("revenue"))
+        # order/limit on the EXACT decimal, cast to double only at output
+        # (both engines do the identical decimal->nearest-double step)
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )
 
 
 _Q_SHIPPING_SQL = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+)
 """
 
 
@@ -273,7 +284,7 @@ def q_events_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -281,7 +292,7 @@ def q_events_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_EVENTS_DAILY_SQL = """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -310,14 +321,14 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
 _Q_LOCAL_SUPPLIER_SQL = """
 SELECT n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -344,17 +355,18 @@ def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("order_seq"),
+            # long to match DuckDB row_number's BIGINT exactly
+            F.row_number().over(w).cast("long").alias("order_seq"),
             F.sum(price).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).alias("running_spend"),
+            ).cast("double").alias("running_spend"),
         )
         .filter(F.col("order_seq") <= 3)
     )
 
 
 _Q_ORDER_RANKS_SQL = """
-SELECT o_custkey, o_orderkey, order_seq, running_spend
+SELECT o_custkey, o_orderkey, order_seq, CAST(running_spend AS DOUBLE) AS running_spend
 FROM (
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS order_seq,
@@ -448,7 +460,9 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.streaming.windows import windowed_event_counts
 
     ev = load_table(spark, sf_dir, "events")
-    return windowed_event_counts(ev, window_len="1 day")
+    return windowed_event_counts(ev, window_len="1 day").withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
 
 
 _Q_EVENTS_WINDOWED_SQL = """
@@ -456,7 +470,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -490,11 +504,15 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of_join(
         ev, orders, ["custkey"], "ts", "o_orderdate",
         right_value_cols=["o_orderkey", "last_order_price"],
-    ).select("event_id", "custkey", "event_type", "o_orderkey", "last_order_price")
+    ).select(
+        "event_id", "custkey", "event_type", "o_orderkey",
+        F.col("last_order_price").cast("double").alias("last_order_price"),
+    )
 
 
 _Q_ASOF_SQL = """
-SELECT l.event_id, l.custkey, l.event_type, r.o_orderkey, r.last_order_price
+SELECT l.event_id, l.custkey, l.event_type, r.o_orderkey,
+       CAST(r.last_order_price AS DOUBLE) AS last_order_price
 FROM (SELECT user_id AS custkey, ts, event_id, event_type FROM events) l
 ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
                        CAST(o_totalprice AS DECIMAL(12,2)) AS last_order_price
@@ -579,13 +597,13 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactive = rich.join(orders, rich.c_custkey == orders.k, "left_anti")
     return inactive.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(bal).alias("total_balance"),
+        F.sum(bal).cast("double").alias("total_balance"),
     )
 
 
 _Q_RICH_INACTIVE_SQL = """
 SELECT c_nationkey, count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(14,2))) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_balance
 FROM customer c,
      (SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS bal_sum,
              count(*) AS bal_cnt FROM customer) s
@@ -609,14 +627,16 @@ def q_customer_order_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(per_cust, cust.c_custkey == per_cust.k, "left").select(
         "c_custkey",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
-        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(14,2)")).alias("total_spend"),
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_spend"),
     )
 
 
 _Q_CUSTOMER_OUTER_SQL = """
 SELECT c_custkey,
        coalesce(n, 0) AS n_orders,
-       coalesce(spend, CAST(0 AS DECIMAL(14,2))) AS total_spend
+       CAST(coalesce(spend, CAST(0 AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
 FROM customer
 LEFT JOIN (SELECT o_custkey AS k, count(*) AS n,
                   sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
@@ -644,13 +664,13 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qty * 2 * F.col("qty_cnt")) < F.col("qty_sum")
     )
     return below.agg(
-        F.sum(price).alias("small_qty_revenue"),
+        F.sum(price).cast("double").alias("small_qty_revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
 
 _Q_SMALL_QTY_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS small_qty_revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN (SELECT l_partkey AS pk,
@@ -672,12 +692,17 @@ def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
         F.lower(F.translate("o_orderstatus", "OF", "of")).alias("status_lc"),
-        F.length(F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_"))).alias("prio_len"),
+        # long casts: DuckDB's length/year/month/isodow are BIGINT
+        F.length(F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")))
+        .cast("long")
+        .alias("prio_len"),
         F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
         # ISO day of week: Monday=1..Sunday=7, identical both engines
-        F.dayofweek(F.date_add(F.col("o_orderdate").cast("date"), -1)).alias("iso_dow"),
+        F.dayofweek(F.date_add(F.col("o_orderdate").cast("date"), -1))
+        .cast("long")
+        .alias("iso_dow"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
@@ -773,7 +798,7 @@ def q_type_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "o_orderkey",
         "raw",
-        convert_type("raw", "decimal(12,2)").alias("strict"),
+        convert_type("raw", "decimal(12,2)").cast("double").alias("strict"),
         convert_type_keep_original("raw", "decimal(12,2)").alias("keep"),
         conversion_failed("raw", "decimal(12,2)").alias("conv_error"),
     )
@@ -781,7 +806,7 @@ def q_type_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_TYPE_CONVERT_SQL = """
 SELECT o_orderkey, raw,
-       TRY_CAST(raw AS DECIMAL(12,2)) AS strict,
+       CAST(TRY_CAST(raw AS DECIMAL(12,2)) AS DOUBLE) AS strict,
        CASE WHEN TRY_CAST(raw AS DECIMAL(12,2)) IS NOT NULL
             THEN CAST(TRY_CAST(raw AS DECIMAL(12,2)) AS VARCHAR)
             ELSE raw END AS keep,
@@ -915,14 +940,14 @@ def q_cdc_active_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.filter((F.col("__deleted").isNull()) | (F.col("__deleted") == "false"))
         .agg(
             F.count(F.lit(1)).alias("active_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("active_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("active_value"),
         )
     )
 
 
 _Q_CDC_ACTIVE_SQL = f"""
 SELECT count(*) AS active_users,
-       sum(CAST(value AS DECIMAL(18,2))) AS active_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS active_value
 FROM ({_Q_CDC_LATEST_SQL})
 WHERE __deleted IS NULL OR __deleted = 'false'
 """
@@ -944,14 +969,14 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
         )
     )
 
 
 _Q_PRICING_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -968,13 +993,18 @@ def q_pricing_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(qty))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .select(
+            "l_returnflag",
+            F.col("qty_open").cast("double").alias("qty_open"),
+            F.col("qty_filled").cast("double").alias("qty_filled"),
+        )
     )
 
 
 _Q_PRICING_PIVOT_SQL = """
 SELECT l_returnflag,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS qty_open,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS qty_filled
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1065,7 +1095,8 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_QUALITY_SQL = """
 SELECT 'unique' AS check_name, 'c_custkey' AS column_name,
-       coalesce(sum(n - 1), 0) AS violations, coalesce(sum(n - 1), 0) = 0 AS passed
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations,
+       coalesce(sum(n - 1), 0) = 0 AS passed
 FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
 UNION ALL
 SELECT 'not_null', 'o_orderdate',
@@ -1085,7 +1116,7 @@ SELECT 'range', 'l_discount',
 FROM lineitem
 UNION ALL
 SELECT 'unique', 'l_orderkey,l_linenumber',
-       coalesce(sum(n - 1), 0), coalesce(sum(n - 1), 0) = 0
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT), coalesce(sum(n - 1), 0) = 0
 FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
 """
 

@@ -35,16 +35,23 @@ DELETED_COL = "__deleted"
 STALE_COL = "__stale"
 
 
-def unwrap_envelope(df: DataFrame, lsn_col: str = "lsn") -> DataFrame:
+def unwrap_envelope(
+    df: DataFrame, lsn_col: str = "lsn", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """St2: flatten a Debezium-style envelope struct row
     ``(before, after, op, ts_ms, lsn)`` into business columns + __op.
     Deletes carry no after image -> use the before image (rewrite mode,
-    AddDeletedField.java:62-90)."""
+    AddDeletedField.java:62-90). ``keep_cols`` are passed through beside
+    the payload (e.g. the Kafka source's ``__table`` routing column)."""
     payload = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
     flat = df.select(
-        payload.alias("__row"), F.col("op").alias(OP_COL), F.col("ts_ms"), F.col(lsn_col)
+        payload.alias("__row"),
+        F.col("op").alias(OP_COL),
+        F.col("ts_ms"),
+        F.col(lsn_col),
+        *[F.col(c) for c in keep_cols],
     )
-    return flat.select("__row.*", OP_COL, "ts_ms", lsn_col)
+    return flat.select("__row.*", OP_COL, "ts_ms", lsn_col, *keep_cols)
 
 
 def with_soft_delete(df: DataFrame) -> DataFrame:

@@ -132,16 +132,117 @@ def upsert_write_options(table: str, pk_cols: list[str], batch_size: int = 3000)
     }
 
 
-def on_conflict_upsert_sql(table: str, columns: list[str], pk_cols: list[str]) -> str:
-    """PostgreSQL INSERT ... ON CONFLICT DO UPDATE for the foreachBatch
-    sink path (the reference sink's upsert semantics, FR-005)."""
+def on_conflict_upsert_sql(
+    table: str,
+    columns: list[str],
+    pk_cols: list[str],
+    placeholder: str = "%s",
+    lsn_guard_col: str | None = None,
+) -> str:
+    """INSERT ... ON CONFLICT DO UPDATE for the foreachBatch sink path
+    (the reference sink's upsert semantics, FR-005). ``placeholder`` is
+    the DBAPI paramstyle (``%s`` psycopg, ``?`` duckdb/sqlite/jdbc).
+
+    With ``lsn_guard_col`` the update applies only when the incoming LSN
+    is >= the stored one — the cross-batch idempotence guard pushed INTO
+    the database, so at-least-once replays and out-of-order partitions
+    converge without read-modify-write races."""
+    _safe_ident(table)
+    for c in columns:
+        _safe_ident(c)
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c not in pk_cols
     )
     conflict = ", ".join(pk_cols)
-    return (
+    sql = (
         f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
         f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
     )
+    if lsn_guard_col is not None:
+        _safe_ident(lsn_guard_col)
+        sql += f" WHERE {table}.{lsn_guard_col} <= EXCLUDED.{lsn_guard_col}"
+    return sql
+
+
+class _PartitionUpsertWriter:
+    """Executor-side writer: one DBAPI connection per partition, chunked
+    executemany (reference batch.size=3000, postgresql-sink.json:32).
+    Must stay picklable — it ships to executors."""
+
+    def __init__(self, connection_factory, sql: str, columns: list[str], batch_size: int):
+        self.connection_factory = connection_factory
+        self.sql = sql
+        self.columns = columns
+        self.batch_size = batch_size
+
+    def __call__(self, rows) -> None:
+        con = self.connection_factory()
+        try:
+            buf = []
+            for row in rows:
+                buf.append(tuple(row[c] for c in self.columns))
+                if len(buf) >= self.batch_size:
+                    con.executemany(self.sql, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(self.sql, buf)
+            try:
+                con.commit()
+            except Exception:
+                pass  # autocommit DBAPIs (duckdb) have no explicit commit
+        finally:
+            con.close()
+
+
+class DbApiUpsertSink:
+    """S11 executed: foreachBatch sink running the ON CONFLICT upsert
+    against a live DBAPI target (PostgreSQL in the reference deployment,
+    DuckDB/SQLite in tests — same statement shape).
+
+    Semantics match ParquetUpsertSink: within-batch dedup to the latest
+    LSN per key, then a per-row upsert whose LSN guard lives in the SQL,
+    so replays are no-ops at the database. Writes happen executor-side
+    via foreachPartition — nothing is collected to the driver, and a
+    1000-partition batch opens 1000 pooled connections in parallel
+    exactly like the reference's JDBC sink tasks. ``parallel=False``
+    coalesces to one partition for single-writer embedded targets
+    (DuckDB file, SQLite); leave True for PostgreSQL.
+    """
+
+    def __init__(
+        self,
+        connection_factory,
+        table: str,
+        pk_cols: list[str],
+        lsn_col: str = "lsn",
+        batch_size: int = 3000,
+        placeholder: str = "?",
+        parallel: bool = True,
+    ):
+        self.connection_factory = connection_factory
+        self.table = table
+        self.pk_cols = pk_cols
+        self.lsn_col = lsn_col
+        self.batch_size = batch_size
+        self.placeholder = placeholder
+        self.parallel = parallel
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.apply import latest_per_key
+
+        deduped = latest_per_key(batch_df, self.pk_cols, self.lsn_col)
+        columns = deduped.columns
+        sql = on_conflict_upsert_sql(
+            self.table,
+            columns,
+            self.pk_cols,
+            placeholder=self.placeholder,
+            lsn_guard_col=self.lsn_col,
+        )
+        writer = _PartitionUpsertWriter(
+            self.connection_factory, sql, columns, self.batch_size
+        )
+        target = deduped if self.parallel else deduped.coalesce(1)
+        target.foreachPartition(writer)

@@ -116,7 +116,16 @@ def merge_upsert(
 
 class ParquetUpsertSink:
     """foreachBatch sink applying merge_upsert into a parquet directory
-    with an atomic directory swap (local stand-in for Delta MERGE)."""
+    with a crash-recoverable directory swap (local stand-in for Delta
+    MERGE; production scale path is Delta/Iceberg MERGE or the executed
+    DbApiUpsertSink — this sink rewrites O(table) per batch by design).
+
+    The swap is two renames (target -> __old, tmp -> target); a crash
+    between them would otherwise leave no target and the next merge
+    would silently treat the table as empty. ``read_target`` therefore
+    restores the newest ``__old_*`` generation whenever the target is
+    missing — combined with the LSN guard, the re-driven batch then
+    converges instead of losing state."""
 
     def __init__(self, spark: SparkSession, target_dir: str, pk_cols: list[str],
                  lsn_col: str = "lsn", dlq_dir: str | None = None):
@@ -126,7 +135,24 @@ class ParquetUpsertSink:
         self.lsn_col = lsn_col
         self.dlq_dir = dlq_dir
 
+    def _generations(self, kind: str) -> list[str]:
+        import glob
+
+        return sorted(
+            glob.glob(f"{self.target_dir}__{kind}_*"), key=os.path.getmtime
+        )
+
+    def _recover(self) -> None:
+        """If a crash landed between the two swap renames, the newest
+        __old_* generation IS the pre-batch table — restore it."""
+        if os.path.exists(self.target_dir):
+            return
+        olds = self._generations("old")
+        if olds:
+            os.rename(olds[-1], self.target_dir)
+
     def read_target(self) -> DataFrame | None:
+        self._recover()
         if not os.path.exists(self.target_dir):
             return None
         return self.spark.read.parquet(self.target_dir)
@@ -142,9 +168,11 @@ class ParquetUpsertSink:
             if os.path.exists(self.target_dir):
                 os.rename(self.target_dir, old)
                 os.rename(tmp, self.target_dir)
-                shutil.rmtree(old, ignore_errors=True)
             else:
                 os.rename(tmp, self.target_dir)
+            # success: drop superseded generations and orphaned tmps
+            for stale in self._generations("old") + self._generations("tmp"):
+                shutil.rmtree(stale, ignore_errors=True)
         except Exception as e:  # St10: error routing, not query death
             if self.dlq_dir is None:
                 raise

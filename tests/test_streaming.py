@@ -227,3 +227,38 @@ def test_sink_without_dlq_raises(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="boom"):
         sink(batch, batch_id=0)
+
+
+def test_crash_between_swap_renames_recovers(spark, tmp_path):
+    """A crash after target->__old but before tmp->target must NOT lose
+    the applied state: read_target restores the newest __old_* dir and
+    the re-driven batch converges (ADVICE r1: silent-empty-table bug)."""
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+    tgt = str(tmp_path / "tgt")
+    sink = ParquetUpsertSink(spark, tgt, ["id"])
+    b0 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, v string, lsn long"
+    )
+    sink(b0, 0)
+
+    # simulate the torn swap: target renamed away, replacement never landed
+    os.rename(tgt, tgt + "__old_deadbeef")
+    assert not os.path.exists(tgt)
+
+    # recovery happens on the next read; prior state intact
+    recovered = {r["id"]: r["v"] for r in sink.read_target().collect()}
+    assert recovered == {1: "a", 2: "b"}
+
+    # re-driven batch (checkpoint replay) + a new change both apply
+    b1 = spark.createDataFrame(
+        [(1, "a", 1), (3, "c", 3)], "id long, v string, lsn long"
+    )
+    sink(b1, 1)
+    final = {r["id"]: r["v"] for r in sink.read_target().collect()}
+    assert final == {1: "a", 2: "b", 3: "c"}
+    # superseded generations cleaned up on success
+    leftovers = [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
+    assert leftovers == []

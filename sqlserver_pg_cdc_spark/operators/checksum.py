@@ -147,17 +147,29 @@ def incremental_checksum(
 
 
 def ordered_checksum_df(
-    df: DataFrame, order_cols: list[str], cols: list[str] | None = None
+    df: DataFrame,
+    order_cols: list[str],
+    cols: list[str] | None = None,
+    bucket_width: int | None = 100_000,
 ) -> DataFrame:
     """A2 as a distributed one-row DataFrame.
 
     A sequential SHA-256 fold over ordered row-hash strings equals
     SHA-256 of their ordered CONCATENATION, so the serial loop collapses
-    into ``sha2(concat(sorted row hashes))`` — collect_list order is
-    nondeterministic, array_sort on (key, hash) structs restores it.
-    Still gathers all row hashes to one place (inherent to an
-    order-sensitive digest); prefer table_checksum beyond validation
-    scale.
+    into ``sha2(concat(sorted row hashes))``.
+
+    With ``bucket_width`` set (the default — the 100 TB path), the fold
+    is HIERARCHICAL: rows land in order-aligned PK-range buckets
+    (``key div width``, so every key in bucket i precedes every key in
+    bucket i+1), each bucket folds its own rows in order (bounded
+    ``collect_list`` of at most ~width hashes, distributed across the
+    shuffle), and the final digest folds the bucket digests in bucket
+    order — a single task over #buckets 64-char strings, not over every
+    row. Any row change still flips the final digest, and bucket digests
+    double as a merkle level for localizing WHERE two tables diverge.
+    Requires a numeric, non-negative first order column (the CDC PK
+    convention); pass ``bucket_width=None`` for the flat validation-only
+    digest over arbitrary order columns.
     """
     pairs = df.select(
         F.struct(*[F.col(c) for c in order_cols]).alias("__k"),
@@ -166,23 +178,67 @@ def ordered_checksum_df(
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("__k", "__rh"))), lambda x: x["__rh"]
     )
-    return pairs.agg(
-        F.sha2(F.concat_ws("", ordered), 256).alias("checksum"),
-        F.count(F.lit(1)).alias("row_count"),
+    if bucket_width is None:
+        return pairs.agg(
+            F.sha2(F.concat_ws("", ordered), 256).alias("checksum"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+    # integer div keeps bucketing exact at any key magnitude (double
+    # floor-division would lose precision past 2^53)
+    bkt = F.expr(f"CAST({order_cols[0]} AS BIGINT) div {int(bucket_width)}")
+    per_bucket = (
+        df.select(
+            bkt.alias("__bkt"),
+            F.struct(*[F.col(c) for c in order_cols]).alias("__k"),
+            row_hash(df, cols).alias("__rh"),
+        )
+        .groupBy("__bkt")
+        .agg(
+            F.sha2(F.concat_ws("", ordered), 256).alias("__bh"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    bucket_fold = F.transform(
+        F.array_sort(F.collect_list(F.struct("__bkt", "__bh"))), lambda x: x["__bh"]
+    )
+    return per_bucket.agg(
+        F.sha2(F.concat_ws("", bucket_fold), 256).alias("checksum"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("row_count"),
     )
 
 
 def ordered_checksum_df_sql(
-    df: DataFrame, table: str, order_cols: list[str], cols: list[str] | None = None
+    df: DataFrame,
+    table: str,
+    order_cols: list[str],
+    cols: list[str] | None = None,
+    bucket_width: int | None = 100_000,
 ) -> str:
     fields = _resolve_fields(df, cols)
     rh = row_hash_sql(fields)
     order = ", ".join(order_cols)
-    return (
-        f"SELECT sha256(coalesce(string_agg(__rh, '' ORDER BY {order}), '')) AS checksum, "
-        f"count(*) AS row_count FROM "
-        f"(SELECT {', '.join(order_cols)}, {rh} AS __rh FROM {table})"
-    )
+    if bucket_width is None:
+        return (
+            f"SELECT sha256(coalesce(string_agg(__rh, '' ORDER BY {order}), '')) AS checksum, "
+            f"count(*) AS row_count FROM "
+            f"(SELECT {', '.join(order_cols)}, {rh} AS __rh FROM {table})"
+        )
+    # same two-level fold; // is integer division on BIGINT in DuckDB,
+    # matching Spark's `div` for non-negative keys
+    return f"""
+SELECT sha256(coalesce(string_agg(__bh, '' ORDER BY __bkt), '')) AS checksum,
+       CAST(coalesce(sum(__n), 0) AS BIGINT) AS row_count
+FROM (
+    SELECT __bkt,
+           sha256(string_agg(__rh, '' ORDER BY {order})) AS __bh,
+           count(*) AS __n
+    FROM (SELECT {', '.join(order_cols)},
+                 CAST({order_cols[0]} AS BIGINT) // {int(bucket_width)} AS __bkt,
+                 {rh} AS __rh
+          FROM {table})
+    GROUP BY __bkt
+)
+"""
 
 
 def ordered_checksum(df: DataFrame, order_cols: list[str], cols: list[str] | None = None) -> str:

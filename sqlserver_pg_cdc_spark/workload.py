@@ -954,8 +954,9 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 
 
 def q_checksum_ordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: order-sensitive SHA-256 digest (sequential fold == hash of the
-    ordered concatenation, so it runs as one distributed aggregate)."""
+    """A2: order-sensitive SHA-256 digest, hierarchical form — per
+    PK-range-bucket ordered folds (distributed, bounded collects) then a
+    fold of bucket digests in order; no task ever sees every row."""
     from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
 
     return ordered_checksum_df(load_table(spark, sf_dir, "orders"), ["o_orderkey"])
@@ -1228,11 +1229,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
+    an 8x4 banded self-join, exact-cosine verified; no label shortcut and
+    no within-block all-pairs."""
     from sqlserver_pg_cdc_spark.operators import dedup as DD
 
-    return DD.embedding_near_dup_pairs(
+    return DD.embedding_near_dup_lsh_pairs(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.3, block_col="label",
+        threshold=0.3,
     )
 
 
@@ -1355,8 +1359,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,
-                DD.embedding_near_dup_pairs_sql(
-                    "embeddings", "vec_id", "embedding", threshold=0.3, block_col="label"
+                DD.embedding_near_dup_lsh_pairs_sql(
+                    "embeddings", "vec_id", "embedding", threshold=0.3
                 ),
             ),
             "ann_topk_cosine": QuerySpec(

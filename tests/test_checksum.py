@@ -90,15 +90,73 @@ def test_checksum_fast_mode_properties(spark):
 
 
 def test_ordered_checksum_df_equals_serial_fold(spark):
-    """The distributed sha2(ordered concat) form must equal the serial
-    hashlib fold (they are mathematically the same digest)."""
+    """The flat distributed sha2(ordered concat) form must equal the
+    serial hashlib fold (they are mathematically the same digest)."""
     from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
 
     df = load(spark, "nation")
     serial = ordered_checksum(df, ["n_nationkey"])
-    dist = ordered_checksum_df(df, ["n_nationkey"]).collect()[0]
+    dist = ordered_checksum_df(df, ["n_nationkey"], bucket_width=None).collect()[0]
     assert dist["checksum"] == serial
     assert dist["row_count"] == df.count()
+
+
+def test_bucketed_ordered_checksum_properties(spark):
+    """The hierarchical (bucketed) A2 digest: partition-layout invariant,
+    order-sensitive, change-sensitive — without any all-rows collect."""
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
+
+    df = load(spark, "orders")
+    width = 1000  # force many buckets at fixture scale
+    base = ordered_checksum_df(df, ["o_orderkey"], bucket_width=width).collect()[0]
+    assert base["row_count"] == df.count()
+
+    # invariant under repartitioning (the digest depends on key order only)
+    shuffled = ordered_checksum_df(
+        df.repartition(13), ["o_orderkey"], bucket_width=width
+    ).collect()[0]
+    assert shuffled["checksum"] == base["checksum"]
+
+    # a single mutated value flips the digest
+    mutated = df.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    assert (
+        ordered_checksum_df(mutated, ["o_orderkey"], bucket_width=width)
+        .collect()[0]["checksum"]
+        != base["checksum"]
+    )
+
+    # moving a row between positions (key swap) flips it too, even though
+    # the multiset of row payloads is unchanged except for the key column
+    swapped = df.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") == 1, F.lit(999_999))
+        .when(F.col("o_orderkey") == 999_999, F.lit(1))
+        .otherwise(F.col("o_orderkey")),
+    )
+    assert (
+        ordered_checksum_df(swapped, ["o_orderkey"], bucket_width=width)
+        .collect()[0]["checksum"]
+        != base["checksum"]
+    )
+
+
+def test_bucketed_ordered_checksum_plan_has_no_global_collect(spark):
+    """Scale guard: the bucketed fold's per-row collect_list must sit
+    under a groupBy (hash partitioning on __bkt), so no single task ever
+    aggregates every row — the final fold only sees bucket digests."""
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
+
+    df = load(spark, "orders")
+    plan = ordered_checksum_df(df, ["o_orderkey"])._jdf.queryExecution().executedPlan().toString()
+    # the first (per-row) aggregate must be keyed by __bkt, i.e. the
+    # row-level collect happens inside a hash-partitioned exchange
+    assert "__bkt" in plan
+    assert "hashpartitioning(__bkt" in plan
 
 
 def test_approx_count_distinct_within_tolerance(spark):

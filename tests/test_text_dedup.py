@@ -255,3 +255,30 @@ def test_simhash_near_pairs_finds_planted(spark):
     assert all(pairs.get(p) == 0 for p in exact_hits)
     # cache released after materialization
     assert all(h <= 6 for h in pairs.values())
+
+
+def test_embedding_lsh_near_dup_recall_vs_exact(spark):
+    """Banded hyperplane LSH (8x4) vs the unblocked all-pairs ground
+    truth on the 500-vector fixture: every LSH pair must be a true pair
+    (precision 1.0 — the exact cosine verifies), recall must clear the
+    OR-construction bound at the near-dup threshold, and high-similarity
+    pairs (cosine >= 0.9, where 1-(1-p^4)^8 > 0.999) must ALL be found."""
+    emb = load(spark, "embeddings")
+    truth = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in DD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.5, block_col=None
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in DD.embedding_near_dup_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    assert set(got) <= set(truth)  # exact verify => no false positives
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.5, f"recall {recall:.2f} below OR-construction floor"
+    hot = {p for p, c in truth.items() if c >= 0.9}
+    assert hot <= set(got), "high-similarity pairs must survive banding"

@@ -99,6 +99,53 @@ def canon_sql(col: str, dtype: T.DataType, qualifier: str = "") -> str:
     return f"COALESCE({s}, '{NULL_TOKEN}')"
 
 
+# ---------------------------------------------------------------------------
+# SQLServer -> Avro -> PG type-matrix overlays (reference research.md:369-390)
+#
+# After Avro decode, several source types arrive in Spark as generic
+# primitives whose *semantics* the physical type no longer carries:
+# TIME -> long (time-micros), DATETIMEOFFSET -> ISO-8601 string,
+# UNIQUEIDENTIFIER -> GUID string, BIT -> boolean, BINARY -> bytes.
+# canon_col already covers the physical types; these overlays pin the
+# LOGICAL canonical forms so both engines agree on the semantic value:
+# offsets collapse to the UTC instant, GUIDs to lowercase (the
+# reference's stated normalization), time-of-day to micros digits.
+# ---------------------------------------------------------------------------
+
+LOGICAL_TYPES = ("time-micros", "datetimeoffset", "uuid")
+
+
+def canon_logical(col: Column | str, logical: str) -> Column:
+    """Canonical string for a logical (Avro-mapped) type overlay."""
+    c = F.col(col) if isinstance(col, str) else col
+    if logical == "time-micros":
+        # long micros since midnight; digits (same as the int family)
+        s = c.cast("long").cast("string")
+    elif logical == "datetimeoffset":
+        # ISO-8601 with offset -> UTC instant micros (session TZ is UTC,
+        # so the offset-aware parse lands on the absolute instant)
+        s = F.unix_micros(c.cast("timestamp")).cast("string")
+    elif logical == "uuid":
+        # reference: "SQL Server GUIDs converted to lowercase UUID strings"
+        s = F.lower(c)
+    else:
+        raise ValueError(f"unknown logical type: {logical!r}")
+    return F.coalesce(s, F.lit(NULL_TOKEN))
+
+
+def canon_logical_sql(col: str, logical: str) -> str:
+    """DuckDB twin of canon_logical."""
+    if logical == "time-micros":
+        s = f"CAST(CAST({col} AS BIGINT) AS VARCHAR)"
+    elif logical == "datetimeoffset":
+        s = f"CAST(epoch_us(CAST({col} AS TIMESTAMPTZ)) AS VARCHAR)"
+    elif logical == "uuid":
+        s = f"lower({col})"
+    else:
+        raise ValueError(f"unknown logical type: {logical!r}")
+    return f"COALESCE({s}, '{NULL_TOKEN}')"
+
+
 def _resolve_fields(df: DataFrame, cols: list[str] | None) -> list[tuple[str, T.DataType]]:
     by_name = {f.name: f.dataType for f in df.schema.fields}
     names = cols if cols is not None else [f.name for f in df.schema.fields]

@@ -133,29 +133,71 @@ SELECT query_id, rank, id, cosine FROM (
 """
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed spherical k-means producing the centroid table
+    ``(cell_id, cv, cn)`` that with_ivf_cell/topk_ivf consume.
+
+    Vectors are L2-normalized first, so euclidean Lloyd's on the unit
+    sphere optimizes the cosine objective the IVF probe uses. Training
+    runs through Spark ML's KMeans (k-means|| init, map-side partial
+    assignment per iteration — fully distributed; only the k centers
+    ever reach the driver). Centroids are NOT renormalized: the cosine
+    assignment divides by ``cn`` anyway, and keeping the raw means is
+    standard IVF practice."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+
+    nrm = norm(vec_col)
+    unit = vectors.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("__uv")
+    )
+    feats = unit.select(array_to_vector("__uv").alias("features"))
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed, featuresCol="features").fit(
+        feats
+    )
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "cell_id int, cv array<double>")
+    return cents.select("cell_id", "cv", norm("cv").alias("cn"))
+
+
 def with_ivf_cell(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     n_cells: int = 16,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF-flat with deterministic centroids: the first ``n_cells``
-    vectors (by id) act as centroids; every vector is assigned to its
-    max-cosine cell. Returns (assigned, centroids).
+    """IVF-flat cell assignment: every vector goes to its max-cosine
+    cell. Returns (assigned, centroids).
 
-    At scale: centroids come from k-means (or a sample), the assigned
-    table is written partitioned by cell, and a query probes only its
-    nearest cell(s) — the candidate set shrinks by ~n_cells.
-    """
+    ``centroids`` should come from :func:`train_ivf_centroids` (the
+    scale path: k-means-trained cells, the assigned table written
+    partitioned by cell, queries probing only their nearest cells).
+    Without it, the first ``n_cells`` vectors by id stand in as
+    deterministic centroids — fine for tests and oracles, not for
+    production recall."""
     from pyspark.sql import Window as W
 
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
 
-    centroids = (
-        vectors.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"),
-                norm(vec_col).alias("cn"))
-    )
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"),
+                    norm(vec_col).alias("cn"))
+        )
     scored = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                             norm(vec_col).alias("vn")) \
         .crossJoin(F.broadcast(centroids)) \
@@ -178,14 +220,18 @@ def topk_ivf(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: assign corpus to cells once, probe each query's
-    ``n_probe`` nearest cells, exact cosine within the probed candidates."""
+    ``n_probe`` nearest cells, exact cosine within the probed candidates.
+    Pass ``centroids`` from train_ivf_centroids for trained cells."""
     from pyspark.sql import Window as W
 
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
 
-    assigned, centroids = with_ivf_cell(vectors, id_col, vec_col, n_cells)
+    assigned, centroids = with_ivf_cell(
+        vectors, id_col, vec_col, n_cells, centroids=centroids
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm(vec_col).alias("qn"))
     qs = q.crossJoin(F.broadcast(centroids)).select(

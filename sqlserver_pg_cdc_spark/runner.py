@@ -101,11 +101,15 @@ class ParallelReconciler:
         max_workers: int = 4,
         table_timeout_s: float = 3600.0,
         fail_fast: bool = False,
+        metrics=None,
     ):
         self.spark = spark
         self.max_workers = max_workers
         self.table_timeout_s = table_timeout_s
         self.fail_fast = fail_fast
+        # O6: reconciliation counters (metrics.ReconciliationMetrics);
+        # recorded per table as each run finishes
+        self.metrics = metrics
 
     def reconcile_tables(
         self,
@@ -124,16 +128,19 @@ class ParallelReconciler:
             try:
                 src, tgt = make()
                 res = reconcile_table(src, tgt, name, **reconcile_kwargs)
-                return TableResult(name, result=res, duration_s=time.time() - t0)
+                out = TableResult(name, result=res, duration_s=time.time() - t0)
             except Exception as e:  # noqa: BLE001 - surfaced in the result
                 if self.fail_fast:
                     stop["flag"] = True
-                return TableResult(
+                out = TableResult(
                     name, status="failed", error=f"{type(e).__name__}: {e}",
                     duration_s=time.time() - t0,
                 )
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            if self.metrics is not None:
+                self.metrics.record_run(name, out.status, out.duration_s, out.result)
+            return out
 
         # table_timeout_s is a RUN deadline: once it passes, undone tables
         # are reported as timeouts, queued ones are cancelled, and the

@@ -282,3 +282,46 @@ def test_embedding_lsh_near_dup_recall_vs_exact(spark):
         assert recall >= 0.5, f"recall {recall:.2f} below OR-construction floor"
     hot = {p for p, c in truth.items() if c >= 0.9}
     assert hot <= set(got), "high-similarity pairs must survive banding"
+
+
+def test_trained_ivf_centroids_recall(spark):
+    """Spherical k-means trained in Spark (train_ivf_centroids) feeding
+    topk_ivf: centroid shapes intact, every vector assigned, and recall
+    at n_probe=4/8 clears the probed fraction by a wide margin.
+
+    No trained-beats-default assertion: the fixture embeddings are
+    UNIFORM random, so there is no cluster structure for k-means to
+    exploit — on real (clustered) corpora trained cells win, but here
+    any well-spread centroid set is near-optimal and the k-means local
+    optimum can land slightly below it. Determinism comes from the fixed
+    seed, so the measured recall is stable."""
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        topk_ivf,
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = train_ivf_centroids(emb, "embedding", n_cells=8, max_iter=10)
+    got = cents.collect()
+    assert len(got) == 8
+    assert all(len(r["cv"]) == 64 and r["cn"] > 0 for r in got)
+
+    assigned, _ = with_ivf_cell(emb, "vec_id", "embedding", centroids=cents)
+    assert assigned.count() == emb.count()  # total assignment, no drops
+
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["id"])
+    trained = topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_probe=4, centroids=cents
+    ).collect()
+    vs = {}
+    for r in trained:
+        vs.setdefault(r["query_id"], set()).add(r["id"])
+    recall = sum(
+        len(es[qid] & vs.get(qid, set())) / len(es[qid]) for qid in es
+    ) / len(es)
+    assert recall >= 0.6, f"trained recall {recall} at n_probe=4/8"

@@ -34,6 +34,23 @@ def from_env(prefix: str) -> DbCredentials:
     return DbCredentials(user, password)
 
 
+def parse_vault_ref(ref: str) -> tuple[str, str, str]:
+    """Parse the reference deployment's config placeholder syntax
+    ``${vault:<mount>/<path>:<key>}`` (e.g. docker/configs/debezium/
+    sqlserver-source.json:17 ``${vault:secret/database:sqlserver_user}``)
+    into (mount, path, key)."""
+    if not (ref.startswith("${vault:") and ref.endswith("}")):
+        raise ValueError(f"not a vault reference: {ref!r}")
+    body = ref[len("${vault:"):-1]
+    location, sep, key = body.rpartition(":")
+    if not sep or not location or not key:
+        raise ValueError(f"malformed vault reference: {ref!r}")
+    mount, sep, path = location.partition("/")
+    if not sep or not path:
+        raise ValueError(f"malformed vault reference: {ref!r}")
+    return mount, path, key
+
+
 def from_vault(path: str, mount: str = "secret") -> DbCredentials:
     """Vault-backed credentials; available only when hvac is installed
     and VAULT_ADDR/VAULT_TOKEN are configured."""

@@ -21,6 +21,19 @@ from typing import Any, Iterable
 
 _DURATION_BUCKETS = (1, 5, 10, 30, 60, 120, 300, 600, 1800, 3600)
 
+_QUERY_TYPES = ("SELECT", "INSERT", "UPDATE", "DELETE")
+
+
+def normalize_query_type(query: str) -> str:
+    """F17: collapse a SQL string to one of SELECT/INSERT/UPDATE/DELETE/
+    OTHER before using it as a metric label, so label cardinality stays
+    bounded (reference query_optimizer/analyzer.py:28-42)."""
+    query_upper = (query or "").strip().upper()
+    for query_type in _QUERY_TYPES:
+        if query_upper.startswith(query_type):
+            return query_type
+    return "OTHER"
+
 
 def _lkey(labels: dict[str, str]) -> tuple[tuple[str, str], ...]:
     return tuple(sorted(labels.items()))

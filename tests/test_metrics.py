@@ -107,3 +107,60 @@ def test_prometheus_export_optional():
             if s.name == "reconciliation_runs_total_total" or s.name == "reconciliation_runs_total"
         }
         assert sample
+
+
+def test_normalize_query_type_bounded_labels():
+    from sqlserver_pg_cdc_spark.metrics import normalize_query_type
+
+    assert normalize_query_type("  select * from t") == "SELECT"
+    assert normalize_query_type("INSERT INTO t VALUES (1)") == "INSERT"
+    assert normalize_query_type("update t set x=1") == "UPDATE"
+    assert normalize_query_type("DELETE FROM t") == "DELETE"
+    assert normalize_query_type("MERGE INTO t USING s") == "OTHER"
+    assert normalize_query_type("") == "OTHER"
+    assert normalize_query_type(None) == "OTHER"
+
+
+def test_vault_ref_parse_and_fake_client(monkeypatch):
+    """Vault path parity without hvac installed: the config placeholder
+    syntax parses, and from_vault drives the kv-v2 API shape correctly
+    against a faked hvac module."""
+    import sys
+    import types
+
+    from sqlserver_pg_cdc_spark.credentials import from_vault, parse_vault_ref
+
+    assert parse_vault_ref("${vault:secret/database:sqlserver_user}") == (
+        "secret", "database", "sqlserver_user"
+    )
+    with pytest.raises(ValueError):
+        parse_vault_ref("plain_value")
+    with pytest.raises(ValueError):
+        parse_vault_ref("${vault:nopath}")
+
+    calls = {}
+
+    class _KV2:
+        def read_secret_version(self, path, mount_point):
+            calls["path"], calls["mount"] = path, mount_point
+            return {"data": {"data": {"username": "u1", "password": "p1"}}}
+
+    class _Client:
+        def __init__(self, url, token):
+            calls["url"], calls["token"] = url, token
+            self.secrets = types.SimpleNamespace(
+                kv=types.SimpleNamespace(v2=_KV2())
+            )
+
+    fake = types.ModuleType("hvac")
+    fake.Client = _Client
+    monkeypatch.setitem(sys.modules, "hvac", fake)
+    monkeypatch.setenv("VAULT_ADDR", "http://vault:8200")
+    monkeypatch.setenv("VAULT_TOKEN", "tok")
+    creds = from_vault("database", mount="secret")
+    assert (creds.user, creds.password) == ("u1", "p1")
+    assert calls == {
+        "url": "http://vault:8200", "token": "tok",
+        "path": "database", "mount": "secret",
+    }
+    assert "p1" not in repr(creds)

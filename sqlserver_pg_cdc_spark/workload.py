@@ -1273,6 +1273,317 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(d, "doc_id", "payload")
 
 
+# ---------------------------------------------------------------------------
+# extended TPC-H-flavored breadth (SURVEY §2.5 "beyond the reference")
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional-sum ratio: the share of revenue from
+    ECONOMY-class parts, per year. Ratio = double division of two
+    decimal-exact sums (identical operands -> identical quotient on both
+    engines); part is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "yr",
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+_Q_PROMO_SQL = """
+SELECT yr, promo_revenue, total_revenue,
+       100.0::DOUBLE * promo_revenue / total_revenue AS promo_pct
+FROM (
+    SELECT year(l_shipdate) AS yr,
+           CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+)
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: revenue flowing between two nations per year
+    (supplier nation -> customer nation, both directions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, yr, CAST(sum(rev) AS DOUBLE) AS revenue
+FROM (
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS yr,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING: customers whose total ordered quantity
+    exceeds the threshold, with name and spend joined back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(qty).alias("order_qty")
+    )
+    big = per_order.filter(F.col("order_qty") > F.lit(150).cast("decimal(12,2)"))
+    return (
+        big.join(orders, F.col("ok") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.sum(F.col("order_qty")).cast("double").alias("total_qty"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+_Q_LARGE_VOLUME_SQL = """
+SELECT c_custkey, c_name, count(*) AS n_big_orders,
+       CAST(sum(order_qty) AS DOUBLE) AS total_qty,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+FROM (
+    SELECT l_orderkey AS ok, sum(CAST(l_quantity AS DECIMAL(12,2))) AS order_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+)
+JOIN orders ON ok = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: per (brand, size bucket), distinct suppliers who
+    shipped the part — excluding one brand and any supplier with negative
+    balance (anti-join == NOT EXISTS; null-safe unlike NOT IN)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    # integer div on both engines — a double-divide-then-cast would
+    # truncate in Spark but round in DuckDB
+    size_bucket = F.expr("p_size div 10").cast("long").alias("size_bucket")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", size_bucket)
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+_Q_BRAND_SUPPLIER_SQL = """
+SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored conditional counts: per ship year, lineitems on
+    urgent/high-priority orders vs the rest (pure integer outputs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+_Q_PRIORITY_CLASS_SQL = """
+SELECT year(l_shipdate) AS yr,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-flavored top-1-per-group: for each large part, the
+    lowest-balance supplier that shipped it (window dedup, deterministic
+    tie-break on the supplier key)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                F.col("s_acctbal").alias("supplier_balance"))
+    )
+
+
+_Q_CHEAPEST_SUPPLIER_SQL = """
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal AS supplier_balance
+FROM (
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+           row_number() OVER (PARTITION BY p_partkey
+                              ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size >= 45
+) WHERE rn = 1
+"""
+
+
+def q_balance_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets over customer balances by (nation, segment):
+    all four grouping combinations in one pass, NULL subtotal keys on
+    both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    return (
+        cust.cube("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(bal).cast("double").alias("total_balance"),
+        )
+    )
+
+
+_Q_BALANCE_CUBE_SQL = """
+SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY CUBE (c_nationkey, c_mktsegment)
+"""
+
+
+def q_user_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + ntile window breadth: per user, mean gap between consecutive
+    events (exact micros summed as longs, double-divided) and an activity
+    quartile via ntile over users within each event-count band."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(wl)
+        ).alias("gap_us"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1))).alias("n_events"),
+        F.sum("gap_us").alias("gap_sum_us"),
+    )
+    # mean gap only defined with >= 2 events; ntile partitions must be
+    # bounded at scale, so quartiles are per event-count band, not global
+    wq = Window.partitionBy("n_events").orderBy(
+        F.col("gap_sum_us").asc_nulls_first(), F.col("user_id")
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        (F.col("gap_sum_us").cast("double") / (F.col("n_events") - 1).cast("double")).alias(
+            "mean_gap_us"
+        ),
+        F.ntile(4).over(wq).cast("long").alias("cadence_quartile"),
+    )
+
+
+_Q_CADENCE_SQL = """
+SELECT user_id, n_events,
+       CAST(gap_sum_us AS DOUBLE) / CAST(n_events - 1 AS DOUBLE) AS mean_gap_us,
+       ntile(4) OVER (PARTITION BY n_events
+                      ORDER BY gap_sum_us ASC NULLS FIRST, user_id) AS cadence_quartile
+FROM (
+    SELECT user_id, count(*) AS n_events, sum(gap_us) AS gap_sum_us
+    FROM (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    GROUP BY user_id
+)
+"""
+
+
 def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
     """Assemble the full name -> QuerySpec catalog.
 
@@ -1315,6 +1626,16 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
         "type_convert_orders": QuerySpec(q_type_convert_orders, _Q_TYPE_CONVERT_SQL),
         "gdpr_pseudonymize_supplier": QuerySpec(q_gdpr_pseudonymize_supplier, _Q_GDPR_SQL),
+        "promo_revenue_ratio": QuerySpec(q_promo_revenue_ratio, _Q_PROMO_SQL),
+        "volume_shipping": QuerySpec(q_volume_shipping, _Q_VOLUME_SQL),
+        "large_volume_customers": QuerySpec(q_large_volume_customers, _Q_LARGE_VOLUME_SQL),
+        "brand_supplier_stats": QuerySpec(q_brand_supplier_stats, _Q_BRAND_SUPPLIER_SQL),
+        "priority_class_counts": QuerySpec(q_priority_class_counts, _Q_PRIORITY_CLASS_SQL),
+        "cheapest_supplier_per_part": QuerySpec(
+            q_cheapest_supplier_per_part, _Q_CHEAPEST_SUPPLIER_SQL
+        ),
+        "balance_cube": QuerySpec(q_balance_cube, _Q_BALANCE_CUBE_SQL),
+        "user_event_cadence": QuerySpec(q_user_event_cadence, _Q_CADENCE_SQL),
     }
 
     from sqlserver_pg_cdc_spark.operators import dedup as DD

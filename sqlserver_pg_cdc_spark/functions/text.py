@@ -54,6 +54,37 @@ def token_count_sql(col: str) -> str:
     return f"len({tokens_sql(col)})"
 
 
+# GPT-2-style pre-tokenizer classes (contraction suffixes, letter runs,
+# digit runs, punctuation runs, each with optional leading space) —
+# deliberately WITHOUT the trailing-whitespace lookahead of the original
+# pattern, because DuckDB's RE2 engine has no lookahead; pure-whitespace
+# spans are simply not counted as tokens. Approximates BPE token counts
+# well enough for corpus budgeting (the real tokenizer runs at training
+# time, not in the lake).
+_SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the subword units a GPT-2-family
+    tokenizer would split on, before byte-pair merges."""
+    return F.regexp_extract_all(_c(col), F.lit(_SUBWORD_RE), 0)
+
+
+def subword_tokens_sql(col: str) -> str:
+    pat = _SUBWORD_RE.replace("'", "''")
+    return f"regexp_extract_all({col}, '{pat}')"
+
+
+def subword_count(col: Column | str) -> Column:
+    """Pre-merge subword count — the standard upper-bound estimate for
+    LLM token budgeting over a corpus."""
+    return F.size(subword_tokens(col))
+
+
+def subword_count_sql(col: str) -> str:
+    return f"len({subword_tokens_sql(col)})"
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language distinct-stopword hit count."""
     toks = tokens(col)

@@ -53,6 +53,7 @@ class CdcPipeline:
         pk_cols: list[str],
         dlq_dir: str | None = None,
         stale_hours: int = 24,
+        sink=None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -62,6 +63,9 @@ class CdcPipeline:
         self.pk_cols = pk_cols
         self.dlq_dir = dlq_dir
         self.stale_hours = stale_hours
+        # custom foreachBatch sink (e.g. jdbc.DbApiUpsertSink against a
+        # live database); defaults to the parquet swap sink
+        self.sink = sink
 
     def _transform(self, raw: DataFrame) -> DataFrame:
         flat = unwrap_envelope(raw)
@@ -75,7 +79,7 @@ class CdcPipeline:
             self.spark.readStream.schema(change_stream_schema(self.payload_schema))
             .json(self.source_dir)
         )
-        sink = ParquetUpsertSink(
+        sink = self.sink or ParquetUpsertSink(
             self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
         )
         q = (

@@ -1156,6 +1156,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        TX.subword_count("text").cast("long").alias("n_subwords"),
         TX.lang_id("text").alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
         TX.fingerprint("text").alias("fingerprint"),
@@ -1168,6 +1169,7 @@ def _text_analysis_sql() -> str:
     return f"""
 SELECT doc_id,
        {TX.token_count_sql('text')} AS n_tokens,
+       CAST({TX.subword_count_sql('text')} AS BIGINT) AS n_subwords,
        {TX.lang_id_sql('text')} AS lang_pred,
        {TX.quality_score_sql('text')} AS quality,
        {TX.fingerprint_sql('text')} AS fingerprint

@@ -114,3 +114,61 @@ def test_batching_crosses_chunk_boundary(spark, tmp_path):
     st = _db_state(path)
     assert len(st) == n
     assert st[99] == ("n99", 99.0, 99, "false")
+
+
+def test_streaming_pipeline_into_live_db(spark, tmp_path):
+    """Full streaming path: JSON change spool -> Structured Streaming
+    (availableNow) -> unwrap/soft-delete chain -> DbApiUpsertSink
+    executing ON CONFLICT upserts in a live DuckDB target — the executed
+    twin of the reference's Debezium -> Kafka Connect -> JDBC sink."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import types as T
+
+    from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
+    from tests.test_streaming import PAYLOAD, _event, _spool
+
+    path = str(tmp_path / "live.duckdb")
+    con = _duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE target (id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE,"
+        " __op VARCHAR, ts_ms BIGINT, lsn BIGINT, __deleted VARCHAR, __stale BOOLEAN)"
+    )
+    con.close()
+
+    sink = DbApiUpsertSink(
+        lambda: _duckdb.connect(path), "target", ["id"],
+        placeholder="?", parallel=False,
+    )
+    p = CdcPipeline(
+        spark,
+        source_dir=str(tmp_path / "spool"),
+        target_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        payload_schema=PAYLOAD,
+        pk_cols=["id"],
+        sink=sink,
+    )
+    _spool(p.source_dir, [
+        _event(1, "c", {"id": 1, "name": "alice", "amount": 10.0}),
+        _event(2, "c", {"id": 2, "name": "bob", "amount": 20.0}),
+        _event(3, "u", {"id": 1, "name": "alice2", "amount": 11.0}),
+        _event(4, "d", {"id": 2, "name": "bob", "amount": 20.0}),
+    ])
+    p.run_available_now()
+
+    con = _duckdb.connect(path)
+    state = {
+        r[0]: r[1:] for r in con.execute(
+            "SELECT id, name, amount, __deleted FROM target ORDER BY id"
+        ).fetchall()
+    }
+    con.close()
+    assert state == {1: ("alice2", 11.0, "false"), 2: ("bob", 20.0, "true")}
+
+    # restart from the same checkpoint: nothing re-applies (exactly-once
+    # effect via checkpoint + in-SQL LSN guard)
+    p.run_available_now()
+    con = _duckdb.connect(path)
+    assert con.execute("SELECT count(*) FROM target").fetchone()[0] == 2
+    con.close()

@@ -57,8 +57,9 @@ def test_lang_id_basics(spark):
         (TX.quality_score, TX.quality_score_sql),
         (TX.fingerprint, TX.fingerprint_sql),
         (TX.punct_count, TX.punct_count_sql),
+        (TX.subword_count, TX.subword_count_sql),
     ],
-    ids=["token_count", "lang_id", "quality", "fingerprint", "punct"],
+    ids=["token_count", "lang_id", "quality", "fingerprint", "punct", "subword"],
 )
 def test_text_fn_oracle_parity_on_documents(spark, duck, expr, sql):
     df = load(spark, "documents")

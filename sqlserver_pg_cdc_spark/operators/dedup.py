@@ -555,6 +555,99 @@ WHERE {cos} >= {threshold}
 """
 
 
+def dup_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: turns a pair list into
+    duplicate CLUSTERS — the step an actual corpus dedup needs between
+    pair detection and document selection. Returns one row per node:
+    ``(doc, component, keep)`` where ``component`` is the cluster's
+    minimum doc id and ``keep`` marks the canonical survivor.
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min label among itself and its neighbors; one join + one
+    groupBy per round, all shuffles on the node key). Converges in
+    O(graph diameter) rounds — near-dup clusters are shallow (diameter
+    ≲ cluster size, usually < 10), and a driver-side convergence check
+    caps the loop. No collect of nodes or edges; state per round is one
+    (node, label) frame.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias("doc"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+    edges.unpersist()
+    return out
+
+
+def dup_components_sql(pairs_sql: str, a_col: str = "a", b_col: str = "b") -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (UNION dedups,
+    so the recursion terminates), then min label per node. Validation
+    scale only — the closure materializes O(component²) rows."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+    SELECT {a_col} AS x, {b_col} AS y FROM pairs
+    UNION
+    SELECT {b_col} AS x, {a_col} AS y FROM pairs
+),
+reach(node, label) AS (
+    SELECT x, x FROM edges
+    UNION
+    SELECT e.x, r.label FROM reach r JOIN edges e ON e.y = r.node
+)
+SELECT node AS doc, min(label) AS component,
+       node = min(label) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def embedding_near_dup_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -578,6 +671,14 @@ def embedding_near_dup_lsh_pairs(
     default, ≥99.9% recall at cosine 0.95, graceful decay below.
     Candidate count is O(near-pairs), never O(n²), and each shuffle key
     is (band, bucket) so skew is bounded by bucket occupancy.
+
+    Tuning (measured on the 2000-vector uniform fixture): 8x4 yields
+    ~820k candidates (40% of all pairs — uniform data is LSH's worst
+    case) with 67% recall at the low cosine-0.3 cut; 8x8 cuts candidates
+    11x to ~72k while keeping ≥98% recall at cosine 0.95, the actual
+    near-dup operating point. For production dedup of real (clustered)
+    embeddings raise planes_per_band to 8; keep 4 only when hunting
+    low-similarity correlations.
     """
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
     from sqlserver_pg_cdc_spark.operators.similarity import _bucket_expr, hyperplanes

@@ -1230,6 +1230,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=5)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> duplicate clusters: connected components over the
+    LSH+Jaccard-verified near-dup pairs, with the canonical keep flag —
+    the selection step a corpus dedup actually ships."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    pairs = DD.minhash_jaccard_verified_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2
+    )
+    return DD.dup_components(pairs)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
     an 8x4 banded self-join, exact-cosine verified; no label shortcut and
@@ -1678,6 +1690,14 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 q_dedup_ngram_jaccard,
                 DD.minhash_jaccard_verified_pairs_sql(
                     "documents", "doc_id", "text", threshold=0.2
+                ),
+            ),
+            "dedup_components": QuerySpec(
+                q_dedup_components,
+                DD.dup_components_sql(
+                    DD.minhash_jaccard_verified_pairs_sql(
+                        "documents", "doc_id", "text", threshold=0.2
+                    )
                 ),
             ),
             "embedding_near_dup": QuerySpec(

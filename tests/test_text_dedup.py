@@ -326,3 +326,33 @@ def test_trained_ivf_centroids_recall(spark):
         len(es[qid] & vs.get(qid, set())) / len(es[qid]) for qid in es
     ) / len(es)
     assert recall >= 0.6, f"trained recall {recall} at n_probe=4/8"
+
+
+def test_dup_components_chain_and_singleton_clusters(spark):
+    """Label propagation must merge transitive chains into one component
+    (a-b, b-c => {a,b,c}) and keep exactly one survivor per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "a long, b long",
+    )
+    rows = {r["doc"]: (r["component"], r["keep"])
+            for r in DD.dup_components(pairs).collect()}
+    assert {d for d, (c, _) in rows.items() if c == 1} == {1, 2, 3}
+    assert {d for d, (c, _) in rows.items() if c == 10} == {10, 11}
+    # 5-node chain: diameter > 1 forces multiple propagation rounds
+    assert {d for d, (c, _) in rows.items() if c == 20} == {20, 21, 22, 23, 24}
+    keeps = {d for d, (_, k) in rows.items() if k}
+    assert keeps == {1, 10, 20}
+
+
+def test_dup_components_oracle_parity(spark, duck):
+    """Spark label propagation == DuckDB recursive-CTE closure on the
+    real near-dup pair set."""
+    df = load(spark, "documents")
+    pairs = DD.minhash_jaccard_verified_pairs(df, "doc_id", "text", threshold=0.2)
+    got = sorted(tuple(r) for r in DD.dup_components(pairs).collect())
+    sql = DD.dup_components_sql(
+        DD.minhash_jaccard_verified_pairs_sql("documents", "doc_id", "text", threshold=0.2)
+    )
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want

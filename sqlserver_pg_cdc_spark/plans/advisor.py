@@ -67,7 +67,9 @@ def analyze_plan(df: DataFrame) -> PlanMetrics:
         for jk in _JOIN_KINDS:
             if jk in s and s not in m.joins:
                 m.joins.append(s)
-        if re.search(r"\bExchange\b", s) and "Reused" not in s:
+        # count only the numbered detail header — the tree summary at the
+        # top of a formatted plan repeats every node and would double it
+        if re.match(r"^\(\d+\) Exchange\b", s) and "Reused" not in s:
             m.exchanges += 1
         # a cross join surfaces as CartesianProduct (both sides big) or a
         # BroadcastNestedLoopJoin with "Join type: Cross" (one side small)

@@ -1,0 +1,70 @@
+"""Physical-plan audits for the analytics contract queries: the plans
+must keep the shapes that scale — dimension joins broadcast, filters
+pushed to the scans, no accidental cartesian products, no Python in the
+hot path. Guards against regressions Catalyst won't warn about."""
+
+import pytest
+
+from sqlserver_pg_cdc_spark import workload
+from sqlserver_pg_cdc_spark.plans.advisor import analyze_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _metrics(spark, qname):
+    fn = workload.build_catalog(spark)[qname].fn
+    return analyze_plan(fn(spark, SF))
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "promo_revenue_ratio",
+        "volume_shipping",
+        "large_volume_customers",
+        "cheapest_supplier_per_part",
+        "brand_supplier_stats",
+        "shipping_priority",
+        "local_supplier_volume",
+    ],
+)
+def test_dim_joins_broadcast_no_cartesian(spark, qname):
+    m = _metrics(spark, qname)
+    assert not m.has_cartesian, m.joins
+    assert any("BroadcastHashJoin" in j for j in m.joins), m.joins
+    assert m.python_evals == 0
+
+
+@pytest.mark.parametrize(
+    "qname,expected_pushdown",
+    [
+        ("shipping_priority", True),   # date/segment filters reach the scans
+        ("cheapest_supplier_per_part", True),  # p_size >= 45 reaches part scan
+        ("rich_inactive_customers", True),     # o_orderdate filter pushes
+    ],
+)
+def test_filters_reach_the_scan(spark, qname, expected_pushdown):
+    m = _metrics(spark, qname)
+    assert (m.pushed_filters > 0) == expected_pushdown, m.scans
+
+
+def test_priority_class_single_shuffle_agg(spark):
+    """The conditional-count aggregation must be one shuffle on the
+    group key (partial aggregation map-side), not one per count."""
+    m = _metrics(spark, "priority_class_counts")
+    # join exchange(s) + ONE aggregate exchange; anything beyond means
+    # the count_ifs stopped combining map-side
+    assert m.exchanges <= 3, m.exchanges
+    assert m.python_evals == 0
+
+
+def test_pricing_summary_is_scan_plus_one_exchange(spark):
+    """TPC-H Q1 shape: scan -> partial agg -> single exchange -> final
+    agg, fully codegen'd."""
+    m = _metrics(spark, "pricing_summary")
+    assert m.exchanges == 1, m.exchanges
+    # (codegen ids are absent from a pre-execution AQE formatted plan,
+    # so whole-stage coverage can't be asserted here)
+    assert m.pushed_filters >= 1  # shipdate predicate reaches parquet
+    assert m.unfiltered_scans == 0
+    assert len(m.scans) == 1  # single pass over lineitem

@@ -69,6 +69,24 @@ def with_stale_flag(df: DataFrame, ts_ms_col: str = "ts_ms", max_age_hours: int 
     return df.withColumn(STALE_COL, (now_ms - F.col(ts_ms_col)) > age_ms)
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str = "ts_ms",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Transport-level dedup for at-least-once delivery: drop re-sent
+    copies of the same change (same key + LSN) arriving within the
+    watermark window, using Spark's bounded-state
+    ``dropDuplicatesWithinWatermark``. State stays O(keys in window),
+    not O(stream) — the downstream LSN-guard merge stays the final
+    correctness net for duplicates older than the window."""
+    with_ts = stream.withColumn(
+        "__event_ts", F.timestamp_millis(F.col(ts_ms_col))
+    ).withWatermark("__event_ts", watermark)
+    return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_ts")
+
+
 def latest_per_key(df: DataFrame, pk_cols: list[str], lsn_col: str = "lsn") -> DataFrame:
     """St5 within-batch dedup: keep only the highest-LSN change per key."""
     w = Window.partitionBy(*pk_cols).orderBy(F.col(lsn_col).desc())

@@ -72,13 +72,41 @@ class CdcPipeline:
         flat = with_soft_delete(flat)
         return with_stale_flag(flat, max_age_hours=self.stale_hours)
 
-    def run_available_now(self) -> None:
-        """Drain everything currently in the spool, then stop (test mode /
-        batch catch-up; production uses a processingTime trigger)."""
-        raw = (
-            self.spark.readStream.schema(change_stream_schema(self.payload_schema))
-            .json(self.source_dir)
+    def bootstrap_from_snapshot(self, snapshot: DataFrame, snapshot_lsn: int = 0) -> None:
+        """Initial load (the reference's snapshot phase before CDC
+        streaming begins; snapshot.mode, sqlserver-source.json:33): seed
+        the target from a consistent source snapshot, stamping every row
+        with the snapshot LSN. Changes already folded into the snapshot
+        arrive again from the change stream with lsn <= snapshot_lsn and
+        are guarded out by the normal merge; only genuinely newer
+        changes apply — the standard snapshot-then-catch-up handoff."""
+        from pyspark.sql import functions as F
+
+        seeded = (
+            snapshot.withColumn("__op", F.lit("r"))  # Debezium snapshot op
+            .withColumn("ts_ms", F.unix_millis(F.current_timestamp()))
+            .withColumn("lsn", F.lit(snapshot_lsn).cast("long"))
+            .withColumn("__deleted", F.lit("false"))
+            .withColumn("__stale", F.lit(False))
         )
+        sink = self.sink or ParquetUpsertSink(
+            self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
+        )
+        sink(seeded, batch_id=-1)
+
+    def run_available_now(self, max_files_per_trigger: int | None = None) -> None:
+        """Drain everything currently in the spool, then stop (test mode /
+        batch catch-up; production uses a processingTime trigger).
+        ``max_files_per_trigger`` bounds each micro-batch — the Spark
+        twin of the reference's max.batch.size=2048 poll cap
+        (sqlserver-source.json:39), keeping per-batch memory flat no
+        matter how far behind the spool is."""
+        reader = self.spark.readStream.schema(
+            change_stream_schema(self.payload_schema)
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        raw = reader.json(self.source_dir)
         sink = self.sink or ParquetUpsertSink(
             self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
         )

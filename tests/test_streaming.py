@@ -262,3 +262,89 @@ def test_crash_between_swap_renames_recovers(spark, tmp_path):
     # superseded generations cleaned up on success
     leftovers = [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
     assert leftovers == []
+
+
+def test_snapshot_bootstrap_then_stream_catchup(spark, tmp_path):
+    """Initial-load handoff: seed the target from a snapshot at LSN 100,
+    then stream a spool containing both already-snapshotted changes
+    (lsn <= 100, guarded out) and new ones (applied)."""
+    p = _mk_pipeline(spark, tmp_path)
+    snapshot = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], PAYLOAD
+    )
+    p.bootstrap_from_snapshot(snapshot, snapshot_lsn=100)
+    st = _state(p)
+    assert st == {1: ("alice", 10.0, "false"), 2: ("bob", 20.0, "false")}
+
+    _spool(p.source_dir, [
+        # replayed pre-snapshot change: must NOT clobber the snapshot
+        _event(50, "u", {"id": 1, "name": "stale", "amount": 1.0}),
+        # genuine post-snapshot changes
+        _event(150, "u", {"id": 2, "name": "bob2", "amount": 21.0}),
+        _event(160, "c", {"id": 3, "name": "carol", "amount": 30.0}),
+    ])
+    p.run_available_now()
+    st = _state(p)
+    assert st == {
+        1: ("alice", 10.0, "false"),
+        2: ("bob2", 21.0, "false"),
+        3: ("carol", 30.0, "false"),
+    }
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """max.batch.size parity: with maxFilesPerTrigger=1 a 3-file spool
+    must drain in 3 micro-batches (availableNow honors the cap), ending
+    in the same state."""
+    from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+    batches = []
+
+    class CountingSink(ParquetUpsertSink):
+        def __call__(self, batch_df, batch_id):
+            batches.append(batch_df.count())
+            super().__call__(batch_df, batch_id)
+
+    p = _mk_pipeline(spark, tmp_path)
+    p.sink = CountingSink(spark, p.target_dir, ["id"])
+    for i, fname in enumerate(["a.json", "b.json", "c.json"]):
+        _spool(p.source_dir, [
+            _event(i * 10 + 1, "c", {"id": i, "name": f"n{i}", "amount": float(i)})
+        ], fname=fname)
+    p.run_available_now(max_files_per_trigger=1)
+    assert len([b for b in batches if b > 0]) == 3
+    assert all(b <= 1 for b in batches)
+    assert len(_state(p)) == 3
+
+
+def test_dedup_within_watermark_drops_transport_duplicates(spark, tmp_path):
+    """At-least-once transport dedup: duplicated (key, lsn) deliveries
+    within the watermark reach the sink once."""
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        dedup_within_watermark,
+        unwrap_envelope,
+    )
+    from sqlserver_pg_cdc_spark.streaming.pipeline import change_stream_schema
+
+    ev = _event(1, "c", {"id": 1, "name": "a", "amount": 1.0})
+    dup = dict(ev)  # byte-identical re-delivery
+    other = _event(2, "c", {"id": 2, "name": "b", "amount": 2.0})
+    _spool(tmp_path / "spool", [ev, dup, other, other])
+
+    raw = (
+        spark.readStream.schema(change_stream_schema(PAYLOAD))
+        .json(str(tmp_path / "spool"))
+    )
+    flat = unwrap_envelope(raw)
+    deduped = dedup_within_watermark(flat, ["id", "lsn"])
+    seen = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda df, _bid: seen.extend(df.select("id", "lsn").collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted((r["id"], r["lsn"]) for r in seen) == [(1, 1), (2, 2)]

@@ -45,6 +45,31 @@ def deterministic_sample_sql(table: str, key_col: str, fraction: float) -> str:
     return f"SELECT * FROM {table} WHERE {_hash_bucket_sql(key_col)} < {threshold}"
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, fraction: float
+) -> DataFrame:
+    """Quality-weighted Bernoulli sample: keep probability =
+    clamp(weight, 0, 1) * fraction, decided by the same content hash —
+    the deterministic form of temperature/quality sampling a training
+    pipeline uses to up-weight good documents. Reproducible across
+    engines, partitionings, and runs; still O(scan) with the predicate
+    evaluated in codegen."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(w * F.lit(float(fraction)) * F.lit(_BUCKETS))
+    return df.filter(_hash_bucket(key_col) < threshold)
+
+
+def weighted_sample_sql(
+    table: str, key_col: str, weight_col: str, fraction: float
+) -> str:
+    w = (
+        f"least(greatest(CAST({weight_col} AS DOUBLE), CAST(0 AS DOUBLE)),"
+        f" CAST(1 AS DOUBLE))"
+    )
+    threshold = f"floor({w} * CAST({float(fraction)!r} AS DOUBLE) * {_BUCKETS})"
+    return f"SELECT * FROM {table} WHERE {_hash_bucket_sql(key_col)} < {threshold}"
+
+
 def stratified_sample(
     df: DataFrame, strata_cols: list[str], key_col: str, n_per_stratum: int
 ) -> DataFrame:

@@ -1133,6 +1133,45 @@ def q_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(deterministic_sample(ev, "event_id", 0.1))
 
 
+def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample: keep probability proportional to
+    the quality score (temperature sampling's deterministic twin);
+    result summarized as count + exact quality mass + id range."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+    from sqlserver_pg_cdc_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+    s = weighted_sample(d, "doc_id", "quality", 0.5)
+    # double->decimal(24,6) is the verified cross-engine canonical cast,
+    # so the sum stays exact; final output drops to double as usual
+    q = F.col("quality").cast("decimal(24,6)")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(q).cast("double").alias("quality_mass"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+def _sample_weighted_docs_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+    from sqlserver_pg_cdc_spark.operators.sampling import weighted_sample_sql
+
+    inner = (
+        f"(SELECT doc_id, {TX.quality_score_sql('text')} AS quality FROM documents)"
+    )
+    sampled = weighted_sample_sql(inner, "doc_id", "quality", 0.5)
+    return f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) AS quality_mass,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM ({sampled})
+"""
+
+
 def q_sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-ordered stratified sample: 5 orders per (status, priority)."""
     from sqlserver_pg_cdc_spark.operators.sampling import stratified_sample
@@ -1740,6 +1779,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             probes["events"],
             f"({deterministic_sample_sql('events', 'event_id', 0.1)})",
         ),
+    )
+    catalog["sample_weighted_docs"] = QuerySpec(
+        q_sample_weighted_docs, _sample_weighted_docs_sql()
     )
     catalog["sample_stratified_orders"] = QuerySpec(
         q_sample_stratified_orders,

@@ -92,3 +92,39 @@ def test_stratified_sample_caps_per_stratum(spark):
     a = sorted(r["o_orderkey"] for r in s.collect())
     b = sorted(r["o_orderkey"] for r in stratified_sample(o, ["o_orderstatus"], "o_orderkey", 7).collect())
     assert a == b
+
+
+def test_weighted_sample_semantics(spark):
+    """weight=0 never samples, weight=1 equals the plain deterministic
+    sample, and keep-rate grows with weight; decisions are a pure
+    function of the key so re-runs are identical."""
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        deterministic_sample,
+        weighted_sample,
+    )
+
+    df = load(spark, "orders").select("o_orderkey")
+    zero = df.withColumn("w", F.lit(0.0))
+    one = df.withColumn("w", F.lit(1.0))
+    assert weighted_sample(zero, "o_orderkey", "w", 0.5).count() == 0
+    assert (
+        weighted_sample(one, "o_orderkey", "w", 0.3).count()
+        == deterministic_sample(df, "o_orderkey", 0.3).count()
+    )
+    lo = weighted_sample(
+        df.withColumn("w", F.lit(0.2)), "o_orderkey", "w", 0.5
+    ).count()
+    hi = weighted_sample(
+        df.withColumn("w", F.lit(0.8)), "o_orderkey", "w", 0.5
+    ).count()
+    n = df.count()
+    assert 0 < lo < hi < n
+    # out-of-range weights clamp instead of exploding the probability
+    clamped = weighted_sample(
+        df.withColumn("w", F.lit(7.5)), "o_orderkey", "w", 0.3
+    ).count()
+    assert clamped == deterministic_sample(df, "o_orderkey", 0.3).count()
+    # deterministic: second run identical
+    assert lo == weighted_sample(
+        df.withColumn("w", F.lit(0.2)), "o_orderkey", "w", 0.5
+    ).count()

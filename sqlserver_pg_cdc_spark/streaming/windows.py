@@ -55,6 +55,37 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding (hopping) window counts + decimal-exact value sums: every
+    event lands in len/slide overlapping windows (Spark explodes them
+    internally; state per window is bounded by the watermark on
+    streams). Batch and stream share this exact code path."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",

@@ -476,6 +476,40 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St9 sliding/hopping windows (1 day window, 6 hour hop): each
+    event contributes to 4 overlapping windows. The oracle rebuilds the
+    same epoch-aligned window set relationally (floor to the hop grid,
+    generate the 4 candidate starts, keep those covering the event)."""
+    from sqlserver_pg_cdc_spark.streaming.windows import sliding_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_event_counts(ev, window_len="1 day", slide="6 hours").withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
+
+
+# 6h/1d in microseconds; integer arithmetic keeps the grid exact
+_SLIDE_US = 21_600_000_000
+_LEN_US = 86_400_000_000
+
+_Q_EVENTS_SLIDING_SQL = f"""
+SELECT make_timestamp(w_start) AS window_start,
+       make_timestamp(w_start + {_LEN_US}) AS window_end,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT unnest(generate_series(
+               (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - {_LEN_US - _SLIDE_US},
+               (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US},
+               {_SLIDE_US})) AS w_start,
+           epoch_us(ts) AS t_us, event_type, value
+    FROM events
+) WHERE w_start + {_LEN_US} > t_us
+GROUP BY 1, 2, 3
+"""
+
+
 def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event annotated with the user's latest order as
     of the event time — windowed union implementation (one shuffle, no
@@ -1659,6 +1693,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "customer_order_ranks": QuerySpec(q_customer_order_ranks, _Q_ORDER_RANKS_SQL),
         "customer_set_ops": QuerySpec(q_customer_set_ops, _Q_SET_OPS_SQL),
         "events_windowed": QuerySpec(q_events_windowed, _Q_EVENTS_WINDOWED_SQL),
+        "events_sliding": QuerySpec(q_events_sliding, _Q_EVENTS_SLIDING_SQL),
         "pricing_rollup": QuerySpec(q_pricing_rollup, _Q_PRICING_ROLLUP_SQL),
         "order_percentiles": QuerySpec(q_order_percentiles, _Q_PERCENTILES_SQL),
         "asof_latest_order": QuerySpec(q_asof_latest_order, _Q_ASOF_SQL),

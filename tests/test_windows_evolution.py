@@ -211,3 +211,36 @@ def test_windowed_append_mode_emits_closed_windows(spark, tmp_path):
     # emitted with both rows; the Jan 3 window stays open and unemitted
     assert ("2024-01-01T10:00:00", 2) in first
     assert not any(s.startswith("2024-01-03") for s, _ in first)
+
+
+def test_sliding_counts_streaming_matches_batch(spark, tmp_path):
+    """Sliding windows over readStream == the same operator over the
+    batch frame; every event appears in exactly len/slide windows."""
+    from sqlserver_pg_cdc_spark.streaming.windows import sliding_event_counts
+
+    ev = load(spark, "events").limit(400)
+    src_dir = str(tmp_path / "src")
+    ev.write.json(src_dir)
+    stream = spark.readStream.schema(ev.schema).json(src_dir)
+    q = (
+        sliding_event_counts(stream, window_len="1 day", slide="6 hours",
+                             watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    batch = sliding_event_counts(ev, window_len="1 day", slide="6 hours")
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
+    # 4x multiplicity: total (window, event) memberships = 4 * events
+    assert sum(want.values()) == 4 * ev.count()

@@ -1167,6 +1167,32 @@ def q_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(deterministic_sample(ev, "event_id", 0.1))
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profiling (20 x 25k buckets, overflow
+    clamped): double division by an exact power-of-ten constant and
+    floor are bit-identical cross-engine, so the bucket assignment is
+    deterministic without any width_bucket builtin."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25_000.0)), F.lit(19)
+    ).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+        )
+    )
+
+
+_Q_PRICE_HISTOGRAM_SQL = """
+SELECT CAST(least(floor(o_totalprice / CAST(25000 AS DOUBLE)), 19) AS BIGINT) AS bucket,
+       count(*) AS n, min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+FROM orders GROUP BY 1
+"""
+
+
 def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sample: keep probability proportional to
     the quality score (temperature sampling's deterministic twin);
@@ -1808,6 +1834,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_profile_customer, profile_table_sql(probes["customer"], "customer")
     )
     catalog["quality_checks"] = QuerySpec(q_quality_checks, _Q_QUALITY_SQL)
+    catalog["price_histogram"] = QuerySpec(q_price_histogram, _Q_PRICE_HISTOGRAM_SQL)
     catalog["sample_events"] = QuerySpec(
         q_sample_events,
         _tcs(

@@ -41,6 +41,8 @@ def create_parser() -> argparse.ArgumentParser:
     run.add_argument("--parallel-workers", type=int, default=4)
     run.add_argument("--format", default="console", choices=["json", "csv", "console"])
     run.add_argument("--output", help="write report to this path")
+    run.add_argument("--metrics-out",
+                     help="write Prometheus text-exposition metrics here after the run")
 
     rep = sub.add_parser("report", help="re-format a saved JSON report")
     rep.add_argument("report_path")
@@ -102,6 +104,11 @@ def cmd_run(args) -> int:
 
     spark = get_spark("reconcile-cli")
     tables = _table_list(args)
+    metrics = None
+    if getattr(args, "metrics_out", None):
+        from sqlserver_pg_cdc_spark.metrics import ReconciliationMetrics
+
+        metrics = ReconciliationMetrics()
     kwargs = dict(
         validate_checksums=args.validate_checksums,
         row_level=args.row_level,
@@ -132,7 +139,8 @@ def cmd_run(args) -> int:
         return kw
 
     if args.parallel:
-        rec = ParallelReconciler(spark, max_workers=args.parallel_workers)
+        rec = ParallelReconciler(spark, max_workers=args.parallel_workers,
+                                 metrics=metrics)
 
         def _pair(t):
             return (load_table(spark, args.source_dir, t),
@@ -162,6 +170,7 @@ def cmd_run(args) -> int:
         for t in tables:
             # per-table error capture (reference scheduler/jobs.py:129):
             # one broken table degrades the report, not the whole run
+            t0 = time.time()
             try:
                 src = load_table(spark, args.source_dir, t)
                 tgt = load_table(spark, args.target_dir, t)
@@ -178,13 +187,20 @@ def cmd_run(args) -> int:
                         mode=res.get("checksum_mode", "full"),
                     )
                 results.append(res)
+                if metrics is not None:
+                    metrics.record_run(t, "success", time.time() - t0, res)
             except Exception as e:  # noqa: BLE001
                 results.append(
                     {"table": t, "match": False, "error": f"{type(e).__name__}: {e}"}
                 )
+                if metrics is not None:
+                    metrics.record_run(t, "failed", time.time() - t0, None)
 
     report = generate_report(results)
     _emit(report, args.format, args.output)
+    if metrics is not None:
+        with open(args.metrics_out, "w") as f:
+            f.write(metrics.render_text())
 
     if args.generate_repair:
         if not args.pk_columns:

@@ -206,6 +206,23 @@ class DemuxUpsertSink:
                 slice_df = batch_df.filter(
                     F.col(self.table_col) == table
                 ).drop(self.table_col)
+                if table not in self.pk_cols:
+                    # errors.tolerance=all parity: an unrouted topic must
+                    # not kill the stream — quarantine its rows instead
+                    # (postgresql-sink.json:46-48 DLQ routing)
+                    if self.dlq_dir is None:
+                        raise KeyError(f"no pk mapping for routed table {table!r}")
+                    (
+                        slice_df.withColumn("__error_class", F.lit("UnroutedTable"))
+                        .withColumn(
+                            "__error_message",
+                            F.lit(f"no pk mapping for routed table {table!r}"),
+                        )
+                        .withColumn("__batch_id", F.lit(batch_id))
+                        .write.mode("append")
+                        .parquet(f"{self.dlq_dir}/__unrouted_{table}")
+                    )
+                    continue
                 self.sink_for(table)(slice_df, batch_id)
         finally:
             batch_df.unpersist()

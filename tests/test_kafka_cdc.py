@@ -157,7 +157,7 @@ def test_full_chain_demux_and_replay_idempotency(spark, tmp_path):
     assert state("customers") == cust1
 
 
-def test_demux_unknown_table_raises(spark, tmp_path):
+def test_demux_unknown_table_raises_without_dlq(spark, tmp_path):
     sink = DemuxUpsertSink(spark, str(tmp_path), {"orders": ["id"]})
     df = spark.createDataFrame(
         [(1, "x", 1, NOW_MS, "false", "mystery")],
@@ -165,6 +165,30 @@ def test_demux_unknown_table_raises(spark, tmp_path):
     )
     with pytest.raises(KeyError):
         sink(df, 0)
+
+
+def test_demux_unknown_table_routes_to_dlq(spark, tmp_path):
+    """errors.tolerance=all parity: rows for an unrouted topic land in
+    the DLQ with error context while routed tables still apply."""
+    dlq = str(tmp_path / "dlq")
+    sink = DemuxUpsertSink(
+        spark, str(tmp_path / "targets"), {"orders": ["id"]}, dlq_dir=dlq
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 1, NOW_MS, "false", "orders"),
+            (2, "lost", 2, NOW_MS, "false", "mystery"),
+        ],
+        "id long, name string, lsn long, ts_ms long, __deleted string, __table string",
+    )
+    sink(df, batch_id=3)
+    applied = spark.read.parquet(str(tmp_path / "targets" / "orders"))
+    assert [r["id"] for r in applied.collect()] == [1]
+    quarantined = spark.read.parquet(f"{dlq}/__unrouted_mystery").collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["id"] == 2
+    assert quarantined[0]["__error_class"] == "UnroutedTable"
+    assert quarantined[0]["__batch_id"] == 3
 
 
 def test_avro_path_gated(spark):

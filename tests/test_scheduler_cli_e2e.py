@@ -311,3 +311,25 @@ def test_simhash_banding_guarantee(spark):
     # guarantee depends on
     assert DD._SIMHASH_BANDS * DD._SIMHASH_BAND_BITS == DD.SIMHASH_BITS
     assert DD._SIMHASH_BANDS - 1 >= 5  # default max_hamming is covered
+
+
+def test_cli_metrics_out(tmp_path):
+    """--metrics-out writes a Prometheus text snapshot covering the run
+    (O6 through the CLI)."""
+    env_dir = "/root/testdata/sf0.001"
+    out = tmp_path / "r.json"
+    mfile = tmp_path / "metrics.prom"
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "run",
+        "--source-dir", env_dir, "--target-dir", env_dir,
+        "--tables", "nation", "region",
+        "--format", "json", "--output", str(out),
+        "--metrics-out", str(mfile),
+    ]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = mfile.read_text()
+    assert 'reconciliation_runs_total{status="success",table_name="nation"} 1' in text
+    assert 'reconciliation_runs_total{status="success",table_name="region"} 1' in text
+    assert "reconciliation_duration_seconds_count" in text
+    assert "reconciliation_rows_compared_total" in text

@@ -87,14 +87,41 @@ def dedup_within_watermark(
     return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_ts")
 
 
-def latest_per_key(df: DataFrame, pk_cols: list[str], lsn_col: str = "lsn") -> DataFrame:
-    """St5 within-batch dedup: keep only the highest-LSN change per key."""
-    w = Window.partitionBy(*pk_cols).orderBy(F.col(lsn_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+def latest_per_key(
+    df: DataFrame,
+    pk_cols: list[str],
+    lsn_col: str = "lsn",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """St5 within-batch dedup: keep only the highest-LSN change per key.
+
+    Default: row_number window (one shuffle on the PK). With
+    ``salt_partitions`` the reduction runs two-phase for HOT keys — a
+    key receiving a large share of a batch (bulk update of one entity)
+    would otherwise funnel its changes through a single window task.
+    Phase 1 takes the max-LSN row per (key, salt) with a map-side
+    combinable max_by; phase 2 reduces the ≤ salt_partitions survivors
+    per key. Same result whenever LSNs are unique per key (CDC LSNs
+    are); ties are arbitrary in both forms."""
+    if salt_partitions is None:
+        w = Window.partitionBy(*pk_cols).orderBy(F.col(lsn_col).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_partitions))
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*pk_cols, "__salt")
+        .agg(F.max_by(row, F.col(lsn_col)).alias("__row"))
     )
+    phase2 = phase1.groupBy(*pk_cols).agg(
+        F.max_by(F.col("__row"), F.col(f"__row.{lsn_col}")).alias("__row")
+    )
+    return phase2.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def merge_upsert(

@@ -171,3 +171,77 @@ def test_state_tracker_last_write_wins(tmp_path_factory, runs):
     assert final.checksum == f"sum{len(runs) - 1}"
     assert final.row_count == runs[-1][1]
     assert final.mode == runs[-1][0]
+
+
+@given(rows)
+@SET
+def test_bucketed_ordered_checksum_layout_invariant(spark, data):
+    """The hierarchical A2 digest is a pure function of (key order,
+    values): any repartitioning yields the identical digest, and the
+    flat form equals the serial semantics it derives from."""
+    from sqlserver_pg_cdc_spark.operators.checksum import ordered_checksum_df
+
+    df = _df(spark, data)
+    a = ordered_checksum_df(df, ["id"], bucket_width=7).collect()[0]
+    b = ordered_checksum_df(df.repartition(5), ["id"], bucket_width=7).collect()[0]
+    assert a["checksum"] == b["checksum"]
+    assert a["row_count"] == len(data)
+
+
+@given(rows, st.integers(min_value=1, max_value=9))
+@SET
+def test_weighted_sample_nested_fractions(spark, data, tenths):
+    """Monotone thresholds nest the samples: sample(f1) ⊆ sample(f2)
+    for f1 <= f2, at any constant weight."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.sampling import weighted_sample
+
+    df = _df(spark, data).withColumn("w", F.lit(0.8))
+    f1 = tenths / 10.0
+    f2 = min(1.0, f1 + 0.3)
+    s1 = {r["id"] for r in weighted_sample(df, "id", "w", f1).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "id", "w", f2).collect()}
+    assert s1 <= s2
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=0, max_size=25,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@given(edge_lists)
+@SET
+def test_dup_components_matches_union_find(spark, edges):
+    """Distributed label propagation == classic union-find on random
+    graphs; exactly one keep per component and component = min(member)."""
+    from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["doc"]: (r["component"], r["keep"])
+           for r in dup_components(df).collect()}
+    assert {n: c for n, (c, _) in got.items()} == want
+    for n, (c, keep) in got.items():
+        assert keep == (n == c)

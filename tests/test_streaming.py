@@ -348,3 +348,21 @@ def test_dedup_within_watermark_drops_transport_duplicates(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted((r["id"], r["lsn"]) for r in seen) == [(1, 1), (2, 2)]
+
+
+def test_latest_per_key_salted_equals_plain_on_hot_key(spark):
+    """Two-phase (salted) dedup must agree with the window form on a
+    batch where one key holds 90% of the changes (unique LSNs)."""
+    from sqlserver_pg_cdc_spark.streaming.apply import latest_per_key
+
+    rows = [(1, f"v{l}", l) for l in range(900)] + [
+        (k, f"k{k}", 1000 + k) for k in range(2, 102)
+    ]
+    df = spark.createDataFrame(rows, "id long, v string, lsn long")
+    plain = {(r["id"], r["v"], r["lsn"])
+             for r in latest_per_key(df, ["id"]).collect()}
+    salted = {(r["id"], r["v"], r["lsn"])
+              for r in latest_per_key(df, ["id"], salt_partitions=8).collect()}
+    assert salted == plain
+    assert (1, "v899", 899) in salted
+    assert len(salted) == 101

@@ -112,6 +112,16 @@ def main() -> None:
     spark = get_spark("bench")
 
     catalog = workload.build_catalog(spark)
+
+    # Warm the session before timing: first-touch costs (JVM classloading,
+    # codegen compiler, parquet footer reads, file-index caches) otherwise
+    # land on whichever query runs first and add run-to-run noise that has
+    # nothing to do with the plans under test.
+    from sqlserver_pg_cdc_spark.sources.parquet import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name, spec in catalog.items():
         t0 = time.time()

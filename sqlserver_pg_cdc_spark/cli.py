@@ -56,6 +56,21 @@ def create_parser() -> argparse.ArgumentParser:
         sched.add_argument(a, required=True)
     sched.add_argument("--tables", nargs="+")
     sched.add_argument("--validate-checksums", action="store_true")
+
+    stream = sub.add_parser(
+        "stream", help="run the CDC apply pipeline over a change spool"
+    )
+    stream.add_argument("--spool-dir", required=True,
+                        help="directory of Debezium-style JSON change files")
+    stream.add_argument("--target-dir", required=True)
+    stream.add_argument("--checkpoint-dir", required=True)
+    stream.add_argument("--payload-schema", required=True,
+                        help='business-row DDL, e.g. "id LONG, name STRING, amount DOUBLE"')
+    stream.add_argument("--pk-columns", nargs="+", required=True)
+    stream.add_argument("--dlq-dir")
+    stream.add_argument("--stale-hours", type=int, default=24)
+    stream.add_argument("--max-files-per-trigger", type=int,
+                        help="bound each micro-batch (max.batch.size parity)")
     return p
 
 
@@ -263,6 +278,32 @@ def cmd_schedule(args) -> int:
         time.sleep(args.interval_seconds)
 
 
+def cmd_stream(args) -> int:
+    """Drain the spool through the CDC apply chain (availableNow — rerun
+    on a schedule or swap the trigger for continuous tailing)."""
+    from pyspark.sql import types as T
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
+
+    spark = get_spark("cdc-stream-cli")
+    pipe = CdcPipeline(
+        spark,
+        source_dir=args.spool_dir,
+        target_dir=args.target_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        payload_schema=T.StructType.fromDDL(args.payload_schema),
+        pk_cols=args.pk_columns,
+        dlq_dir=args.dlq_dir,
+        stale_hours=args.stale_hours,
+    )
+    pipe.run_available_now(max_files_per_trigger=args.max_files_per_trigger)
+    t = pipe.target()
+    n = t.count() if t is not None else 0
+    print(json.dumps({"applied_target_rows": n, "target_dir": args.target_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -271,6 +312,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_report(args)
     if args.command == "schedule":
         return cmd_schedule(args)
+    if args.command == "stream":
+        return cmd_stream(args)
     return 2
 
 

@@ -333,3 +333,42 @@ def test_cli_metrics_out(tmp_path):
     assert 'reconciliation_runs_total{status="success",table_name="region"} 1' in text
     assert "reconciliation_duration_seconds_count" in text
     assert "reconciliation_rows_compared_total" in text
+
+
+def test_cli_stream_subcommand(tmp_path):
+    """O5 + St1 through the CLI: spool -> `stream` subcommand ->
+    applied parquet target; a second invocation resumes the checkpoint
+    and changes nothing."""
+    import json as _json
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    events = [
+        {"op": "c", "lsn": 1, "ts_ms": 1700000000000,
+         "before": None, "after": {"id": 1, "name": "a", "amount": 1.5}},
+        {"op": "d", "lsn": 2, "ts_ms": 1700000001000,
+         "before": {"id": 1, "name": "a", "amount": 1.5}, "after": None},
+        {"op": "c", "lsn": 3, "ts_ms": 1700000002000,
+         "before": None, "after": {"id": 2, "name": "b", "amount": 2.5}},
+    ]
+    with open(spool / "batch.json", "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "stream",
+        "--spool-dir", str(spool),
+        "--target-dir", str(tmp_path / "tgt"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--payload-schema", "id LONG, name STRING, amount DOUBLE",
+        "--pk-columns", "id",
+        "--max-files-per-trigger", "1",
+    ]
+    r1 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out["applied_target_rows"] == 2  # id=1 soft-deleted, id=2 live
+
+    r2 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["applied_target_rows"] == 2

@@ -261,6 +261,54 @@ def topk_ivf(
     )
 
 
+def topk_ivf_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """Oracle twin of topk_ivf with the deterministic first-k-vector
+    centroids: same max-cosine cell assignment (ties to the lowest
+    cell), same n_probe nearest cells per query, same within-candidate
+    exact ranking — value-identical to the Spark plan."""
+    cell_cos = cosine_sql("x.v", "c.cv")
+    q_cos = cosine_sql("q.qv", "c.cv")
+    final_cos = cosine_sql("p.qv", "a.v")
+    return f"""
+WITH cent AS (
+    SELECT {id_col} AS cell_id, {vec_col} AS cv
+    FROM {table} ORDER BY {id_col} LIMIT {n_cells}
+),
+assigned AS (
+    SELECT id, v, cell_id FROM (
+        SELECT x.id, x.v, c.cell_id,
+               row_number() OVER (PARTITION BY x.id
+                                  ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+        FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) x, cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {q_cos} DESC, c.cell_id) AS rn
+        FROM (SELECT {id_col} AS query_id, {vec_col} AS qv
+              FROM {table} WHERE {query_pred}) q, cent c
+    ) WHERE rn <= {n_probe}
+)
+SELECT query_id, rank, id, cosine FROM (
+    SELECT p.query_id, a.id, {final_cos} AS cosine,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {final_cos} DESC, a.id) AS rank
+    FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+    WHERE p.query_id <> a.id
+) WHERE rank <= {k}
+"""
+
+
 def topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1362,6 +1362,20 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k (deterministic first-k-vector centroids so the
+    SQL oracle reproduces the cells exactly): assignment shrinks each
+    query's candidate set to its n_probe nearest cells before the exact
+    ranking."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=10, n_cells=16, n_probe=4,
+    )
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level featurization of opaque payload columns (the corrupt/
     dup prefilter that runs before any codec); payloads synthesized from
@@ -1753,7 +1767,10 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     }
 
     from sqlserver_pg_cdc_spark.operators import dedup as DD
-    from sqlserver_pg_cdc_spark.operators.similarity import topk_brute_force_sql
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        topk_brute_force_sql,
+        topk_ivf_sql,
+    )
 
     catalog.update(
         {
@@ -1810,6 +1827,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 q_ann_topk_cosine,
                 topk_brute_force_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5", k=10
+                ),
+            ),
+            "ann_topk_ivf": QuerySpec(
+                q_ann_topk_ivf,
+                topk_ivf_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=10, n_cells=16, n_probe=4,
                 ),
             ),
         }

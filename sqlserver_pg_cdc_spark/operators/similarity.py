@@ -309,6 +309,36 @@ SELECT query_id, rank, id, cosine FROM (
 """
 
 
+def topk_lsh_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: str = "ann-seed",
+) -> str:
+    """Oracle twin of topk_lsh (single-bucket form, multiprobe=False):
+    the md5-derived hyperplanes are engine-independent constants, so the
+    bucket strings — and therefore the candidate sets — match exactly."""
+    bucket = _bucket_sql("v", hyperplanes(n_planes, dim, seed))
+    q_bucket = _bucket_sql("qv", hyperplanes(n_planes, dim, seed))
+    cos = cosine_sql("q.qv", "x.v")
+    return f"""
+WITH v AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}),
+q AS (SELECT {id_col} AS query_id, {vec_col} AS qv, {q_bucket} AS bucket
+      FROM {table} WHERE {query_pred})
+SELECT query_id, rank, id, cosine FROM (
+    SELECT q.query_id, x.id, {cos} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos} DESC, x.id) AS rank
+    FROM q JOIN v x ON q.bucket = x.bucket
+    WHERE q.query_id <> x.id
+) WHERE rank <= {k}
+"""
+
+
 def topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1376,6 +1376,19 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (single-bucket, no multiprobe —
+    the SQL-reproducible form): candidates limited to the query's sign
+    bucket before the exact ranking."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_planes=4, multiprobe=False,
+    )
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level featurization of opaque payload columns (the corrupt/
     dup prefilter that runs before any codec); payloads synthesized from
@@ -1770,6 +1783,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     from sqlserver_pg_cdc_spark.operators.similarity import (
         topk_brute_force_sql,
         topk_ivf_sql,
+        topk_lsh_sql,
     )
 
     catalog.update(
@@ -1834,6 +1848,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 topk_ivf_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5",
                     k=10, n_cells=16, n_probe=4,
+                ),
+            ),
+            "ann_topk_lsh": QuerySpec(
+                q_ann_topk_lsh,
+                topk_lsh_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 20",
+                    k=5, n_planes=4,
                 ),
             ),
         }

@@ -132,6 +132,16 @@ def main() -> None:
             df.count()
         timings[name] = round(time.time() - t0, 3)
 
+    # production checksum path (xxhash64, no hex strings): bench-only —
+    # it has no cross-engine oracle, but the md5 contract checksums above
+    # exist for oracle parity and this shows what deployments actually run
+    from sqlserver_pg_cdc_spark.operators.checksum import table_checksum
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table as _lt
+
+    t0 = time.time()
+    table_checksum(_lt(spark, sf_dir, "lineitem"), mode="fast").collect()
+    timings["checksum_lineitem_fast"] = round(time.time() - t0, 3)
+
     cdc_s, cdc_rows = _bench_cdc_apply(spark, sf_dir)
     timings["cdc_apply_stream"] = round(cdc_s, 3)
 

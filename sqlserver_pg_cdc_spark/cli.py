@@ -71,6 +71,19 @@ def create_parser() -> argparse.ArgumentParser:
     stream.add_argument("--stale-hours", type=int, default=24)
     stream.add_argument("--max-files-per-trigger", type=int,
                         help="bound each micro-batch (max.batch.size parity)")
+
+    corpus = sub.add_parser(
+        "corpus", help="dedup a document corpus: pairs -> clusters -> keep list"
+    )
+    corpus.add_argument("--input", required=True,
+                        help="parquet of documents")
+    corpus.add_argument("--id-col", default="doc_id")
+    corpus.add_argument("--text-col", default="text")
+    corpus.add_argument("--threshold", type=float, default=0.5,
+                        help="Jaccard threshold for near-dup pairs")
+    corpus.add_argument("--output", required=True,
+                        help="write the keep-list parquet here")
+    corpus.add_argument("--stats-out", help="write run stats JSON here")
     return p
 
 
@@ -304,6 +317,46 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """The LLM-pipeline dedup flow end-to-end: MinHash-LSH candidates ->
+    exact-Jaccard verify -> connected components -> one survivor per
+    cluster; the keep list is every document minus non-surviving cluster
+    members. All distributed — the only driver values are the stats."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.dedup import (
+        dup_components,
+        minhash_jaccard_verified_pairs,
+    )
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = get_spark("corpus-dedup-cli")
+    docs = spark.read.parquet(args.input)
+    pairs = minhash_jaccard_verified_pairs(
+        docs, args.id_col, args.text_col, threshold=args.threshold
+    )
+    comp = dup_components(pairs)
+    drop = comp.filter(~F.col("keep")).select(F.col("doc").alias(args.id_col))
+    kept = docs.join(drop, args.id_col, "left_anti")
+    kept.write.mode("overwrite").parquet(args.output)
+
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    n_clusters = comp.filter(F.col("keep")).count()
+    stats = {
+        "input_docs": n_in,
+        "kept_docs": n_out,
+        "removed_docs": n_in - n_out,
+        "dup_clusters": n_clusters,
+        "threshold": args.threshold,
+    }
+    print(json.dumps(stats))
+    if args.stats_out:
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f, indent=2)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -314,6 +367,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_schedule(args)
     if args.command == "stream":
         return cmd_stream(args)
+    if args.command == "corpus":
+        return cmd_corpus(args)
     return 2
 
 

@@ -372,3 +372,39 @@ def test_cli_stream_subcommand(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert out2["applied_target_rows"] == 2
+
+
+def test_cli_corpus_dedup(tmp_path):
+    """End-to-end corpus dedup through the CLI: planted near-dups are
+    clustered and each cluster keeps exactly one survivor."""
+    import json as _json
+
+    import duckdb as _duckdb
+
+    src = str(tmp_path / "docs.parquet")
+    # corpus with near-identical copies of the first 5 docs
+    _duckdb.sql(
+        "COPY (SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        " UNION ALL "
+        " SELECT doc_id + 100000, text || ' tiny suffix' "
+        " FROM '/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 5) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "kept.parquet")
+    stats_f = tmp_path / "stats.json"
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "corpus",
+        "--input", src, "--output", out,
+        "--threshold", "0.5", "--stats-out", str(stats_f),
+    ]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _json.loads(stats_f.read_text())
+    assert stats["input_docs"] == 505
+    # each planted near-dup pair collapses to one survivor
+    assert stats["removed_docs"] >= 5
+    assert stats["kept_docs"] == stats["input_docs"] - stats["removed_docs"]
+    kept_ids = {r[0] for r in _duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
+    for i in range(5):
+        # the lower id survives; its planted copy is gone
+        assert i in kept_ids and (i + 100000) not in kept_ids

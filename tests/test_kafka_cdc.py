@@ -215,3 +215,34 @@ def test_avro_path_gated(spark):
         parse_changes(_records_df(spark, records), PAYLOAD, value_format="avro")
     with pytest.raises(ValueError):
         parse_changes(_records_df(spark, records), PAYLOAD, value_format="msgpack")
+
+
+def test_parse_changes_additive_schema_evolution(spark):
+    """auto.evolve parity: after a source column is added, old envelopes
+    (without the field) parse under the WIDER schema with NULL for the
+    missing field, new envelopes carry it — no reprocessing, no error."""
+    wide = T.StructType(
+        PAYLOAD.fields + [T.StructField("segment", T.StringType(), True)]
+    )
+    topic = "sqlserver.warehouse_source.dbo.orders"
+    old = _envelope(1, "c", {"id": 1, "name": "a", "amount": 1.0})
+    new = _envelope(2, "c", {"id": 2, "name": "b", "amount": 2.0, "segment": "gold"})
+    out = parse_changes(
+        _records_df(spark, [_record(topic, old, 0), _record(topic, new, 1)]),
+        wide,
+    ).collect()
+    by_lsn = {r["lsn"]: r for r in out}
+    assert by_lsn[1]["after"]["segment"] is None
+    assert by_lsn[2]["after"]["segment"] == "gold"
+    # and the evolved rows flow through the unwrap chain unchanged
+    from sqlserver_pg_cdc_spark.streaming.apply import unwrap_envelope
+
+    flat = unwrap_envelope(
+        parse_changes(
+            _records_df(spark, [_record(topic, old, 0), _record(topic, new, 1)]),
+            wide,
+        ).drop("__kafka_offset"),
+        keep_cols=("__table",),
+    )
+    rows = {r["id"]: r["segment"] for r in flat.collect()}
+    assert rows == {1: None, 2: "gold"}

@@ -1724,6 +1724,104 @@ FROM (
 """
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate classes: revenue from
+    lineitems matching ANY of three (brand, size, quantity-range)
+    clauses — the OR-of-ANDs shape that stresses predicate handling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35)
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause1 | clause2 | clause3)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q_DISJUNCTIVE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored: suppliers who were the ONLY late shipper on a
+    multi-supplier order (late = shipped > 30 days after order date).
+    The double-correlation (EXISTS another supplier / NOT EXISTS another
+    late supplier) decorrelates to one per-order aggregate + a join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 30))
+        .alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole = (
+        j.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return sole.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+_Q_SOLE_LATE_SQL = """
+WITH j AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > CAST(o_orderdate AS DATE) + 30 AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM j GROUP BY l_orderkey
+)
+SELECT l_suppkey, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late)
+JOIN per_order USING (l_orderkey)
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY l_suppkey
+"""
+
+
 def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
     """Assemble the full name -> QuerySpec catalog.
 
@@ -1777,6 +1875,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         ),
         "balance_cube": QuerySpec(q_balance_cube, _Q_BALANCE_CUBE_SQL),
         "user_event_cadence": QuerySpec(q_user_event_cadence, _Q_CADENCE_SQL),
+        "disjunctive_revenue": QuerySpec(q_disjunctive_revenue, _Q_DISJUNCTIVE_SQL),
+        "sole_late_supplier": QuerySpec(q_sole_late_supplier, _Q_SOLE_LATE_SQL),
     }
 
     from sqlserver_pg_cdc_spark.operators import dedup as DD

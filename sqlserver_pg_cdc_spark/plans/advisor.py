@@ -28,6 +28,11 @@ class PlanMetrics:
     joins: list[str] = field(default_factory=list)
     exchanges: int = 0
     has_cartesian: bool = False
+    # true all-pairs blowup: a CartesianProduct node (both sides shuffled).
+    # has_cartesian also covers BroadcastNestedLoopJoin Cross — the cheap
+    # 1-row-aggregate broadcast attach pattern — so scale audits that
+    # tolerate the attach but not the blowup should check this flag.
+    has_shuffle_cartesian: bool = False
     python_evals: int = 0
     codegen_stages: int = 0
     pushed_filters: int = 0
@@ -75,6 +80,8 @@ def analyze_plan(df: DataFrame) -> PlanMetrics:
         # BroadcastNestedLoopJoin with "Join type: Cross" (one side small)
         if "CartesianProduct" in s or "Join type: Cross" in s:
             m.has_cartesian = True
+        if "CartesianProduct" in s:
+            m.has_shuffle_cartesian = True
         if "BatchEvalPython" in s or "ArrowEvalPython" in s:
             m.python_evals += 1
         # simple mode prints WholeStageCodegen nodes; formatted mode

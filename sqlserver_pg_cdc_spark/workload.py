@@ -1822,6 +1822,352 @@ GROUP BY l_suppkey
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of all PROMO-part revenue
+    sold to ASIA-region customers per year, the fraction supplied by one
+    nation. Five-way star join — every dimension (region, nation x2,
+    customer, supplier, part) broadcasts; only lineitem x orders shuffles.
+    Reference scope: src/query/builder.py assembles single-table SQL only;
+    this is the engine-side analytics the reference delegates to its DBs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+              li.l_partkey == part.p_partkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nat), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nat), supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_4", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "yr",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
+_Q_MARKET_SHARE_SQL = """
+SELECT yr, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS yr,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_4'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS nation_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY year(o_orderdate)
+)
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year.
+    No partsupp table in the fixture, so cost is modeled as
+    0.5 * p_retailprice * l_quantity — all arithmetic decimal-exact
+    (qty*0.5 adds one exact digit of scale), final sums cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * (F.col("l_quantity").cast("decimal(12,2)") * F.lit(0.5).cast("decimal(2,1)"))
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("gross_revenue"),
+            F.sum(rev - cost).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS supp_nation, year(o_orderdate) AS yr,
+       CAST(sum(rev) AS DOUBLE) AS gross_revenue,
+       CAST(sum(rev - cost) AS DOUBLE) AS profit,
+       count(*) AS n_lineitems
+FROM (
+    SELECT l_suppkey, l_orderkey,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+           CAST(p_retailprice AS DECIMAL(12,2))
+             * (CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))) AS cost
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style top-20 customers by returned-item revenue in one
+    quarter. Deterministic top-k: exact-decimal revenue cast to double
+    (identical bits both engines) with c_custkey as the tiebreaker."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q_RETURNED_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock cut: parts whose total lineitem
+    value exceeds 1/2000 of the global total. The global total is a
+    1-row aggregate attached by broadcast cross-join; the threshold
+    compare cross-multiplies in exact decimal (value * 2000 > total)
+    so no division enters the predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 2000 > F.col("total_dec"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+_Q_IMPORTANT_PART_SQL = """
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS value_dec
+    FROM lineitem GROUP BY l_partkey
+)
+WHERE value_dec * 2000 > (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+    FROM lineitem
+)
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style two-level aggregation: distribution of customers
+    by how many non-urgent orders they placed (including zero). Left
+    outer join preserves order-less customers; count(o_orderkey) ignores
+    the nulls the outer join introduces."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q_ORDER_DIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: supplier(s) whose quarterly revenue
+    equals the maximum. The max attaches as a broadcast 1-row aggregate;
+    the equality compare runs on exact decimals (cast to double only for
+    output), so cross-engine ties resolve identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    mx = per_supp.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "l_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+_Q_TOP_SUPPLIER_SQL = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT l_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM per_supp)
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavored excess-share cut (no partsupp in the fixture):
+    suppliers who shipped more than half of some part's 1996 volume on
+    multi-supplier parts. Two grouped aggregates + one join; the share
+    predicate cross-multiplies in exact decimal (2*supp_qty > total)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("supp_qty"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("total_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    dominant = pair.join(
+        per_part.filter(F.col("n_supp") >= 2), pair.l_partkey == F.col("pk")
+    ).filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("l_suppkey", "s_name", "n_dominant_parts")
+    )
+
+
+_Q_DOMINANT_SUPPLIER_SQL = """
+WITH li AS (
+    SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+pair AS (
+    SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty
+    FROM li GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+    SELECT l_partkey AS pk, sum(qty) AS total_qty,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM li GROUP BY l_partkey
+)
+SELECT l_suppkey, s_name, count(*) AS n_dominant_parts
+FROM pair
+JOIN per_part ON l_partkey = pk AND n_supp >= 2
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_qty * 2 > total_qty
+GROUP BY l_suppkey, s_name
+"""
+
+
 def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) -> dict[str, QuerySpec]:
     """Assemble the full name -> QuerySpec catalog.
 
@@ -1877,6 +2223,17 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "user_event_cadence": QuerySpec(q_user_event_cadence, _Q_CADENCE_SQL),
         "disjunctive_revenue": QuerySpec(q_disjunctive_revenue, _Q_DISJUNCTIVE_SQL),
         "sole_late_supplier": QuerySpec(q_sole_late_supplier, _Q_SOLE_LATE_SQL),
+        "nation_market_share": QuerySpec(q_nation_market_share, _Q_MARKET_SHARE_SQL),
+        "product_type_profit": QuerySpec(q_product_type_profit, _Q_PRODUCT_PROFIT_SQL),
+        "returned_item_revenue": QuerySpec(q_returned_item_revenue, _Q_RETURNED_SQL),
+        "important_part_value": QuerySpec(q_important_part_value, _Q_IMPORTANT_PART_SQL),
+        "customer_order_distribution": QuerySpec(
+            q_customer_order_distribution, _Q_ORDER_DIST_SQL
+        ),
+        "top_supplier_revenue": QuerySpec(q_top_supplier_revenue, _Q_TOP_SUPPLIER_SQL),
+        "dominant_part_suppliers": QuerySpec(
+            q_dominant_part_suppliers, _Q_DOMINANT_SUPPLIER_SQL
+        ),
     }
 
     from sqlserver_pg_cdc_spark.operators import dedup as DD

@@ -26,6 +26,9 @@ def _metrics(spark, qname):
         "brand_supplier_stats",
         "shipping_priority",
         "local_supplier_volume",
+        "nation_market_share",
+        "product_type_profit",
+        "returned_item_revenue",
     ],
 )
 def test_dim_joins_broadcast_no_cartesian(spark, qname):
@@ -55,6 +58,21 @@ def test_priority_class_single_shuffle_agg(spark):
     # join exchange(s) + ONE aggregate exchange; anything beyond means
     # the count_ifs stopped combining map-side
     assert m.exchanges <= 3, m.exchanges
+    assert m.python_evals == 0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["customer_order_distribution", "dominant_part_suppliers", "important_part_value",
+     "top_supplier_revenue"],
+)
+def test_multi_level_aggregates_stay_jvm_side(spark, qname):
+    """Two-level aggregations (and 1-row broadcast threshold attaches)
+    must not fall back to Python evals or true cartesian products — the
+    broadcast nested-loop attach of a single-row aggregate is expected
+    and cheap, a CartesianProduct node is not."""
+    m = _metrics(spark, qname)
+    assert not m.has_shuffle_cartesian, m.joins
     assert m.python_evals == 0
 
 

@@ -595,25 +595,24 @@ def dup_components(
             .groupBy(F.col("x").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # convergence flag rides along with the update — no second join —
+        # and localCheckpoint truncates the lineage so the plan (and the
+        # driver's planning time) stays flat across rounds instead of
+        # growing one join+agg per iteration
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = stepped.filter(F.col("changed")).limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     out = labels.select(

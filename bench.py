@@ -62,7 +62,7 @@ def _bench_cdc_apply(spark, sf_dir: str) -> tuple[float, int]:
     # events -> envelope JSON spool (not timed: this is the harness side)
     envelope = ev.select(
         F.col("event_id").alias("lsn"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.when(F.col("event_type") == "error", "d").otherwise(
             F.when(F.col("event_type") == "signup", "c").otherwise("u")
         ).alias("op"),

@@ -251,3 +251,44 @@ def _blake2_udf(algorithm: str):
         return h.hexdigest()
 
     return _series_udf(fn)
+
+
+# ---------------------------------------------------------------------------
+# PII detection (scan-side counterpart of the maskers)
+# ---------------------------------------------------------------------------
+#
+# Before masking a corpus you have to FIND the PII: per-document match
+# counts per category, rolled up per shard, drive which transformers run
+# and audit residual leakage after scrubbing. Patterns are written in the
+# RE2 <-> Java-regex common subset (no lookarounds, explicit [0-9]
+# classes) so the identical string runs JVM-side in Spark
+# (regexp_count, whole-stage codegen) and in the DuckDB oracle
+# (len(regexp_extract_all(...))).
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\(?[0-9]{3}[)-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "credit_card": r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}",
+}
+
+
+def pii_count(col: Column | str, category: str) -> Column:
+    """Number of matches of one PII category in a text column (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[category]))
+
+
+def pii_count_sql(col: str, category: str) -> str:
+    pat = PII_PATTERNS[category].replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """All categories at once — one projection pass, no Python."""
+    return {name: pii_count(col, name) for name in PII_PATTERNS}
+
+
+def pii_counts_sql(col: str) -> dict[str, str]:
+    return {name: pii_count_sql(col, name) for name in PII_PATTERNS}

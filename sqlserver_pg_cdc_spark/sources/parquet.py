@@ -74,6 +74,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_timestamp_cols(path):
         # floor-divide nanos to micros; 'div' is integer division
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # tz-less parquet timestamps arrive as TIMESTAMP_NTZ (Spark 4); the
+    # engine standardizes on TIMESTAMP with the session pinned to UTC
+    # (value-identical, and watermarks/unix_millis require it)
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

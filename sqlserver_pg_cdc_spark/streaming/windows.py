@@ -25,6 +25,16 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); parquet/JSON fixtures
+    carry tz-less timestamps that Spark 4 reads as TIMESTAMP_NTZ. The
+    session pins timeZone=UTC (session.py), so the cast is value-identical
+    and window boundaries match the batch/NTZ result exactly."""
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -38,7 +48,7 @@ def windowed_event_counts(
     semantics see apply.with_stale_flag instead)."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = _watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window_len).alias("w"), *group_cols)
         .agg(
@@ -69,7 +79,7 @@ def sliding_event_counts(
     streams). Batch and stream share this exact code path."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = _watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"), *group_cols)
         .agg(
@@ -94,7 +104,7 @@ def sessionize(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Session windows (gap-based) per key."""
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    src = (_watermarkable(events, ts_col).withWatermark(ts_col, watermark) if events.isStreaming else events)
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))

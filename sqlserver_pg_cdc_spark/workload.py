@@ -1276,6 +1276,181 @@ FROM documents
 """
 
 
+def _pii_fixture_text(ck: F.Column) -> F.Column:
+    """Deterministic free-text blob with embedded PII, keyed off the
+    customer key (the fixture has no real PII; see q_pii_mask_customer)."""
+    return F.concat(
+        F.lit("Customer "),
+        F.col("c_name"),
+        F.lit(" in "),
+        F.col("c_mktsegment"),
+        F.when(
+            ck % 3 == 0,
+            F.concat(F.lit(" reach user"), ck.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((ck % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((ck % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((ck % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (ck % 256).cast("string"),
+                F.lit("."),
+                (ck % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 13 == 0,
+            F.concat(
+                F.lit(" card 4111 1111 1111 "),
+                F.lpad((ck % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_FIXTURE_SQL = """
+'Customer ' || c_name || ' in ' || c_mktsegment
+|| CASE WHEN c_custkey % 3 = 0
+        THEN ' reach user' || CAST(c_custkey AS VARCHAR) || '@example.com now'
+        ELSE '' END
+|| CASE WHEN c_custkey % 5 = 0
+        THEN ' call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+|| CASE WHEN c_custkey % 7 = 0
+        THEN ' ssn 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+|| CASE WHEN c_custkey % 11 = 0
+        THEN ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.' || CAST(c_custkey % 250 AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN c_custkey % 13 = 0
+        THEN ' card 4111 1111 1111 ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+"""
+
+
+def q_pii_scan_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII *detection* (the scan-side counterpart of the maskers): count
+    matches per category in a free-text field, rolled up per market
+    segment — the audit a scrubbing pipeline runs before and after
+    masking. Identical regex strings run JVM-side (regexp_count) and in
+    the oracle (RE2/Java common subset, no lookarounds)."""
+    from sqlserver_pg_cdc_spark.functions.masking import pii_counts
+
+    c = load_table(spark, sf_dir, "customer")
+    txt = _pii_fixture_text(F.col("c_custkey")).alias("txt")
+    counts = pii_counts(F.col("txt"))
+    any_pii = None
+    for col in counts.values():
+        any_pii = col if any_pii is None else (any_pii + col)
+    return (
+        c.select("c_mktsegment", txt)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(col.cast("long")).alias(f"n_{name}")
+                for name, col in counts.items()
+            ],
+            F.sum((any_pii > 0).cast("long")).alias("docs_with_pii"),
+        )
+    )
+
+
+def _pii_scan_segments_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions.masking import pii_counts_sql
+
+    counts = pii_counts_sql("txt")
+    any_expr = " + ".join(f"({e})" for e in counts.values())
+    sums = ",\n       ".join(
+        f"CAST(sum({e}) AS BIGINT) AS n_{name}" for name, e in counts.items()
+    )
+    return f"""
+SELECT c_mktsegment,
+       count(*) AS n_docs,
+       {sums},
+       CAST(sum(CASE WHEN ({any_expr}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM (SELECT c_mktsegment, {_PII_FIXTURE_SQL} AS txt FROM customer)
+GROUP BY c_mktsegment
+"""
+
+
+_PACK_CAPACITY = 128  # tokens per training sequence (small to exercise many bins)
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+_DOCS_TOKENS_SQL_TMPL = """
+(SELECT doc_id, source, CAST({tok} AS BIGINT) AS n_tokens FROM documents)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: assign each document to a training
+    bin (capacity {cap} tokens) per source shard, in doc_id order.
+    Sequential within a shard, parallel across shards (applyInPandas);
+    oracle is the identical recurrence as a DuckDB recursive CTE.
+    """
+    from sqlserver_pg_cdc_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs_with_tokens(spark, sf_dir), "source", "doc_id", "n_tokens",
+        _PACK_CAPACITY,
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+    from sqlserver_pg_cdc_spark.operators.packing import pack_sequences_sql
+
+    inner = _DOCS_TOKENS_SQL_TMPL.format(tok=TX.token_count_sql("text")).strip()
+    return pack_sequences_sql(inner, "source", "doc_id", "n_tokens", _PACK_CAPACITY)
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing utilization per source shard: bins used, docs/tokens
+    packed, fill ratio — the corpus-budgeting summary a training
+    pipeline reports after packing."""
+    from sqlserver_pg_cdc_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    packed = pack_sequences(
+        _docs_with_tokens(spark, sf_dir), "source", "doc_id", "n_tokens",
+        _PACK_CAPACITY,
+    )
+    return packing_stats(packed, "source", "n_tokens", _PACK_CAPACITY)
+
+
+def _pack_stats_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.packing import packing_stats_sql
+
+    return packing_stats_sql(
+        _pack_sequences_sql(), "source", "n_tokens", _PACK_CAPACITY
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus plus planted whitespace-variant copies
     of the first 20 docs (the fixture itself has no byte-identical dups,
@@ -2255,6 +2430,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog.update(
         {
             "text_analysis": QuerySpec(q_text_analysis, _text_analysis_sql()),
+            "pack_sequences": QuerySpec(q_pack_sequences, _pack_sequences_sql()),
+            "pack_stats": QuerySpec(q_pack_stats, _pack_stats_sql()),
+            "pii_scan_segments": QuerySpec(q_pii_scan_segments, _pii_scan_segments_sql()),
             "dedup_exact": QuerySpec(
                 q_dedup_exact,
                 DD.exact_dup_groups_sql(

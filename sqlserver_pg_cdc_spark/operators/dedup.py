@@ -674,10 +674,12 @@ def embedding_near_dup_lsh_pairs(
     Tuning (measured on the 2000-vector uniform fixture): 8x4 yields
     ~820k candidates (40% of all pairs — uniform data is LSH's worst
     case) with 67% recall at the low cosine-0.3 cut; 8x8 cuts candidates
-    11x to ~72k while keeping ≥98% recall at cosine 0.95, the actual
-    near-dup operating point. For production dedup of real (clustered)
-    embeddings raise planes_per_band to 8; keep 4 only when hunting
-    low-similarity correlations.
+    11x to ~72k while keeping ≥98% recall at cosine 0.95; 8x10 cuts a
+    further 3.6x to ~20k at ≥96% theoretical recall for cosine 0.95
+    (1-(1-0.898^10)^8), and 100% for exact copies — the contract query's
+    operating point. For production dedup of real (clustered) embeddings
+    use 8-10 planes per band; keep 4 only when hunting low-similarity
+    correlations.
     """
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
     from sqlserver_pg_cdc_spark.operators.similarity import _bucket_expr, hyperplanes
@@ -691,7 +693,7 @@ def embedding_near_dup_lsh_pairs(
         F.struct(
             F.lit(b).alias("band"),
             _bucket_expr(
-                F.col("v"), hyperplanes(planes_per_band, dim, f"{seed}|band{b}")
+                "v", hyperplanes(planes_per_band, dim, f"{seed}|band{b}")
             ).alias("bkt"),
         )
         for b in range(bands)

@@ -45,13 +45,26 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[fl
     return planes
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of the vector against each plane, as a bit string."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def _bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each plane, as a bit string.
+
+    Built as ONE SQL string parsed JVM-side: constructing the plane
+    literals as python Column objects costs a py4j round-trip per
+    component (planes x dim x F.lit = thousands of driver calls, ~7s for
+    an 8x10x64 banding); F.expr is a single call and yields the
+    identical Catalyst tree (zip_with + left-fold aggregate, so the
+    float semantics match dot()/dot_sql exactly)."""
+    name = vec if isinstance(vec, str) else vec._jc.toString()
+    bits = []
+    for plane in planes:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({name}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
@@ -69,7 +82,7 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """Materialize the LSH bucket column (precompute once at ingest)."""
     return df.withColumn(
-        "lsh_bucket", _bucket_expr(F.col(vec_col), hyperplanes(n_planes, dim, seed))
+        "lsh_bucket", _bucket_expr(vec_col, hyperplanes(n_planes, dim, seed))
     )
 
 
@@ -357,12 +370,12 @@ def topk_lsh(
     planes = hyperplanes(n_planes, dim, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                        norm(vec_col).alias("vn")).withColumn(
-        "bucket", _bucket_expr(F.col("v"), planes)
+        "bucket", _bucket_expr("v", planes)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
-    ).withColumn("qbucket", _bucket_expr(F.col("qv"), planes))
+    ).withColumn("qbucket", _bucket_expr("qv", planes))
     if multiprobe:
         # query probes its own bucket and every Hamming-1 neighbor
         flips = [q.select("query_id", "qv", "qn", F.col("qbucket").alias("probe"))]

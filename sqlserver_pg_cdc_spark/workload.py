@@ -564,9 +564,12 @@ def q_range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.operators.temporal import range_join
 
     li = load_table(spark, sf_dir, "lineitem")
-    tiers = li.sparkSession.createDataFrame(
-        [("low", 0.0, 15.0), ("mid", 15.0 + 1e-9, 35.0), ("high", 35.0 + 1e-9, 1e9)],
-        "tier string, lo double, hi double",
+    # literal dim built JVM-side (VALUES): the createDataFrame Python-RDD
+    # path costs ~2s of py4j/applySchema overhead for a 3-row frame
+    tiers = spark.sql(
+        "SELECT tier, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi "
+        "FROM VALUES ('low', 0.0, 15.0), ('mid', 15.0 + 1e-9, 35.0), "
+        "('high', 35.0 + 1e-9, 1e9) t(tier, lo, hi)"
     )
     return (
         range_join(li.select("l_quantity"), tiers, "l_quantity", "lo", "hi")
@@ -1518,10 +1521,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
-    an 8x8 banded self-join, exact-cosine verified; no label shortcut and
-    no within-block all-pairs. Runs at the actual near-dup operating
-    point (cosine >= 0.95, >= 98% recall per the operator's measured
-    tuning) against planted duplicate vectors — the uniform fixture has
+    an 8-band x 10-plane banded self-join, exact-cosine verified; no
+    label shortcut and no within-block all-pairs. Runs at the actual
+    near-dup operating point (cosine >= 0.95, >= 96% theoretical recall,
+    100% for exact copies) against planted duplicate vectors — the uniform fixture has
     no natural near-dups, and hunting cosine-0.3 correlations with wide
     4-plane buckets is LSH's worst case (~40% of all pairs become
     candidates, quadratic in practice)."""
@@ -1533,7 +1536,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.embedding_near_dup_lsh_pairs(
         emb.unionByName(planted), "vec_id", "embedding",
-        threshold=0.95, planes_per_band=8,
+        threshold=0.95, planes_per_band=10,
     )
 
 
@@ -2484,7 +2487,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                     "vec_id",
                     "embedding",
                     threshold=0.95,
-                    planes_per_band=8,
+                    planes_per_band=10,
                 ),
             ),
             "ann_topk_cosine": QuerySpec(

@@ -1279,6 +1279,34 @@ FROM documents
 """
 
 
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (stream-stream-join semantics on the
+    batch frame): every purchase attributed to each click by the same
+    user within the hour before it. The same operator runs over
+    readStream inputs with watermark-bounded state
+    (streaming/joins.interval_join; parity test in
+    tests/test_stream_joins.py)."""
+    from sqlserver_pg_cdc_spark.streaming.joins import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(ev)
+
+
+_Q_ATTRIBUTION_SQL = """
+SELECT t.user_id,
+       t.event_id AS trigger_id,
+       t.ts AS trigger_ts,
+       o.event_id AS outcome_id,
+       o.ts AS outcome_ts,
+       o.value AS outcome_value
+FROM (SELECT * FROM events WHERE event_type = 'click') t
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') o
+  ON t.user_id = o.user_id
+ AND o.ts >= t.ts
+ AND o.ts <= t.ts + INTERVAL 1 HOUR
+"""
+
+
 def _pii_fixture_text(ck: F.Column) -> F.Column:
     """Deterministic free-text blob with embedded PII, keyed off the
     customer key (the fixture has no real PII; see q_pii_mask_customer)."""
@@ -2436,6 +2464,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "pack_sequences": QuerySpec(q_pack_sequences, _pack_sequences_sql()),
             "pack_stats": QuerySpec(q_pack_stats, _pack_stats_sql()),
             "pii_scan_segments": QuerySpec(q_pii_scan_segments, _pii_scan_segments_sql()),
+            "event_attribution": QuerySpec(q_event_attribution, _Q_ATTRIBUTION_SQL),
             "dedup_exact": QuerySpec(
                 q_dedup_exact,
                 DD.exact_dup_groups_sql(

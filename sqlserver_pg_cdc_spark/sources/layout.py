@@ -39,3 +39,146 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering & compaction (multi-column pruning at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    stats: dict[str, tuple[float, float]] | None = None,
+):
+    """Morton (Z-order) key over numeric columns, as ONE JVM expression.
+
+    Each column is min-max scaled to ``bits`` bits, then the bit planes
+    are interleaved — rows close in the key are close in EVERY listed
+    column, so range-partitioning by the key clusters files on all of
+    them at once and parquet row-group min/max stats prune multi-column
+    predicates (hive partitioning can only nest, and only prunes its
+    prefix). ``stats``: optional {col: (min, max)} to skip the stats
+    scan (use table-level stats at scale; the 1-row agg is one pass).
+    """
+    from pyspark.sql import functions as F
+
+    if stats is None:
+        agg = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        stats = {c: (agg[f"mn_{c}"], agg[f"mx_{c}"]) for c in cols}
+    k = len(cols)
+    top = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        mn, mx = stats[c]
+        span = (mx - mn) or 1.0
+        scaled = (
+            f"CAST(least(greatest((CAST(`{c}` AS DOUBLE) - {mn!r}D) / {span!r}D, "
+            f"0.0D), 1.0D) * {top}D AS BIGINT)"
+        )
+        for i in range(bits):
+            terms.append(f"shiftleft(shiftright({scaled}, {i}) & 1, {i * k + j})")
+    return F.expr(" | ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster rows by Z-order key and write ``num_files`` range-split
+    files: each file covers a compact hyper-rectangle of the listed
+    columns, so selective scans on ANY of them skip most files via
+    footer min/max stats. One range shuffle; the key column is dropped
+    before writing."""
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_column_spans(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max of each column from parquet footers (no data
+    read) — the clustering quality report for a layout: tight spans =
+    effective stats pruning."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        spans: dict = {"file": os.path.basename(f), "rows": md.num_rows}
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            spans[c] = (mn, mx)
+        out.append(spans)
+    return out
+
+
+def small_file_report(path: str, small_bytes: int = 32 * 1024 * 1024) -> dict:
+    """File-size profile of a parquet directory: the small-file problem
+    is the #1 operational issue of streaming writers at scale."""
+    import glob
+    import os
+
+    sizes = sorted(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "small_files": 0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "median_bytes": sizes[len(sizes) // 2],
+        "max_bytes": sizes[-1],
+        "small_files": sum(1 for s in sizes if s < small_bytes),
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~target-sized files (optionally
+    re-sorted for stats pruning), atomically via the same write-to-temp
+    + swap discipline as the upsert sink. Returns before/after
+    small_file_report dicts."""
+    import os
+    import shutil
+    import uuid
+
+    before = small_file_report(path, target_file_bytes)
+    df = spark.read.parquet(path)
+    n = max(1, round(before["total_bytes"] / target_file_bytes))
+    out = df.repartitionByRange(n, *sort_cols) if sort_cols else df.coalesce(n)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"before": before, "after": small_file_report(path, target_file_bytes)}

@@ -1,0 +1,111 @@
+"""Z-order layout and compaction tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.sources.layout import (
+    compact,
+    file_column_spans,
+    small_file_report,
+    write_zordered,
+    zorder_key,
+)
+from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _morton(vals: list[int], bits: int) -> int:
+    out = 0
+    k = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * k + j)
+    return out
+
+
+def test_zorder_key_matches_python_morton(spark):
+    # x,y already in [0, 15]: with stats=(0,15) and bits=4 the scaling is
+    # identity, so the key must equal the exact Morton interleave
+    df = spark.sql(
+        "SELECT x, y FROM VALUES (0,0),(1,2),(3,3),(7,11),(15,15),(8,4) v(x,y)"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(df, ["x", "y"], bits=4, stats={"x": (0, 15), "y": (0, 15)})
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton([x, y], 4), (x, y, z)
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "z")
+    write_zordered(ev, path, ["user_id", "value"], bits=8, num_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    g = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    u_span = g[1] - g[0] or 1
+    v_span = g[3] - g[2] or 1
+    spans = file_column_spans(path, ["user_id", "value"])
+    assert len(spans) == 8
+    # each file must cover a small fraction of the (user_id x value)
+    # plane: that fraction IS the expected stats-pruning selectivity
+    areas = []
+    for s in spans:
+        (umn, umx), (vmn, vmx) = s["user_id"], s["value"]
+        areas.append(((umx - umn) / u_span) * ((vmx - vmn) / v_span))
+    assert sum(areas) / len(areas) < 0.5, areas
+    # and a 2-D box probe must be answerable from a strict subset of files
+    probe_u = g[0] + u_span * 0.1
+    probe_v = g[2] + v_span * 0.1
+    hit = [
+        s
+        for s in spans
+        if s["user_id"][0] <= probe_u <= s["user_id"][1]
+        and s["value"][0] <= probe_v <= s["value"][1]
+    ]
+    assert len(hit) < len(spans)
+
+
+def test_compact_small_files(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(path)
+    n = ev.count()
+
+    before = small_file_report(path, small_bytes=1 << 20)
+    assert before["n_files"] == 64
+
+    target = max(1, before["total_bytes"] // 4)
+    rep = compact(spark, path, target_file_bytes=target)
+    after = rep["after"]
+    assert 1 <= after["n_files"] <= 8
+    assert after["n_files"] < before["n_files"]
+    assert spark.read.parquet(path).count() == n
+
+
+def test_compact_with_sort_improves_spans(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    path = str(tmp_path / "sorted")
+    ev.repartition(16).write.parquet(path)
+    compact(
+        spark,
+        path,
+        target_file_bytes=max(1, small_file_report(path)["total_bytes"] // 4),
+        sort_cols=["user_id"],
+    )
+    spans = file_column_spans(path, ["user_id"])
+    g = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    full = g[1] - g[0] or 1
+    # range-sorted compaction: files tile the key space, so per-file
+    # spans must sum to ~the full span (disjoint), not n_files * full
+    total = sum(s["user_id"][1] - s["user_id"][0] for s in spans)
+    assert total <= full * 1.5, (total, full, len(spans))

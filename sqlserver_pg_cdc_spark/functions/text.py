@@ -205,3 +205,93 @@ def shingles_sql(col: str, k: int = 3) -> str:
         f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
     )
+
+
+def all_shingles(col: Column | str, k: int = 2) -> Column:
+    """Word k-grams WITH multiplicity (repetition analysis needs counts,
+    not the distinct dedup unit)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # guard: Spark's sequence(1, m) with m < 1 counts DOWN, not empty
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def all_shingles_sql(col: str, k: int = 2) -> str:
+    toks = tokens_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+
+
+def repetition_profile(df, id_col: str, text_col: str, k: int = 2):
+    """Gopher-style repetition signals per document: total/distinct
+    k-gram counts, the most-frequent k-gram's count, duplicate fraction
+    and top-gram share.
+
+    Shape: explode k-grams -> two hash aggregations keyed by (doc, gram)
+    then (doc) — linear in corpus token count, map-side combinable, and
+    the shuffle key includes the doc id so it cannot skew. (A per-row
+    nested-HOF formulation avoids the shuffle but re-evaluates the gram
+    array per distinct gram — quadratic per document and ~50x slower in
+    practice; the relational form is the scale path.)
+    """
+    from pyspark.sql import functions as F
+
+    grams = df.select(
+        F.col(id_col), F.explode(all_shingles(text_col, k)).alias("g")
+    )
+    agg = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("cnt").cast("long").alias("top_gram_n"),
+        )
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    n = F.coalesce(F.col("n_grams"), F.lit(0))
+    d = F.coalesce(F.col("n_distinct_grams"), F.lit(0))
+    t = F.coalesce(F.col("top_gram_n"), F.lit(0))
+    return out.select(
+        id_col,
+        n.cast("long").alias("n_grams"),
+        d.cast("long").alias("n_distinct_grams"),
+        t.cast("long").alias("top_gram_n"),
+        F.when(n > 0, F.lit(1.0) - d.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+        F.when(n > 0, t.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_frac"),
+    )
+
+
+def repetition_profile_sql(table: str, id_col: str, text_col: str, k: int = 2) -> str:
+    grams = all_shingles_sql(text_col, k)
+    return f"""
+WITH g AS (SELECT {id_col}, unnest({grams}) AS g FROM {table}),
+c AS (SELECT {id_col}, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+a AS (SELECT {id_col},
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct_grams,
+             CAST(max(cnt) AS BIGINT) AS top_gram_n
+      FROM c GROUP BY 1)
+SELECT d.{id_col},
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_distinct_grams, 0) AS n_distinct_grams,
+       coalesce(top_gram_n, 0) AS top_gram_n,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS top_gram_frac
+FROM {table} d LEFT JOIN a USING ({id_col})
+"""

@@ -1482,6 +1482,31 @@ def _pack_stats_sql() -> str:
     )
 
 
+def q_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per document (duplicate
+    2-gram fraction, top-2-gram share) plus the boilerplate flag a
+    corpus-quality pipeline gates on. All per-row expression work riding
+    the scan — no shuffle."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    prof = TX.repetition_profile(d, "doc_id", "text", k=2)
+    return prof.withColumn(
+        "flag_repetitive",
+        (F.col("dup_gram_frac") > 0.55) | (F.col("top_gram_frac") > 0.18),
+    )
+
+
+def _corpus_repetition_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    inner = TX.repetition_profile_sql("documents", "doc_id", "text", k=2)
+    return f"""
+SELECT *, (dup_gram_frac > 0.55 OR top_gram_frac > 0.18) AS flag_repetitive
+FROM ({inner})
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus plus planted whitespace-variant copies
     of the first 20 docs (the fixture itself has no byte-identical dups,
@@ -2465,6 +2490,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "pack_stats": QuerySpec(q_pack_stats, _pack_stats_sql()),
             "pii_scan_segments": QuerySpec(q_pii_scan_segments, _pii_scan_segments_sql()),
             "event_attribution": QuerySpec(q_event_attribution, _Q_ATTRIBUTION_SQL),
+            "corpus_repetition": QuerySpec(
+                q_corpus_repetition, _corpus_repetition_sql()
+            ),
             "dedup_exact": QuerySpec(
                 q_dedup_exact,
                 DD.exact_dup_groups_sql(

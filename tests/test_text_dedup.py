@@ -356,3 +356,24 @@ def test_dup_components_oracle_parity(spark, duck):
     )
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == want
+
+
+def test_repetition_profile_flags_and_empties(spark):
+    from sqlserver_pg_cdc_spark.functions.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all unique words here with no repeats at all today"),
+            (3, ""),
+            (4, "one"),  # fewer tokens than k: zero 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(df, "doc_id", "text").collect()}
+    assert rows[1]["n_grams"] == 5 and rows[1]["n_distinct_grams"] == 1
+    assert rows[1]["dup_gram_frac"] == 0.8 and rows[1]["top_gram_frac"] == 1.0
+    assert rows[2]["dup_gram_frac"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["top_gram_frac"] == 0.0
+    assert rows[4]["n_grams"] == 0
+    assert len(rows) == 4

@@ -1507,6 +1507,171 @@ FROM ({inner})
 """
 
 
+_BOILERPLATE_MIN_DOCS = 5
+
+
+def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: 3-grams appearing in >= N distinct
+    documents are template text (headers, footers, license blurbs); each
+    document reports what fraction of its distinct 3-grams is
+    boilerplate. Two aggregations + one semi-ish join, every shuffle
+    keyed by gram or doc (no skew: gram df is capped by corpus size,
+    docs bounded by doc length)."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_grams = d.select(
+        "doc_id", F.explode(TX.shingles("text", k=3)).alias("g")
+    )
+    df_counts = doc_grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # shingles() is distinct-per-doc, so count == document frequency
+    boiler = df_counts.filter(F.col("df") >= _BOILERPLATE_MIN_DOCS).select("g")
+    flagged = doc_grams.join(F.broadcast(boiler), "g", "left_semi")
+    per_doc = (
+        doc_grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_boiler")),
+            "doc_id",
+            "left",
+        )
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_boiler.cast("long").alias("n_boiler"),
+        F.when(
+            F.col("n_grams") > 0,
+            n_boiler.cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+    )
+
+
+def _corpus_boilerplate_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    grams = TX.shingles_sql("text", k=3)
+    return f"""
+WITH dg AS (SELECT doc_id, unnest({grams}) AS g FROM documents),
+df AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+boiler AS (SELECT g FROM df WHERE df >= {_BOILERPLATE_MIN_DOCS}),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+per_boiler AS (
+    SELECT doc_id, count(*) AS n_boiler
+    FROM dg WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+            ELSE 0.0 END AS boiler_frac
+FROM per_doc p LEFT JOIN per_boiler b USING (doc_id)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens per language by frequency
+    (tokenizer-training prep). Explode -> one (lang, token) aggregation
+    -> per-lang top-k window; ties break on the token for determinism."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(TX.tokens("text")).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "token",
+                F.col("n").cast("long").alias("n"))
+    )
+
+
+def _vocab_topk_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    toks = TX.tokens_sql("text")
+    return f"""
+WITH t AS (SELECT lang, unnest({toks}) AS token FROM documents),
+c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY lang, token)
+SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n
+FROM (SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM c)
+WHERE rank <= 20
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with event-time ordering: users who viewed,
+    then clicked within 6 hours of their first view, then purchased
+    within 6 hours of that first click. Three stage aggregations all shuffling on user_id (one
+    exchange reused), then a 1-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("ts") > F.col("view_ts"))
+            & (F.col("ts") <= F.expr("view_ts + INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.expr("click_ts + INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        ev.agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .crossJoin(first_view.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(first_purchase.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_viewed").cast("long").alias("n_viewed"),
+            F.col("n_clicked").cast("long").alias("n_clicked"),
+            F.col("n_purchased").cast("long").alias("n_purchased"),
+        )
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH fv AS (SELECT user_id, min(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+fc AS (SELECT e.user_id, min(e.ts) AS click_ts
+       FROM events e JOIN fv ON e.user_id = fv.user_id
+       WHERE e.event_type = 'click' AND e.ts > fv.view_ts
+         AND e.ts <= fv.view_ts + INTERVAL 6 HOUR
+       GROUP BY e.user_id),
+fp AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+       FROM events e JOIN fc ON e.user_id = fc.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > fc.click_ts
+         AND e.ts <= fc.click_ts + INTERVAL 6 HOUR
+       GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM fv) AS n_viewed,
+       (SELECT count(*) FROM fc) AS n_clicked,
+       (SELECT count(*) FROM fp) AS n_purchased
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus plus planted whitespace-variant copies
     of the first 20 docs (the fixture itself has no byte-identical dups,
@@ -2493,6 +2658,11 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "corpus_repetition": QuerySpec(
                 q_corpus_repetition, _corpus_repetition_sql()
             ),
+            "corpus_boilerplate": QuerySpec(
+                q_corpus_boilerplate, _corpus_boilerplate_sql()
+            ),
+            "vocab_topk": QuerySpec(q_vocab_topk, _vocab_topk_sql()),
+            "event_funnel": QuerySpec(q_event_funnel, _Q_FUNNEL_SQL),
             "dedup_exact": QuerySpec(
                 q_dedup_exact,
                 DD.exact_dup_groups_sql(

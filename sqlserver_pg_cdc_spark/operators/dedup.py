@@ -567,13 +567,19 @@ def dup_components(
     ``(doc, component, keep)`` where ``component`` is the cluster's
     minimum doc id and ``keep`` marks the canonical survivor.
 
-    Algorithm: iterative min-label propagation (each round every node
-    takes the min label among itself and its neighbors; one join + one
-    groupBy per round, all shuffles on the node key). Converges in
-    O(graph diameter) rounds — near-dup clusters are shallow (diameter
-    ≲ cluster size, usually < 10), and a driver-side convergence check
-    caps the loop. No collect of nodes or edges; state per round is one
-    (node, label) frame.
+    Algorithm: iterative min-label propagation (hash-min), switching to
+    path compression (pointer jumping) from the third round on. Each
+    round every node takes the min label among itself and its
+    neighbors; under compression it additionally follows the label's
+    OWN label one more hop (label(label) <= label since labels decrease
+    monotonically), doubling the effective propagation distance per
+    round — so deep chains converge in O(log diameter) rounds instead
+    of O(diameter). The first two rounds skip the extra join because
+    near-dup graphs are usually diameter <= 2 (measured: sf0.1
+    converges in 2 rounds; the compression join only pays for itself on
+    deeper graphs). All shuffles key on the node id; a driver-side
+    convergence check caps the loop. No collect of nodes or edges;
+    state per round is one (node, label) frame.
     """
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
@@ -589,27 +595,55 @@ def dup_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
             .groupBy(F.col("x").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # convergence flag rides along with the update — no second join —
-        # and localCheckpoint truncates the lineage so the plan (and the
+        # convergence flag rides along with the update, and
+        # localCheckpoint truncates the lineage so the plan (and the
         # driver's planning time) stays flat across rounds instead of
-        # growing one join+agg per iteration
-        stepped = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nlabel") < F.col("label")).alias("changed"),
+        # growing per iteration
+        if i < 2:
+            stepped = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    ).alias("label"),
+                    (F.col("nlabel") < F.col("label")).alias("changed"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            combined = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("mid"),
+            )
+            # path compression: jump to the label's own (post-min)
+            # label. Every label value IS a node id present in
+            # `combined`, and its label is <= itself, so one extra
+            # shuffle join per round buys a doubling of propagation
+            # distance on deep graphs.
+            ptr = combined.select(
+                F.col("node").alias("pn"), F.col("mid").alias("pl")
+            )
+            new_label = F.coalesce(F.col("pl"), F.col("mid"))
+            stepped = (
+                combined.join(ptr, combined.mid == ptr.pn, "left")
+                .select(
+                    "node",
+                    new_label.alias("label"),
+                    (new_label < F.col("old")).alias("changed"),
+                )
+                .localCheckpoint()
+            )
         changed = stepped.filter(F.col("changed")).limit(1).count()
         labels.unpersist()
         labels = stepped.select("node", "label")

@@ -115,9 +115,9 @@ pack AS (
     FROM docs WHERE __rn = 1
     UNION ALL
     SELECT d.*,
-           CASE WHEN p.{fill_col} + d.{token_col} > {capacity}
+           CASE WHEN p.{fill_col} > 0 AND p.{fill_col} + d.{token_col} > {capacity}
                 THEN p.{bin_col} + 1 ELSE p.{bin_col} END,
-           CASE WHEN p.{fill_col} + d.{token_col} > {capacity}
+           CASE WHEN p.{fill_col} > 0 AND p.{fill_col} + d.{token_col} > {capacity}
                 THEN CAST(d.{token_col} AS BIGINT)
                 ELSE p.{fill_col} + d.{token_col} END
     FROM pack p

@@ -11,8 +11,9 @@ integrity, NOT NULL) but never verifies:
   (violation counting is an aggregate; uniqueness is a groupBy-count;
   referential is a left-anti join).
 - ``run_checks``: unions any number of checks into one report frame.
-- ``profile_table``: per-column null count, distinct count, canonical
-  min/max — one aggregate pass per column batch.
+- ``profile_table``: per-column null count, distinct count (HLL by
+  default, exact via per-column pruned jobs), canonical min/max — never
+  the multi-distinct Expand rewrite.
 
 All oracle-expressible; violations never leave the cluster.
 """
@@ -89,14 +90,32 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), checks)
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    distinct: str = "approx",
+    rsd: float = 0.05,
+) -> DataFrame:
     """Per-column profile: (column_name, n_nulls, n_distinct, min_canon,
     max_canon). min/max are computed on the native type, then rendered in
     the cross-engine canonical form.
 
-    ONE aggregation scan computes every column's stats side by side; the
-    single wide result row is reshaped to per-column rows on the driver
-    (a handful of values, never data)."""
+    Never uses multiple ``countDistinct`` in one aggregate: Spark's
+    multi-distinct rewrite expands every scanned row N_cols times
+    (Expand node), a full-table xN shuffle at warehouse scale. Instead:
+
+    - ``distinct="approx"`` (default, production): HLL++
+      ``approx_count_distinct`` rides the SAME single aggregation pass
+      as nulls/min/max — approx is a regular aggregate, so the plan is
+      one scan, zero Expand. ``rsd`` bounds the relative error.
+    - ``distinct="exact"``: exact counts via one column-pruned
+      ``countDistinct`` job per column (a lone distinct compiles to a
+      two-level hash aggregate, no Expand), submitted concurrently so
+      the tiny jobs overlap. Total I/O ~ one full scan (each job reads
+      only its column), exact cross-engine parity for oracles.
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError(f"distinct must be 'approx' or 'exact', got {distinct!r}")
     fields = [(f.name, f.dataType) for f in df.schema.fields
               if cols is None or f.name in cols]
     aggs = []
@@ -105,14 +124,31 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.extend(
             [
                 F.count_if(c.isNull()).cast("long").alias(f"__nn{i}"),
-                F.countDistinct(c).cast("long").alias(f"__nd{i}"),
                 canon_col(F.min(c), dtype).alias(f"__mn{i}"),
                 canon_col(F.max(c), dtype).alias(f"__mx{i}"),
             ]
         )
+        if distinct == "approx":
+            aggs.append(
+                F.approx_count_distinct(c, rsd).cast("long").alias(f"__nd{i}")
+            )
     wide = df.agg(*aggs).collect()[0]
+    if distinct == "exact":
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _count_distinct(name: str) -> int:
+            return (
+                df.select(name)
+                .agg(F.countDistinct(name).cast("long").alias("d"))
+                .collect()[0]["d"]
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, len(fields) or 1)) as pool:
+            nd = list(pool.map(_count_distinct, [n for n, _ in fields]))
+    else:
+        nd = [wide[f"__nd{i}"] for i in range(len(fields))]
     rows = [
-        (name, wide[f"__nn{i}"], wide[f"__nd{i}"], wide[f"__mn{i}"], wide[f"__mx{i}"])
+        (name, wide[f"__nn{i}"], nd[i], wide[f"__mn{i}"], wide[f"__mx{i}"])
         for i, (name, _) in enumerate(fields)
     ]
     return df.sparkSession.createDataFrame(
@@ -123,6 +159,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def profile_table_sql(df: DataFrame, table: str, cols: list[str] | None = None) -> str:
+    """Oracle twin of profile_table(distinct="exact") — DuckDB's
+    count(DISTINCT) is exact, so only the exact Spark mode hash-matches."""
     fields = [(f.name, f.dataType) for f in df.schema.fields
               if cols is None or f.name in cols]
     selects = []

@@ -45,7 +45,7 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[fl
     return planes
 
 
-def _bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+def _bucket_expr(vec: str, planes: list[list[float]]) -> Column:
     """Sign pattern of the vector against each plane, as a bit string.
 
     Built as ONE SQL string parsed JVM-side: constructing the plane
@@ -53,8 +53,16 @@ def _bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     component (planes x dim x F.lit = thousands of driver calls, ~7s for
     an 8x10x64 banding); F.expr is a single call and yields the
     identical Catalyst tree (zip_with + left-fold aggregate, so the
-    float semantics match dot()/dot_sql exactly)."""
-    name = vec if isinstance(vec, str) else vec._jc.toString()
+    float semantics match dot()/dot_sql exactly).
+
+    ``vec`` must be a plain column name (it is spliced into a SQL
+    string; arbitrary Column expressions don't round-trip and the
+    splice is unavailable under Spark Connect)."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            f"_bucket_expr needs a column name (str), got {type(vec).__name__}"
+        )
+    name = f"`{vec}`" if not vec.isidentifier() else vec
     bits = []
     for plane in planes:
         arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"

@@ -75,6 +75,16 @@ def zorder_key(
     terms = []
     for j, c in enumerate(cols):
         mn, mx = stats[c]
+        # an all-NULL (or non-numeric-castable) column scans to (None,
+        # None); without this check `mx - mn` raises and user-supplied
+        # None stats would render invalid SQL like `NoneD`
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_key: no numeric min/max for column {c!r} "
+                "(all NULL or not castable to double) — drop it from "
+                "cols or supply explicit stats"
+            )
+        mn, mx = float(mn), float(mx)
         span = (mx - mn) or 1.0
         scaled = (
             f"CAST(least(greatest((CAST(`{c}` AS DOUBLE) - {mn!r}D) / {span!r}D, "
@@ -162,21 +172,35 @@ def compact(
     sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite a parquet directory into ~target-sized files (optionally
-    re-sorted for stats pruning), atomically via the same write-to-temp
-    + swap discipline as the upsert sink. Returns before/after
-    small_file_report dicts."""
+    re-sorted for stats pruning) via write-to-temp + rename swap.
+
+    The swap is two sequential os.rename calls, NOT one atomic op: a
+    crash or a concurrent reader in the instant between them observes
+    ``path`` as missing (data safe in the ``__old_`` dir — recover by
+    renaming it back). Run compaction when no readers race the swap, or
+    front it with a manifest/symlink indirection at warehouse scale.
+    Crash-safety of the data itself is guaranteed: the old directory is
+    only removed after the new one verifiably reads back with the same
+    row count. Returns before/after small_file_report dicts."""
     import os
     import shutil
     import uuid
 
     before = small_file_report(path, target_file_bytes)
     df = spark.read.parquet(path)
+    n_rows = df.count()
     n = max(1, round(before["total_bytes"] / target_file_bytes))
     out = df.repartitionByRange(n, *sort_cols) if sort_cols else df.coalesce(n)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
+    if spark.read.parquet(tmp).count() != n_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact: rewritten copy at {tmp} did not read back with "
+            f"{n_rows} rows; original left untouched"
+        )
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 OP_COL = "__op"
 DELETED_COL = "__deleted"
 STALE_COL = "__stale"
+TXN_COL = "__txn_id"
+TXN_COUNT_COL = "__txn_event_count"
+TXN_MARKER_OP = "t"
 
 
 def unwrap_envelope(
@@ -42,16 +45,88 @@ def unwrap_envelope(
     ``(before, after, op, ts_ms, lsn)`` into business columns + __op.
     Deletes carry no after image -> use the before image (rewrite mode,
     AddDeletedField.java:62-90). ``keep_cols`` are passed through beside
-    the payload (e.g. the Kafka source's ``__table`` routing column)."""
+    the payload (e.g. the Kafka source's ``__table`` routing column).
+
+    St8: when the envelope carries Debezium transaction metadata
+    (``provide.transaction.metadata=true``,
+    docker/configs/debezium/sqlserver-source.json:43), the struct field
+    ``transaction.id`` rides along as ``__txn_id`` and — on END-marker
+    events (op ``'t'``) — ``transaction.event_count`` as
+    ``__txn_event_count``, feeding :func:`split_transactions`."""
     payload = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    txn_cols = []
+    if "transaction" in df.columns:
+        txn_cols = [
+            F.col("transaction.id").cast("string").alias(TXN_COL),
+            F.col("transaction.event_count").cast("long").alias(TXN_COUNT_COL),
+        ]
     flat = df.select(
         payload.alias("__row"),
         F.col("op").alias(OP_COL),
         F.col("ts_ms"),
         F.col(lsn_col),
         *[F.col(c) for c in keep_cols],
+        *txn_cols,
     )
-    return flat.select("__row.*", OP_COL, "ts_ms", lsn_col, *keep_cols)
+    return flat.select(
+        "__row.*",
+        OP_COL,
+        "ts_ms",
+        lsn_col,
+        *keep_cols,
+        *([TXN_COL, TXN_COUNT_COL] if txn_cols else []),
+    )
+
+
+def split_transactions(
+    df: DataFrame,
+    txn_col: str = TXN_COL,
+    count_col: str = TXN_COUNT_COL,
+    op_col: str = OP_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """St8 (FR-003): partition a (batch ∪ carried-over) change frame into
+    rows safe to apply now vs rows that must wait for their source
+    transaction to be fully present.
+
+    A transaction is COMPLETE when its END marker (``op_col ==
+    TXN_MARKER_OP``, carrying ``event_count``) has arrived AND at least
+    ``event_count`` data rows with its id are present — the count guard
+    matters because Kafka only orders within a partition, so the marker
+    can overtake data events. Returns ``(ready, pending)``:
+
+    - ready: data rows of complete transactions, plus rows with no
+      transaction id (non-transactional sources apply immediately);
+    - pending: data rows and markers of incomplete transactions
+      (markers of completed transactions are dropped).
+
+    Shuffles key on the transaction id only; the complete-id set is
+    O(transactions in flight), so the semi/anti joins broadcast under
+    AQE. Applying ``ready`` through one merge + atomic swap gives
+    all-or-nothing visibility per source transaction — the guarantee
+    micro-batch atomicity alone cannot give when a batch boundary splits
+    a transaction."""
+    markers = df.filter(F.col(op_col) == TXN_MARKER_OP)
+    data = df.filter(F.col(op_col) != TXN_MARKER_OP)
+    seen = (
+        data.filter(F.col(txn_col).isNotNull())
+        .groupBy(txn_col)
+        .agg(F.count(F.lit(1)).alias("__seen"))
+    )
+    expected = markers.groupBy(txn_col).agg(F.max(count_col).alias("__expected"))
+    complete = (
+        expected.join(seen, txn_col, "left")
+        .filter(F.coalesce(F.col("__seen"), F.lit(0)) >= F.col("__expected"))
+        .select(txn_col)
+    )
+    txn_data = data.filter(F.col(txn_col).isNotNull())
+    ready = data.filter(F.col(txn_col).isNull()).unionByName(
+        txn_data.join(complete, txn_col, "left_semi")
+    )
+    pending = (
+        txn_data.join(complete, txn_col, "left_anti")
+        .unionByName(markers.join(complete, txn_col, "left_anti"))
+    )
+    return ready, pending
 
 
 def with_soft_delete(df: DataFrame) -> DataFrame:
@@ -228,3 +303,81 @@ class ParquetUpsertSink:
                 .write.mode("append")
                 .parquet(self.dlq_dir)
             )
+
+
+class TransactionalParquetUpsertSink(ParquetUpsertSink):
+    """St8 sink: ParquetUpsertSink plus source-transaction atomicity.
+
+    Rows whose source transaction is incomplete at batch end are carried
+    over in a pending spool (parquet, same swap discipline) and
+    re-presented to :func:`split_transactions` with every later batch;
+    complete transactions apply through ONE merge + directory swap, so a
+    reader never observes half a source transaction even when the
+    micro-batch boundary split it (the gap micro-batch atomicity alone
+    leaves open). Replays after checkpoint recovery are idempotent: the
+    union dedups transactional rows on (txn id, lsn, op) and the merge's
+    LSN guard absorbs re-applied rows. Reference:
+    provide.transaction.metadata=true
+    (docker/configs/debezium/sqlserver-source.json:43), FR-003
+    (spec.md:118), tests/integration/test_replication_flow.py:255.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_dir: str,
+        pk_cols: list[str],
+        lsn_col: str = "lsn",
+        dlq_dir: str | None = None,
+        pending_dir: str | None = None,
+    ):
+        super().__init__(spark, target_dir, pk_cols, lsn_col, dlq_dir)
+        self.pending_dir = pending_dir or f"{target_dir}__txn_pending"
+
+    def _swap_in(self, df: DataFrame, path: str) -> None:
+        import glob
+
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            os.rename(path, f"{path}__old_{uuid.uuid4().hex[:8]}")
+        os.rename(tmp, path)
+        for stale in glob.glob(f"{path}__old_*") + glob.glob(f"{path}__tmp_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def _read_pending(self) -> DataFrame | None:
+        import glob
+
+        if not os.path.exists(self.pending_dir):
+            # crash between the two swap renames: newest __old_* IS the
+            # pre-batch spool — restore it (mirror of target _recover)
+            olds = sorted(
+                glob.glob(f"{self.pending_dir}__old_*"), key=os.path.getmtime
+            )
+            if olds:
+                os.rename(olds[-1], self.pending_dir)
+        if not os.path.exists(self.pending_dir):
+            return None
+        return self.spark.read.parquet(self.pending_dir)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        pending_prev = self._read_pending()
+        work = (
+            batch_df
+            if pending_prev is None
+            else batch_df.unionByName(pending_prev, allowMissingColumns=True)
+        )
+        if TXN_COL in work.columns:
+            # replay net: a recovered batch re-presents rows already
+            # spooled; CDC LSNs are unique per change, so (txn, lsn, op)
+            # identifies a transactional row exactly
+            txn_rows = work.filter(F.col(TXN_COL).isNotNull()).dropDuplicates(
+                [TXN_COL, self.lsn_col, OP_COL]
+            )
+            work = work.filter(F.col(TXN_COL).isNull()).unionByName(txn_rows)
+            ready, pending = split_transactions(work)
+        else:
+            ready, pending = work, None
+        super().__call__(ready.drop(TXN_COL, TXN_COUNT_COL), batch_id)
+        if pending is not None:
+            self._swap_in(pending, self.pending_dir)

@@ -345,6 +345,21 @@ def test_dup_components_chain_and_singleton_clusters(spark):
     assert keeps == {1, 10, 20}
 
 
+def test_dup_components_deep_chain_compression(spark):
+    """A 40-node path graph has diameter 39 — plain hash-min needs ~39
+    rounds, but the pointer-jumping rounds (active from round 3) double
+    propagation distance, so max_iter=12 must suffice. Exercises the
+    compressed-round code path end to end."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    rows = DD.dup_components(pairs, max_iter=12).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    assert sorted(r["doc"] for r in rows if r["keep"]) == [0]
+
+
 def test_dup_components_oracle_parity(spark, duck):
     """Spark label propagation == DuckDB recursive-CTE closure on the
     real near-dup pair set."""

@@ -1,0 +1,179 @@
+"""St8 transaction-boundary grouping: changes of one source transaction
+apply all-or-nothing even when a micro-batch boundary splits them.
+
+Reference semantics: Debezium ``provide.transaction.metadata=true``
+(docker/configs/debezium/sqlserver-source.json:43), FR-003 (spec.md:118),
+integration shape tests/integration/test_replication_flow.py:255.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlserver_pg_cdc_spark.streaming.apply import (
+    OP_COL,
+    TXN_COL,
+    TXN_COUNT_COL,
+    TXN_MARKER_OP,
+    TransactionalParquetUpsertSink,
+    split_transactions,
+    unwrap_envelope,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("before", PAYLOAD, True),
+        T.StructField("after", PAYLOAD, True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField(
+            "transaction",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), True),
+                    T.StructField("event_count", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FLAT = (
+    "id long, name string, __op string, ts_ms long, lsn long, "
+    "__txn_id string, __txn_event_count long"
+)
+
+
+def _data(lsn, rid, name, txn=None, op="c"):
+    return (None, (rid, name), op, 1000 + lsn, lsn, (txn, None) if txn else None)
+
+
+def _marker(lsn, txn, count):
+    return (None, None, TXN_MARKER_OP, 1000 + lsn, lsn, (txn, count))
+
+
+def _unwrapped(spark, rows):
+    return unwrap_envelope(spark.createDataFrame(rows, ENVELOPE))
+
+
+def test_unwrap_carries_transaction_metadata(spark):
+    df = _unwrapped(spark, [_data(1, 10, "a", txn="T1"), _marker(2, "T1", 1)])
+    assert TXN_COL in df.columns and TXN_COUNT_COL in df.columns
+    rows = {r["lsn"]: r for r in df.collect()}
+    assert rows[1][TXN_COL] == "T1" and rows[1][TXN_COUNT_COL] is None
+    assert rows[2][TXN_COL] == "T1" and rows[2][TXN_COUNT_COL] == 1
+
+
+def test_unwrap_without_transaction_block_unchanged(spark):
+    env_no_txn = T.StructType([f for f in ENVELOPE.fields if f.name != "transaction"])
+    df = unwrap_envelope(
+        spark.createDataFrame([(None, (1, "a"), "c", 1000, 1)], env_no_txn)
+    )
+    assert TXN_COL not in df.columns
+
+
+def test_split_complete_incomplete_and_nontxn(spark):
+    df = spark.createDataFrame(
+        [
+            # T1 complete: 2 data rows + marker saying 2
+            (1, "a", "c", 1001, 1, "T1", None),
+            (2, "b", "c", 1002, 2, "T1", None),
+            (None, None, TXN_MARKER_OP, 1003, 3, "T1", 2),
+            # T2 incomplete: marker says 2, only 1 data row arrived
+            (3, "c", "c", 1004, 4, "T2", None),
+            (None, None, TXN_MARKER_OP, 1005, 5, "T2", 2),
+            # T3 incomplete: data but no marker yet
+            (4, "d", "c", 1006, 6, "T3", None),
+            # non-transactional row: applies immediately
+            (5, "e", "c", 1007, 7, None, None),
+        ],
+        FLAT,
+    )
+    ready, pending = split_transactions(df)
+    assert sorted(r["lsn"] for r in ready.collect()) == [1, 2, 7]
+    # pending keeps T2/T3 data AND the T2 marker; T1's marker is dropped
+    pend = pending.collect()
+    assert sorted(r["lsn"] for r in pend) == [4, 5, 6]
+
+
+def test_split_marker_overtakes_data(spark):
+    """Kafka only orders within a partition: an END marker may arrive
+    before its last data event — the count guard must hold the txn."""
+    df = spark.createDataFrame(
+        [(None, None, TXN_MARKER_OP, 1001, 1, "T1", 3),
+         (1, "a", "c", 1002, 2, "T1", None)],
+        FLAT,
+    )
+    ready, pending = split_transactions(df)
+    assert ready.count() == 0
+    assert pending.count() == 2
+
+
+def test_split_empty_transaction_completes(spark):
+    """event_count=0 (filtered tables): marker alone completes and drops."""
+    df = spark.createDataFrame(
+        [(None, None, TXN_MARKER_OP, 1001, 1, "T0", 0)], FLAT
+    )
+    ready, pending = split_transactions(df)
+    assert ready.count() == 0 and pending.count() == 0
+
+
+def _sink(spark, tmp_path):
+    return TransactionalParquetUpsertSink(
+        spark, str(tmp_path / "target"), ["id"], lsn_col="lsn"
+    )
+
+
+def test_txn_split_across_batches_all_or_nothing(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    # batch 0: first 2 of T1's 3 rows (no marker) + one non-txn row
+    sink(
+        _unwrapped(
+            spark,
+            [_data(1, 10, "a", "T1"), _data(2, 11, "b", "T1"), _data(3, 99, "z")],
+        ),
+        0,
+    )
+    t = sink.read_target()
+    assert [r["id"] for r in t.collect()] == [99]  # NOTHING of T1 visible
+    # batch 1: T1's last row + END marker
+    sink(
+        _unwrapped(spark, [_data(4, 12, "c", "T1"), _marker(5, "T1", 3)]), 1
+    )
+    ids = sorted(r["id"] for r in sink.read_target().collect())
+    assert ids == [10, 11, 12, 99]  # ALL of T1 visible at once
+    # spool drained
+    pend = sink._read_pending()
+    assert pend is None or pend.count() == 0
+
+
+def test_txn_replay_idempotent(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    b0 = _unwrapped(spark, [_data(1, 10, "a", "T1"), _data(2, 11, "b", "T1")])
+    b1 = _unwrapped(spark, [_data(3, 12, "c", "T1"), _marker(4, "T1", 3)])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # checkpoint-recovery replay of the finishing batch
+    rows = sink.read_target().collect()
+    assert sorted(r["id"] for r in rows) == [10, 11, 12]
+    assert len(rows) == 3
+
+
+def test_txn_update_delete_inside_transaction(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    # seed a row outside any transaction
+    sink(_unwrapped(spark, [_data(1, 20, "old")]), 0)
+    # one transaction updates 20 and deletes nothing else, split across batches
+    sink(_unwrapped(spark, [_data(2, 20, "new", "T9", op="u")]), 1)
+    assert [r["name"] for r in sink.read_target().collect()] == ["old"]
+    sink(_unwrapped(spark, [_marker(3, "T9", 1)]), 2)
+    assert [r["name"] for r in sink.read_target().collect()] == ["new"]

@@ -23,8 +23,11 @@ for multi-MB payloads set it low (e.g. 64) to bound executor memory.
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -110,23 +113,148 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192  # deterministic 64..255
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs for uncompressed formats (no library needed):
+# 24-bpp BI_RGB BMP and 16-bit PCM WAV. These make decode_images /
+# sample_audio_frames REAL decoders — header parse, padding, pixel math —
+# while compressed formats (JPEG/PNG/MP3) stay behind decoder="strict".
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bpp bottom-up BMP writer. ``pixels`` is
+    ``height*width*3`` bytes in row-major top-down (row 0 first) BGR
+    order; rows are written bottom-up with 4-byte padding, per the
+    format."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} pixel bytes, got {len(pixels)}"
+        )
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        body += pixels[r * row_bytes : (r + 1) * row_bytes]
+        body += b"\x00" * pad
+    header_size = 14 + 40
+    file_size = header_size + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        + bytes(body)
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse a 24-bpp uncompressed BMP: returns (width, height,
+    channels, pixel_byte_sum, n_pixel_bytes), or None if the payload is
+    not such a BMP (wrong magic, compressed, truncated). The sum is an
+    exact integer so downstream means divide ONCE in float64 — the
+    cross-engine hash-parity discipline (functions/canonical.py)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        return None
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if width <= 0 or height_raw == 0 or bpp != 24 or compression != 0:
+        return None
+    height = abs(height_raw)  # negative = top-down; pixel math identical
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(payload) < data_offset + stride * height:
+        return None  # truncated
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, :row_bytes]
+    return width, height, 3, int(rows.sum(dtype=np.int64)), row_bytes * height
+
+
+def encode_wav_pcm16(sample_rate: int, samples: "np.ndarray | list[int]") -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (RIFF + fmt + data)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Parse a mono 16-bit PCM WAV: returns (sample_rate, int16 sample
+    array) or None if not such a WAV. Walks RIFF chunks, so extra
+    chunks (LIST/INFO) before ``data`` are fine."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or data is None or bits != 16 or channels != 1:
+        return None
+    n = len(data) // 2
+    return sample_rate, np.frombuffer(data, dtype="<i2", count=n)
+
+
 def decode_images(
     df: DataFrame, id_col: str, payload_col: str, decoder: str = "fake"
 ) -> DataFrame:
     """Arrow-batched image decode -> (doc_id, width, height, channels,
-    mean_pixel). ``decoder="strict"`` raises where the real codec goes."""
+    mean_pixel).
+
+    - ``decoder="bmp"``: REAL decode of 24-bpp uncompressed BMP payloads
+      (pure-Python header parse + numpy pixel math — no image library).
+      Non-BMP / truncated payloads yield NULL fields, the corrupt-input
+      convention. mean_pixel = exact integer byte sum / (n_bytes * 255),
+      one float64 division, so the value hash-matches a SQL oracle.
+    - ``decoder="fake"``: deterministic dims/mean from the payload hash
+      (plumbing tests without any codec assumption).
+    - ``decoder="strict"``: raises where a compressed-format codec
+      (Pillow/ffmpeg) would be called; those libs aren't in this
+      environment."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
-                    "image decoding requires an image library (e.g. Pillow); "
-                    "not available in this environment"
+                    "compressed image decoding requires an image library "
+                    "(e.g. Pillow); not available in this environment"
                 )
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None or len(payload) == 0:
                     rows.append((doc_id, None, None, None, None))
+                    continue
+                if decoder == "bmp":
+                    parsed = decode_bmp(bytes(payload))
+                    if parsed is None:
+                        rows.append((doc_id, None, None, None, None))
+                    else:
+                        w, h, ch, px_sum, n_px = parsed
+                        rows.append((doc_id, w, h, ch, px_sum / (n_px * 255)))
                     continue
                 w, h = _fake_dims(bytes(payload))
                 mean_pixel = sum(payload[:256]) / min(len(payload), 256) / 255.0
@@ -149,13 +277,19 @@ def sample_audio_frames(
     decoder: str = "fake",
 ) -> DataFrame:
     """Frame sampling: one payload row fans out to N frame rows
-    (the mapInPandas shape real audio pipelines use)."""
+    (the mapInPandas shape real audio pipelines use).
+
+    ``decoder="wav"``: REAL decode of mono 16-bit PCM WAV (pure-Python
+    RIFF chunk walk + numpy) — frames are ``frame_ms`` windows of
+    samples at the file's sample rate; rms is computed from the exact
+    integer sum of squares with one float64 division + sqrt, the
+    hash-parity discipline. Non-WAV payloads are skipped."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
-                    "audio decoding requires an audio library; "
+                    "compressed audio decoding requires an audio library; "
                     "not available in this environment"
                 )
             rows = []
@@ -163,6 +297,24 @@ def sample_audio_frames(
                 if payload is None:
                     continue
                 b = bytes(payload)
+                if decoder == "wav":
+                    parsed = decode_wav_pcm16(b)
+                    if parsed is None:
+                        continue
+                    rate, samples = parsed
+                    spf = max(1, rate * frame_ms // 1000)
+                    n_frames = min(max_frames, max(1, -(-len(samples) // spf)))
+                    for i in range(n_frames):
+                        chunk = samples[i * spf : (i + 1) * spf]
+                        if len(chunk) == 0:
+                            break
+                        sq = int(np.sum(chunk.astype(np.int64) ** 2))
+                        # math.sqrt is correctly-rounded IEEE754, same as
+                        # SQL sqrt() — bit-identical for oracle hashing
+                        rows.append(
+                            (doc_id, i, i * frame_ms, math.sqrt(sq / len(chunk)))
+                        )
+                    continue
                 n_frames = min(max_frames, max(1, len(b) // 64))
                 for i in range(n_frames):
                     chunk = b[i * 64 : (i + 1) * 64] or b"\0"

@@ -1821,15 +1821,103 @@ def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing with the deterministic
-    fake codec — not SQL-expressible, so the driver records the weaker
-    rows-only check."""
-    from sqlserver_pg_cdc_spark.operators.multimodal import decode_images
+    """REAL image decode through the pure-Python 24-bpp BMP codec: each
+    document is rendered to a deterministic BMP (dims and every pixel a
+    closed-form function of doc_id), the binary payload goes through the
+    Arrow-batched mapInPandas decoder, and the oracle recomputes
+    width/height/mean_pixel analytically — so header parse, row padding,
+    and pixel summation are all hash-checked cross-engine. mean_pixel is
+    exact-int-sum / one float64 division (canonical.py discipline)."""
+    import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_images, encode_bmp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 1 + k % 16, 1 + k % 8
+                px = bytes((k * 31 + i * 7) % 256 for i in range(w * h * 3))
+                payloads.append(encode_bmp(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_images(enc, "doc_id", "payload", decoder="bmp")
+
+
+_MM_IMAGE_DECODE_SQL = """
+WITH px AS (
+    -- generate_series can't take correlated bounds in DuckDB; use the
+    -- fixed max pixel count (16*8*3 = 384) and an inequality join
+    SELECT d.doc_id, sum((d.doc_id * 31 + t.i * 7) % 256) AS px_sum
+    FROM documents d JOIN generate_series(0, 383) AS t(i)
+      ON t.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 8) * 3
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 16 AS INT) AS width,
+       CAST(1 + doc_id % 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(px_sum AS DOUBLE)
+         / ((1 + doc_id % 16) * (1 + doc_id % 8) * 3 * 255) AS mean_pixel
+FROM px
+"""
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the pure-Python mono 16-bit PCM WAV
+    codec: deterministic waveforms (sample j of doc k is
+    ((k*7 + j*13) % 4096) - 2048 at 1 kHz), RIFF-encoded, then frame-
+    sampled at 500 ms windows. rms = sqrt(exact-int sum of squares /
+    frame length) — sqrt is correctly-rounded in both engines, so the
+    values hash-match the generate_series oracle."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        sample_audio_frames,
     )
-    return decode_images(d, "doc_id", "payload")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                n = 600 + k % 1000
+                samples = [((k * 7 + j * 13) % 4096) - 2048 for j in range(n)]
+                payloads.append(encode_wav_pcm16(1000, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_audio_frames(
+        enc, "doc_id", "payload", frame_ms=500, max_frames=8, decoder="wav"
+    )
+
+
+_MM_AUDIO_FRAMES_SQL = """
+WITH s AS (
+    -- fixed-bound series (max 1599 samples/doc), inequality join on the
+    -- per-doc sample count, frames = 500-sample windows of the index
+    SELECT d.doc_id,
+           t.j // 500 AS frame_idx,
+           sum(((d.doc_id * 7 + t.j * 13) % 4096 - 2048)
+               * ((d.doc_id * 7 + t.j * 13) % 4096 - 2048)) AS sq_sum,
+           count(*) AS n
+    FROM documents d JOIN generate_series(0, 1598) AS t(j)
+      ON t.j < 600 + d.doc_id % 1000
+    GROUP BY d.doc_id, t.j // 500
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 500 AS BIGINT) AS frame_offset_ms,
+       sqrt(CAST(sq_sum AS DOUBLE) / n) AS rms
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2802,7 +2890,12 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "payload",
         ),
     )
-    catalog["multimodal_image_decode"] = QuerySpec(q_multimodal_image_decode, None)
+    catalog["multimodal_image_decode"] = QuerySpec(
+        q_multimodal_image_decode, _MM_IMAGE_DECODE_SQL
+    )
+    catalog["multimodal_audio_frames"] = QuerySpec(
+        q_multimodal_audio_frames, _MM_AUDIO_FRAMES_SQL
+    )
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

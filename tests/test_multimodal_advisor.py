@@ -86,6 +86,77 @@ def test_audio_frame_fanout(spark):
         assert all(f["rms"] >= 0 for f in doc_frames)
 
 
+def test_bmp_roundtrip_known_pixels():
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # 3x2, odd row width (9 bytes -> 3 pad bytes/row) exercises padding
+    px = bytes(range(18))
+    bmp = encode_bmp(3, 2, px)
+    w, h, ch, sm, n = decode_bmp(bmp)
+    assert (w, h, ch, n) == (3, 2, 3, 18)
+    assert sm == sum(range(18))  # padding bytes NOT counted
+
+
+def test_bmp_decode_rejects_garbage_and_truncation():
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    assert decode_bmp(b"not a bmp at all padding padding padding padding") is None
+    bmp = encode_bmp(4, 4, bytes(48))
+    assert decode_bmp(bmp[:-5]) is None  # truncated pixel data
+    assert decode_bmp(None) is None
+
+
+def test_bmp_decode_topdown_negative_height():
+    import struct as S
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    bmp = bytearray(encode_bmp(2, 3, bytes(range(18))))
+    S.pack_into("<i", bmp, 22, -3)  # top-down flag
+    w, h, ch, sm, n = decode_bmp(bytes(bmp))
+    assert (w, h, sm) == (2, 3, sum(range(18)))
+
+
+def test_decode_images_bmp_real(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import encode_bmp
+
+    rows = [
+        (1, encode_bmp(2, 2, bytes([10] * 12))),
+        (2, b"corrupt"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           decode_images(df, "doc_id", "payload", decoder="bmp").collect()}
+    assert got[1]["width"] == 2 and got[1]["height"] == 2
+    assert got[1]["mean_pixel"] == pytest.approx(10 / 255)
+    assert got[2]["width"] is None and got[3]["width"] is None
+
+
+def test_wav_roundtrip_and_frame_rms(spark):
+    import math
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [100, -100, 200, -200]
+    wav = encode_wav_pcm16(4, samples)  # 4 Hz -> 4 samples = 1000 ms
+    rate, back = decode_wav_pcm16(wav)
+    assert rate == 4 and list(back) == samples
+    df = spark.createDataFrame([(1, wav), (2, b"nope")], "doc_id long, payload binary")
+    frames = sample_audio_frames(
+        df, "doc_id", "payload", frame_ms=500, decoder="wav"
+    ).collect()
+    # 4 samples at 4 Hz, 500 ms windows -> 2 samples per frame, 2 frames
+    assert [r["doc_id"] for r in frames] == [1, 1]
+    assert frames[0]["rms"] == pytest.approx(
+        math.sqrt((100 * 100 + 100 * 100) / 2)
+    )
+    assert frames[1]["frame_offset_ms"] == 500
+
+
 def test_resize_stub_raises(spark):
     df = _binary_docs(spark).limit(1)
     with pytest.raises(Exception):

@@ -52,42 +52,50 @@ def reconcile_table(
     mode over rows changed after the cutoff (reference A4: 10-100x on
     low-churn tables — pushdown does the pruning).
     """
-    out: dict[str, Any] = {"table": table, "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat()}
-    sc, tc = source.count(), target.count()
-    out.update(
-        source_count=sc,
-        target_count=tc,
-        difference=tc - sc,
-        match=sc == tc,
-        status="MATCH" if sc == tc else "MISMATCH",
-    )
-    if validate_checksums:
-        if change_col and since:
-            from sqlserver_pg_cdc_spark.operators.checksum import incremental_checksum
+    from sqlserver_pg_cdc_spark.tracing import get_tracer
 
-            s_sum = incremental_checksum(source, change_col, since, compare_cols).collect()[0]
-            t_sum = incremental_checksum(target, change_col, since, compare_cols).collect()[0]
-            out["checksum_mode"] = "delta"
-            out["delta_rows"] = s_sum["row_count"]
-            s_sum, t_sum = s_sum["checksum"], t_sum["checksum"]
-        else:
-            s_sum = table_checksum(source, compare_cols).collect()[0]["checksum"]
-            t_sum = table_checksum(target, compare_cols).collect()[0]["checksum"]
-            if change_col:
-                out["checksum_mode"] = "full"
+    tracer = get_tracer()
+    out: dict[str, Any] = {"table": table, "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat()}
+    with tracer.span("reconcile_table", table=table) as root:
+        with tracer.span("count_comparison", table=table):
+            sc, tc = source.count(), target.count()
         out.update(
-            source_checksum=s_sum,
-            target_checksum=t_sum,
-            checksum_match=s_sum == t_sum,
+            source_count=sc,
+            target_count=tc,
+            difference=tc - sc,
+            match=sc == tc,
+            status="MATCH" if sc == tc else "MISMATCH",
         )
-    if row_level and pk_cols:
-        d = diff_tables(source, target, pk_cols, compare_cols)
-        counts = {r[0]: r[1] for r in d.groupBy("diff_type").count().collect()}
-        out["row_level"] = {
-            "missing": counts.get("MISSING", 0),
-            "extra": counts.get("EXTRA", 0),
-            "modified": counts.get("MODIFIED", 0),
-        }
+        if validate_checksums:
+            with tracer.span("checksum_comparison", table=table):
+                if change_col and since:
+                    from sqlserver_pg_cdc_spark.operators.checksum import incremental_checksum
+
+                    s_sum = incremental_checksum(source, change_col, since, compare_cols).collect()[0]
+                    t_sum = incremental_checksum(target, change_col, since, compare_cols).collect()[0]
+                    out["checksum_mode"] = "delta"
+                    out["delta_rows"] = s_sum["row_count"]
+                    s_sum, t_sum = s_sum["checksum"], t_sum["checksum"]
+                else:
+                    s_sum = table_checksum(source, compare_cols).collect()[0]["checksum"]
+                    t_sum = table_checksum(target, compare_cols).collect()[0]["checksum"]
+                    if change_col:
+                        out["checksum_mode"] = "full"
+            out.update(
+                source_checksum=s_sum,
+                target_checksum=t_sum,
+                checksum_match=s_sum == t_sum,
+            )
+        if row_level and pk_cols:
+            with tracer.span("row_level_diff", table=table):
+                d = diff_tables(source, target, pk_cols, compare_cols)
+                counts = {r[0]: r[1] for r in d.groupBy("diff_type").count().collect()}
+            out["row_level"] = {
+                "missing": counts.get("MISSING", 0),
+                "extra": counts.get("EXTRA", 0),
+                "modified": counts.get("MODIFIED", 0),
+            }
+        root.set_attribute("status", out["status"])
     return out
 
 

@@ -278,21 +278,13 @@ class ParquetUpsertSink:
         return self.spark.read.parquet(self.target_dir)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.tracing import get_tracer
+
         try:
-            merged = merge_upsert(
-                self.read_target(), batch_df, self.pk_cols, self.lsn_col
-            )
-            tmp = f"{self.target_dir}__tmp_{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
-            if os.path.exists(self.target_dir):
-                os.rename(self.target_dir, old)
-                os.rename(tmp, self.target_dir)
-            else:
-                os.rename(tmp, self.target_dir)
-            # success: drop superseded generations and orphaned tmps
-            for stale in self._generations("old") + self._generations("tmp"):
-                shutil.rmtree(stale, ignore_errors=True)
+            with get_tracer().span(
+                "cdc_apply_batch", batch_id=batch_id, target=self.target_dir
+            ):
+                self._apply(batch_df)
         except Exception as e:  # St10: error routing, not query death
             if self.dlq_dir is None:
                 raise
@@ -303,6 +295,22 @@ class ParquetUpsertSink:
                 .write.mode("append")
                 .parquet(self.dlq_dir)
             )
+
+    def _apply(self, batch_df: DataFrame) -> None:
+        merged = merge_upsert(
+            self.read_target(), batch_df, self.pk_cols, self.lsn_col
+        )
+        tmp = f"{self.target_dir}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.target_dir):
+            os.rename(self.target_dir, old)
+            os.rename(tmp, self.target_dir)
+        else:
+            os.rename(tmp, self.target_dir)
+        # success: drop superseded generations and orphaned tmps
+        for stale in self._generations("old") + self._generations("tmp"):
+            shutil.rmtree(stale, ignore_errors=True)
 
 
 class TransactionalParquetUpsertSink(ParquetUpsertSink):

@@ -1867,6 +1867,33 @@ FROM px
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th document plays the held-out
+    eval set; the remaining corpus is flagged for 3-gram overlap with
+    it. Fixture duplicates make this non-trivial — near-copies of eval
+    docs surface as contaminated. One shuffle join on the gram (no
+    broadcast: eval gram sets are unbounded at suite scale)."""
+    from sqlserver_pg_cdc_spark.operators.decontam import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, eval_df, "doc_id", "text", k=3, min_hits=1)
+
+
+def _decontaminate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.decontam import decontaminate_sql
+
+    return decontaminate_sql(
+        "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+        "SELECT * FROM documents WHERE doc_id % 17 = 0",
+        "doc_id",
+        "text",
+        k=3,
+        min_hits=1,
+    )
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the pure-Python mono 16-bit PCM WAV
     codec: deterministic waveforms (sample j of doc k is
@@ -2896,6 +2923,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_audio_frames"] = QuerySpec(
         q_multimodal_audio_frames, _MM_AUDIO_FRAMES_SQL
     )
+    catalog["decontaminate"] = QuerySpec(q_decontaminate, _decontaminate_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -373,6 +373,62 @@ def test_dup_components_oracle_parity(spark, duck):
     assert got == want
 
 
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding an eval doc's 3-gram is flagged; clean and
+    too-short docs are not."""
+    from sqlserver_pg_cdc_spark.operators.decontam import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "somewhere a quick brown fox appeared today"),  # shares "quick brown fox"
+            (2, "completely unrelated text about spark plans here"),
+            (3, "too short"),  # < 3 tokens -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            decontaminate(corpus, eval_df, "doc_id", "text", k=3).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_eval_hits"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_eval_hits"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+    assert rows[1]["contam_frac"] > 0
+
+
+def test_decontaminate_oracle_parity(spark, duck):
+    from sqlserver_pg_cdc_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_sql,
+    )
+
+    d = load(spark, "documents")
+    got = sorted(
+        tuple(r)
+        for r in decontaminate(
+            d.filter("doc_id % 17 != 0"),
+            d.filter("doc_id % 17 = 0"),
+            "doc_id",
+            "text",
+            k=3,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            decontaminate_sql(
+                "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+                "SELECT * FROM documents WHERE doc_id % 17 = 0",
+                "doc_id",
+                "text",
+                k=3,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_repetition_profile_flags_and_empties(spark):
     from sqlserver_pg_cdc_spark.functions.text import repetition_profile
 

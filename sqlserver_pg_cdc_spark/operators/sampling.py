@@ -84,6 +84,125 @@ def stratified_sample(
     )
 
 
+def budget_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Token-budgeted corpus mixture (exact): fill each source's token
+    budget in deterministic hash order, the mixture-construction step a
+    training pipeline runs after filtering ("2 parts web, 1 part code,
+    up to N tokens each"). A doc is kept while the source's running
+    token sum stays within budget.
+
+    Shape: broadcast the (source, budget) dim (bounded: one row per
+    corpus source), ONE window cumsum partitioned by source. NOTE the
+    window funnels each source through one task — exact mixing is for
+    validation scale / bounded per-source cardinality; the 100 TB path
+    is :func:`budget_mix_by_rate` (no window, expected-token budget)."""
+    spark = df.sparkSession
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    bdf = spark.sql(f"SELECT * FROM VALUES {vals} t({source_col}, __budget)")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_hash_bucket(key_col), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(bdf), source_col)
+        .withColumn("cum_tokens", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .drop("__budget")
+    )
+
+
+def budget_mix_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> str:
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    return f"""
+SELECT * EXCLUDE (__budget) FROM (
+    SELECT d.*, b.__budget,
+           sum(CAST(d.{token_col} AS BIGINT)) OVER (
+               PARTITION BY d.{source_col}
+               ORDER BY {_hash_bucket_sql("d." + key_col)}, d.{key_col}
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM {table} d
+    JOIN (VALUES {vals}) AS b({source_col}, __budget)
+      ON d.{source_col} = b.{source_col}
+)
+WHERE cum_tokens <= __budget
+"""
+
+
+def budget_mix_by_rate(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Scale-path corpus mixture: instead of an exact per-source cumsum
+    (one window task per source), keep each doc with probability
+    budget/source_tokens via the content hash — the EXPECTED kept
+    tokens hit the budget, with no window and no skew. One tiny agg for
+    per-source token totals (broadcast back), then a codegen filter on
+    the scan. Fully deterministic: same data + budgets -> same sample,
+    on any engine or partitioning."""
+    spark = df.sparkSession
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    bdf = spark.sql(f"SELECT * FROM VALUES {vals} t({source_col}, __budget)")
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("__total")
+    )
+    rates = bdf.join(totals, source_col).select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("__budget").cast("double") / F.col("__total").cast("double"),
+            )
+            * F.lit(_BUCKETS)
+        ).alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_hash_bucket(key_col) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def budget_mix_by_rate_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> str:
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    return f"""
+SELECT d.* FROM {table} d
+JOIN (
+    SELECT t.{source_col},
+           floor(least(CAST(1 AS DOUBLE),
+                       CAST(b.__budget AS DOUBLE) / CAST(t.__total AS DOUBLE))
+                 * {_BUCKETS}) AS __thresh
+    FROM (SELECT {source_col}, sum(CAST({token_col} AS BIGINT)) AS __total
+          FROM {table} GROUP BY {source_col}) t
+    JOIN (VALUES {vals}) AS b({source_col}, __budget)
+      ON t.{source_col} = b.{source_col}
+) r ON d.{source_col} = r.{source_col}
+WHERE {_hash_bucket_sql("d." + key_col)} < r.__thresh
+"""
+
+
 def stratified_sample_sql(
     table: str, strata_cols: list[str], key_col: str, n_per_stratum: int
 ) -> str:

@@ -1867,6 +1867,58 @@ FROM px
 """
 
 
+_MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus mixture (exact): weighted char budgets per
+    source (1x/2x/3x pattern), filled in deterministic hash order via a
+    per-source window cumsum. Projection drops the text column so only
+    ids/counters hash."""
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return budget_mix(d, "source", "doc_id", "n_chars", _MIX_BUDGETS).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "cum_tokens",
+    )
+
+
+def _corpus_mix_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix_sql
+
+    inner = budget_mix_sql("documents", "source", "doc_id", "n_chars", _MIX_BUDGETS)
+    return f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ({inner})
+"""
+
+
+def q_corpus_mix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path mixture: expected-token budgets via content-hash rate
+    thresholds — no window, no skew; the plan is a scan + broadcast-dim
+    filter. Same budgets as the exact query for comparability."""
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix_by_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return budget_mix_by_rate(d, "source", "doc_id", "n_chars", _MIX_BUDGETS).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _corpus_mix_rate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix_by_rate_sql
+
+    inner = budget_mix_by_rate_sql(
+        "documents", "source", "doc_id", "n_chars", _MIX_BUDGETS
+    )
+    return f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ({inner})
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 17th document plays the held-out
     eval set; the remaining corpus is flagged for 3-gram overlap with
@@ -2924,6 +2976,8 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_multimodal_audio_frames, _MM_AUDIO_FRAMES_SQL
     )
     catalog["decontaminate"] = QuerySpec(q_decontaminate, _decontaminate_sql())
+    catalog["corpus_mix"] = QuerySpec(q_corpus_mix, _corpus_mix_sql())
+    catalog["corpus_mix_rate"] = QuerySpec(q_corpus_mix_rate, _corpus_mix_rate_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -128,3 +128,51 @@ def test_weighted_sample_semantics(spark):
     assert lo == weighted_sample(
         df.withColumn("w", F.lit(0.2)), "o_orderkey", "w", 0.5
     ).count()
+
+
+def test_budget_mix_respects_budgets_and_determinism(spark):
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix
+
+    d = load(spark, "documents")
+    budgets = {f"src{i}": 1500 for i in range(20)}
+    out = budget_mix(d, "source", "doc_id", "n_chars", budgets)
+    per_src = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.max("cum_tokens").alias("tok"))
+        .collect()
+    }
+    assert per_src, "mixture selected nothing"
+    assert all(v <= 1500 for v in per_src.values())
+    # greedy fill: adding the NEXT doc in hash order would exceed budget,
+    # so kept-token totals are reproducible run to run
+    again = budget_mix(d, "source", "doc_id", "n_chars", budgets)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_budget_mix_by_rate_expected_tokens(spark):
+    from sqlserver_pg_cdc_spark.operators.sampling import budget_mix_by_rate
+
+    d = load(spark, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    # half of each source's tokens as budget -> keep rate ~0.5
+    budgets = {s: int(t // 2) for s, t in totals.items()}
+    out = budget_mix_by_rate(d, "source", "doc_id", "n_chars", budgets)
+    kept = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    # expected-value sampling: aggregate corpus-level tokens near 50%
+    total_all = sum(totals.values())
+    kept_all = sum(kept.values())
+    assert 0.3 * total_all < kept_all < 0.7 * total_all
+    # budget >= total -> rate clamps to 1, everything kept
+    everything = budget_mix_by_rate(
+        d, "source", "doc_id", "n_chars", {s: t * 2 for s, t in totals.items()}
+    )
+    assert everything.count() == d.count()

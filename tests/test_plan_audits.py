@@ -86,3 +86,56 @@ def test_pricing_summary_is_scan_plus_one_exchange(spark):
     assert m.pushed_filters >= 1  # shipdate predicate reaches parquet
     assert m.unfiltered_scans == 0
     assert len(m.scans) == 1  # single pass over lineitem
+
+
+def test_profile_table_no_expand(spark):
+    """profile_table must never trigger the multi-distinct Expand
+    rewrite (xN_cols row multiplication). Approx mode: the whole
+    profile is ONE aggregation pass with zero Expand; exact mode: each
+    per-column countDistinct job is a lone distinct (two-level hash
+    agg, no Expand either)."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+    df = load_table(spark, SF, "customer")
+    aggs = []
+    for i, f in enumerate(df.schema.fields):
+        c = F.col(f.name)
+        aggs += [
+            F.count_if(c.isNull()).alias(f"n{i}"),
+            F.approx_count_distinct(c).alias(f"d{i}"),
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+        ]
+    approx_plan = df.agg(*aggs)._sc_jvm_plan if False else (
+        df.agg(*aggs)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "Expand" not in approx_plan, "approx profile plan grew an Expand"
+    lone = (
+        df.select("c_mktsegment")
+        .agg(F.countDistinct("c_mktsegment"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "Expand" not in lone, "lone countDistinct plan grew an Expand"
+
+
+@pytest.mark.parametrize("qname", ["corpus_boilerplate", "decontaminate"])
+def test_gram_joins_not_hint_forced_broadcast(spark, qname):
+    """The boilerplate / eval gram sets are unbounded at corpus scale,
+    so the queries must not FORCE a broadcast via hint. (Catalyst and
+    AQE may still choose broadcast from observed sizes at test scale —
+    that is the correct size-based behavior and would not fire at
+    100 TB; a hint would.) Asserted on the analyzed logical plan, where
+    F.broadcast leaves a ResolvedHint node."""
+    fn = workload.build_catalog(spark)[qname].fn
+    logical = str(fn(spark, SF)._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical, "gram-side broadcast is hint-forced"
+    m = _metrics(spark, qname)
+    assert m.python_evals == 0
+    assert not m.has_cartesian

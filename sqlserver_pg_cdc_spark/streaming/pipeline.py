@@ -21,23 +21,40 @@ from pyspark.sql import types as T
 
 from sqlserver_pg_cdc_spark.streaming.apply import (
     ParquetUpsertSink,
+    TransactionalParquetUpsertSink,
     unwrap_envelope,
     with_soft_delete,
     with_stale_flag,
 )
 
 
-def change_stream_schema(payload_schema: T.StructType) -> T.StructType:
-    """Debezium-envelope schema for a given business-row schema."""
-    return T.StructType(
-        [
-            T.StructField("before", payload_schema, True),
-            T.StructField("after", payload_schema, True),
-            T.StructField("op", T.StringType(), False),
-            T.StructField("ts_ms", T.LongType(), True),
-            T.StructField("lsn", T.LongType(), False),
-        ]
-    )
+def change_stream_schema(
+    payload_schema: T.StructType, transactional: bool = False
+) -> T.StructType:
+    """Debezium-envelope schema for a given business-row schema. With
+    ``transactional`` the envelope carries the Debezium transaction
+    block (provide.transaction.metadata=true)."""
+    fields = [
+        T.StructField("before", payload_schema, True),
+        T.StructField("after", payload_schema, True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ]
+    if transactional:
+        fields.append(
+            T.StructField(
+                "transaction",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType(), True),
+                        T.StructField("event_count", T.LongType(), True),
+                    ]
+                ),
+                True,
+            )
+        )
+    return T.StructType(fields)
 
 
 class CdcPipeline:
@@ -54,6 +71,7 @@ class CdcPipeline:
         dlq_dir: str | None = None,
         stale_hours: int = 24,
         sink=None,
+        transactional: bool = False,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -63,9 +81,18 @@ class CdcPipeline:
         self.pk_cols = pk_cols
         self.dlq_dir = dlq_dir
         self.stale_hours = stale_hours
+        # St8: parse the Debezium transaction block and apply source
+        # transactions all-or-nothing (TransactionalParquetUpsertSink)
+        self.transactional = transactional
         # custom foreachBatch sink (e.g. jdbc.DbApiUpsertSink against a
         # live database); defaults to the parquet swap sink
         self.sink = sink
+
+    def _default_sink(self):
+        cls = (
+            TransactionalParquetUpsertSink if self.transactional else ParquetUpsertSink
+        )
+        return cls(self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir)
 
     def _transform(self, raw: DataFrame) -> DataFrame:
         flat = unwrap_envelope(raw)
@@ -89,9 +116,7 @@ class CdcPipeline:
             .withColumn("__deleted", F.lit("false"))
             .withColumn("__stale", F.lit(False))
         )
-        sink = self.sink or ParquetUpsertSink(
-            self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
-        )
+        sink = self.sink or self._default_sink()
         sink(seeded, batch_id=-1)
 
     def run_available_now(self, max_files_per_trigger: int | None = None) -> None:
@@ -102,14 +127,12 @@ class CdcPipeline:
         (sqlserver-source.json:39), keeping per-batch memory flat no
         matter how far behind the spool is."""
         reader = self.spark.readStream.schema(
-            change_stream_schema(self.payload_schema)
+            change_stream_schema(self.payload_schema, self.transactional)
         )
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         raw = reader.json(self.source_dir)
-        sink = self.sink or ParquetUpsertSink(
-            self.spark, self.target_dir, self.pk_cols, dlq_dir=self.dlq_dir
-        )
+        sink = self.sink or self._default_sink()
         q = (
             self._transform(raw)
             .writeStream.foreachBatch(sink)

@@ -168,6 +168,60 @@ def test_txn_replay_idempotent(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_pipeline_transactional_end_to_end(spark, tmp_path):
+    """Full streaming path: CdcPipeline(transactional=True) over a file
+    spool where one source transaction spans two micro-batches
+    (maxFilesPerTrigger=1). The applied target must contain the whole
+    transaction exactly once."""
+    import json
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+
+    def ev(lsn, op, row=None, txn=None, count=None):
+        e = {
+            "op": op,
+            "lsn": lsn,
+            "ts_ms": 1_700_000_000_000 + lsn,
+            "before": None,
+            "after": row,
+            "transaction": (
+                {"id": txn, "event_count": count} if txn else None
+            ),
+        }
+        return json.dumps(e)
+
+    # file ordering by name: 0.json drains before 1.json
+    (spool / "0.json").write_text(
+        "\n".join(
+            [ev(1, "c", {"id": 10, "name": "a"}, "T1"),
+             ev(2, "c", {"id": 11, "name": "b"}, "T1")]
+        )
+    )
+    (spool / "1.json").write_text(
+        "\n".join(
+            [ev(3, "c", {"id": 12, "name": "c"}, "T1"),
+             ev(4, TXN_MARKER_OP, None, "T1", 3)]
+        )
+    )
+    pipe = CdcPipeline(
+        spark,
+        source_dir=str(spool),
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        payload_schema=PAYLOAD,
+        pk_cols=["id"],
+        transactional=True,
+    )
+    pipe.run_available_now(max_files_per_trigger=1)
+    rows = pipe.target().collect()
+    assert sorted(r["id"] for r in rows) == [10, 11, 12]
+    assert all(r["__deleted"] == "false" for r in rows)
+
+
 def test_txn_update_delete_inside_transaction(spark, tmp_path):
     sink = _sink(spark, tmp_path)
     # seed a row outside any transaction

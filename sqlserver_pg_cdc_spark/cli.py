@@ -71,6 +71,9 @@ def create_parser() -> argparse.ArgumentParser:
     stream.add_argument("--stale-hours", type=int, default=24)
     stream.add_argument("--max-files-per-trigger", type=int,
                         help="bound each micro-batch (max.batch.size parity)")
+    stream.add_argument("--transactional", action="store_true",
+                        help="apply source transactions all-or-nothing "
+                             "(provide.transaction.metadata parity)")
 
     corpus = sub.add_parser(
         "corpus", help="dedup a document corpus: pairs -> clusters -> keep list"
@@ -309,6 +312,7 @@ def cmd_stream(args) -> int:
         pk_cols=args.pk_columns,
         dlq_dir=args.dlq_dir,
         stale_hours=args.stale_hours,
+        transactional=args.transactional,
     )
     pipe.run_available_now(max_files_per_trigger=args.max_files_per_trigger)
     t = pipe.target()

@@ -374,6 +374,46 @@ def test_cli_stream_subcommand(tmp_path):
     assert out2["applied_target_rows"] == 2
 
 
+def test_cli_stream_transactional(tmp_path):
+    """`stream --transactional`: a transaction split across two spool
+    files (micro-batches) applies all-or-nothing through the CLI."""
+    import json as _json
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def ev(lsn, op, row=None, txn=None, count=None):
+        return _json.dumps({
+            "op": op, "lsn": lsn, "ts_ms": 1700000000000 + lsn,
+            "before": None, "after": row,
+            "transaction": {"id": txn, "event_count": count} if txn else None,
+        })
+
+    (spool / "0.json").write_text(
+        ev(1, "c", {"id": 1, "name": "a", "amount": 1.0}, "T1") + "\n"
+    )
+    (spool / "1.json").write_text(
+        "\n".join([
+            ev(2, "c", {"id": 2, "name": "b", "amount": 2.0}, "T1"),
+            ev(3, "t", None, "T1", 2),
+        ])
+    )
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "stream",
+        "--spool-dir", str(spool),
+        "--target-dir", str(tmp_path / "tgt"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--payload-schema", "id LONG, name STRING, amount DOUBLE",
+        "--pk-columns", "id",
+        "--max-files-per-trigger", "1",
+        "--transactional",
+    ]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["applied_target_rows"] == 2
+
+
 def test_cli_corpus_dedup(tmp_path):
     """End-to-end corpus dedup through the CLI: planted near-dups are
     clustered and each cluster keeps exactly one survivor."""

@@ -122,6 +122,32 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Same rationale for whole-stage-codegen compilation: the text/dedup
+    # family generates large Janino classes whose one-time compile (~5-10s
+    # per driver JVM) would otherwise be misattributed to whichever heavy
+    # query runs first. Execute those plan SHAPES once at sf0.001 (tiny
+    # data, identical schemas -> identical generated classes); the timed
+    # section then measures the plans, not the compiler.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in (
+            "dedup_components",
+            "embedding_near_dup",
+            "dedup_simhash_pairs",
+            "corpus_boilerplate",
+            "decontaminate",
+            "checksum_lineitem",
+            "pack_sequences",
+            "events_sessions",
+        ):
+            spec = catalog.get(name)
+            if spec is None:
+                continue
+            try:
+                spec.fn(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup must never fail the bench
+
     timings: dict[str, float] = {}
     for name, spec in catalog.items():
         t0 = time.time()

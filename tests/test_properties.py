@@ -245,3 +245,93 @@ def test_dup_components_matches_union_find(spark, edges):
     assert {n: c for n, (c, _) in got.items()} == want
     for n, (c, keep) in got.items():
         assert keep == (n == c)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    """encode_bmp -> decode_bmp recovers dims and the exact pixel sum for
+    any size (odd widths exercise every padding case 1-3)."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    got = decode_bmp(encode_bmp(w, h, px))
+    assert got == (w, h, 3, sum(px), w * h * 3)
+
+
+@given(
+    rate=st.sampled_from([1000, 8000, 16000]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(rate, samples):
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    got = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+    assert got is not None
+    assert got[0] == rate and list(got[1]) == samples
+
+
+@given(
+    n_txns=st.integers(1, 4),
+    data=st.data(),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_split_transactions_partition_property(spark, n_txns, data):
+    """For any assignment of rows to transactions and any subset of END
+    markers present, split_transactions partitions the input: every data
+    row lands in exactly one of (ready, pending); a transaction's rows
+    are ready iff its marker is present AND all its rows arrived."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        TXN_MARKER_OP,
+        split_transactions,
+    )
+
+    rows, expected_ready = [], set()
+    lsn = 0
+    for t in range(n_txns):
+        txn = f"T{t}"
+        size = data.draw(st.integers(1, 4))
+        present = data.draw(st.integers(1, size))  # rows that arrived
+        has_marker = data.draw(st.booleans())
+        for i in range(present):
+            lsn += 1
+            rows.append((lsn, txn, None, "c"))
+        if has_marker:
+            lsn += 1
+            rows.append((lsn, txn, size, TXN_MARKER_OP))
+        if has_marker and present >= size:
+            expected_ready |= {
+                r[0] for r in rows if r[1] == txn and r[3] != TXN_MARKER_OP
+            }
+    # one non-transactional row, always ready
+    lsn += 1
+    rows.append((lsn, None, None, "c"))
+    expected_ready.add(lsn)
+
+    df = spark.createDataFrame(
+        rows, "lsn long, __txn_id string, __txn_event_count long, __op string"
+    )
+    ready, pending = split_transactions(df)
+    got_ready = {r["lsn"] for r in ready.collect()}
+    got_pending = {r["lsn"] for r in pending.collect()}
+    assert got_ready == expected_ready
+    assert got_ready.isdisjoint(got_pending)
+    data_lsns = {r[0] for r in rows if r[3] != TXN_MARKER_OP}
+    # every data row is in exactly one side
+    assert data_lsns == got_ready | (got_pending & data_lsns)

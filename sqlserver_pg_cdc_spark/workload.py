@@ -915,9 +915,11 @@ GROUP BY user_id, session_id
 
 def q_pii_mask_udf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F6/F7: the format-preserving Arrow-UDF maskers (phone, credit
-    card, IP) over synthesized fields — positional re-injection is not
-    SQL-expressible, so the driver records the rows-only check; exact
-    semantics are pinned by the unit fixtures."""
+    card, IP) over synthesized fields. The general positional
+    re-injection is not SQL-expressible, but for THESE inputs the
+    masked outputs have closed forms — the oracle states the expected
+    strings independently (and recomputes Luhn digit-by-digit), so the
+    UDFs are value-hash-checked, not just row-counted."""
     from sqlserver_pg_cdc_spark.functions import masking
 
     c = load_table(spark, sf_dir, "customer")
@@ -938,6 +940,34 @@ def q_pii_mask_udf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         masking.mask_ip(ip).alias("ip_masked"),
         masking.luhn_check(cc).alias("cc_luhn_valid"),
     )
+
+
+# Closed-form expected outputs for the synthesized masker inputs:
+# phone "(XXX) 555-YYYY" has 10 digits -> keep last 4, re-inject ->
+# "(***) ***-YYYY"; the 16-digit card keeps its last group; the IPv4
+# masker always yields "first_octet.***.*.***". Luhn is recomputed
+# digit-by-digit over the same 16-digit string (odd right-indexed digits
+# doubled, 9-subtracted), independently of the Python implementation.
+_PII_UDF_SQL = """
+WITH base AS (
+    SELECT c_custkey,
+           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS last4,
+           '453212345678' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS ccd
+    FROM customer
+)
+SELECT c_custkey,
+       '(***) ***-' || last4 AS phone_masked,
+       '****-****-****-' || last4 AS cc_masked,
+       '10.***.*.***' AS ip_masked,
+       (list_sum(list_transform(range(0, 16), i ->
+            CASE WHEN i % 2 = 1
+                 THEN CASE WHEN 2 * CAST(substr(ccd, 16 - i, 1) AS INT) > 9
+                           THEN 2 * CAST(substr(ccd, 16 - i, 1) AS INT) - 9
+                           ELSE 2 * CAST(substr(ccd, 16 - i, 1) AS INT) END
+                 ELSE CAST(substr(ccd, 16 - i, 1) AS INT) END
+       )) % 10 = 0) AS cc_luhn_valid
+FROM base
+"""
 
 
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2793,7 +2823,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
         "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
-        "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, None),
+        "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, _PII_UDF_SQL),
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
         "type_convert_orders": QuerySpec(q_type_convert_orders, _Q_TYPE_CONVERT_SQL),
         "gdpr_pseudonymize_supplier": QuerySpec(q_gdpr_pseudonymize_supplier, _Q_GDPR_SQL),

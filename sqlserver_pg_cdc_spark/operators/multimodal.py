@@ -204,6 +204,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray] | None:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk — reject, same as decode_bmp
         if cid == b"fmt " and len(body) >= 16:
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0

@@ -112,7 +112,12 @@ def split_transactions(
         .groupBy(txn_col)
         .agg(F.count(F.lit(1)).alias("__seen"))
     )
-    expected = markers.groupBy(txn_col).agg(F.max(count_col).alias("__expected"))
+    # a malformed END marker with NULL event_count must not wedge its
+    # transaction in the spool forever: treat it as "complete on marker"
+    # (apply whatever arrived) — the producer is already out of spec
+    expected = markers.groupBy(txn_col).agg(
+        F.max(F.coalesce(F.col(count_col), F.lit(0))).alias("__expected")
+    )
     complete = (
         expected.join(seen, txn_col, "left")
         .filter(F.coalesce(F.col("__seen"), F.lit(0)) >= F.col("__expected"))
@@ -255,11 +260,12 @@ class ParquetUpsertSink:
         self.lsn_col = lsn_col
         self.dlq_dir = dlq_dir
 
-    def _generations(self, kind: str) -> list[str]:
+    def _generations(self, kind: str, path: str | None = None) -> list[str]:
         import glob
 
         return sorted(
-            glob.glob(f"{self.target_dir}__{kind}_*"), key=os.path.getmtime
+            glob.glob(f"{path or self.target_dir}__{kind}_*"),
+            key=os.path.getmtime,
         )
 
     def _recover(self) -> None:
@@ -270,6 +276,18 @@ class ParquetUpsertSink:
         olds = self._generations("old")
         if olds:
             os.rename(olds[-1], self.target_dir)
+
+    def _swap_in(self, df: DataFrame, path: str) -> None:
+        """Write-to-tmp + rename swap + cleanup of superseded
+        generations — the one copy of the swap discipline both the
+        target apply and the transactional pending spool use."""
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            os.rename(path, f"{path}__old_{uuid.uuid4().hex[:8]}")
+        os.rename(tmp, path)
+        for stale in self._generations("old", path) + self._generations("tmp", path):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def read_target(self) -> DataFrame | None:
         self._recover()
@@ -300,17 +318,7 @@ class ParquetUpsertSink:
         merged = merge_upsert(
             self.read_target(), batch_df, self.pk_cols, self.lsn_col
         )
-        tmp = f"{self.target_dir}__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.target_dir):
-            os.rename(self.target_dir, old)
-            os.rename(tmp, self.target_dir)
-        else:
-            os.rename(tmp, self.target_dir)
-        # success: drop superseded generations and orphaned tmps
-        for stale in self._generations("old") + self._generations("tmp"):
-            shutil.rmtree(stale, ignore_errors=True)
+        self._swap_in(merged, self.target_dir)
 
 
 class TransactionalParquetUpsertSink(ParquetUpsertSink):
@@ -322,12 +330,18 @@ class TransactionalParquetUpsertSink(ParquetUpsertSink):
     complete transactions apply through ONE merge + directory swap, so a
     reader never observes half a source transaction even when the
     micro-batch boundary split it (the gap micro-batch atomicity alone
-    leaves open). Replays after checkpoint recovery are idempotent: the
-    union dedups transactional rows on (txn id, lsn, op) and the merge's
-    LSN guard absorbs re-applied rows. Reference:
-    provide.transaction.metadata=true
+    leaves open). Reference: provide.transaction.metadata=true
     (docker/configs/debezium/sqlserver-source.json:43), FR-003
     (spec.md:118), tests/integration/test_replication_flow.py:255.
+
+    Crash-replay correctness: the spool is written as batch-id-stamped
+    GENERATIONS (``<pending>_b<id>``) and a batch always reads the
+    newest generation with id < its own. Structured Streaming replays a
+    failed batch with the SAME batch id, so the replay reads the exact
+    pre-batch spool state even if the crashed attempt already wrote its
+    own generation — rows can neither be lost from the spool nor
+    double-counted, and the merge's LSN guard absorbs rows the crashed
+    attempt already applied to the target.
     """
 
     def __init__(
@@ -342,50 +356,62 @@ class TransactionalParquetUpsertSink(ParquetUpsertSink):
         super().__init__(spark, target_dir, pk_cols, lsn_col, dlq_dir)
         self.pending_dir = pending_dir or f"{target_dir}__txn_pending"
 
-    def _swap_in(self, df: DataFrame, path: str) -> None:
+    def _pending_generations(self) -> list[tuple[int, str]]:
         import glob
+        import re as _re
 
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            os.rename(path, f"{path}__old_{uuid.uuid4().hex[:8]}")
-        os.rename(tmp, path)
-        for stale in glob.glob(f"{path}__old_*") + glob.glob(f"{path}__tmp_*"):
-            shutil.rmtree(stale, ignore_errors=True)
+        out = []
+        for p in glob.glob(f"{self.pending_dir}_b*"):
+            m = _re.fullmatch(r".*_b(-?\d+)", p)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
 
-    def _read_pending(self) -> DataFrame | None:
-        import glob
-
-        if not os.path.exists(self.pending_dir):
-            # crash between the two swap renames: newest __old_* IS the
-            # pre-batch spool — restore it (mirror of target _recover)
-            olds = sorted(
-                glob.glob(f"{self.pending_dir}__old_*"), key=os.path.getmtime
-            )
-            if olds:
-                os.rename(olds[-1], self.pending_dir)
-        if not os.path.exists(self.pending_dir):
+    def _read_pending(self, batch_id: int) -> DataFrame | None:
+        """Newest spool generation STRICTLY BEFORE this batch — on a
+        replay, any generation the crashed attempt wrote is ignored."""
+        gens = [p for gid, p in self._pending_generations() if gid < batch_id]
+        if not gens:
             return None
-        return self.spark.read.parquet(self.pending_dir)
+        return self.spark.read.parquet(gens[-1])
+
+    def _write_pending(self, batch_id: int, df: DataFrame) -> None:
+        gen = f"{self.pending_dir}_b{batch_id}"
+        tmp = f"{gen}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(gen):  # crashed attempt of the same batch
+            shutil.rmtree(gen, ignore_errors=True)
+        os.rename(tmp, gen)
+        # keep the previous generation (a replay of THIS batch still
+        # needs it); everything older is superseded
+        for gid, p in self._pending_generations():
+            if gid < batch_id - 1:
+                shutil.rmtree(p, ignore_errors=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        pending_prev = self._read_pending()
+        pending_prev = self._read_pending(batch_id)
         work = (
             batch_df
             if pending_prev is None
             else batch_df.unionByName(pending_prev, allowMissingColumns=True)
         )
-        if TXN_COL in work.columns:
-            # replay net: a recovered batch re-presents rows already
-            # spooled; CDC LSNs are unique per change, so (txn, lsn, op)
-            # identifies a transactional row exactly
-            txn_rows = work.filter(F.col(TXN_COL).isNotNull()).dropDuplicates(
-                [TXN_COL, self.lsn_col, OP_COL]
-            )
-            work = work.filter(F.col(TXN_COL).isNull()).unionByName(txn_rows)
+        if TXN_COL not in work.columns:
+            super().__call__(work, batch_id)
+            return
+        # replay net: a recovered batch re-presents rows already
+        # spooled; CDC LSNs are unique per change, so (txn, lsn, op)
+        # identifies a transactional row exactly
+        txn_rows = work.filter(F.col(TXN_COL).isNotNull()).dropDuplicates(
+            [TXN_COL, self.lsn_col, OP_COL]
+        )
+        work = (
+            work.filter(F.col(TXN_COL).isNull())
+            .unionByName(txn_rows)
+            .persist()  # ready AND pending consume the same split plan —
+        )  # without this the spool read + dedup + split runs twice
+        try:
             ready, pending = split_transactions(work)
-        else:
-            ready, pending = work, None
-        super().__call__(ready.drop(TXN_COL, TXN_COUNT_COL), batch_id)
-        if pending is not None:
-            self._swap_in(pending, self.pending_dir)
+            super().__call__(ready.drop(TXN_COL, TXN_COUNT_COL), batch_id)
+            self._write_pending(batch_id, pending)
+        finally:
+            work.unpersist()

@@ -227,5 +227,8 @@ def configure_json_logging(
         handler = logging.StreamHandler()
         handler.setFormatter(JSONLogFormatter())
         logger.addHandler(handler)
+    # don't propagate to the root handler — a basicConfig'd root would
+    # print a plain-text duplicate of every JSON line
+    logger.propagate = False
     logger.setLevel(level)
     return logger

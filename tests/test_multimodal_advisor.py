@@ -133,6 +133,16 @@ def test_decode_images_bmp_real(spark):
     assert got[2]["width"] is None and got[3]["width"] is None
 
 
+def test_wav_truncated_data_chunk_rejected():
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16(8000, list(range(100)))
+    assert decode_wav_pcm16(wav[:-7]) is None  # cut mid-data-chunk
+
+
 def test_wav_roundtrip_and_frame_rms(spark):
     import math
 

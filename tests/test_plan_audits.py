@@ -108,10 +108,8 @@ def test_profile_table_no_expand(spark):
             F.min(c).alias(f"mn{i}"),
             F.max(c).alias(f"mx{i}"),
         ]
-    approx_plan = df.agg(*aggs)._sc_jvm_plan if False else (
-        df.agg(*aggs)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+    approx_plan = df.agg(*aggs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Expand" not in approx_plan, "approx profile plan grew an Expand"
     lone = (

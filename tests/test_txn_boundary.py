@@ -151,8 +151,8 @@ def test_txn_split_across_batches_all_or_nothing(spark, tmp_path):
     )
     ids = sorted(r["id"] for r in sink.read_target().collect())
     assert ids == [10, 11, 12, 99]  # ALL of T1 visible at once
-    # spool drained
-    pend = sink._read_pending()
+    # spool drained (read as the next batch would)
+    pend = sink._read_pending(2)
     assert pend is None or pend.count() == 0
 
 
@@ -166,6 +166,41 @@ def test_txn_replay_idempotent(spark, tmp_path):
     rows = sink.read_target().collect()
     assert sorted(r["id"] for r in rows) == [10, 11, 12]
     assert len(rows) == 3
+
+
+def test_split_null_event_count_marker_completes(spark):
+    """An out-of-spec END marker with NULL event_count must not wedge
+    its transaction in the spool forever — it completes with whatever
+    arrived."""
+    df = spark.createDataFrame(
+        [(1, "a", "c", 1001, 1, "T1", None),
+         (None, None, TXN_MARKER_OP, 1002, 2, "T1", None)],
+        FLAT,
+    )
+    ready, pending = split_transactions(df)
+    assert [r["lsn"] for r in ready.collect()] == [1]
+    assert pending.count() == 0
+
+
+def test_txn_spool_generation_replay_after_spool_swap(spark, tmp_path):
+    """The crash window the batch-id generations close: batch N applies
+    and writes its spool generation, then dies BEFORE the streaming
+    commit. The replay of batch N (same id) must read the pre-batch
+    spool state — not the drained generation the crashed attempt wrote —
+    so the transaction is still applied exactly once and nothing
+    recirculates."""
+    sink = _sink(spark, tmp_path)
+    b0 = _unwrapped(spark, [_data(1, 10, "a", "T1"), _data(2, 11, "b", "T1")])
+    b1 = _unwrapped(spark, [_data(3, 12, "c", "T1"), _marker(4, "T1", 3)])
+    sink(b0, 0)
+    sink(b1, 1)   # applies T1, writes spool generation b1 (empty)
+    sink(b1, 1)   # replay AFTER the spool swap: must re-read generation b0
+    rows = sink.read_target().collect()
+    assert sorted(r["id"] for r in rows) == [10, 11, 12]
+    assert len(rows) == 3
+    # next batch sees a drained spool
+    pend = sink._read_pending(2)
+    assert pend is None or pend.count() == 0
 
 
 def test_pipeline_transactional_end_to_end(spark, tmp_path):

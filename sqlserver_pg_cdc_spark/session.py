@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime row-level filtering for large shuffle joins: build a
+        # bloom filter from the smaller join side and push it into the
+        # bigger side's scan — cuts shuffled bytes on the gram/candidate
+        # joins (boilerplate, decontamination, LSH verify) at warehouse
+        # scale with no plan changes. NOTE semiJoinReduction is NOT
+        # enabled: measured pathological (runaway planning) on the
+        # gram self-join shapes in Spark 4.1
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # some producers write TIMESTAMP(NANOS); read as long, the source
         # loader converts to TimestampType (see sources/parquet.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

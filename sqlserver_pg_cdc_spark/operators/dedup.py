@@ -227,6 +227,24 @@ def lsh_candidate_pairs(
     per band, which re-executes the whole signature sub-DAG per band
     (4 bands were 16 shuffles; this form is 3). No cross product anywhere.
     """
+    keyed = minhash_band_frame(signatures, bands, rows_per_band)
+    left = keyed.select(F.col("doc").alias("a"), "band_id", "band_key")
+    right = keyed.select(F.col("doc").alias("b"), "band_id", "band_key")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_band_frame(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_id, band_key) — the banded form of a signature frame.
+    Persisted to a table, this IS the incremental-dedup index of a
+    corpus: new documents join their bands against it instead of
+    re-hashing the whole corpus."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -238,17 +256,9 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    keyed = signatures.select(
+    return signatures.select(
         "doc", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc", "bk.band_id", "bk.band_key")
-    left = keyed.select(F.col("doc").alias("a"), "band_id", "band_key")
-    right = keyed.select(F.col("doc").alias("b"), "band_id", "band_key")
-    return (
-        left.join(right, ["band_id", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
 
 
 def minhash_lsh_pairs(
@@ -359,6 +369,116 @@ FROM cands JOIN sh x ON cands.a = x.doc JOIN sh y ON cands.b = y.doc
 WHERE len(x.s) > 0 AND len(y.s) > 0
   AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= {threshold}
+"""
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The corpus-side LSH index: (doc, band_id, band_key), computed
+    once at ingest and persisted as a table. Incremental dedup of a new
+    batch then touches ONLY the new documents' text — the 100 TB shape,
+    where re-hashing the standing corpus per ingest is the failure
+    mode."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    return minhash_band_frame(sigs, bands, num_hashes // bands)
+
+
+def minhash_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dups of NEW documents against an EXISTING corpus via its
+    precomputed band index: (a=new doc, b=existing doc, jaccard).
+
+    Work is proportional to the new batch + candidates, never the
+    standing corpus: only new docs are shingled/hashed; the band join
+    hits the index; exact-Jaccard verification joins candidates back to
+    corpus text through a semi-join, so only colliding existing docs
+    are re-shingled (O(near-dups) point lookups, pushdown-friendly)."""
+    rows_per_band = num_hashes // bands
+    new_sh = shingle_frame(new_df, id_col, text_col, k).persist()
+    nsh = new_sh.filter(F.size("sh") > 0)
+    new_bands = minhash_band_frame(
+        minhash_signatures_from_shingles(nsh, num_hashes), bands, rows_per_band
+    )
+    cands = (
+        new_bands.join(index_df, ["band_id", "band_key"])
+        .select(new_bands.doc.alias("a"), index_df.doc.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # re-shingle ONLY the colliding existing docs
+    hit_old = corpus_df.join(
+        cands.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    old_sh = shingle_frame(hit_old, id_col, text_col, k).filter(F.size("sh") > 0)
+    a = nsh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    b = old_sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    result = (
+        cands.join(a, "a").join(b, "b")
+        .select("a", "b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    result = result.persist()
+    result.count()
+    new_sh.unpersist()
+    return result
+
+
+def minhash_incremental_dedup_sql(
+    new_sql: str,
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> str:
+    """DuckDB twin: the index is materialized inline from corpus_sql
+    (the oracle has no persisted table, same result)."""
+    rows = num_hashes // bands
+    sig_new = _minhash_signatures_sql(f"({new_sql})", id_col, text_col, num_hashes, k)
+    sig_old = _minhash_signatures_sql(f"({corpus_sql})", id_col, text_col, num_hashes, k)
+    sh = shingles_sql(text_col, k)
+    sep = " || '|' || "
+    band_selects = []
+    for b in range(bands):
+        concat = sep.join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_selects.append(
+            f"SELECT n.doc AS a, o.doc AS b "
+            f"FROM (SELECT doc, md5({concat}) AS bk FROM sig_new) n "
+            f"JOIN (SELECT doc, md5({concat}) AS bk FROM sig_old) o "
+            f"ON n.bk = o.bk AND n.doc <> o.doc"
+        )
+    cands = " UNION ".join(band_selects)  # UNION dedups, matching .distinct()
+    jac = (
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)"
+    )
+    return f"""
+WITH sig_new AS ({sig_new}), sig_old AS ({sig_old}),
+cands AS ({cands}),
+shn AS (SELECT {id_col} AS doc, {sh} AS s FROM ({new_sql})),
+sho AS (SELECT {id_col} AS doc, {sh} AS s FROM ({corpus_sql}))
+SELECT a, b, {jac} AS jaccard
+FROM cands JOIN shn x ON cands.a = x.doc JOIN sho y ON cands.b = y.doc
+WHERE len(x.s) > 0 AND len(y.s) > 0 AND {jac} >= {threshold}
 """
 
 

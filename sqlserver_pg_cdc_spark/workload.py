@@ -1754,6 +1754,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: every 5th document plays the NEW ingest
+    batch, the rest the standing corpus with a precomputed LSH band
+    index (built inline here; a real pipeline reads it from a table).
+    Work scales with the new batch + collisions, never the standing
+    corpus — the ingest-time 100 TB shape."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    index = DD.minhash_index(corpus, "doc_id", "text")
+    return DD.minhash_incremental_dedup(
+        new, corpus, index, "doc_id", "text", threshold=0.2
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.minhash_incremental_dedup_sql(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0",
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+        "doc_id",
+        "text",
+        threshold=0.2,
+    )
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash Hamming near-pairs over the corpus plus planted
     near-duplicate variants (suffix-extended copies of docs 0-9), which
@@ -2915,6 +2944,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                         "documents", "doc_id", "text", threshold=0.2
                     )
                 ),
+            ),
+            "dedup_incremental": QuerySpec(
+                q_dedup_incremental, _dedup_incremental_sql()
             ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,

@@ -373,6 +373,35 @@ def test_dup_components_oracle_parity(spark, duck):
     assert got == want
 
 
+def test_minhash_incremental_dedup_planted(spark):
+    """A new doc near-identical to a corpus doc is caught via the
+    precomputed band index; unrelated new docs are not; pairs are
+    always (new, existing) — never corpus-vs-corpus."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely different text about spark adaptive execution"),
+            (3, "the quick brown fox jumps over the lazy dog tonight again"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight again"),
+            (101, "nothing like anything in the corpus at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    index = DD.minhash_index(corpus, "doc_id", "text")
+    got = DD.minhash_incremental_dedup(
+        new, corpus, index, "doc_id", "text", threshold=0.5
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (100, 1) in pairs and (100, 3) in pairs
+    assert all(a == 100 for a, _ in pairs)  # 101 clean; no old-old pairs
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
 def test_decontaminate_planted_overlap(spark):
     """A corpus doc embedding an eval doc's 3-gram is flagged; clean and
     too-short docs are not."""

@@ -132,6 +132,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in (
             "dedup_components",
+            "dedup_incremental",
             "embedding_near_dup",
             "dedup_simhash_pairs",
             "corpus_boilerplate",

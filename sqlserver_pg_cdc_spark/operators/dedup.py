@@ -405,9 +405,16 @@ def minhash_incremental_dedup(
 
     Work is proportional to the new batch + candidates, never the
     standing corpus: only new docs are shingled/hashed; the band join
-    hits the index; exact-Jaccard verification joins candidates back to
-    corpus text through a semi-join, so only colliding existing docs
-    are re-shingled (O(near-dups) point lookups, pushdown-friendly)."""
+    hits the index ONCE (the candidate frame is persisted — it feeds
+    both the corpus semi-join and the final verify join); exact-Jaccard
+    verification joins candidates back to corpus text through a
+    semi-join, so only colliding existing docs are re-shingled
+    (O(near-dups) point lookups, pushdown-friendly).
+
+    NOTE the returned frame is persisted (it replaced the larger
+    shingle/candidate caches, which are released before returning);
+    callers looping over many ingest batches should unpersist each
+    result when done with it."""
     rows_per_band = num_hashes // bands
     new_sh = shingle_frame(new_df, id_col, text_col, k).persist()
     nsh = new_sh.filter(F.size("sh") > 0)
@@ -419,6 +426,7 @@ def minhash_incremental_dedup(
         .select(new_bands.doc.alias("a"), index_df.doc.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()  # consumed twice: corpus semi-join + verify join
     )
     # re-shingle ONLY the colliding existing docs
     hit_old = corpus_df.join(
@@ -436,6 +444,7 @@ def minhash_incremental_dedup(
     )
     result = result.persist()
     result.count()
+    cands.unpersist()
     new_sh.unpersist()
     return result
 

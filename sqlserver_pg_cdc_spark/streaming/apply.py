@@ -92,12 +92,18 @@ def split_transactions(
     TXN_MARKER_OP``, carrying ``event_count``) has arrived AND at least
     ``event_count`` data rows with its id are present — the count guard
     matters because Kafka only orders within a partition, so the marker
-    can overtake data events. Returns ``(ready, pending)``:
+    can overtake data events. Returns ``(ready, pending, malformed)``:
 
     - ready: data rows of complete transactions, plus rows with no
       transaction id (non-transactional sources apply immediately);
     - pending: data rows and markers of incomplete transactions
-      (markers of completed transactions are dropped).
+      (markers of completed transactions are dropped);
+    - malformed: all rows of transactions whose END marker carries a
+      NULL event_count (out-of-spec producer). Completeness is
+      unprovable for them: applying on the marker alone risks a SILENT
+      PARTIAL apply whenever the marker overtook data rows, and holding
+      them wedges the spool forever — so they are quarantined for the
+      caller to DLQ.
 
     Shuffles key on the transaction id only; the complete-id set is
     O(transactions in flight), so the semi/anti joins broadcast under
@@ -107,17 +113,22 @@ def split_transactions(
     a transaction."""
     markers = df.filter(F.col(op_col) == TXN_MARKER_OP)
     data = df.filter(F.col(op_col) != TXN_MARKER_OP)
+    bad = (
+        markers.filter(F.col(count_col).isNull()).select(txn_col).distinct()
+    )
+    malformed = data.join(bad, txn_col, "left_semi").unionByName(
+        markers.join(bad, txn_col, "left_semi")
+    )
+    markers = markers.join(bad, txn_col, "left_anti")
+    data = data.filter(F.col(txn_col).isNull()).unionByName(
+        data.filter(F.col(txn_col).isNotNull()).join(bad, txn_col, "left_anti")
+    )
     seen = (
         data.filter(F.col(txn_col).isNotNull())
         .groupBy(txn_col)
         .agg(F.count(F.lit(1)).alias("__seen"))
     )
-    # a malformed END marker with NULL event_count must not wedge its
-    # transaction in the spool forever: treat it as "complete on marker"
-    # (apply whatever arrived) — the producer is already out of spec
-    expected = markers.groupBy(txn_col).agg(
-        F.max(F.coalesce(F.col(count_col), F.lit(0))).alias("__expected")
-    )
+    expected = markers.groupBy(txn_col).agg(F.max(count_col).alias("__expected"))
     complete = (
         expected.join(seen, txn_col, "left")
         .filter(F.coalesce(F.col("__seen"), F.lit(0)) >= F.col("__expected"))
@@ -131,7 +142,7 @@ def split_transactions(
         txn_data.join(complete, txn_col, "left_anti")
         .unionByName(markers.join(complete, txn_col, "left_anti"))
     )
-    return ready, pending
+    return ready, pending, malformed
 
 
 def with_soft_delete(df: DataFrame) -> DataFrame:
@@ -279,8 +290,10 @@ class ParquetUpsertSink:
 
     def _swap_in(self, df: DataFrame, path: str) -> None:
         """Write-to-tmp + rename swap + cleanup of superseded
-        generations — the one copy of the swap discipline both the
-        target apply and the transactional pending spool use."""
+        generations (the target-apply discipline; the transactional
+        pending spool uses batch-id generations via _write_pending
+        instead — a replay must read the PREVIOUS generation, which a
+        swap-in-place cannot provide)."""
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
@@ -361,8 +374,11 @@ class TransactionalParquetUpsertSink(ParquetUpsertSink):
         import re as _re
 
         out = []
+        # anchored on the full spool prefix: a half-written __wtmp_* dir
+        # (or any other sibling) can never parse as a generation
+        pat = _re.compile(_re.escape(self.pending_dir) + r"_b(-?\d+)")
         for p in glob.glob(f"{self.pending_dir}_b*"):
-            m = _re.fullmatch(r".*_b(-?\d+)", p)
+            m = pat.fullmatch(p)
             if m:
                 out.append((int(m.group(1)), p))
         return sorted(out)
@@ -376,17 +392,23 @@ class TransactionalParquetUpsertSink(ParquetUpsertSink):
         return self.spark.read.parquet(gens[-1])
 
     def _write_pending(self, batch_id: int, df: DataFrame) -> None:
+        import glob
+
         gen = f"{self.pending_dir}_b{batch_id}"
-        tmp = f"{gen}__tmp_{uuid.uuid4().hex[:8]}"
+        # tmp name deliberately cannot match the generation pattern
+        tmp = f"{self.pending_dir}__wtmp_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(gen):  # crashed attempt of the same batch
             shutil.rmtree(gen, ignore_errors=True)
         os.rename(tmp, gen)
         # keep the previous generation (a replay of THIS batch still
-        # needs it); everything older is superseded
+        # needs it); everything older is superseded, and orphaned tmps
+        # from crashed attempts are garbage
         for gid, p in self._pending_generations():
             if gid < batch_id - 1:
                 shutil.rmtree(p, ignore_errors=True)
+        for stale in glob.glob(f"{self.pending_dir}__wtmp_*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pending_prev = self._read_pending(batch_id)
@@ -410,8 +432,27 @@ class TransactionalParquetUpsertSink(ParquetUpsertSink):
             .persist()  # ready AND pending consume the same split plan —
         )  # without this the spool read + dedup + split runs twice
         try:
-            ready, pending = split_transactions(work)
+            ready, pending, malformed = split_transactions(work)
             super().__call__(ready.drop(TXN_COL, TXN_COUNT_COL), batch_id)
+            if self.dlq_dir is not None:
+                # quarantined NULL-count-marker transactions: route out
+                # (St10) so they neither half-apply nor wedge the spool
+                (
+                    malformed.withColumn(
+                        "__error_class", F.lit("MalformedTransactionMarker")
+                    )
+                    .withColumn(
+                        "__error_message",
+                        F.lit("END marker with NULL event_count"),
+                    )
+                    .withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(self.dlq_dir)
+                )
+            else:
+                # no DLQ configured: keep them visible in the spool
+                # rather than silently dropping or half-applying
+                pending = pending.unionByName(malformed)
             self._write_pending(batch_id, pending)
         finally:
             work.unpersist()

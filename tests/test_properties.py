@@ -327,7 +327,7 @@ def test_split_transactions_partition_property(spark, n_txns, data):
     df = spark.createDataFrame(
         rows, "lsn long, __txn_id string, __txn_event_count long, __op string"
     )
-    ready, pending = split_transactions(df)
+    ready, pending, malformed = split_transactions(df)
     got_ready = {r["lsn"] for r in ready.collect()}
     got_pending = {r["lsn"] for r in pending.collect()}
     assert got_ready == expected_ready

@@ -98,7 +98,7 @@ def test_split_complete_incomplete_and_nontxn(spark):
         ],
         FLAT,
     )
-    ready, pending = split_transactions(df)
+    ready, pending, malformed = split_transactions(df)
     assert sorted(r["lsn"] for r in ready.collect()) == [1, 2, 7]
     # pending keeps T2/T3 data AND the T2 marker; T1's marker is dropped
     pend = pending.collect()
@@ -113,7 +113,7 @@ def test_split_marker_overtakes_data(spark):
          (1, "a", "c", 1002, 2, "T1", None)],
         FLAT,
     )
-    ready, pending = split_transactions(df)
+    ready, pending, malformed = split_transactions(df)
     assert ready.count() == 0
     assert pending.count() == 2
 
@@ -123,7 +123,7 @@ def test_split_empty_transaction_completes(spark):
     df = spark.createDataFrame(
         [(None, None, TXN_MARKER_OP, 1001, 1, "T0", 0)], FLAT
     )
-    ready, pending = split_transactions(df)
+    ready, pending, malformed = split_transactions(df)
     assert ready.count() == 0 and pending.count() == 0
 
 
@@ -168,18 +168,45 @@ def test_txn_replay_idempotent(spark, tmp_path):
     assert len(rows) == 3
 
 
-def test_split_null_event_count_marker_completes(spark):
-    """An out-of-spec END marker with NULL event_count must not wedge
-    its transaction in the spool forever — it completes with whatever
-    arrived."""
+def test_split_null_event_count_marker_quarantined(spark):
+    """An out-of-spec END marker with NULL event_count makes its
+    transaction's completeness unprovable: applying would risk a silent
+    partial apply, holding would wedge the spool. All its rows are
+    quarantined to `malformed`; unrelated transactions are untouched."""
     df = spark.createDataFrame(
         [(1, "a", "c", 1001, 1, "T1", None),
-         (None, None, TXN_MARKER_OP, 1002, 2, "T1", None)],
+         (None, None, TXN_MARKER_OP, 1002, 2, "T1", None),
+         (2, "b", "c", 1003, 3, "T2", None),
+         (None, None, TXN_MARKER_OP, 1004, 4, "T2", 1)],
         FLAT,
     )
-    ready, pending = split_transactions(df)
-    assert [r["lsn"] for r in ready.collect()] == [1]
+    ready, pending, malformed = split_transactions(df)
+    assert [r["lsn"] for r in ready.collect()] == [3]  # T2 applies
     assert pending.count() == 0
+    assert sorted(r["lsn"] for r in malformed.collect()) == [1, 2]
+
+
+def test_sink_quarantines_malformed_to_dlq(spark, tmp_path):
+    """With a DLQ configured, NULL-count-marker transactions route out
+    (never half-applied, never spooled); without one they stay visible
+    in the spool."""
+    dlq = str(tmp_path / "dlq")
+    sink = TransactionalParquetUpsertSink(
+        spark, str(tmp_path / "target"), ["id"], lsn_col="lsn", dlq_dir=dlq
+    )
+    sink(
+        _unwrapped(
+            spark,
+            [_data(1, 10, "a", "T1"), _marker(2, "T1", None), _data(3, 77, "ok")],
+        ),
+        0,
+    )
+    assert [r["id"] for r in sink.read_target().collect()] == [77]
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert sorted(r["lsn"] for r in dlq_rows) == [1, 2]
+    assert all(r["__error_class"] == "MalformedTransactionMarker" for r in dlq_rows)
+    pend = sink._read_pending(1)
+    assert pend is None or pend.count() == 0
 
 
 def test_txn_spool_generation_replay_after_spool_swap(spark, tmp_path):

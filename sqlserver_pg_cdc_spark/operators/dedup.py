@@ -893,6 +893,134 @@ def embedding_near_dup_lsh_pairs(
     return scored
 
 
+def embedding_band_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 8,
+    planes_per_band: int = 10,
+    dim: int = 64,
+    seed: str = "emb-dedup",
+) -> DataFrame:
+    """The corpus-side hyperplane-LSH index: (doc, band, bkt), computed
+    at ingest and persisted. New embeddings join their bucket keys
+    against it — incremental near-dup without re-bucketing the standing
+    corpus (mirror of :func:`minhash_index` for vectors)."""
+    from sqlserver_pg_cdc_spark.operators.similarity import _bucket_expr, hyperplanes
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _bucket_expr(
+                vec_col, hyperplanes(planes_per_band, dim, f"{seed}|band{b}")
+            ).alias("bkt"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "bb.band", "bb.bkt")
+
+
+def embedding_incremental_near_dup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 10,
+    dim: int = 64,
+    seed: str = "emb-dedup",
+) -> DataFrame:
+    """Near-dups of NEW embeddings against an EXISTING corpus via its
+    precomputed band index: (a=new id, b=existing id, cosine).
+
+    Only the new batch is bucketed; the band join hits the index once
+    (candidates persisted); exact-cosine verification fetches only the
+    colliding corpus vectors through a semi-join. Work ∝ new batch +
+    collisions — the ingest-time shape of the banded near-dup.
+
+    NOTE the returned frame is persisted (caches released before
+    returning); looping callers should unpersist each result."""
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
+    new_bands = embedding_band_index(
+        new_df, id_col, vec_col, bands, planes_per_band, dim, seed
+    )
+    cands = (
+        new_bands.join(index_df, ["band", "bkt"])
+        .select(new_bands.doc.alias("a"), index_df.doc.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # consumed twice: corpus semi-join + verify join
+    )
+    a_vec = new_df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), norm(vec_col).alias("na")
+    )
+    hit_old = corpus_df.join(
+        cands.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    b_vec = hit_old.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), norm(vec_col).alias("nb")
+    )
+    result = (
+        cands.join(a_vec, "a")
+        .join(b_vec, "b")
+        .select(
+            "a",
+            "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .persist()
+    )
+    result.count()
+    cands.unpersist()
+    return result
+
+
+def embedding_incremental_near_dup_sql(
+    new_sql: str,
+    corpus_sql: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 10,
+    dim: int = 64,
+    seed: str = "emb-dedup",
+) -> str:
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine_sql
+    from sqlserver_pg_cdc_spark.operators.similarity import _bucket_sql, hyperplanes
+
+    def keyed(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {_bucket_sql('v', hyperplanes(planes_per_band, dim, f'{seed}|band{b}'))} "
+            f"AS bkt, {b} AS band FROM {src}"
+            for b in range(bands)
+        )
+
+    cos = cosine_sql("ba.v", "bb.v")
+    return f"""
+WITH nbase AS (SELECT {id_col} AS doc, {vec_col} AS v FROM ({new_sql})),
+obase AS (SELECT {id_col} AS doc, {vec_col} AS v FROM ({corpus_sql})),
+nkeyed AS ({keyed('nbase')}),
+okeyed AS ({keyed('obase')}),
+cand AS (
+    SELECT DISTINCT n.doc AS a, o.doc AS b
+    FROM nkeyed n JOIN okeyed o ON n.band = o.band AND n.bkt = o.bkt
+                 AND n.doc <> o.doc
+)
+SELECT a, b, {cos} AS cosine
+FROM cand JOIN nbase ba ON ba.doc = a JOIN obase bb ON bb.doc = b
+WHERE {cos} >= {threshold}
+"""
+
+
 def embedding_near_dup_lsh_pairs_sql(
     table: str,
     id_col: str,

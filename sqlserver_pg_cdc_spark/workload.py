@@ -1810,6 +1810,36 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_components(pairs)
 
 
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: 25 re-ingested copies play the
+    NEW batch against the standing corpus's precomputed hyperplane band
+    index (built inline; production reads a table). Only the new batch
+    is bucketed; verification fetches colliding corpus vectors by
+    semi-join — the ingest-time shape."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    index = DD.embedding_band_index(emb, "vec_id", "embedding")
+    return DD.embedding_incremental_near_dup(
+        new, emb, index, "vec_id", "embedding", threshold=0.95
+    )
+
+
+def _embedding_incremental_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.embedding_incremental_near_dup_sql(
+        "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25",
+        "SELECT vec_id, embedding FROM embeddings",
+        "vec_id",
+        "embedding",
+        threshold=0.95,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
     an 8-band x 10-plane banded self-join, exact-cosine verified; no
@@ -2947,6 +2977,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "dedup_incremental": QuerySpec(
                 q_dedup_incremental, _dedup_incremental_sql()
+            ),
+            "embedding_incremental": QuerySpec(
+                q_embedding_incremental, _embedding_incremental_sql()
             ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,

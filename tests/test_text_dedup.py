@@ -402,6 +402,24 @@ def test_minhash_incremental_dedup_planted(spark):
     assert all(r["jaccard"] == 1.0 for r in got)
 
 
+def test_embedding_incremental_near_dup_planted(spark):
+    """Re-ingested copies of corpus vectors are caught against the
+    precomputed hyperplane band index; unrelated uniform vectors are
+    not; pairs are always (new, existing)."""
+    emb = load(spark, "embeddings").select("vec_id", "embedding")
+    new = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    index = DD.embedding_band_index(emb, "vec_id", "embedding")
+    got = DD.embedding_incremental_near_dup(
+        new, emb, index, "vec_id", "embedding", threshold=0.95
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert {(1_000_000 + i, i) for i in range(10)} <= pairs
+    assert all(a >= 1_000_000 for a, _ in pairs)  # no corpus-vs-corpus
+
+
 def test_decontaminate_planted_overlap(spark):
     """A corpus doc embedding an eval doc's 3-gram is flagged; clean and
     too-short docs are not."""

@@ -87,6 +87,24 @@ def create_parser() -> argparse.ArgumentParser:
     corpus.add_argument("--output", required=True,
                         help="write the keep-list parquet here")
     corpus.add_argument("--stats-out", help="write run stats JSON here")
+
+    decontam = sub.add_parser(
+        "decontam",
+        help="flag training docs sharing k-grams with an eval/benchmark set",
+    )
+    decontam.add_argument("--input", required=True, help="corpus parquet")
+    decontam.add_argument("--eval-set", required=True,
+                          help="benchmark/eval parquet (same text column)")
+    decontam.add_argument("--id-col", default="doc_id")
+    decontam.add_argument("--text-col", default="text")
+    decontam.add_argument("--k", type=int, default=8,
+                          help="k-gram size (8-13 typical for decontamination)")
+    decontam.add_argument("--min-hits", type=int, default=1)
+    decontam.add_argument("--output", required=True,
+                          help="write the CLEAN-docs parquet here")
+    decontam.add_argument("--report-out",
+                          help="write the per-doc contamination report parquet here")
+    decontam.add_argument("--stats-out", help="write run stats JSON here")
     return p
 
 
@@ -361,6 +379,47 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Benchmark-decontamination flow: flag corpus docs sharing k-grams
+    with the eval set, write the clean subset (and optionally the full
+    per-doc report). Distributed end to end; only stats hit the driver."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.decontam import decontaminate
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = get_spark("decontam-cli")
+    corpus = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval_set)
+    report = decontaminate(
+        corpus, eval_df, args.id_col, args.text_col,
+        k=args.k, min_hits=args.min_hits,
+    )
+    if args.report_out:
+        report.write.mode("overwrite").parquet(args.report_out)
+        report = spark.read.parquet(args.report_out)  # reuse, not recompute
+    contaminated = report.filter(F.col("contaminated")).select(
+        F.col(args.id_col)
+    )
+    clean = corpus.join(contaminated, args.id_col, "left_anti")
+    clean.write.mode("overwrite").parquet(args.output)
+
+    n_in = corpus.count()
+    n_out = spark.read.parquet(args.output).count()
+    stats = {
+        "input_docs": n_in,
+        "clean_docs": n_out,
+        "contaminated_docs": n_in - n_out,
+        "k": args.k,
+        "min_hits": args.min_hits,
+    }
+    print(json.dumps(stats))
+    if args.stats_out:
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f, indent=2)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -373,6 +432,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_stream(args)
     if args.command == "corpus":
         return cmd_corpus(args)
+    if args.command == "decontam":
+        return cmd_decontam(args)
     return 2
 
 

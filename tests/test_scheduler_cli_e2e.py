@@ -414,6 +414,47 @@ def test_cli_stream_transactional(tmp_path):
     assert out["applied_target_rows"] == 2
 
 
+def test_cli_decontam(tmp_path):
+    """End-to-end decontamination through the CLI: docs overlapping the
+    eval set are dropped from the clean output; the report parquet
+    carries per-doc hit counts."""
+    import json as _json
+
+    import duckdb as _duckdb
+
+    corpus = str(tmp_path / "corpus.parquet")
+    eval_p = str(tmp_path / "eval.parquet")
+    _duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'the quick brown fox jumps over the lazy dog'), "
+        "(2, 'completely unrelated text about something else entirely here'), "
+        "(3, 'another clean document with no overlap at all today')"
+        ") t(doc_id, text)) TO '" + corpus + "' (FORMAT PARQUET)"
+    )
+    _duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(100, 'quick brown fox jumps')"
+        ") t(doc_id, text)) TO '" + eval_p + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "clean")
+    report = str(tmp_path / "report")
+    r = subprocess.run(
+        [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+         "--input", corpus, "--eval-set", eval_p,
+         "--k", "3", "--output", out, "--report-out", report],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats == {"input_docs": 3, "clean_docs": 2,
+                     "contaminated_docs": 1, "k": 3, "min_hits": 1}
+    clean_ids = {x[0] for x in _duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
+    assert clean_ids == {2, 3}
+    rep = {x[0]: x[1] for x in _duckdb.sql(
+        f"SELECT doc_id, n_eval_hits FROM '{report}/*.parquet'").fetchall()}
+    assert rep[1] >= 1 and rep[2] == 0
+
+
 def test_cli_corpus_dedup(tmp_path):
     """End-to-end corpus dedup through the CLI: planted near-dups are
     clustered and each cluster keeps exactly one survivor."""

@@ -1051,3 +1051,83 @@ SELECT a, b, {cos} AS cosine
 FROM cand JOIN base ba ON ba.doc = a JOIN base bb ON bb.doc = b
 WHERE {cos} >= {threshold}
 """
+
+
+def select_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str | None = None,
+    prefer: str = "max",
+) -> DataFrame:
+    """Score-aware canonical selection over exact-dup groups: among
+    documents with identical NORMALIZED text (same fingerprint — they
+    can still differ in case/whitespace), keep the copy with the best
+    score instead of the arbitrary minimum id. ``score_col`` is any
+    numeric column already on the frame (a model quality score, a
+    perplexity, a compactness measure); when None, the built-in
+    heuristic ``quality_score(text)`` is used. ``prefer`` is "max"
+    (higher score wins) or "min".
+
+    Returns one row per document in a dup group (singletons are
+    trivially kept and omitted): ``(id, fp, score, keep)`` — exactly
+    one keep per group, ties broken by id for determinism.
+
+    One shuffle on the fingerprint: the selection window and the group
+    count share the partition key, so Catalyst plans a single exchange.
+    This is the selection step `dup_components` defers (its keep is
+    min-id); corpus pipelines prefer the best-scored survivor."""
+    from sqlserver_pg_cdc_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    if prefer not in ("max", "min"):
+        raise ValueError("prefer must be 'max' or 'min'")
+    score = (
+        F.col(score_col).cast("double") if score_col else quality_score(text_col)
+    )
+    scored = df.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("fp"),
+        score.alias("score"),
+    )
+    order = F.col("score").desc() if prefer == "max" else F.col("score").asc()
+    w = Window.partitionBy("fp").orderBy(order, F.col(id_col))
+    wc = Window.partitionBy("fp")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__n") > 1)
+        .select(id_col, "fp", "score", (F.col("__rk") == 1).alias("keep"))
+    )
+
+
+def select_canonical_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    score_col: str | None = None,
+    prefer: str = "max",
+) -> str:
+    from sqlserver_pg_cdc_spark.functions.text import quality_score_sql
+
+    if prefer not in ("max", "min"):
+        raise ValueError("prefer must be 'max' or 'min'")
+    score = (
+        f"CAST({score_col} AS DOUBLE)" if score_col else quality_score_sql(text_col)
+    )
+    direction = "DESC" if prefer == "max" else "ASC"
+    return f"""
+SELECT {id_col}, fp, score, (__rk = 1) AS keep
+FROM (
+    SELECT {id_col}, fp, score,
+           row_number() OVER (PARTITION BY fp ORDER BY score {direction}, {id_col}) AS __rk,
+           count(*) OVER (PARTITION BY fp) AS __n
+    FROM (
+        SELECT {id_col},
+               {fingerprint_sql(text_col)} AS fp,
+               {score} AS score
+        FROM {table}
+    )
+)
+WHERE __n > 1
+"""

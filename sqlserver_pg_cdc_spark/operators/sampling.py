@@ -216,3 +216,49 @@ SELECT * EXCLUDE (__rn) FROM (
     FROM {table}
 ) WHERE __rn <= {n_per_stratum}
 """
+
+
+def training_order(
+    df: DataFrame, key_col: str, n_shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle for training: assign every row a
+    shard and a dense position within it, as a pure function of the
+    content hash (salted by ``seed`` — a new seed is a new epoch
+    order). Reproducible across engines, partitionings, and re-runs;
+    no global sort — the only shuffle is the per-shard row_number
+    window, keyed on the shard id, and each shard's window is
+    1/n_shards of the data (n_shards is sized so a shard fits an
+    executor; a global ORDER BY would funnel everything through one
+    task's sort at 100 TB).
+
+    Returns ``(key, shard, position)`` with position 1-based and dense
+    within each shard. Writers then ``partitionBy(shard)`` +
+    ``sortWithinPartitions(position)`` to lay the epoch out on disk."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.select(F.col(key_col), h.alias("__h"))
+    shard = F.pmod(F.col("__h"), F.lit(int(n_shards)))
+    w = Window.partitionBy(shard).orderBy(F.col("__h"), F.col(key_col))
+    return out.select(
+        F.col(key_col),
+        shard.cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+def training_order_sql(table: str, key_col: str, n_shards: int, seed: str = "") -> str:
+    h = f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'), 1, 12))::BIGINT)"
+    return f"""
+SELECT {key_col},
+       CAST({h} % {int(n_shards)} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {h} % {int(n_shards)}
+           ORDER BY {h}, {key_col}
+       ) AS BIGINT) AS position
+FROM {table}
+"""

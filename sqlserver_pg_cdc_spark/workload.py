@@ -1651,6 +1651,97 @@ WHERE rank <= 20
 """
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (the line-dedup of CCNet/RefinedWeb):
+    8-token windows shared verbatim by >= 2 documents are stripped from
+    every document and the survivors re-concatenated in order."""
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.segment_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        seg_tokens=8, min_docs=2,
+    )
+
+
+def _segment_dedup_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.segment_dedup_sql("documents", "doc_id", "text", seg_tokens=8, min_docs=2)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: cut every document into 32-token chunks
+    with 8 tokens of overlap (the pre-tokenization step before sequence
+    packing). Pure per-row expression work riding the scan — no
+    shuffle."""
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.chunk_documents(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, overlap=8,
+    )
+
+
+def _doc_chunks_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.chunk_documents_sql(
+        "documents", "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+def q_dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-aware canonical selection: whitespace-padded copies of the
+    first 20 docs are planted (same normalized fingerprint, larger
+    n_chars); selection keeps the most COMPACT copy per group
+    (prefer='min' on n_chars), so every planted copy must lose to its
+    original."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text"),
+        (F.col("n_chars") + 4).alias("n_chars"),
+    )
+    corpus = d.select("doc_id", "text", "n_chars").unionByName(planted)
+    return DD.select_canonical(
+        corpus, "doc_id", "text", score_col="n_chars", prefer="min"
+    )
+
+
+def _dedup_select_canonical_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.select_canonical_sql(
+        "(SELECT doc_id, text, n_chars FROM documents UNION ALL "
+        " SELECT doc_id + 1000000, '  ' || text || '  ', n_chars + 4 "
+        " FROM documents WHERE doc_id < 20)",
+        "doc_id",
+        "text",
+        score_col="n_chars",
+        prefer="min",
+    )
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every document
+    gets a (shard, position) from its salted content hash — stable
+    across engines, partitionings, and re-runs; the only shuffle is the
+    per-shard window, never a global sort."""
+    from sqlserver_pg_cdc_spark.operators.sampling import training_order
+
+    return training_order(
+        load_table(spark, sf_dir, "documents"), "doc_id", n_shards=8, seed="ep0"
+    )
+
+
+def _training_order_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import training_order_sql
+
+    return training_order_sql("documents", "doc_id", n_shards=8, seed="ep0")
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel with event-time ordering: users who viewed,
     then clicked within 6 hours of their first view, then purchased
@@ -2932,6 +3023,12 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 q_corpus_boilerplate, _corpus_boilerplate_sql()
             ),
             "vocab_topk": QuerySpec(q_vocab_topk, _vocab_topk_sql()),
+            "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
+            "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),
+            "dedup_select_canonical": QuerySpec(
+                q_dedup_select_canonical, _dedup_select_canonical_sql()
+            ),
+            "training_order": QuerySpec(q_training_order, _training_order_sql()),
             "event_funnel": QuerySpec(q_event_funnel, _Q_FUNNEL_SQL),
             "dedup_exact": QuerySpec(
                 q_dedup_exact,
@@ -3114,68 +3211,68 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     return _driver_window_order(catalog)
 
 
-# The driver's correctness gate evaluates only the FIRST 50 catalog entries
-# (round-1 record: 49 entries when the catalog held 49 queries). Keep every
-# query that lacks a green driver record — new this round, or changed since
-# its last green check — inside that window; long-stable round-1-green
-# queries ride behind it (they keep their r1 record and stay locally
-# verified by scripts/verify_local.py, which runs all entries).
+# The driver's correctness gate evaluates only the FIRST 50 catalog entries.
+# Round-3 ordering: queries with NO driver CORRECTNESS row in any round go
+# first (new this round, or bench/pytest-only until now), then queries whose
+# only green row is round 1 (fixtures regenerate per round, so that evidence
+# is stale), then ten high-value round-2-green re-confirmations. Everything
+# round-2-green rides behind the window and stays locally verified by
+# scripts/verify_local.py, which runs ALL entries with the driver-faithful
+# comparator.
 _DRIVER_WINDOW_FIRST = [
-    # never driver-checked (added after the round-1 gate ran)
-    "events_sliding",
-    "promo_revenue_ratio",
-    "volume_shipping",
-    "large_volume_customers",
-    "brand_supplier_stats",
-    "priority_class_counts",
-    "cheapest_supplier_per_part",
-    "balance_cube",
-    "user_event_cadence",
-    "disjunctive_revenue",
-    "sole_late_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_revenue",
-    "important_part_value",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
+    # never driver-checked in any round
+    "pack_sequences",
+    "pack_stats",
+    "pii_scan_segments",
+    "event_attribution",
+    "corpus_repetition",
+    "corpus_boilerplate",
+    "vocab_topk",
+    "segment_dedup",
+    "doc_chunks",
+    "dedup_select_canonical",
+    "training_order",
+    "event_funnel",
+    "dedup_incremental",
+    "embedding_incremental",
+    "multimodal_audio_frames",
+    "decontaminate",
+    "corpus_mix",
+    "corpus_mix_rate",
+    # green in round 1 only — fixtures have regenerated since
+    "customer_set_ops",
+    "order_percentiles",
+    "order_priority_exists",
+    "range_join_price_tiers",
+    "distinct_counts",
+    "pii_mask_udf_fields",
+    "pii_mask_customer",
+    "gdpr_pseudonymize_supplier",
+    "text_analysis",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "profile_customer",
+    "sample_events",
+    "sample_stratified_orders",
+    "multimodal_binary_features",
+    "multimodal_image_decode",
+    "checksum_customer",
+    "checksum_orders",
+    "checksum_lineitem",
+    "checksum_events",
+    "diff_summary_severity",
+    # round-2-green re-confirmations (implementation touched or high-value)
     "dedup_components",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "price_histogram",
-    "sample_weighted_docs",
-    # round-1 hash-fails fixed by the decimal->double output casts
-    "pricing_summary",
-    "customer_order_ranks",
-    "events_windowed",
-    "pricing_rollup",
-    "asof_latest_order",
-    "pricing_pivot",
-    "rich_inactive_customers",
-    "customer_order_outer",
-    "events_daily_revenue",
-    "type_convert_orders",
-    "quality_checks",
-    # round-1 lucky passes hardened by the same casts
-    "shipping_priority",
-    "local_supplier_volume",
-    "small_quantity_revenue",
-    "cdc_active_rows",
-    # implementation changed since their round-1 green check
     "embedding_near_dup",
     "checksum_ordered_orders",
-    "scalar_function_showcase",
-    "dedup_simhash_pairs",
-    # high-value re-confirmations
-    "counts_compare_orders",
-    "corpus_select",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "diff_orders",
     "cdc_latest_state",
     "events_sessions",
+    "counts_compare_orders",
+    "dedup_minhash_lsh",
     "checksum_incremental_events",
-    "diff_orders",
+    "quality_checks",
 ]
 
 

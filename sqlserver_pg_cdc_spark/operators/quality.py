@@ -174,3 +174,50 @@ def profile_table_sql(df: DataFrame, table: str, cols: list[str] | None = None) 
             f"FROM {table}"
         )
     return " UNION ALL ".join(selects)
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str]) -> DataFrame:
+    """k-anonymity profile over a set of quasi-identifier columns:
+    ``(class_size, n_classes, n_rows, re_id_risk)``.
+
+    Rows sharing one combination of quasi-identifier values form an
+    equivalence class; the dataset is k-anonymous for k = the smallest
+    class size. The histogram shows the whole risk surface (GDPR
+    pseudonymization review rides on this before release — reference's
+    PII family, src/utils/pii.py, stops at masking; this measures
+    whether masking sufficed). ``re_id_risk`` = 1/class_size, the
+    worst-case singling-out probability for rows in that class.
+
+    Scale: one groupBy on the quasi-identifiers (the only shuffle over
+    data), then a histogram aggregation whose cardinality is bounded by
+    the number of DISTINCT class sizes — tiny. NULL QI values group
+    together (first-class groupBy semantics), matching SQL GROUP BY.
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count("*").alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes",
+            "n_rows",
+            (F.lit(1.0) / F.col("class_size").cast("double")).alias("re_id_risk"),
+        )
+    )
+
+
+def k_anonymity_sql(table_expr: str, qi_cols: list[str]) -> str:
+    qi = ", ".join(qi_cols)
+    return f"""
+WITH classes AS (
+    SELECT {qi}, count(*) AS class_size FROM ({table_expr}) GROUP BY {qi}
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       1.0::DOUBLE / CAST(class_size AS DOUBLE) AS re_id_risk
+FROM classes GROUP BY class_size
+"""

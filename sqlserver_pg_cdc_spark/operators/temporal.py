@@ -139,3 +139,113 @@ def binned_range_join(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with
+    forward-fill: ``(key, bucket_ts, value_filled, is_gap)``.
+
+    The hypertable/time-series gap-fill operator (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``): per key, one row for every
+    ``bucket_unit`` between that key's first and last observation;
+    buckets with no observation carry the last observed value forward
+    and are flagged ``is_gap``. Within a bucket the LAST observation
+    wins, ordered by (ts, tiebreak) — the tiebreak column makes the
+    pick deterministic when timestamps collide.
+
+    Scale: the observation pass is one (key, bucket) window + the spine
+    is one ``sequence`` explode per key — output is O(keys x span /
+    bucket), linear, no range join. All shuffles key on the series key;
+    a key's spine length is bounded by its observed span, so pick
+    ``bucket_unit`` to match retention (hour-grain over years of data
+    => ~10k rows per key). Values are carried, never recomputed — no
+    float arithmetic, hash-stable across engines.
+    """
+    bucket = F.date_trunc(bucket_unit, F.col(ts_col))
+    obs = df.select(
+        F.col(key_col), bucket.alias("bucket_ts"), F.col(ts_col), F.col(tiebreak_col),
+        F.col(value_col),
+    )
+    w_last = Window.partitionBy(key_col, "bucket_ts").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    last_obs = (
+        obs.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "bucket_ts", F.col(value_col).alias("__v"))
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"interval 1 {bucket_unit}"))
+        ).alias("bucket_ts"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(last_obs, [key_col, "bucket_ts"], "left")
+        .select(
+            key_col,
+            "bucket_ts",
+            F.last("__v", ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.col("__v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def gap_fill_sql(
+    table_expr: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_unit: str = "hour",
+) -> str:
+    """DuckDB twin of :func:`gap_fill` (generate_series spine +
+    IGNORE NULLS window)."""
+    return f"""
+WITH obs AS (
+    SELECT {key_col}, date_trunc('{bucket_unit}', {ts_col}) AS bucket_ts,
+           {ts_col}, {tiebreak_col}, {value_col}
+    FROM ({table_expr})
+),
+last_obs AS (
+    SELECT {key_col}, bucket_ts, {value_col} AS __v
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {key_col}, bucket_ts
+            ORDER BY {ts_col} DESC, {tiebreak_col} DESC) AS __rn
+        FROM obs
+    ) WHERE __rn = 1
+),
+bounds AS (
+    SELECT {key_col}, min(bucket_ts) AS __mn, max(bucket_ts) AS __mx
+    FROM obs GROUP BY {key_col}
+),
+spine AS (
+    SELECT {key_col},
+           unnest(generate_series(__mn, __mx, INTERVAL 1 {bucket_unit})) AS bucket_ts
+    FROM bounds
+)
+SELECT s.{key_col}, s.bucket_ts,
+       last_value(l.__v IGNORE NULLS) OVER (
+           PARTITION BY s.{key_col} ORDER BY s.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       l.__v IS NULL AS is_gap
+FROM spine s
+LEFT JOIN last_obs l
+  ON s.{key_col} = l.{key_col} AND s.bucket_ts = l.bucket_ts
+"""

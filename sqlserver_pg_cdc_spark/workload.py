@@ -2126,6 +2126,104 @@ def _decontaminate_sql() -> str:
     )
 
 
+def q_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: a bigram stupid-backoff LM
+    trained on 6/7 of the corpus scores the held-out 1/7 by average
+    per-bigram log-probability (fixed-point-quantized logs, see
+    operators/lm.py). Count tables are vocabulary-bounded; scoring is
+    one explode + gram-key shuffle joins + an integer agg per doc."""
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    d = load_table(spark, sf_dir, "documents")
+    return LM.lm_score(
+        d.filter(F.col("doc_id") % 7 != 0), d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id", "text",
+    )
+
+
+def _corpus_lm_score_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    return LM.lm_score_sql(
+        "SELECT * FROM documents WHERE doc_id % 7 <> 0",
+        "SELECT * FROM documents WHERE doc_id % 7 = 0",
+        "doc_id", "text",
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (fixed-point idf so the ranking
+    and emitted score are exact integer arithmetic). Explode -> (doc,
+    term) counts -> vocabulary-bounded df table -> term-key join ->
+    per-doc window top-k."""
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    return LM.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=3
+    )
+
+
+def _tfidf_top_terms_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    return LM.tfidf_top_terms_sql("SELECT * FROM documents", "doc_id", "text", top_k=3)
+
+
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: the 20 most frequent adjacent
+    character pairs, weighted by word frequency. Per-word work runs on
+    the DISTINCT vocabulary; top-k is TakeOrderedAndProject (no global
+    window over the pair table)."""
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    return LM.bpe_pair_counts(load_table(spark, sf_dir, "documents"), "text", top_k=20)
+
+
+def _bpe_top_pairs_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import lm as LM
+
+    return LM.bpe_pair_counts_sql("SELECT * FROM documents", "text", top_k=20)
+
+
+def q_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile of customer over the (nation, market
+    segment) quasi-identifiers — the release-review step AFTER the
+    GDPR maskers run. One groupBy over data; histogram agg is bounded
+    by distinct class sizes."""
+    from sqlserver_pg_cdc_spark.operators.quality import k_anonymity
+
+    return k_anonymity(
+        load_table(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+    )
+
+
+def _k_anonymity_customer_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.quality import k_anonymity_sql
+
+    return k_anonymity_sql("SELECT * FROM customer", ["c_nationkey", "c_mktsegment"])
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-user hourly grid between first and
+    last event, last observation carried forward, gap buckets flagged
+    (TimescaleDB time_bucket_gapfill + locf semantics). Values are
+    carried, never recomputed — hash-stable."""
+    from sqlserver_pg_cdc_spark.operators.temporal import gap_fill
+
+    return gap_fill(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id",
+        "hour",
+    )
+
+
+def _events_gap_fill_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.temporal import gap_fill_sql
+
+    return gap_fill_sql(
+        "SELECT * FROM events", "user_id", "ts", "value", "event_id", "hour"
+    )
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the pure-Python mono 16-bit PCM WAV
     codec: deterministic waveforms (sample j of doc k is
@@ -3170,6 +3268,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["decontaminate"] = QuerySpec(q_decontaminate, _decontaminate_sql())
     catalog["corpus_mix"] = QuerySpec(q_corpus_mix, _corpus_mix_sql())
     catalog["corpus_mix_rate"] = QuerySpec(q_corpus_mix_rate, _corpus_mix_rate_sql())
+    catalog["corpus_lm_score"] = QuerySpec(q_corpus_lm_score, _corpus_lm_score_sql())
+    catalog["tfidf_top_terms"] = QuerySpec(q_tfidf_top_terms, _tfidf_top_terms_sql())
+    catalog["bpe_top_pairs"] = QuerySpec(q_bpe_top_pairs, _bpe_top_pairs_sql())
+    catalog["k_anonymity_customer"] = QuerySpec(
+        q_k_anonymity_customer, _k_anonymity_customer_sql()
+    )
+    catalog["events_gap_fill"] = QuerySpec(q_events_gap_fill, _events_gap_fill_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -209,9 +209,7 @@ def with_ivf_cell(
     Without it, the first ``n_cells`` vectors by id stand in as
     deterministic centroids — fine for tests and oracles, not for
     production recall."""
-    from pyspark.sql import Window as W
-
-    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
 
     if centroids is None:
         centroids = (
@@ -219,16 +217,40 @@ def with_ivf_cell(
             .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"),
                     norm(vec_col).alias("cn"))
         )
-    scored = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                            norm(vec_col).alias("vn")) \
-        .crossJoin(F.broadcast(centroids)) \
-        .select("id", "v", "cell_id",
-                (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cc"))
-    w = W.partitionBy("id").orderBy(F.col("cc").desc(), F.col("cell_id"))
+    # Assignment is a PER-ROW argmax over the k centroids, built as one
+    # JVM-parsed literal expression (the py4j-literal-expression-cost
+    # pattern, see _bucket_expr): no k-way row blowup, no shuffle, no
+    # window — the old crossJoin+row_number form amplified the corpus
+    # k-fold through an exchange, which at warehouse scale dominates the
+    # whole IVF build. Collecting the centroids is bounded by design
+    # (k rows — they already fit a broadcast). Float semantics are
+    # identical: same dot-fold order, same divide, and the fold keeps
+    # the FIRST max (cells iterated by ascending cell_id), matching the
+    # (cc DESC, cell_id ASC) window tiebreak.
+    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cell_structs = []
+    for r in cents:
+        lits = ", ".join(f"{float(x)!r}D" for x in r["cv"])
+        d = (
+            f"aggregate(zip_with(__v, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        cc = f"({d} / (__vn * {float(r['cn'])!r}D))"
+        cell_structs.append(
+            f"named_struct('cc', {cc}, 'cell', {int(r['cell_id'])})"
+        )
+    argmax = (
+        f"aggregate(slice(array({', '.join(cell_structs)}), 2, "
+        f"{len(cell_structs) - 1}), {cell_structs[0]}, "
+        "(acc, x) -> IF(x.cc > acc.cc, x, acc)).cell"
+    )
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "cell_id")
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
+            norm(vec_col).alias("__vn"),
+        )
+        .select("id", F.col("__v").alias("v"), F.expr(argmax).alias("cell_id"))
     )
     return assigned, centroids
 

@@ -2224,6 +2224,43 @@ def _events_gap_fill_sql() -> str:
     )
 
 
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction: parse the events ``props`` JSON
+    payload with ``from_json`` (one typed JsonToStructs parse per row —
+    the scalable path when several fields are pulled; Catalyst prunes
+    unreferenced fields) and aggregate the extracted value per event
+    type. Pure scan-side expression work + one bounded groupBy; exact
+    integer aggregates, hash-stable."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM (
+    SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the pure-Python mono 16-bit PCM WAV
     codec: deterministic waveforms (sample j of doc k is
@@ -3275,6 +3312,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_k_anonymity_customer, _k_anonymity_customer_sql()
     )
     catalog["events_gap_fill"] = QuerySpec(q_events_gap_fill, _events_gap_fill_sql())
+    catalog["events_json_stats"] = QuerySpec(q_events_json_stats, _EVENTS_JSON_SQL)
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -137,3 +137,54 @@ def test_gram_joins_not_hint_forced_broadcast(spark, qname):
     m = _metrics(spark, qname)
     assert m.python_evals == 0
     assert not m.has_cartesian
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["corpus_lm_score", "tfidf_top_terms", "events_gap_fill", "events_json_stats"],
+)
+def test_new_pipeline_queries_stay_jvm_distributed(spark, qname):
+    """LM scoring / TF-IDF gram-and-term tables are vocabulary-bounded
+    but still unbounded sets — no hint-forced broadcasts; no Python in
+    the hot path; no cartesian products anywhere in the family."""
+    fn = workload.build_catalog(spark)[qname].fn
+    logical = str(fn(spark, SF)._jdf.queryExecution().analyzed())
+    m = _metrics(spark, qname)
+    assert m.python_evals == 0
+    if qname in ("corpus_lm_score", "tfidf_top_terms"):
+        # ONE cross join is by design: the one-row broadcast totals
+        # frame (N tokens / vocab size / doc count). Nothing else may
+        # go cartesian, and no other hint-forced broadcast exists.
+        crosses = [j for j in m.joins if "Cross" in j]
+        assert len(crosses) <= 1, m.joins
+        assert all("BroadcastNestedLoopJoin" in j for j in crosses), m.joins
+        assert logical.count("ResolvedHint") <= 1
+    else:
+        assert not m.has_cartesian, m.joins
+
+
+def test_ivf_assignment_has_no_centroid_blowup(spark):
+    """The IVF cell assignment must be per-row expression work — the
+    old form cross-joined every vector against the centroid table and
+    re-windowed, amplifying the corpus k-fold through an exchange."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned, _ = with_ivf_cell(emb, "vec_id", "embedding", n_cells=4)
+    plan = assigned._sc is not None and str(
+        assigned._jdf.queryExecution().executedPlan()
+    )
+    assert "Window" not in plan, "assignment still windows per vector"
+    m = analyze_plan(assigned)
+    assert m.exchanges == 0, "assignment should ride the scan"
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    """bpe_top_pairs must plan the global top-k as TakeOrderedAndProject,
+    not a single-partition global window over the whole pair table."""
+    fn = workload.build_catalog(spark)["bpe_top_pairs"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "TakeOrderedAndProject" in plan, plan

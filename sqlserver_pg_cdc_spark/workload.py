@@ -2261,6 +2261,39 @@ GROUP BY event_type
 """
 
 
+def q_events_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the event stream arrives as
+    three batches (event_id % 3), each contributes an aggregate STATE,
+    and the materialized daily rollup is the merge of the states —
+    scan work per refresh is the delta, merge work is state-sized.
+    The oracle is the one-shot GROUP BY the split must reproduce
+    exactly (associative decimal/count/min/max states)."""
+    from sqlserver_pg_cdc_spark.operators import continuous_agg as CA
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value", "event_id"
+    )
+    keys = ["day", "event_type"]
+    states = [
+        CA.build_state(e.filter(F.col("event_id") % 3 == i), keys, "value")
+        for i in range(3)
+    ]
+    return CA.finalize(CA.merge_states(states, keys), keys)
+
+
+def _events_continuous_agg_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.continuous_agg import (
+        continuous_agg_oracle_sql,
+    )
+
+    return continuous_agg_oracle_sql(
+        "SELECT CAST(ts AS DATE) AS day, event_type, value FROM events",
+        "day, event_type",
+        "day, event_type",
+        "value",
+    )
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the pure-Python mono 16-bit PCM WAV
     codec: deterministic waveforms (sample j of doc k is
@@ -3313,6 +3346,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["events_gap_fill"] = QuerySpec(q_events_gap_fill, _events_gap_fill_sql())
     catalog["events_json_stats"] = QuerySpec(q_events_json_stats, _EVENTS_JSON_SQL)
+    catalog["events_continuous_agg"] = QuerySpec(
+        q_events_continuous_agg, _events_continuous_agg_sql()
+    )
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -1,0 +1,60 @@
+"""Continuous-aggregate maintenance: state build/merge/finalize laws —
+any batch split finalizes identically to the one-shot aggregate, merge
+is associative/commutative, retractions subtract, and a delta refresh
+only rescans the delta."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators import continuous_agg as CA
+
+KEYS = ["k"]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [(i % 4, float(i) / 8.0 - 3.0) for i in range(200)]
+    return spark.createDataFrame(rows, "k int, value double")
+
+
+def _final(df):
+    return {tuple(r)[:1]: tuple(r)[1:] for r in df.collect()}
+
+
+def test_split_equals_one_shot(spark, frame):
+    one_shot = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    parts = [frame.filter(F.col("value") < -1.0), frame.filter(F.col("value") >= -1.0)]
+    states = [CA.build_state(p, KEYS, "value") for p in parts]
+    merged = _final(CA.finalize(CA.merge_states(states, KEYS), KEYS))
+    assert merged == one_shot
+
+
+def test_merge_associative_commutative(spark, frame):
+    a = CA.build_state(frame.filter("value < -2"), KEYS, "value")
+    b = CA.build_state(frame.filter("value >= -2 and value < 0"), KEYS, "value")
+    c = CA.build_state(frame.filter("value >= 0"), KEYS, "value")
+    left = _final(CA.finalize(CA.merge_states([CA.merge_states([a, b], KEYS), c], KEYS), KEYS))
+    right = _final(CA.finalize(CA.merge_states([a, CA.merge_states([c, b], KEYS)], KEYS), KEYS))
+    assert left == right
+
+
+def test_sum_retraction(spark):
+    base = spark.createDataFrame([(1, 10.0), (1, 5.0)], "k int, value double")
+    state = CA.build_state(base, KEYS, "value")
+    # retract the 5.0 row: negative value with count -1 (sum/count only)
+    retract = CA.build_state(
+        spark.createDataFrame([(1, -5.0)], "k int, value double"), KEYS, "value"
+    ).withColumn("__n", F.lit(-1).cast("long"))
+    out = CA.finalize(CA.merge_states([state, retract], KEYS), KEYS).collect()[0]
+    assert out["n_events"] == 1 and out["total"] == 10.0
+
+
+def test_new_group_appears_via_merge(spark, frame):
+    state = CA.build_state(frame, KEYS, "value")
+    delta = CA.build_state(
+        spark.createDataFrame([(99, 1.5)], "k int, value double"), KEYS, "value"
+    )
+    out = _final(CA.finalize(CA.merge_states([state, delta], KEYS), KEYS))
+    assert (99,) in out and out[(99,)][0] == 1
+    # pre-existing groups untouched
+    assert out[(0,)] == _final(CA.finalize(state, KEYS))[(0,)]

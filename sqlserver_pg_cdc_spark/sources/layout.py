@@ -30,15 +30,33 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
+    """With ``path`` the table is EXTERNAL: data stays where the caller
+    puts it and survives catalog drops — the layout for scheduled
+    reconciliation, where both sides are written bucketed by the PK
+    once and every subsequent diff joins with no Exchange (the shuffle
+    is paid at layout time, not per run). Aim for 100-500 MB buckets at
+    the target scale."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def is_colocated(a: DataFrame, b: DataFrame, join_cols: list[str]) -> bool:
+    """True when an equi-join of ``a`` and ``b`` on ``join_cols`` plans
+    without a shuffle exchange — the probe a scheduler runs before
+    choosing the bucketed fast path for a reconcile."""
+    joined = a.join(b, join_cols)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan
 
 
 # ---------------------------------------------------------------------------

@@ -2294,6 +2294,38 @@ def _events_continuous_agg_sql() -> str:
     )
 
 
+def q_events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames: per user and event, the count
+    and exact-decimal sum of event values in the trailing hour.  Both
+    engines frame on truncated epoch SECONDS (Spark's timestamp->long
+    cast and DuckDB's epoch()::BIGINT both floor), so peer sets match
+    exactly.  One shuffle on the user key; frame evaluation is linear
+    per partition (sliding accumulation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(dec).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+_Q_EVENTS_MOVING_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the pure-Python mono 16-bit PCM WAV
     codec: deterministic waveforms (sample j of doc k is
@@ -3348,6 +3380,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["events_json_stats"] = QuerySpec(q_events_json_stats, _EVENTS_JSON_SQL)
     catalog["events_continuous_agg"] = QuerySpec(
         q_events_continuous_agg, _events_continuous_agg_sql()
+    )
+    catalog["events_moving_window"] = QuerySpec(
+        q_events_moving_window, _Q_EVENTS_MOVING_SQL
     )
 
     # schema-dependent oracles (reuse the shared probes)

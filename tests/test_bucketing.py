@@ -6,9 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.operators.diff import diff_tables
-from sqlserver_pg_cdc_spark.sources.bucketing import (
+from sqlserver_pg_cdc_spark.sources.layout import (
     is_colocated,
-    read_bucketed,
+    read_table,
     write_bucketed,
 )
 from sqlserver_pg_cdc_spark.sources.parquet import load_table
@@ -29,9 +29,15 @@ def bucketed_orders(spark, tmp_path_factory):
             ).otherwise(F.col("o_totalprice")),
         )
     )
-    write_bucketed(src, "t_src_orders", str(base / "src"), ["o_orderkey"], 8)
-    write_bucketed(tgt, "t_tgt_orders", str(base / "tgt"), ["o_orderkey"], 8)
-    yield read_bucketed(spark, "t_src_orders"), read_bucketed(spark, "t_tgt_orders"), src, tgt
+    write_bucketed(
+        src, "t_src_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(base / "src"),
+    )
+    write_bucketed(
+        tgt, "t_tgt_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(base / "tgt"),
+    )
+    yield read_table(spark, "t_src_orders"), read_table(spark, "t_tgt_orders"), src, tgt
     spark.sql("DROP TABLE IF EXISTS t_src_orders")
     spark.sql("DROP TABLE IF EXISTS t_tgt_orders")
 

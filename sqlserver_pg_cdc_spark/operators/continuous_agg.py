@@ -42,10 +42,13 @@ def build_state(
     value_col: str,
 ) -> DataFrame:
     """Aggregate state for one batch/partition:
-    ``(*keys, __n, __s, __mn, __mx)``."""
+    ``(*keys, __n, __s, __mn, __mx)``.  The sum state is widened to
+    DECIMAL(38,2) so merged states and fresh deltas share one schema
+    across parquet roundtrips (Spark widens decimal sums per level —
+    without the cast, a persisted state and a new delta would disagree)."""
     return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col(value_col).cast(_SUM_DEC)).alias("__s"),
+        F.sum(F.col(value_col).cast(_SUM_DEC)).cast("decimal(38,2)").alias("__s"),
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
     )
@@ -61,7 +64,7 @@ def merge_states(states: list[DataFrame], key_cols: list[str]) -> DataFrame:
         u = u.unionByName(s)
     return u.groupBy(*key_cols).agg(
         F.sum("__n").alias("__n"),
-        F.sum("__s").alias("__s"),
+        F.sum("__s").cast("decimal(38,2)").alias("__s"),
         F.min("__mn").alias("__mn"),
         F.max("__mx").alias("__mx"),
     )

@@ -58,3 +58,56 @@ def test_new_group_appears_via_merge(spark, frame):
     assert (99,) in out and out[(99,)][0] == 1
     # pre-existing groups untouched
     assert out[(0,)] == _final(CA.finalize(state, KEYS))[(0,)]
+
+
+# --- streaming sink -------------------------------------------------------
+
+
+def test_rollup_sink_matches_one_shot(spark, frame, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.rollup import ContinuousAggSink
+
+    sink = ContinuousAggSink(spark, str(tmp_path / "state"), KEYS, "value")
+    batches = [
+        frame.filter("value < -2"),
+        frame.filter("value >= -2 and value < 1"),
+        frame.filter("value >= 1"),
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want
+
+
+def test_rollup_sink_idempotent_replay(spark, frame, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.rollup import ContinuousAggSink
+
+    sink = ContinuousAggSink(
+        spark, str(tmp_path / "state"), KEYS, "value", idempotent=True
+    )
+    b0 = frame.filter("value < 0")
+    b1 = frame.filter("value >= 0")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once redelivery: must not double count
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want
+
+
+def test_rollup_sink_crash_recovery(spark, frame, tmp_path):
+    """Simulate a crash between the two swap renames: the state dir is
+    gone but an __old_ generation exists — the next batch must recover
+    it rather than restart from empty."""
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.rollup import ContinuousAggSink
+
+    state = str(tmp_path / "state")
+    sink = ContinuousAggSink(spark, state, KEYS, "value")
+    sink(frame.filter("value < 0"), 0)
+    os.rename(state, f"{state}__old_deadbeef")  # crash window
+    sink(frame.filter("value >= 0"), 1)
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want

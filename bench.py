@@ -134,6 +134,7 @@ def main() -> None:
             "dedup_components",
             "dedup_incremental",
             "embedding_near_dup",
+            "semantic_decontam",
             "dedup_simhash_pairs",
             "corpus_boilerplate",
             "decontaminate",

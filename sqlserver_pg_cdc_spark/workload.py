@@ -2224,6 +2224,54 @@ def _events_gap_fill_sql() -> str:
     )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: n-gram overlap (the
+    `decontaminate` query) misses paraphrases, so this flags corpus
+    embeddings whose cosine to ANY eval-set embedding clears the
+    threshold — banded hyperplane LSH against an index built over the
+    (small) eval side, exact-cosine verify on collisions only, then a
+    per-corpus-vector roll-up (hit count + max cosine). Work ∝ corpus
+    scan + collisions, never corpus x eval."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eval_ = emb.filter(F.col("vec_id") % 20 == 0)
+    # simulate leaked eval items: copies of 10 eval vectors hide in the
+    # corpus under fresh ids — the detector must surface exactly those
+    leaked = eval_.filter(F.col("vec_id") < 200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0).unionByName(leaked)
+    index = DD.embedding_band_index(eval_, "vec_id", "embedding")
+    pairs = DD.embedding_incremental_near_dup(
+        corpus, eval_, index, "vec_id", "embedding", threshold=0.9
+    )
+    return pairs.groupBy(F.col("a").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def _semantic_decontam_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    pairs = DD.embedding_incremental_near_dup_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0 "
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings "
+        "WHERE vec_id % 20 = 0 AND vec_id < 200",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0",
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+    )
+    return f"""
+SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cosine) AS max_cosine
+FROM ({pairs})
+GROUP BY a
+"""
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON extraction: parse the events ``props`` JSON
     payload with ``from_json`` (one typed JsonToStructs parse per row —
@@ -3383,6 +3431,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["events_moving_window"] = QuerySpec(
         q_events_moving_window, _Q_EVENTS_MOVING_SQL
+    )
+    catalog["semantic_decontam"] = QuerySpec(
+        q_semantic_decontam, _semantic_decontam_sql()
     )
 
     # schema-dependent oracles (reuse the shared probes)

@@ -40,18 +40,28 @@ def build_state(
     df: DataFrame,
     key_cols: list[Column | str],
     value_col: str,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Aggregate state for one batch/partition:
-    ``(*keys, __n, __s, __mn, __mx)``.  The sum state is widened to
-    DECIMAL(38,2) so merged states and fresh deltas share one schema
+    ``(*keys, __n, __s, __mn, __mx[, __hll])``.  The sum state is widened
+    to DECIMAL(38,2) so merged states and fresh deltas share one schema
     across parquet roundtrips (Spark widens decimal sums per level —
-    without the cast, a persisted state and a new delta would disagree)."""
-    return df.groupBy(*key_cols).agg(
+    without the cast, a persisted state and a new delta would disagree).
+
+    ``distinct_col`` adds a MERGEABLE approximate-distinct state: a
+    Datasketches HLL sketch (binary).  Sketch union is lossless — any
+    batch split estimates identically to the one-shot sketch — which is
+    what makes approx-distinct maintainable incrementally at all (exact
+    distinct is not decomposable without keeping the full value set)."""
+    aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col(value_col).cast(_SUM_DEC)).cast("decimal(38,2)").alias("__s"),
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("__hll"))
+    return df.groupBy(*key_cols).agg(*aggs)
 
 
 def merge_states(states: list[DataFrame], key_cols: list[str]) -> DataFrame:
@@ -62,12 +72,15 @@ def merge_states(states: list[DataFrame], key_cols: list[str]) -> DataFrame:
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    return u.groupBy(*key_cols).agg(
+    aggs = [
         F.sum("__n").alias("__n"),
         F.sum("__s").cast("decimal(38,2)").alias("__s"),
         F.min("__mn").alias("__mn"),
         F.max("__mx").alias("__mx"),
-    )
+    ]
+    if "__hll" in u.columns:
+        aggs.append(F.hll_union_agg("__hll").alias("__hll"))
+    return u.groupBy(*key_cols).agg(*aggs)
 
 
 def finalize(state: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -75,14 +88,18 @@ def finalize(state: DataFrame, key_cols: list[str]) -> DataFrame:
     ``(*keys, n_events, total, avg, min_v, max_v)``.  avg divides the
     exact decimal total by the exact count IN DOUBLE (identical
     operands on both engines -> identical quotient)."""
-    return state.select(
-        *key_cols,
+    cols = [
         F.col("__n").cast("long").alias("n_events"),
         F.col("__s").cast("double").alias("total"),
         (F.col("__s").cast("double") / F.col("__n").cast("double")).alias("avg"),
         F.col("__mn").alias("min_v"),
         F.col("__mx").alias("max_v"),
-    )
+    ]
+    if "__hll" in state.columns:
+        cols.append(
+            F.hll_sketch_estimate("__hll").cast("long").alias("n_distinct_approx")
+        )
+    return state.select(*key_cols, *cols)
 
 
 def continuous_agg_oracle_sql(

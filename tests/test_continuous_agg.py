@@ -111,3 +111,23 @@ def test_rollup_sink_crash_recovery(spark, frame, tmp_path):
     got = _final(sink.result())
     want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
     assert got == want
+
+
+# --- mergeable HLL distinct state ----------------------------------------
+
+
+def test_hll_state_split_equals_one_shot(spark):
+    """Datasketches HLL union is lossless: any batch split of the input
+    estimates identically to the one-shot sketch — the property that
+    makes approx-distinct incrementally maintainable."""
+    rows = [(i % 3, float(i), i % 37) for i in range(500)]
+    d = spark.createDataFrame(rows, "k int, value double, uid int")
+    one = CA.finalize(CA.build_state(d, KEYS, "value", distinct_col="uid"), KEYS)
+    one_m = {r["k"]: r["n_distinct_approx"] for r in one.collect()}
+    parts = [d.filter("value < 200"), d.filter("value >= 200")]
+    states = [CA.build_state(p, KEYS, "value", distinct_col="uid") for p in parts]
+    merged = CA.finalize(CA.merge_states(states, KEYS), KEYS)
+    merged_m = {r["k"]: r["n_distinct_approx"] for r in merged.collect()}
+    assert merged_m == one_m
+    # at this cardinality the sketch is exact-mode: estimates are exact
+    assert all(v == 37 for v in one_m.values())

@@ -2272,6 +2272,27 @@ GROUP BY a
 """
 
 
+def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: per order, the SORTED array of its part
+    keys plus line count — collect_list is unordered in both engines, so
+    the deterministic contract is sort_array/list_sort on top. One
+    shuffle on the order key; bounded by lines-per-order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("part_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+_Q_ORDER_LINES_ARRAY_SQL = """
+SELECT l_orderkey,
+       list_sort(list(l_partkey)) AS part_keys,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem WHERE l_orderkey % 50 = 0
+GROUP BY l_orderkey
+"""
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON extraction: parse the events ``props`` JSON
     payload with ``from_json`` (one typed JsonToStructs parse per row —
@@ -3434,6 +3455,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["semantic_decontam"] = QuerySpec(
         q_semantic_decontam, _semantic_decontam_sql()
+    )
+    catalog["order_lines_array"] = QuerySpec(
+        q_order_lines_array, _Q_ORDER_LINES_ARRAY_SQL
     )
 
     # schema-dependent oracles (reuse the shared probes)

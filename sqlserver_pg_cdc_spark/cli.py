@@ -105,6 +105,22 @@ def create_parser() -> argparse.ArgumentParser:
     decontam.add_argument("--report-out",
                           help="write the per-doc contamination report parquet here")
     decontam.add_argument("--stats-out", help="write run stats JSON here")
+
+    rollup = sub.add_parser(
+        "rollup",
+        help="merge a delta partition into a materialized continuous aggregate",
+    )
+    rollup.add_argument("--input", required=True,
+                        help="parquet of the NEW rows (the delta/refresh partition)")
+    rollup.add_argument("--state-dir", required=True,
+                        help="persisted aggregate state table (created on first run)")
+    rollup.add_argument("--key-columns", nargs="+", required=True)
+    rollup.add_argument("--value-col", required=True)
+    rollup.add_argument("--batch-id", type=int, default=None,
+                        help="with --idempotent: skip already-merged batch ids")
+    rollup.add_argument("--idempotent", action="store_true")
+    rollup.add_argument("--output",
+                        help="also write the finalized aggregate parquet here")
     return p
 
 
@@ -420,6 +436,32 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """One scheduled refresh of a materialized continuous aggregate:
+    scan ONLY the delta, build its state, merge into the persisted
+    state table (crash-recoverable swap), optionally emit the finalized
+    aggregate. Run per new partition — history is never re-read."""
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.rollup import ContinuousAggSink
+
+    spark = get_spark("rollup-cli")
+    sink = ContinuousAggSink(
+        spark,
+        args.state_dir,
+        args.key_columns,
+        args.value_col,
+        idempotent=args.idempotent,
+    )
+    delta = spark.read.parquet(args.input)
+    sink(delta, args.batch_id if args.batch_id is not None else 0)
+    result = sink.result()
+    n = result.count() if result is not None else 0
+    if args.output and result is not None:
+        result.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"groups": n, "state_dir": args.state_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -434,6 +476,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_corpus(args)
     if args.command == "decontam":
         return cmd_decontam(args)
+    if args.command == "rollup":
+        return cmd_rollup(args)
     return 2
 
 

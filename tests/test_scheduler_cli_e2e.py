@@ -489,3 +489,43 @@ def test_cli_corpus_dedup(tmp_path):
     for i in range(5):
         # the lower id survives; its planted copy is gone
         assert i in kept_ids and (i + 100000) not in kept_ids
+
+
+def test_cli_rollup_subcommand(tmp_path, spark):
+    """Two delta refreshes through the rollup CLI must equal the
+    one-shot aggregate over the union."""
+    import json as _json
+
+    d1 = tmp_path / "delta1"
+    d2 = tmp_path / "delta2"
+    rows = [(i % 3, float(i)) for i in range(100)]
+    full = spark.createDataFrame(rows, "k int, value double")
+    full.filter("value < 50").write.parquet(str(d1))
+    full.filter("value >= 50").write.parquet(str(d2))
+    state = tmp_path / "state"
+    out = tmp_path / "agg"
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "rollup",
+        "--state-dir", str(state), "--key-columns", "k",
+        "--value-col", "value", "--idempotent", "--output", str(out),
+    ]
+    r1 = subprocess.run(
+        base + ["--input", str(d1), "--batch-id", "0"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        base + ["--input", str(d2), "--batch-id", "1"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert _json.loads(r2.stdout.strip().splitlines()[-1])["groups"] == 3
+
+    from sqlserver_pg_cdc_spark.operators import continuous_agg as CA
+
+    got = {r["k"]: (r["n_events"], r["total"]) for r in spark.read.parquet(str(out)).collect()}
+    want = {
+        r["k"]: (r["n_events"], r["total"])
+        for r in CA.finalize(CA.build_state(full, ["k"], "value"), ["k"]).collect()
+    }
+    assert got == want

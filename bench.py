@@ -141,6 +141,7 @@ def main() -> None:
             "checksum_lineitem",
             "pack_sequences",
             "events_sessions",
+            "profile_customer",
         ):
             spec = catalog.get(name)
             if spec is None:

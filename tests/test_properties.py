@@ -335,3 +335,111 @@ def test_split_transactions_partition_property(spark, n_txns, data):
     data_lsns = {r[0] for r in rows if r[3] != TXN_MARKER_OP}
     # every data row is in exactly one side
     assert data_lsns == got_ready | (got_pending & data_lsns)
+
+
+# --- gap fill vs a pure-Python reference ----------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),        # key
+            st.integers(min_value=0, max_value=3600 * 8), # offset seconds
+            st.integers(min_value=0, max_value=50),       # tiebreak id
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_gap_fill_matches_python_reference(spark, rows):
+    import datetime as dt
+
+    from sqlserver_pg_cdc_spark.operators.temporal import gap_fill
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (k, base + dt.timedelta(seconds=off), tid, v) for k, off, tid, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "k long, ts timestamp, tid long, value double"
+    )
+    got = {
+        (r["k"], r["bucket_ts"]): (r["value_filled"], r["is_gap"])
+        for r in gap_fill(df, "k", "ts", "value", "tid", "hour").collect()
+    }
+
+    # reference: per key, last (ts, tid) observation per hour bucket,
+    # spine over [min_bucket, max_bucket], forward fill
+    want = {}
+    bykey = {}
+    for k, ts, tid, v in data:
+        bykey.setdefault(k, []).append((ts, tid, v))
+    for k, obs in bykey.items():
+        bucket_of = lambda t: t.replace(minute=0, second=0, microsecond=0)
+        per_bucket = {}
+        for ts, tid, v in obs:
+            b = bucket_of(ts)
+            if b not in per_bucket or (ts, tid) > per_bucket[b][:2]:
+                per_bucket[b] = (ts, tid, v)
+        bs = sorted(per_bucket)
+        cur, b = None, bs[0]
+        while b <= bs[-1]:
+            if b in per_bucket:
+                cur = per_bucket[b][2]
+                want[(k, b)] = (cur, False)
+            else:
+                want[(k, b)] = (cur, True)
+            b += dt.timedelta(hours=1)
+    assert got == want
+
+
+# --- LM scoring vs a pure-Python reference --------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=10
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_lm_score_matches_python_reference(spark, texts):
+    import math
+
+    from sqlserver_pg_cdc_spark.operators.lm import BACKOFF_ALPHA, lm_score
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_score(df, df, "doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    uni, bi, n_tokens = {}, {}, 0
+    for _, t in docs:
+        ws = toks(t)
+        n_tokens += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    for i, t in docs:
+        ws = toks(t)
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            assert got[i] == (0, None)
+            continue
+        s = 0
+        for a, b in grams:
+            if (a, b) in bi:
+                p = bi[(a, b)] / uni[a]
+            else:
+                p = BACKOFF_ALPHA * (uni.get(b, 0) + 1) / (n_tokens + v)
+            s += math.floor(1_000_000 * math.log(p))
+        assert got[i][0] == len(grams)
+        assert got[i][1] == pytest.approx(s / (len(grams) * 1_000_000), abs=0)

@@ -2272,6 +2272,50 @@ GROUP BY a
 """
 
 
+def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching between two systems: the target
+    copy of customer has every 23rd name corrupted by one substitution;
+    the deletion-neighborhood join (SymSpell blocking — sound AND
+    complete for distance <= 1) recovers every correspondence without a
+    cross join. Sequential fixture names sit within distance 1 of each
+    other by construction, so the result also exercises dense candidate
+    blocks."""
+    from sqlserver_pg_cdc_spark.operators.fuzzy import fuzzy_join_typo
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    corrupted = c.withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 23 == 0,
+            F.concat(
+                F.substring("c_name", 1, 5),
+                F.lit("X"),
+                F.expr("substring(c_name, 7, length(c_name))"),
+            ),
+        ).otherwise(F.col("c_name")),
+    )
+    return fuzzy_join_typo(c, corrupted, "c_custkey", "c_custkey", "c_name")
+
+
+def _fuzzy_match_customers_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.fuzzy import fuzzy_join_typo_sql
+
+    corrupted = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 23 = 0
+            THEN substr(c_name, 1, 5) || 'X' || substr(c_name, 7)
+            ELSE c_name END AS c_name
+FROM customer WHERE c_custkey < 200
+"""
+    return fuzzy_join_typo_sql(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200",
+        corrupted,
+        "c_custkey",
+        "c_custkey",
+        "c_name",
+    )
+
+
 def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per order, the SORTED array of its part
     keys plus line count — collect_list is unordered in both engines, so
@@ -3458,6 +3502,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["order_lines_array"] = QuerySpec(
         q_order_lines_array, _Q_ORDER_LINES_ARRAY_SQL
+    )
+    catalog["fuzzy_match_customers"] = QuerySpec(
+        q_fuzzy_match_customers, _fuzzy_match_customers_sql()
     )
 
     # schema-dependent oracles (reuse the shared probes)

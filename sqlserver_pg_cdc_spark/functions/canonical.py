@@ -30,6 +30,15 @@ Row canonical form: canonical values joined with ``"|"``; row hash =
 ``md5(row_canonical)`` (32 hex chars). md5 here is a content fingerprint
 for reconciliation, not a security primitive — the salted/keyed hashing
 family lives in functions/masking.py with SHA-2.
+
+Additional cross-engine trap (learned the hard way, see
+operators/quality.py outliers_zscore_sql): DuckDB's direct
+decimal->DOUBLE cast double-rounds (int128 -> double, then multiply by
+10^-scale) and drifts a ulp from Spark's correctly-rounded BigDecimal
+conversion once the decimal's magnitude passes ~2^53 / 10^scale.  When
+an oracle must hand a large exact decimal to double space, route it
+through VARCHAR (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``) — string
+parsing is correctly rounded in both engines.
 """
 
 from __future__ import annotations

@@ -221,3 +221,89 @@ SELECT CAST(class_size AS BIGINT) AS class_size,
        1.0::DOUBLE / CAST(class_size AS DOUBLE) AS re_id_risk
 FROM classes GROUP BY class_size
 """
+
+
+def outliers_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection: rows where
+    ``|v - mean| > z * stddev`` of their group —
+    ``(*keys, <value_col>, group_mean, group_sd, zscore)``.
+
+    Cross-engine determinism: the group moments are EXACT decimal sums
+    (2-dp values, 4-dp squares); mean/variance/sd then derive in double
+    from identical operands on both engines, so the flag boundary is
+    bit-stable. Variance uses the E[x²]-E[x]² form — cancellation-prone
+    for |mean| >> sd but deterministic, which is what the oracle
+    contract needs (Welford would be order-dependent). sqrt is
+    correctly rounded in both engines.
+
+    Scale: one groupBy over the data for the moments (map-side
+    combinable), one join of group-count-sized stats back (AQE
+    broadcasts when small), flag rides the scan. Zero-variance groups
+    flag nothing (sd = 0 -> |v - mean| > 0 is never, since v == mean).
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec).cast("double").alias("__s"),
+        F.sum((dec * dec).cast("decimal(38,4)")).cast("double").alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__n").cast("double")
+    var = F.greatest(
+        F.col("__ss") / F.col("__n").cast("double") - mean * mean, F.lit(0.0)
+    )
+    enriched = stats.select(
+        *key_cols,
+        mean.alias("group_mean"),
+        F.sqrt(var).alias("group_sd"),
+    )
+    joined = df.join(enriched, key_cols)
+    zscore = (F.col(value_col) - F.col("group_mean")) / F.col("group_sd")
+    return (
+        joined.filter(
+            F.abs(F.col(value_col) - F.col("group_mean"))
+            > F.lit(z) * F.col("group_sd")
+        )
+        .select(*key_cols, value_col, "group_mean", "group_sd", zscore.alias("zscore"))
+    )
+
+
+def outliers_zscore_sql(
+    table_expr: str, key_cols: list[str], value_col: str, z: float = 3.0
+) -> str:
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sel = ", ".join(f"t.{k}" for k in key_cols)
+    return f"""
+WITH src AS ({table_expr}),
+stats AS (
+    -- decimal -> VARCHAR -> DOUBLE: DuckDB's direct decimal->double cast
+    -- double-rounds (int128 -> double, then * 10^-scale) and drifts a
+    -- ulp from Spark's correctly-rounded BigDecimal conversion on
+    -- 1e14-magnitude sums; the string parse is correctly rounded in
+    -- both engines
+    SELECT {keys},
+           count(*) AS n,
+           CAST(CAST(sum(CAST({value_col} AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS s,
+           CAST(CAST(sum(CAST(CAST({value_col} AS DECIMAL(18,2))
+                              * CAST({value_col} AS DECIMAL(18,2))
+                              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS ss
+    FROM src GROUP BY {keys}
+),
+enriched AS (
+    SELECT {keys}, s / CAST(n AS DOUBLE) AS group_mean,
+           sqrt(greatest(ss / CAST(n AS DOUBLE)
+                         - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+                         0.0)) AS group_sd
+    FROM stats
+)
+SELECT {sel}, t.{value_col}, s.group_mean, s.group_sd,
+       (t.{value_col} - s.group_mean) / s.group_sd AS zscore
+FROM src t JOIN enriched s ON {on}
+WHERE abs(t.{value_col} - s.group_mean) > CAST({z!r} AS DOUBLE) * s.group_sd
+"""

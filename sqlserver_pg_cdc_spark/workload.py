@@ -2316,6 +2316,32 @@ FROM customer WHERE c_custkey < 200
     )
 
 
+def q_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority z-score outliers on order value (data-quality
+    anomaly surface next to the constraint checks). Exact decimal
+    moments -> deterministic double mean/sd -> bit-stable flag
+    boundary; one moments groupBy + stats-sized join back."""
+    from sqlserver_pg_cdc_spark.operators.quality import outliers_zscore
+
+    return outliers_zscore(
+        load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        z=1.7,
+    )
+
+
+def _order_outliers_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.quality import outliers_zscore_sql
+
+    return outliers_zscore_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        ["o_orderpriority"],
+        "o_totalprice",
+        z=1.7,
+    )
+
+
 def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per order, the SORTED array of its part
     keys plus line count — collect_list is unordered in both engines, so
@@ -3506,6 +3532,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["fuzzy_match_customers"] = QuerySpec(
         q_fuzzy_match_customers, _fuzzy_match_customers_sql()
     )
+    catalog["order_outliers"] = QuerySpec(q_order_outliers, _order_outliers_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -176,3 +176,19 @@ def test_budget_mix_by_rate_expected_tokens(spark):
         d, "source", "doc_id", "n_chars", {s: t * 2 for s, t in totals.items()}
     )
     assert everything.count() == d.count()
+
+
+def test_outliers_zscore_semantics(spark):
+    """Planted outlier: 20 tight values + one far point per group —
+    only the far point flags, and its z-score matches the moments."""
+    from sqlserver_pg_cdc_spark.operators.quality import outliers_zscore
+
+    rows = [("g", float(100 + (i % 5))) for i in range(20)] + [("g", 500.0)]
+    rows += [("h", 10.0), ("h", 10.0), ("h", 10.0)]  # zero-variance group
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = outliers_zscore(df, ["k"], "v", z=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k"] == "g" and r["v"] == 500.0 and r["zscore"] > 3.0
+    # zero-variance group flags nothing (sd == 0)
+    assert not [x for x in out if x["k"] == "h"]

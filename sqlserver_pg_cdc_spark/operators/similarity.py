@@ -228,6 +228,13 @@ def with_ivf_cell(
     # the FIRST max (cells iterated by ascending cell_id), matching the
     # (cc DESC, cell_id ASC) window tiebreak.
     cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    if not cents:  # empty corpus: no cells, no assignments
+        assigned = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.lit(None).cast("int").alias("cell_id"),
+        ).limit(0)
+        return assigned, centroids
     cell_structs = []
     for r in cents:
         lits = ", ".join(f"{float(x)!r}D" for x in r["cv"])

@@ -71,9 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    from pyspark.sql.types import LongType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     for col in _nanos_timestamp_cols(path):
-        # floor-divide nanos to micros; 'div' is integer division
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # floor-divide nanos to micros; 'div' is integer division.
+        # Guard on the Spark-side dtype: pyarrow also reports legacy
+        # INT96 timestamps as unit 'ns', but Spark reads those as proper
+        # TimestampType (nanosAsLong only affects int64 TIMESTAMP(NANOS))
+        # — converting them again would be a type error.
+        if isinstance(dtypes.get(col), LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     # tz-less parquet timestamps arrive as TIMESTAMP_NTZ (Spark 4); the
     # engine standardizes on TIMESTAMP with the session pinned to UTC
     # (value-identical, and watermarks/unix_millis require it)

@@ -145,3 +145,73 @@ WHERE (CASE WHEN t.__t_present IS NULL THEN '{MISSING}'
             WHEN s.__s_present IS NULL THEN '{EXTRA}'
             WHEN len({mod_list}) > 0 THEN '{MODIFIED}' END) IS NOT NULL
 """
+
+
+def incremental_diff(
+    source: DataFrame,
+    target: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+    float_tol: float = 1e-9,
+    trim_strings: bool = True,
+    include_values: bool = False,
+) -> DataFrame:
+    """diff_tables with bucket-checksum pruning: hash-partition both
+    sides into ``n_buckets`` PK buckets, compare per-bucket signatures
+    (row count + sum of row hashes — map-side combinable, one tiny agg
+    per side), and run the full-outer diff ONLY over buckets whose
+    signatures differ. Result is identical to ``diff_tables`` (the
+    oracle contract); the win is the scheduled-reconciliation case
+    where little changed — the expensive PK shuffle touches changed
+    buckets instead of the whole table, so a 0.1% churn day diffs ~0.1%
+    of rows.
+
+    Safety: a bucket is skipped only when count AND signature match.
+    Raw-value hashing can only over-select (a whitespace-tolerant match
+    hashes unequal -> bucket re-diffed -> no discrepancy emitted), never
+    under-select, short of a 64-bit sum collision (~2^-64 per bucket,
+    negligible and non-adversarial here). Size ``n_buckets`` so a bucket
+    is a few hundred MB at the target scale."""
+    fields = _compare_fields(source, pk_cols, compare_cols)
+    cols = [*pk_cols, *[c for c, _ in fields]]
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
+    rowhash = F.xxhash64(*[F.col(c) for c in cols])
+
+    def _sig(df: DataFrame) -> DataFrame:
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode; decimal(38,0) is exact to ~10^19 rows/bucket
+        return (
+            df.select(bucket.alias("__b"), rowhash.cast("decimal(38,0)").alias("__h"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__n"), F.sum("__h").alias("__sig"))
+        )
+
+    a, b = _sig(source).alias("a"), _sig(target).alias("b")
+    changed = (
+        a.join(b, "__b", "full_outer")
+        .filter(
+            F.col("a.__n").isNull()
+            | F.col("b.__n").isNull()
+            | (F.col("a.__n") != F.col("b.__n"))
+            | (F.col("a.__sig") != F.col("b.__sig"))
+        )
+        .select("__b")
+    )
+
+    def _subset(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__b", bucket)
+            .join(changed, "__b", "left_semi")
+            .drop("__b")
+        )
+
+    return diff_tables(
+        _subset(source),
+        _subset(target),
+        pk_cols,
+        compare_cols,
+        float_tol=float_tol,
+        trim_strings=trim_strings,
+        include_values=include_values,
+    )

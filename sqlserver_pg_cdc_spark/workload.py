@@ -150,6 +150,18 @@ def q_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(src, _perturb_orders(src), ["o_orderkey"])
 
 
+def q_diff_orders_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-checksum-pruned diff: per-bucket signatures skip the
+    expensive full-outer join for unchanged PK buckets — the scheduled
+    reconciliation shape (0.1% churn -> ~0.1% of rows re-diffed). The
+    oracle is the PLAIN full diff: equality proves the pruning loses
+    nothing."""
+    from sqlserver_pg_cdc_spark.operators.diff import incremental_diff
+
+    src = load_table(spark, sf_dir, "orders")
+    return incremental_diff(src, _perturb_orders(src), ["o_orderkey"], n_buckets=64)
+
+
 def q_diff_summary_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7+A8: discrepancy roll-up with reference severity buckets
     (<0.1% LOW, <1% MEDIUM, <10% HIGH, else CRITICAL; generator.py:178-202)."""
@@ -3558,6 +3570,11 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         orders, "SELECT * FROM orders", _PERTURB_ORDERS_SQL, ["o_orderkey"]
     )
     catalog["diff_orders"] = QuerySpec(q_diff_orders, diff_sql)
+    # same oracle text as diff_orders: the pruned plan must reproduce
+    # the full diff exactly
+    catalog["diff_orders_incremental"] = QuerySpec(
+        q_diff_orders_incremental, diff_sql
+    )
     catalog["diff_summary_severity"] = QuerySpec(
         q_diff_summary_severity,
         f"""

@@ -170,3 +170,29 @@ def test_binned_range_join_matches_broadcast(spark):
     binned = binned_range_join(li, tiers, "l_quantity", "lo", "hi", bin_width=7.0) \
         .groupBy("tier").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, binned.collect()))
+
+
+def test_incremental_diff_equals_full_diff(spark):
+    from sqlserver_pg_cdc_spark.operators.diff import diff_tables, incremental_diff
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    tgt = src.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    full = {tuple(r) for r in diff_tables(src, tgt, ["o_orderkey"]).collect()}
+    inc = {
+        tuple(r)
+        for r in incremental_diff(src, tgt, ["o_orderkey"], n_buckets=32).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_diff_identical_tables_is_empty(spark):
+    from sqlserver_pg_cdc_spark.operators.diff import incremental_diff
+    from sqlserver_pg_cdc_spark.sources.parquet import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert incremental_diff(src, src, ["o_orderkey"], n_buckets=32).count() == 0

@@ -2354,6 +2354,41 @@ def _order_outliers_sql() -> str:
     )
 
 
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing: customers split into four account-
+    balance quartiles (deterministic tie-break on the key), per-quartile
+    count and balance range. The ntile window is a single global sort at
+    validation scale — the production path for unbounded data is
+    approx-percentile cut points; this is the exact contract."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .select(F.col("quartile").cast("long").alias("quartile"),
+                "n_customers", "min_bal", "max_bal")
+    )
+
+
+_Q_BALANCE_QUARTILES_SQL = """
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal
+FROM (
+    SELECT c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+)
+GROUP BY quartile
+"""
+
+
 def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per order, the SORTED array of its part
     keys plus line count — collect_list is unordered in both engines, so
@@ -3545,6 +3580,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_fuzzy_match_customers, _fuzzy_match_customers_sql()
     )
     catalog["order_outliers"] = QuerySpec(q_order_outliers, _order_outliers_sql())
+    catalog["balance_quartiles"] = QuerySpec(
+        q_balance_quartiles, _Q_BALANCE_QUARTILES_SQL
+    )
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

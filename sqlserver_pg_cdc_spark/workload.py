@@ -2354,6 +2354,27 @@ def _order_outliers_sql() -> str:
     )
 
 
+def q_user_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of per-user daily spend series —
+    exact decimal moments, VARCHAR-routed double conversion, zero-
+    variance pairs gated before division. Pair join keyed on the day
+    bucket (quadratic in CONCURRENT users, the honest all-pairs cost;
+    candidates-then-verify is the unbounded-cardinality path)."""
+    from sqlserver_pg_cdc_spark.operators.stats import series_correlation
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return series_correlation(e, "user_id", "ts", "value", "day", min_buckets=5)
+
+
+def _user_series_correlation_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.stats import series_correlation_sql
+
+    return series_correlation_sql(
+        "SELECT * FROM events WHERE user_id < 40",
+        "user_id", "ts", "value", "day", min_buckets=5,
+    )
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3582,6 +3603,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["order_outliers"] = QuerySpec(q_order_outliers, _order_outliers_sql())
     catalog["balance_quartiles"] = QuerySpec(
         q_balance_quartiles, _Q_BALANCE_QUARTILES_SQL
+    )
+    catalog["user_series_correlation"] = QuerySpec(
+        q_user_series_correlation, _user_series_correlation_sql()
     )
 
     # schema-dependent oracles (reuse the shared probes)

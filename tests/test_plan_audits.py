@@ -188,3 +188,22 @@ def test_bpe_topk_is_take_ordered(spark):
     fn = workload.build_catalog(spark)["bpe_top_pairs"].fn
     plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "fuzzy_match_customers",
+        "diff_orders_incremental",
+        "order_outliers",
+        "user_series_correlation",
+        "semantic_decontam",
+        "events_continuous_agg",
+    ],
+)
+def test_round3_queries_no_cartesian_no_python(spark, qname):
+    """The blocked/banded/bucketed round-3 plans must never fall back to
+    a cartesian product or row-at-a-time Python."""
+    m = _metrics(spark, qname)
+    assert m.python_evals == 0
+    assert not m.has_cartesian, m.joins

@@ -1,0 +1,106 @@
+"""SCD Type-2 history apply: CDC changes as versioned dimension history.
+
+The upsert sink (`streaming/apply.py`) keeps ONE row per key — correct
+for replication parity with the reference (PostgreSQL target), but a
+warehouse consumer usually wants the history: every version of every
+row with its validity interval.  This operator applies a CDC batch to a
+history table in the classic slowly-changing-dimension-type-2 shape:
+
+    (*business cols, __lsn, __valid_from_lsn, __valid_to_lsn, __active)
+
+- a new version CLOSES the previous one (``__valid_to_lsn`` = the new
+  version's LSN, ``__active`` = false) and appends itself open-ended;
+- a delete closes the current version without appending (the key has no
+  active row afterwards);
+- within a batch, versions apply in LSN order (every intermediate
+  version is preserved — not just the batch's last, which is what the
+  upsert sink's latest-per-key dedup would keep);
+- replays are idempotent: a version whose (key, LSN) already exists in
+  the history is skipped before any interval surgery.
+
+Scale: one groupBy/window per batch keyed on the PK over (history's
+AFFECTED keys + batch) — the history is first semi-joined down to keys
+present in the batch, so the rewrite touches O(changed keys × their
+versions), not O(history).  The final merge is a union + window
+recomputation of validity chains for affected keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OPEN_LSN = (1 << 62)  # sentinel for "still active"; larger than any real LSN
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    batch: DataFrame,
+    pk_cols: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Apply one CDC batch to an SCD2 history frame and return the new
+    history.  ``history`` of None means an empty history (bootstrap).
+
+    ``batch`` carries the business columns plus ``lsn_col`` and
+    ``op_col`` ('c'/'u'/'r' upserts, ``delete_op`` deletes).  Deletes
+    are represented in the history as a tombstone version (NULL business
+    columns are fine) that immediately closes — its only effect is
+    closing the predecessor.
+    """
+    biz = [c for c in batch.columns if c not in (lsn_col, op_col)]
+    versions = batch.select(
+        *[F.col(c) for c in biz],
+        F.col(lsn_col).cast("long").alias("__lsn"),
+        (F.col(op_col) == delete_op).alias("__is_delete"),
+    )
+    if history is not None:
+        keys = versions.select(*pk_cols).distinct()
+        affected = history.join(keys, pk_cols, "left_semi")
+        untouched = history.join(keys, pk_cols, "left_anti")
+        # idempotent replay: drop batch versions already in the history
+        seen = affected.select(*pk_cols, "__lsn")
+        versions = versions.join(seen, [*pk_cols, "__lsn"], "left_anti")
+        merged = affected.select(
+            *[F.col(c) for c in biz], "__lsn", F.col("__is_delete")
+        ).unionByName(versions)
+    else:
+        untouched = None
+        merged = versions
+    # recompute validity chains for the affected keys: order versions by
+    # LSN, each closes at the next version's LSN (or stays open)
+    w = Window.partitionBy(*pk_cols).orderBy(F.col("__lsn").asc())
+    next_lsn = F.lead("__lsn").over(w)
+    rebuilt = merged.select(
+        *[F.col(c) for c in biz],
+        "__lsn",
+        "__is_delete",
+        F.col("__lsn").alias("__valid_from_lsn"),
+        F.coalesce(next_lsn, F.lit(OPEN_LSN)).alias("__valid_to_lsn"),
+    ).withColumn(
+        "__active",
+        (F.col("__valid_to_lsn") == OPEN_LSN) & ~F.col("__is_delete"),
+    )
+    if untouched is not None:
+        rebuilt = rebuilt.unionByName(untouched)
+    return rebuilt
+
+
+def current_view(history: DataFrame) -> DataFrame:
+    """The upsert-equivalent projection: the single active version per
+    key (deleted keys absent)."""
+    drop = ["__lsn", "__is_delete", "__valid_from_lsn", "__valid_to_lsn", "__active"]
+    return history.filter(F.col("__active")).drop(*drop)
+
+
+def as_of_lsn(history: DataFrame, lsn: int) -> DataFrame:
+    """Time travel: the table as it stood at ``lsn`` (versions whose
+    validity interval contains it, deletes excluded)."""
+    drop = ["__lsn", "__is_delete", "__valid_from_lsn", "__valid_to_lsn", "__active"]
+    return history.filter(
+        (F.col("__valid_from_lsn") <= lsn)
+        & (F.col("__valid_to_lsn") > lsn)
+        & ~F.col("__is_delete")
+    ).drop(*drop)

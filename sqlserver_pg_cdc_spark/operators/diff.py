@@ -215,3 +215,45 @@ def incremental_diff(
         trim_strings=trim_strings,
         include_values=include_values,
     )
+
+
+def snapshot_changes(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generate a CDC-style change feed from two table snapshots:
+    ``(*pk_cols, op, *business cols)`` with op 'c' (insert), 'u'
+    (update), 'd' (delete; business columns carry the BEFORE image).
+
+    The inverse of the streaming apply plane: where `streaming/apply.py`
+    consumes a change feed to reconstruct a table, this derives the feed
+    two snapshots imply — the standard backfill/bootstrap move when a
+    source has no log retention for the gap (snapshot diff -> synthetic
+    changes -> normal apply path). Applying the result to ``old`` via
+    merge_upsert + delete handling reproduces ``new`` exactly, because
+    it is diff_tables' classification re-expressed as operations.
+
+    Scale: one full-outer PK join (the diff), values carried through
+    structs — no extra scans. Compose with incremental_diff's bucket
+    pruning upstream when churn is low.
+    """
+    d = diff_tables(
+        old, new, pk_cols, compare_cols, float_tol=None, trim_strings=False,
+        include_values=True,
+    )
+    op = (
+        F.when(F.col("diff_type") == EXTRA, F.lit("c"))
+        .when(F.col("diff_type") == MODIFIED, F.lit("u"))
+        .otherwise(F.lit("d"))  # MISSING
+    )
+    payload = F.when(
+        F.col("diff_type") == MISSING, F.col("source_data")
+    ).otherwise(F.col("target_data"))
+    fields = _compare_fields(old, pk_cols, compare_cols)
+    return d.select(
+        *pk_cols,
+        op.alias("op"),
+        *[payload.getField(c).alias(c) for c, _ in fields],
+    )

@@ -196,3 +196,31 @@ def test_incremental_diff_identical_tables_is_empty(spark):
 
     src = load_table(spark, "/root/testdata/sf0.001", "orders")
     assert incremental_diff(src, src, ["o_orderkey"], n_buckets=32).count() == 0
+
+
+def test_snapshot_changes_roundtrip(spark):
+    """The generated change feed, applied to the old snapshot, must
+    reproduce the new snapshot exactly."""
+    from sqlserver_pg_cdc_spark.operators.diff import snapshot_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0)], "id long, s string, v double"
+    )
+    feed = {r["id"]: r for r in snapshot_changes(old, new, ["id"]).collect()}
+    assert set(feed) == {2, 3, 4}  # id 1 unchanged -> no event
+    assert feed[2]["op"] == "u" and feed[2]["s"] == "B" and feed[2]["v"] == 2.5
+    assert feed[3]["op"] == "d" and feed[3]["s"] == "c"  # before image
+    assert feed[4]["op"] == "c" and feed[4]["s"] == "d"
+
+    # replay the feed over `old` imperatively
+    state = {r["id"]: (r["s"], r["v"]) for r in old.collect()}
+    for rid, r in feed.items():
+        if r["op"] == "d":
+            del state[rid]
+        else:
+            state[rid] = (r["s"], r["v"])
+    want = {r["id"]: (r["s"], r["v"]) for r in new.collect()}
+    assert state == want

@@ -2375,6 +2375,40 @@ def _user_series_correlation_sql() -> str:
     )
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube's fixed lattices):
+    totals by (status, priority), by status alone, and grand total in
+    ONE pass — Catalyst expands to a single Expand+aggregate, one
+    shuffle. GROUPING() markers disambiguate NULL-as-subtotal from
+    NULL data on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+_Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3606,6 +3640,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["user_series_correlation"] = QuerySpec(
         q_user_series_correlation, _user_series_correlation_sql()
+    )
+    catalog["orders_grouping_sets"] = QuerySpec(
+        q_orders_grouping_sets, _Q_GROUPING_SETS_SQL
     )
 
     # schema-dependent oracles (reuse the shared probes)

@@ -207,3 +207,13 @@ def test_round3_queries_no_cartesian_no_python(spark, qname):
     m = _metrics(spark, qname)
     assert m.python_evals == 0
     assert not m.has_cartesian, m.joins
+
+
+def test_every_catalog_query_has_an_oracle(spark):
+    """The full-oracle guarantee: every contract query ships a DuckDB
+    SQL twin (no rows-only checks). A None oracle here would silently
+    downgrade the driver's correctness gate for that query."""
+    cat = workload.build_catalog(spark)
+    missing = [n for n, spec in cat.items() if spec.oracle is None]
+    assert not missing, missing
+    assert len(cat) >= 105

@@ -295,3 +295,92 @@ SELECT d.{id_col},
             ELSE 0.0 END AS top_gram_frac
 FROM {table} d LEFT JOIN a USING ({id_col})
 """
+
+
+# Gopher quality-rule bundle (Rae et al. 2021, appendix A1.1): the
+# document-level filters MassiveText applies before training. Thresholds
+# per the paper; every signal is integer/rational arithmetic on the
+# shared tokenizer, so both engines produce identical doubles.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(col: Column | str) -> dict[str, Column]:
+    """The raw per-document signals the Gopher rules threshold."""
+    c = _c(col)
+    toks = tokens(c)
+    n = F.size(toks)
+    nd = n.cast("double")
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # '#' and unicode/ascii ellipsis occurrences, counted over raw text
+    symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+        + (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.|…", ""))) / 3
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _GOPHER_STOPS]))
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": total_len.cast("double") / safe_n,
+        "symbol_word_ratio": symbols.cast("double") / safe_n,
+        "alpha_word_frac": alpha_words.cast("double") / safe_n,
+        "stopword_hits": stop_hits.cast("long"),
+        "_nd": nd,
+    }
+
+
+def gopher_pass(col: Column | str) -> Column:
+    """True when the document clears every Gopher document-level rule."""
+    s = gopher_signals(col)
+    lo, hi = GOPHER_MEAN_WORD_LEN_RANGE
+    return (
+        (s["n_words"] >= GOPHER_MIN_WORDS)
+        & (s["n_words"] <= GOPHER_MAX_WORDS)
+        & (s["mean_word_len"] >= lo)
+        & (s["mean_word_len"] <= hi)
+        & (s["symbol_word_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (s["alpha_word_frac"] >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (s["stopword_hits"] >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
+def gopher_signals_sql(col: str) -> dict[str, str]:
+    toks = tokens_sql(col)
+    stops = _sql_array(_GOPHER_STOPS)
+    safe_n = f"CAST(greatest(len({toks}), 1) AS DOUBLE)"
+    total_len = f"list_sum(list_transform({toks}, t -> length(t)))"
+    alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+    symbols = (
+        f"(length({col}) - length(replace({col}, '#', ''))"
+        f" + (length({col}) - length(regexp_replace({col}, '\\.\\.\\.|…', '', 'g'))) / 3)"
+    )
+    return {
+        "n_words": f"CAST(len({toks}) AS BIGINT)",
+        "mean_word_len": f"CAST(coalesce({total_len}, 0) AS DOUBLE) / {safe_n}",
+        "symbol_word_ratio": f"CAST({symbols} AS DOUBLE) / {safe_n}",
+        "alpha_word_frac": f"CAST({alpha} AS DOUBLE) / {safe_n}",
+        "stopword_hits": f"CAST(len(list_intersect({toks}, {stops})) AS BIGINT)",
+    }
+
+
+def gopher_pass_sql(col: str) -> str:
+    s = gopher_signals_sql(col)
+    lo, hi = GOPHER_MEAN_WORD_LEN_RANGE
+    return (
+        f"({s['n_words']} >= {GOPHER_MIN_WORDS} AND {s['n_words']} <= {GOPHER_MAX_WORDS}"
+        f" AND {s['mean_word_len']} >= {lo!r} AND {s['mean_word_len']} <= {hi!r}"
+        f" AND {s['symbol_word_ratio']} <= {GOPHER_MAX_SYMBOL_RATIO!r}"
+        f" AND {s['alpha_word_frac']} >= {GOPHER_MIN_ALPHA_WORD_FRAC!r}"
+        f" AND {s['stopword_hits']} >= {GOPHER_MIN_STOPWORD_HITS})"
+    )

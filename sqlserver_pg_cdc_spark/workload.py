@@ -2409,6 +2409,42 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher/MassiveText document-filter rule bundle (word
+    count bounds, mean word length, symbol ratio, alpha-word fraction,
+    stopword presence) with per-rule signals and the composite pass
+    flag. Pure per-row expression work riding the scan."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = TX.gopher_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        sig["symbol_word_ratio"].alias("symbol_word_ratio"),
+        sig["alpha_word_frac"].alias("alpha_word_frac"),
+        sig["stopword_hits"].alias("stopword_hits"),
+        TX.gopher_pass(F.col("text")).alias("gopher_pass"),
+    )
+
+
+def _gopher_quality_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    s = TX.gopher_signals_sql("text")
+    return f"""
+SELECT doc_id,
+       {s['n_words']} AS n_words,
+       {s['mean_word_len']} AS mean_word_len,
+       {s['symbol_word_ratio']} AS symbol_word_ratio,
+       {s['alpha_word_frac']} AS alpha_word_frac,
+       {s['stopword_hits']} AS stopword_hits,
+       {TX.gopher_pass_sql('text')} AS gopher_pass
+FROM documents
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3644,6 +3680,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["orders_grouping_sets"] = QuerySpec(
         q_orders_grouping_sets, _Q_GROUPING_SETS_SQL
     )
+    catalog["gopher_quality"] = QuerySpec(q_gopher_quality, _gopher_quality_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -307,3 +307,57 @@ SELECT {sel}, t.{value_col}, s.group_mean, s.group_sd,
 FROM src t JOIN enriched s ON {on}
 WHERE abs(t.{value_col} - s.group_mean) > CAST({z!r} AS DOUBLE) * s.group_sd
 """
+
+
+def fk_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+) -> DataFrame:
+    """Foreign-key candidate profiling: how fully the child column's
+    values are contained in the parent column —
+    ``(n_child_distinct, n_contained, containment, is_fk_candidate)``.
+
+    Containment ~1.0 marks an (undeclared) referential relationship —
+    the discovery step before check_referential enforces it. Exact
+    distinct sets via one left-semi join on the candidate key: two
+    aggregations + a semi-join keyed on the value, no value set ever
+    reaches the driver.
+    """
+    cd = child.select(F.col(child_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    pd_ = parent.select(F.col(parent_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    contained = cd.join(pd_, "__v", "left_semi")
+    n_child = cd.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+    n_cont = contained.agg(F.count(F.lit(1)).alias("n_contained"))
+    return n_child.crossJoin(n_cont).select(
+        F.col("n_child_distinct").cast("long").alias("n_child_distinct"),
+        F.col("n_contained").cast("long").alias("n_contained"),
+        (
+            F.col("n_contained").cast("double")
+            / F.greatest(F.col("n_child_distinct"), F.lit(1)).cast("double")
+        ).alias("containment"),
+        (F.col("n_contained") == F.col("n_child_distinct")).alias("is_fk_candidate"),
+    )
+
+
+def fk_containment_sql(
+    child_expr: str, child_col: str, parent_expr: str, parent_col: str
+) -> str:
+    return f"""
+WITH cd AS (SELECT DISTINCT {child_col} AS v FROM ({child_expr})
+            WHERE {child_col} IS NOT NULL),
+pd AS (SELECT DISTINCT {parent_col} AS v FROM ({parent_expr})
+       WHERE {parent_col} IS NOT NULL),
+contained AS (SELECT v FROM cd WHERE v IN (SELECT v FROM pd))
+SELECT CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_child_distinct,
+       CAST((SELECT count(*) FROM contained) AS BIGINT) AS n_contained,
+       CAST((SELECT count(*) FROM contained) AS DOUBLE)
+           / CAST(greatest((SELECT count(*) FROM cd), 1) AS DOUBLE) AS containment,
+       (SELECT count(*) FROM contained) = (SELECT count(*) FROM cd)
+           AS is_fk_candidate
+"""

@@ -2445,6 +2445,41 @@ FROM documents
 """
 
 
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-relationship discovery: containment of lineitem's
+    order key in orders' primary key (a declared FK, containment 1.0)
+    vs a non-key pairing (partkey in suppkey space, far below 1.0).
+    Distinct sets never leave the cluster — one semi-join per pair."""
+    from sqlserver_pg_cdc_spark.operators.quality import fk_containment
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    good = fk_containment(li, "l_orderkey", orders, "o_orderkey").withColumn(
+        "pair", F.lit("lineitem.l_orderkey->orders.o_orderkey")
+    )
+    bad = fk_containment(li, "l_partkey", supplier, "s_suppkey").withColumn(
+        "pair", F.lit("lineitem.l_partkey->supplier.s_suppkey")
+    )
+    return good.unionByName(bad)
+
+
+def _fk_discovery_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.quality import fk_containment_sql
+
+    good = fk_containment_sql(
+        "SELECT * FROM lineitem", "l_orderkey", "SELECT * FROM orders", "o_orderkey"
+    )
+    bad = fk_containment_sql(
+        "SELECT * FROM lineitem", "l_partkey", "SELECT * FROM supplier", "s_suppkey"
+    )
+    return f"""
+SELECT g.*, 'lineitem.l_orderkey->orders.o_orderkey' AS pair FROM ({good}) g
+UNION ALL
+SELECT b.*, 'lineitem.l_partkey->supplier.s_suppkey' AS pair FROM ({bad}) b
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3681,6 +3716,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_orders_grouping_sets, _Q_GROUPING_SETS_SQL
     )
     catalog["gopher_quality"] = QuerySpec(q_gopher_quality, _gopher_quality_sql())
+    catalog["fk_discovery"] = QuerySpec(q_fk_discovery, _fk_discovery_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -2480,6 +2480,37 @@ SELECT b.*, 'lineitem.l_partkey->supplier.s_suppkey' AS pair FROM ({bad}) b
 """
 
 
+def q_supplier_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead neighbors, percent_rank and
+    cume_dist per nation over a UNIQUE ordering (acctbal + suppkey
+    tie-break), so every rank-derived rational is exact on both
+    engines. One shuffle on the nation key."""
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.lag("s_acctbal").over(w).alias("prev_bal"),
+        F.lead("s_acctbal").over(w).alias("next_bal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_Q_SUPPLIER_WINDOW_SQL = """
+SELECT s_suppkey,
+       CAST(s_nationkey AS BIGINT) AS nation,
+       lag(s_acctbal) OVER w AS prev_bal,
+       lead(s_acctbal) OVER w AS next_bal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3717,6 +3748,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["gopher_quality"] = QuerySpec(q_gopher_quality, _gopher_quality_sql())
     catalog["fk_discovery"] = QuerySpec(q_fk_discovery, _fk_discovery_sql())
+    catalog["supplier_window_showcase"] = QuerySpec(
+        q_supplier_window_showcase, _Q_SUPPLIER_WINDOW_SQL
+    )
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -322,3 +322,77 @@ ranked AS (
 )
 SELECT pair, n_words, total_count, rank FROM ranked WHERE rank <= {top_k}
 """
+
+
+def _merge_fold_expr(syms_col: str, a: str, b: str) -> str:
+    """One BPE merge applied to a symbol array: leftmost-first,
+    non-overlapping (the fold consumes the merged token, so 'aaa' under
+    ('a','a') becomes ['aa','a'] — standard BPE semantics)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    ab = q(a + b)
+    return (
+        f"aggregate({syms_col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {q(a)} AND x = {q(b)} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({ab})) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus: the distributed
+    count phase of tokenizer training, iterated.
+
+    Each round counts adjacent symbol pairs over the DISTINCT
+    vocabulary (weighted by word frequency), takes the most frequent
+    pair (ties break lexicographically), and re-segments the vocabulary
+    with one fold expression — per-round work is O(vocab x word length),
+    never O(corpus), exactly how industrial BPE training distributes.
+    Only the single winning pair crosses to the driver per round.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    words = (
+        df.select(F.explode(TX.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.expr("transform(split(w, ''), x -> x)"))
+        .select("wc", "syms")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            # filter BEFORE the transform: sequence(1, m) counts DOWN
+            # for single-symbol words (m = 0)
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+        merges.append((a, b))
+        words = words.select(
+            "wc", F.expr(_merge_fold_expr("syms", a, b)).alias("syms")
+        ).localCheckpoint()
+    return merges

@@ -147,3 +147,52 @@ def test_gap_fill_tiebreak_deterministic(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = gap_fill(d, "user_id", "ts", "value", "event_id", "hour").collect()
     assert len(out) == 1 and out[0]["value_filled"] == 2.0
+
+
+# --- iterative BPE training ----------------------------------------------
+
+
+def _python_bpe(texts, n_merges):
+    """Reference BPE: leftmost-first non-overlapping merges, ties by
+    (a, b) ascending."""
+    vocab = {}
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in segs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = LM.bpe_train(df, "text", n_merges=6)
+    want = _python_bpe(texts, 6)
+    assert got == want
+    # merged symbols become multi-char: later merges build on earlier
+    assert any(len(a) > 1 or len(b) > 1 for a, b in got[1:])

@@ -2511,6 +2511,65 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card roll-up per source: document/token volumes, Gopher
+    pass rate, mean quality (fixed-point-quantized before averaging so
+    the cross-doc sum is exact integer arithmetic), language spread.
+    One groupBy over per-row expression signals — the summary a corpus
+    release ships with."""
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    # fixed-point quantization BEFORE the cross-doc sum: per-doc quality
+    # doubles are bit-identical across engines, but a double SUM of them
+    # would be order-dependent — integers aren't
+    qfp = F.floor(F.lit(1_000_000) * TX.quality_score(F.col("text"))).cast("bigint")
+    enriched = d.select(
+        "source",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.gopher_pass(F.col("text")).alias("gp"),
+        qfp.alias("q_fp"),
+        TX.lang_id("text").alias("lang"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.count_if(F.col("gp")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gopher_pass_rate"),
+        (
+            F.sum("q_fp").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("mean_quality"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def _corpus_report_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions import text as TX
+
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) FILTER (WHERE gp) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS gopher_pass_rate,
+       CAST(sum(q_fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+           AS mean_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM (
+    SELECT source,
+           CAST({TX.token_count_sql('text')} AS BIGINT) AS n_tokens,
+           {TX.gopher_pass_sql('text')} AS gp,
+           CAST(floor(1000000 * ({TX.quality_score_sql('text')})) AS BIGINT) AS q_fp,
+           {TX.lang_id_sql('text')} AS lang
+    FROM documents
+)
+GROUP BY source
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3751,6 +3810,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["supplier_window_showcase"] = QuerySpec(
         q_supplier_window_showcase, _Q_SUPPLIER_WINDOW_SQL
     )
+    catalog["corpus_report"] = QuerySpec(q_corpus_report, _corpus_report_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

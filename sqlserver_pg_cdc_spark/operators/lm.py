@@ -396,3 +396,26 @@ def bpe_train(
             "wc", F.expr(_merge_fold_expr("syms", a, b)).alias("syms")
         ).localCheckpoint()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge list: whitespace pre-tokenize,
+    split to characters, apply every merge in training order — ONE
+    projection of chained fold expressions, no shuffle, no Python.
+    Appends ``out_col`` (array<string> of subword tokens, word
+    boundaries preserved) and ``{out_col}_count``."""
+    seg = "transform(split(x, ''), c -> c)"  # word -> initial chars
+    for a, b in merges:
+        seg = _merge_fold_expr(f"({seg})", a, b)
+    out = F.expr(f"flatten(transform(__toks, x -> {seg}))")
+    return (
+        df.withColumn("__toks", TX.tokens(text_col))
+        .withColumn(out_col, out)
+        .withColumn(f"{out_col}_count", F.size(out_col).cast("long"))
+        .drop("__toks")
+    )

@@ -196,3 +196,20 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == want
     # merged symbols become multi-char: later merges build on earlier
     assert any(len(a) > 1 or len(b) > 1 for a, b in got[1:])
+
+
+def test_bpe_encode_roundtrip_with_trained_merges(spark):
+    texts = ["low lower lowest low low", "new newer newest new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = LM.bpe_train(df, "text", n_merges=5)
+    enc = LM.bpe_encode(df, "text", merges)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    for i, t in enumerate(texts):
+        toks = rows[i]["bpe_tokens"]
+        # concatenation reconstructs the original words exactly
+        assert "".join(toks) == t.replace(" ", "")
+        assert rows[i]["bpe_tokens_count"] == len(toks)
+    # merges actually compress: fewer symbols than characters
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    assert sum(r["bpe_tokens_count"] for r in rows.values()) < n_chars

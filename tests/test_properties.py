@@ -443,3 +443,71 @@ def test_lm_score_matches_python_reference(spark, texts):
             s += math.floor(1_000_000 * math.log(p))
         assert got[i][0] == len(grams)
         assert got[i][1] == pytest.approx(s / (len(grams) * 1_000_000), abs=0)
+
+
+# --- fuzzy join completeness on random strings ----------------------------
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=12),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_fuzzy_join_complete_on_random_strings(spark, left, right):
+    """Deletion-neighborhood blocking must equal brute force at
+    Levenshtein <= 1 on arbitrary short strings (a dense distance-1
+    space — the adversarial case for blocking recall)."""
+    from sqlserver_pg_cdc_spark.operators.fuzzy import fuzzy_join_typo
+
+    a = spark.createDataFrame(list(enumerate(left)), "id long, name string")
+    b = spark.createDataFrame(list(enumerate(right)), "id long, name string")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in fuzzy_join_typo(a, b, "id", "id", "name").collect()
+    }
+
+    def lev(x, y):
+        if len(x) < len(y):
+            x, y = y, x
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x):
+            cur = [i + 1]
+            for j, cy in enumerate(y):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for i, x in enumerate(left)
+        for j, y in enumerate(right)
+        if lev(x, y) <= 1
+    }
+    assert got == want
+
+
+# --- incremental diff equals full diff under random perturbation ----------
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=60), max_size=8),  # deleted keys
+    st.sets(st.integers(min_value=0, max_value=60), max_size=8),  # modified keys
+    st.sets(st.integers(min_value=100, max_value=120), max_size=5),  # inserted
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_diff_equals_full_random(spark, deleted, modified, inserted):
+    from sqlserver_pg_cdc_spark.operators.diff import diff_tables, incremental_diff
+
+    src_rows = [(i, f"v{i}") for i in range(60)]
+    tgt_rows = [
+        (i, f"v{i}" if i not in modified else "CHANGED")
+        for i in range(60)
+        if i not in deleted
+    ] + [(i, "new") for i in inserted]
+    src = spark.createDataFrame(src_rows, "id long, s string")
+    tgt = spark.createDataFrame(tgt_rows, "id long, s string")
+    full = {tuple(r) for r in diff_tables(src, tgt, ["id"]).collect()}
+    inc = {
+        tuple(r) for r in incremental_diff(src, tgt, ["id"], n_buckets=8).collect()
+    }
+    assert inc == full

@@ -262,3 +262,41 @@ SELECT {key_col},
        ) AS BIGINT) AS position
 FROM {table}
 """
+
+
+def shard_assignment(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic training-shard assignment by content hash:
+    engine/partitioning/run-stable, so re-exports land every document
+    in the same shard (resumable exports, reproducible dataloaders)."""
+    return df.withColumn(
+        "shard_id", F.pmod(_hash_bucket(key_col), F.lit(n_shards)).cast("long")
+    )
+
+
+def shard_manifest(
+    df: DataFrame, key_col: str, n_shards: int, token_col: str | None = None
+) -> DataFrame:
+    """The export manifest a training job validates against:
+    per-shard row count (and token total when ``token_col`` given).
+    One groupBy on the shard id; the manifest is n_shards rows."""
+    a = shard_assignment(df, key_col, n_shards)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col).cast("long")).cast("long").alias("total_tokens"))
+    return a.groupBy("shard_id").agg(*aggs)
+
+
+def shard_manifest_sql(
+    table_expr: str, key_col: str, n_shards: int, token_col: str | None = None
+) -> str:
+    tok = (
+        f", CAST(sum(CAST({token_col} AS BIGINT)) AS BIGINT) AS total_tokens"
+        if token_col
+        else ""
+    )
+    return f"""
+SELECT CAST(({_hash_bucket_sql(key_col)}) % {n_shards} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_rows{tok}
+FROM ({table_expr})
+GROUP BY 1
+"""

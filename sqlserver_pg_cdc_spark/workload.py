@@ -2570,6 +2570,25 @@ GROUP BY source
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: content-hash shard assignment
+    (engine/run-stable) with per-shard document and character totals —
+    what the dataloader validates before an epoch."""
+    from sqlserver_pg_cdc_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(
+        load_table(spark, sf_dir, "documents"), "doc_id", 8, token_col="n_chars"
+    )
+
+
+def _shard_manifest_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import shard_manifest_sql
+
+    return shard_manifest_sql(
+        "SELECT * FROM documents", "doc_id", 8, token_col="n_chars"
+    )
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -3811,6 +3830,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         q_supplier_window_showcase, _Q_SUPPLIER_WINDOW_SQL
     )
     catalog["corpus_report"] = QuerySpec(q_corpus_report, _corpus_report_sql())
+    catalog["shard_manifest"] = QuerySpec(q_shard_manifest, _shard_manifest_sql())
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):

@@ -104,3 +104,48 @@ def as_of_lsn(history: DataFrame, lsn: int) -> DataFrame:
         & (F.col("__valid_to_lsn") > lsn)
         & ~F.col("__is_delete")
     ).drop(*drop)
+
+
+class Scd2ParquetSink:
+    """foreachBatch sink maintaining an SCD2 history table in parquet —
+    the versioned-history alternative to ParquetUpsertSink, sharing its
+    crash-recoverable generation-swap discipline (composition, not
+    inheritance: the apply step rewrites version chains, not rows).
+
+    The batch frame must carry the business columns + (lsn, op) the
+    unwrap stage produces. Replays are idempotent by (key, LSN), so
+    checkpoint re-delivery converges.
+    """
+
+    def __init__(
+        self,
+        spark,
+        history_dir: str,
+        pk_cols: list[str],
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ):
+        from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+        # reuse the swap/recover machinery via a private upsert sink
+        self._store = ParquetUpsertSink(spark, history_dir, pk_cols)
+        self.pk_cols = pk_cols
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+
+    def history(self):
+        return self._store.read_target()
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.tracing import get_tracer
+
+        with get_tracer().span("scd2_apply_batch", batch_id=batch_id):
+            new_hist = scd2_apply(
+                self.history(), batch_df, self.pk_cols,
+                lsn_col=self.lsn_col, op_col=self.op_col,
+            )
+            self._store._swap_in(new_hist, self._store.target_dir)
+
+    def current(self):
+        h = self.history()
+        return None if h is None else current_view(h)

@@ -72,3 +72,17 @@ def test_untouched_keys_not_rewritten(spark, history):
     after = {tuple(r) for r in h2.filter("id != 3").collect()}
     assert before == after
     assert h2.filter("id = 3").count() == 2
+
+
+def test_scd2_sink_over_batches(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.scd2 import Scd2ParquetSink
+
+    sink = Scd2ParquetSink(spark, str(tmp_path / "hist"), ["id"])
+    b1 = spark.createDataFrame([(1, "a", 10, "c"), (2, "b", 11, "c")], SCHEMA)
+    b2 = spark.createDataFrame([(1, "a2", 20, "u"), (2, None, 21, "d")], SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay converges
+    cur = {(r["id"], r["name"]) for r in sink.current().collect()}
+    assert cur == {(1, "a2")}
+    assert sink.history().count() == 4  # 2 + update + tombstone

@@ -275,14 +275,16 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def pii_count(col: Column | str, category: str) -> Column:
-    """Number of matches of one PII category in a text column (JVM-side)."""
+    """Number of matches of one PII category in a text column (JVM-side).
+    NULL text scans as 0 matches (coalesced on both engines — without
+    it, NULL counts poison downstream sums differently per engine)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(PII_PATTERNS[category]))
+    return F.coalesce(F.regexp_count(c, F.lit(PII_PATTERNS[category])), F.lit(0))
 
 
 def pii_count_sql(col: str, category: str) -> str:
     pat = PII_PATTERNS[category].replace("'", "''")
-    return f"len(regexp_extract_all({col}, '{pat}'))"
+    return f"coalesce(len(regexp_extract_all({col}, '{pat}')), 0)"
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:

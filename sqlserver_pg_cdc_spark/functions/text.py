@@ -312,8 +312,10 @@ _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_signals(col: Column | str) -> dict[str, Column]:
-    """The raw per-document signals the Gopher rules threshold."""
-    c = _c(col)
+    """The raw per-document signals the Gopher rules threshold.
+    NULL text is treated as empty (coalesced on both engines), so every
+    signal is well-defined and the pass flag is False, never NULL."""
+    c = F.coalesce(_c(col), F.lit(""))
     toks = tokens(c)
     n = F.size(toks)
     nd = n.cast("double")
@@ -356,6 +358,7 @@ def gopher_pass(col: Column | str) -> Column:
 
 
 def gopher_signals_sql(col: str) -> dict[str, str]:
+    col = f"coalesce({col}, '')"  # NULL text == empty, as in gopher_signals
     toks = tokens_sql(col)
     stops = _sql_array(_GOPHER_STOPS)
     safe_n = f"CAST(greatest(len({toks}), 1) AS DOUBLE)"

@@ -75,7 +75,10 @@ def pack_sequences(
         fills = [0] * len(toks)
         bin_id, fill = 0, 0
         for i, t in enumerate(toks):
-            t = int(t)
+            # NULL token counts (e.g. token_count of a NULL text) arrive
+            # as NaN through Arrow — pack as zero-length, mirrored by
+            # the coalesce in the SQL recurrence
+            t = 0 if pd.isna(t) else int(t)
             if fill > 0 and fill + t > capacity:
                 bin_id += 1
                 fill = t
@@ -110,19 +113,25 @@ WITH RECURSIVE docs AS (
     FROM {table_expr}
 ),
 pack AS (
+    -- coalesce mirrors the packer's NULL-token-as-zero rule
     SELECT docs.*, CAST(0 AS BIGINT) AS {bin_col},
-           CAST({token_col} AS BIGINT) AS {fill_col}
+           CAST(coalesce({token_col}, 0) AS BIGINT) AS {fill_col}
     FROM docs WHERE __rn = 1
     UNION ALL
     SELECT d.*,
-           CASE WHEN p.{fill_col} > 0 AND p.{fill_col} + d.{token_col} > {capacity}
+           CASE WHEN p.{fill_col} > 0
+                 AND p.{fill_col} + coalesce(d.{token_col}, 0) > {capacity}
                 THEN p.{bin_col} + 1 ELSE p.{bin_col} END,
-           CASE WHEN p.{fill_col} > 0 AND p.{fill_col} + d.{token_col} > {capacity}
-                THEN CAST(d.{token_col} AS BIGINT)
-                ELSE p.{fill_col} + d.{token_col} END
+           CASE WHEN p.{fill_col} > 0
+                 AND p.{fill_col} + coalesce(d.{token_col}, 0) > {capacity}
+                THEN CAST(coalesce(d.{token_col}, 0) AS BIGINT)
+                ELSE p.{fill_col} + coalesce(d.{token_col}, 0) END
     FROM pack p
     JOIN docs d
-      ON d.{group_col} = p.{group_col} AND d.__rn = p.__rn + 1
+      -- null-safe group match: a NULL shard key is one group in the
+      -- window numbering, so the recursion must follow it too
+      ON d.{group_col} IS NOT DISTINCT FROM p.{group_col}
+     AND d.__rn = p.__rn + 1
 )
 SELECT * EXCLUDE (__rn) FROM pack
 """

@@ -109,6 +109,9 @@ def topk_brute_force(
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
 
     qid = query_id_col or id_col
+    # NULL vectors have no direction — excluded on both engines
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # norms precomputed ONCE per vector — cosine() inline would recompute
     # both norms per (query, candidate) pair, an O(N*Q*d) waste
     q = F.broadcast(
@@ -144,8 +147,10 @@ def topk_brute_force_sql(
     """Oracle twin; ``query_pred`` selects the query rows (e.g. 'vec_id < 5')."""
     cos = cosine_sql("q.qv", "v.v")
     return f"""
-WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {query_pred}),
-     v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table}
+           WHERE ({query_pred}) AND {vec_col} IS NOT NULL),
+     v AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+           WHERE {vec_col} IS NOT NULL)
 SELECT query_id, rank, id, cosine FROM (
     SELECT query_id, id, {cos} AS cosine,
            row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, id) AS rank
@@ -211,6 +216,9 @@ def with_ivf_cell(
     production recall."""
     from sqlserver_pg_cdc_spark.functions.vectors import norm
 
+    # NULL vectors have no direction: exclude them from cells, centroid
+    # seeds, and candidates on BOTH engines (the SQL twins filter too)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = (
             vectors.orderBy(id_col).limit(n_cells)
@@ -282,6 +290,7 @@ def topk_ivf(
     assigned, centroids = with_ivf_cell(
         vectors, id_col, vec_col, n_cells, centroids=centroids
     )
+    queries = queries.filter(F.col(vec_col).isNotNull())  # no direction
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm(vec_col).alias("qn"))
     qs = q.crossJoin(F.broadcast(centroids)).select(
@@ -330,14 +339,15 @@ def topk_ivf_sql(
     return f"""
 WITH cent AS (
     SELECT {id_col} AS cell_id, {vec_col} AS cv
-    FROM {table} ORDER BY {id_col} LIMIT {n_cells}
+    FROM {table} WHERE {vec_col} IS NOT NULL ORDER BY {id_col} LIMIT {n_cells}
 ),
 assigned AS (
     SELECT id, v, cell_id FROM (
         SELECT x.id, x.v, c.cell_id,
                row_number() OVER (PARTITION BY x.id
                                   ORDER BY {cell_cos} DESC, c.cell_id) AS rn
-        FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) x, cent c
+        FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+              WHERE {vec_col} IS NOT NULL) x, cent c
     ) WHERE rn = 1
 ),
 probes AS (
@@ -346,7 +356,7 @@ probes AS (
                row_number() OVER (PARTITION BY q.query_id
                                   ORDER BY {q_cos} DESC, c.cell_id) AS rn
         FROM (SELECT {id_col} AS query_id, {vec_col} AS qv
-              FROM {table} WHERE {query_pred}) q, cent c
+              FROM {table} WHERE ({query_pred}) AND {vec_col} IS NOT NULL) q, cent c
     ) WHERE rn <= {n_probe}
 )
 SELECT query_id, rank, id, cosine FROM (
@@ -376,9 +386,10 @@ def topk_lsh_sql(
     q_bucket = _bucket_sql("qv", hyperplanes(n_planes, dim, seed))
     cos = cosine_sql("q.qv", "x.v")
     return f"""
-WITH v AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}),
+WITH v AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}
+           WHERE {vec_col} IS NOT NULL),
 q AS (SELECT {id_col} AS query_id, {vec_col} AS qv, {q_bucket} AS bucket
-      FROM {table} WHERE {query_pred})
+      FROM {table} WHERE ({query_pred}) AND {vec_col} IS NOT NULL)
 SELECT query_id, rank, id, cosine FROM (
     SELECT q.query_id, x.id, {cos} AS cosine,
            row_number() OVER (PARTITION BY q.query_id
@@ -403,6 +414,10 @@ def topk_lsh(
     """LSH-bucketed top-k: score only same-bucket candidates (plus
     Hamming-1 probe buckets when ``multiprobe``)."""
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
+    # NULL vectors have no direction — excluded on both engines
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
 
     planes = hyperplanes(n_planes, dim, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

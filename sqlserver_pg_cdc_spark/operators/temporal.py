@@ -47,7 +47,11 @@ def as_of_join(
             right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
         ).alias("__rrow"),
     )
-    r_tagged = right.select(
+    # a right row with NULL timestamp can't be "as of" anything: DuckDB's
+    # ASOF comparison rejects it (NULL >= ts is never true), but Spark's
+    # ascending sort would place it FIRST and carry its payload — filter
+    # it out so both engines agree
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),

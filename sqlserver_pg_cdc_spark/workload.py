@@ -406,9 +406,14 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_users = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k")
     ).distinct()
+    # null-safe join key: SQL set operations treat NULLs as EQUAL
+    # (EXCEPT/INTERSECT/UNION DISTINCT), so the join-derived counts must
+    # too — a plain equi-join would split each side's NULL into its own
+    # row and over/under-count by one
+    oc = order_cust.withColumn("__o", F.lit(1))
+    eu = event_users.select(F.col("k").alias("k2")).withColumn("__e", F.lit(1))
     flags = (
-        order_cust.withColumn("__o", F.lit(1))
-        .join(event_users.withColumn("__e", F.lit(1)), "k", "full_outer")
+        oc.join(eu, oc["k"].eqNullSafe(eu["k2"]), "full_outer")
         .agg(
             F.count_if(F.col("__o").isNotNull() & F.col("__e").isNull()).alias(
                 "ordered_not_active"
@@ -439,8 +444,9 @@ SELECT
   (SELECT count(*) FROM (
      SELECT DISTINCT o_custkey FROM orders
      UNION SELECT DISTINCT user_id FROM events)) AS either,
-  (SELECT count(*) FROM customer
-   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS never_ordered
+  (SELECT count(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)) AS never_ordered
 """
 
 
@@ -484,6 +490,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL  -- Spark's time window drops NULL event times
 GROUP BY 1, 2, 3
 """
 
@@ -919,6 +926,7 @@ FROM (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL  -- Spark's session_window drops NULL event times
     )
 )
 GROUP BY user_id, session_id
@@ -1104,7 +1112,8 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_DISTINCT_SQL = """
 SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers_with_orders,
        (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_statuses,
-       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS n_line_keys
+       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS n_line_keys
 """
 
 
@@ -1187,10 +1196,12 @@ SELECT 'not_null', 'o_orderdate',
 FROM orders
 UNION ALL
 SELECT 'referential', 'o_custkey', count(*), count(*) = 0
-FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 UNION ALL
 SELECT 'referential', 'l_orderkey', count(*), count(*) = 0
-FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 UNION ALL
 SELECT 'range', 'l_discount',
        count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 1.0)),
@@ -2595,7 +2606,10 @@ def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and balance range. The ntile window is a single global sort at
     validation scale — the production path for unbounded data is
     approx-percentile cut points; this is the exact contract."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    # explicit NULLS LAST (Spark asc defaults FIRST, DuckDB LAST)
+    w = Window.orderBy(
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()
+    )
     c = load_table(spark, sf_dir, "customer")
     return (
         c.withColumn("quartile", F.ntile(4).over(w))
@@ -2617,7 +2631,7 @@ SELECT CAST(quartile AS BIGINT) AS quartile,
        max(c_acctbal) AS max_bal
 FROM (
     SELECT c_acctbal,
-           ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+           ntile(4) OVER (ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC) AS quartile
     FROM customer
 )
 GROUP BY quartile
@@ -2638,7 +2652,8 @@ def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_ORDER_LINES_ARRAY_SQL = """
 SELECT l_orderkey,
-       list_sort(list(l_partkey)) AS part_keys,
+       coalesce(list_sort(list(l_partkey) FILTER (WHERE l_partkey IS NOT NULL)),
+                []::BIGINT[]) AS part_keys,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem WHERE l_orderkey % 50 = 0
 GROUP BY l_orderkey
@@ -3011,8 +3026,10 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
     supp = load_table(spark, sf_dir, "supplier")
+    # explicit NULLS LAST: Spark's asc defaults NULLS FIRST, DuckDB's
+    # NULLS LAST — and an unknown balance should never win "cheapest"
     w = Window.partitionBy("p_partkey").orderBy(
-        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+        F.col("s_acctbal").asc_nulls_last(), F.col("s_suppkey").asc()
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

@@ -29,6 +29,27 @@ _LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
 PUNCT_CLASS = r"[.,;:!?]"
 
 
+_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only case folding via translate — IDENTICAL on both engines.
+
+    Unicode lower() is NOT: Java applies special casing (Turkish dotted
+    I gains a combining mark, word-final Greek sigma becomes ς) where
+    DuckDB does simple folding — any pipeline hashing or tokenizing
+    lowered text diverges on such inputs. The cross-engine contract is
+    therefore ASCII folding; non-ASCII case is preserved as-is (full
+    Unicode casefolding belongs to an ICU-backed UDF, outside the
+    oracle-checked surface)."""
+    return F.translate(_c(col), _UC, _LC)
+
+
+def ascii_lower_sql(col: str) -> str:
+    return f"translate({col}, '{_UC}', '{_LC}')"
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -36,13 +57,13 @@ def _c(col: Column | str) -> Column:
 def tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens, empty strings removed."""
     return F.filter(
-        F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda t: t != F.lit("")
+        F.split(ascii_lower(F.trim(_c(col))), r"\s+"), lambda t: t != F.lit("")
     )
 
 
 def tokens_sql(col: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), t -> t <> '')"
+        f"list_filter(string_split_regex({ascii_lower_sql(f'trim({col})')}, '\\s+'), t -> t <> '')"
     )
 
 
@@ -168,11 +189,11 @@ def quality_score_sql(col: str) -> str:
 
 def normalize_text(col: Column | str) -> Column:
     """lower + collapse whitespace + trim — the canonical doc form."""
-    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    return F.trim(F.regexp_replace(ascii_lower(_c(col)), r"\s+", " "))
 
 
 def normalize_text_sql(col: str) -> str:
-    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({ascii_lower_sql(col)}, '\\s+', ' ', 'g'))"
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -42,14 +42,29 @@ _DELVARS = (
     "i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1, length({c})))))"
 )
 
+# two-deletion variants (i < j, positions in the ORIGINAL string):
+# keep [1, i), (i, j), (j, end] — the guard avoids Spark's descending
+# sequence() on strings shorter than 2
+_DELVARS2 = (
+    "CASE WHEN length({c}) >= 2 THEN "
+    "flatten(transform(sequence(1, length({c}) - 1), "
+    "i -> transform(sequence(i + 1, length({c})), "
+    "j -> concat(substring({c}, 1, i - 1), substring({c}, i + 1, j - i - 1), "
+    "substring({c}, j + 1, length({c})))))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
 
-def _keyed(df: DataFrame, id_col: str, col: str, side: str) -> DataFrame:
+
+def _keyed(df: DataFrame, id_col: str, col: str, side: str, max_dist: int) -> DataFrame:
+    keys = _DELVARS.format(c=f"{side}_val")
+    if max_dist >= 2:
+        keys = f"array_union({keys}, {_DELVARS2.format(c=f'{side}_val')})"
     return df.select(
         F.col(id_col).alias(f"{side}_id"), F.col(col).alias(f"{side}_val")
     ).select(
         f"{side}_id",
         f"{side}_val",
-        F.explode(F.expr(_DELVARS.format(c=f"{side}_val"))).alias("__k"),
+        F.explode(F.expr(keys)).alias("__k"),
     )
 
 
@@ -59,18 +74,28 @@ def fuzzy_join_typo(
     a_id: str,
     b_id: str,
     col: str,
+    max_dist: int = 1,
 ) -> DataFrame:
-    """All pairs within Levenshtein distance 1 on ``col``:
-    ``(a_id, b_id, a_val, b_val, dist)``.  Exact-match pairs are
-    included (dist 0); identical ids are not excluded — filter
-    downstream if the sides overlap."""
-    ka = _keyed(a, a_id, col, "a")
-    kb = _keyed(b, b_id, col, "b")
+    """All pairs within Levenshtein distance ``max_dist`` (1 or 2) on
+    ``col``: ``(a_id, b_id, a_val, b_val, dist)``.  Exact-match pairs
+    are included (dist 0); identical ids are not excluded — filter
+    downstream if the sides overlap.
+
+    Blocking is the depth-``max_dist`` deletion neighborhood (FastSS):
+    dist(a, b) <= k implies the k-deletion neighborhoods intersect, so
+    the equi-join is complete; the final levenshtein filter removes
+    block coincidences.  Neighborhood sizes: len+1 keys at k=1,
+    +C(len, 2) at k=2 — quadratic in the column width, still bounded
+    per row and joined on one equi-key."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    ka = _keyed(a, a_id, col, "a", max_dist)
+    kb = _keyed(b, b_id, col, "b", max_dist)
     cand = ka.join(kb, "__k").drop("__k").distinct()
     dist = F.levenshtein("a_val", "b_val")
     return (
         cand.withColumn("dist", dist.cast("long"))
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") <= max_dist)
     )
 
 

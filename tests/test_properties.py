@@ -452,11 +452,11 @@ def test_lm_score_matches_python_reference(spark, texts):
     st.lists(st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=12),
     st.lists(st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=12),
 )
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_fuzzy_join_complete_on_random_strings(spark, left, right):
     """Deletion-neighborhood blocking must equal brute force at
-    Levenshtein <= 1 on arbitrary short strings (a dense distance-1
-    space — the adversarial case for blocking recall)."""
+    Levenshtein <= 1 AND <= 2 on arbitrary short strings (a dense
+    distance space — the adversarial case for blocking recall)."""
     from sqlserver_pg_cdc_spark.operators.fuzzy import fuzzy_join_typo
 
     a = spark.createDataFrame(list(enumerate(left)), "id long, name string")
@@ -464,6 +464,10 @@ def test_fuzzy_join_complete_on_random_strings(spark, left, right):
     got = {
         (r["a_id"], r["b_id"])
         for r in fuzzy_join_typo(a, b, "id", "id", "name").collect()
+    }
+    got2 = {
+        (r["a_id"], r["b_id"])
+        for r in fuzzy_join_typo(a, b, "id", "id", "name", max_dist=2).collect()
     }
 
     def lev(x, y):
@@ -484,6 +488,13 @@ def test_fuzzy_join_complete_on_random_strings(spark, left, right):
         if lev(x, y) <= 1
     }
     assert got == want
+    want2 = {
+        (i, j)
+        for i, x in enumerate(left)
+        for j, y in enumerate(right)
+        if lev(x, y) <= 2
+    }
+    assert got2 == want2
 
 
 # --- incremental diff equals full diff under random perturbation ----------

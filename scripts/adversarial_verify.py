@@ -1,0 +1,107 @@
+"""Adversarial oracle-parity sweeps: run every contract query against
+datasets designed to break cross-engine determinism.
+
+Builds three derived datasets from sf0.001 (DuckDB-written single-file
+parquet — Spark-written directories named *.parquet break the oracle's
+view paths) and runs scripts/verify_local.py over each:
+
+- nulls: NULLs in every nullable non-key column (found 11 divergences
+  in round 3: NULL tokens in the packer, NOT IN vs NOT EXISTS, NULLS
+  FIRST/LAST defaults, NULL vectors, time-window NULL event times, ...)
+- uni:   adversarial Unicode appended to documents.text (found the
+  Java-vs-DuckDB lower() special-casing split)
+- tiny:  3 rows per table (degenerate joins/windows/aggregations)
+
+Usage: python scripts/adversarial_verify.py [nulls|uni|tiny ...]
+Exit 0 only if every requested sweep is fully green.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+UNI = [
+    "İstanbul STRASSE Grüße",
+    "日本語のテキストです",
+    "🎉 emoji ÷ math ① digits",
+    "café naïve résumé",
+    "ΣΙΣΥΦΟΣ ςσ",
+    "áccent combining",
+]
+
+
+def build_nulls(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    for t in TABLES:
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+        key = cols[0][0]
+        sel = [key] + [
+            f"CASE WHEN {key} % 3 = 1 THEN NULL ELSE {n} END AS {n}"
+            for n, _, *_ in cols[1:]
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def build_uni(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    for t in TABLES:
+        if t == "documents":
+            cases = " ".join(
+                f"WHEN doc_id % 7 = {i + 1} THEN text || ' ' || '{u}'"
+                for i, u in enumerate(UNI)
+            )
+            con.execute(
+                f"COPY (SELECT doc_id, CASE {cases} ELSE text END AS text, "
+                f"lang, source, n_chars FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+def build_tiny(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    for t in TABLES:
+        key = con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()[0][0]
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet' ORDER BY {key} LIMIT 3) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+BUILDERS = {"nulls": build_nulls, "uni": build_uni, "tiny": build_tiny}
+
+
+def main(argv: list[str]) -> int:
+    sweeps = argv or list(BUILDERS)
+    here = os.path.dirname(os.path.abspath(__file__))
+    failed = []
+    for name in sweeps:
+        dst = f"/tmp/sf_adv_{name}"
+        os.makedirs(dst, exist_ok=True)
+        BUILDERS[name](duckdb.connect(), dst)
+        print(f"=== sweep {name} -> {dst}")
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "verify_local.py"), dst],
+            cwd=os.path.dirname(here),
+        )
+        if r.returncode != 0:
+            failed.append(name)
+    if failed:
+        print(f"FAILED sweeps: {failed}")
+        return 1
+    print("all adversarial sweeps green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -206,18 +206,39 @@ def fingerprint_sql(col: str) -> str:
     return f"md5({normalize_text_sql(col)})"
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingles (distinct), the dedup/minhash unit."""
-    toks = tokens(col)
-    n = F.size(toks)
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct) from an ALREADY-PROJECTED token
+    array column — the form every hot path must use.
+
+    PERF TRAP: the gram construction captures the token array inside the
+    ``transform``'s slice lambda, and Spark evaluates lambda-captured
+    subtrees PER ELEMENT (codegen subexpression elimination does not
+    reach HOF lambda bodies). Inlining ``tokens(text)`` here therefore
+    re-runs the regex tokenizer once per output gram — measured ~8x
+    slower on the minhash path at sf0.1. Project ``tokens(text)`` in its
+    own ``select`` first and pass the attribute; the two-step projection
+    is safe from re-merging because CollapseProject refuses to duplicate
+    non-cheap expressions.
+    """
+    t = _c(toks)
+    n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )
     # guard: Spark's sequence(1, m) with m < 1 counts DOWN, not empty
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct), the dedup/minhash unit.
+
+    Convenience single-expression form. On any path that explodes or
+    otherwise iterates the grams, use the two-step projection with
+    :func:`shingles_from_tokens` instead (see its PERF TRAP note)."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def shingles_sql(col: str, k: int = 3) -> str:
@@ -228,17 +249,25 @@ def shingles_sql(col: str, k: int = 3) -> str:
     )
 
 
-def all_shingles(col: Column | str, k: int = 2) -> Column:
-    """Word k-grams WITH multiplicity (repetition analysis needs counts,
-    not the distinct dedup unit)."""
-    toks = tokens(col)
-    n = F.size(toks)
+def all_shingles_from_tokens(toks: Column | str, k: int = 2) -> Column:
+    """Word k-grams WITH multiplicity from an already-projected token
+    array attribute (see shingles_from_tokens for why the two-step
+    projection is mandatory on hot paths)."""
+    t = _c(toks)
+    n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )
     # guard: Spark's sequence(1, m) with m < 1 counts DOWN, not empty
     return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def all_shingles(col: Column | str, k: int = 2) -> Column:
+    """Word k-grams WITH multiplicity (repetition analysis needs counts,
+    not the distinct dedup unit). Single-expression convenience form —
+    hot paths use all_shingles_from_tokens over a projected attribute."""
+    return all_shingles_from_tokens(tokens(col), k)
 
 
 def all_shingles_sql(col: str, k: int = 2) -> str:
@@ -263,8 +292,11 @@ def repetition_profile(df, id_col: str, text_col: str, k: int = 2):
     """
     from pyspark.sql import functions as F
 
-    grams = df.select(
-        F.col(id_col), F.explode(all_shingles(text_col, k)).alias("g")
+    # two-step projection: tokenize once per row, THEN gram+explode from
+    # the attribute (inlining tokens() re-evaluates it per gram — see
+    # shingles_from_tokens)
+    grams = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col), F.explode(all_shingles_from_tokens("__toks", k)).alias("g")
     )
     agg = (
         grams.groupBy(id_col, "g")

@@ -31,7 +31,11 @@ def segment_frame(
     """(doc, pos, seg): the document cut into DISJOINT ``seg_tokens``-token
     windows (the last one may be shorter). Empty docs produce no rows."""
     seg = int(seg_tokens)
-    toks = TX.tokens(text_col)
+    # two-step projection: tokenize once per row; the slice lambda then
+    # captures a cheap attribute (inlined tokens() would re-run the
+    # tokenizer per segment — see TX.shingles_from_tokens)
+    base = df.select(F.col(id_col).alias("doc"), TX.tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     nseg = F.ceil(F.size(toks).cast("double") / F.lit(float(seg))).cast("int")
     # sequence(0, -1) would generate a DESCENDING range — guard empties
     arr = F.when(
@@ -41,9 +45,7 @@ def segment_frame(
             lambda i: F.concat_ws(" ", F.slice(toks, i * seg + 1, seg)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc"), F.posexplode(arr).alias("pos", "seg")
-    )
+    return base.select("doc", F.posexplode(arr).alias("pos", "seg"))
 
 
 def _segment_frame_sql(table: str, id_col: str, text_col: str, seg_tokens: int) -> str:
@@ -184,7 +186,9 @@ def chunk_documents(
     stride = chunk - int(overlap)
     if stride <= 0:
         raise ValueError("chunk_tokens must exceed overlap")
-    toks = TX.tokens(text_col)
+    # two-step projection: tokenize once per row (see segment_frame)
+    base = df.select(F.col(id_col), TX.tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     nchunks = (
         F.when(n <= 0, F.lit(0))
@@ -201,7 +205,7 @@ def chunk_documents(
             lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         n.alias("__n"),
         F.posexplode(arr).alias("chunk_id", "chunk_text"),

@@ -45,15 +45,20 @@ def decontaminate(
     anywhere in ``eval_df``; ``contaminated`` is the ``min_hits``
     threshold flag. Documents with fewer than k tokens have no k-grams
     and are reported clean with n_grams = 0."""
+    # two-step projections (tokens, then grams-from-attribute): the
+    # inlined form re-runs the tokenizer per gram — see shingles_from_tokens
     eval_grams = (
-        eval_df.select(F.explode(TX.shingles(text_col, k)).alias("g"))
+        eval_df.select(TX.tokens(text_col).alias("__toks"))
+        .select(F.explode(TX.shingles_from_tokens("__toks", k)).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(TX.shingles(text_col, k)).alias("g")
+        F.col(id_col), TX.tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col), F.explode_outer(TX.shingles_from_tokens("__toks", k)).alias("g")
     )
     per_doc = (
         doc_grams.join(eval_grams, "g", "left")

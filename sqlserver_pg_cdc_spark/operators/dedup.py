@@ -29,6 +29,7 @@ from sqlserver_pg_cdc_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
     shingles,
+    shingles_from_tokens,
     shingles_sql,
     tokens,
     tokens_sql,
@@ -90,11 +91,24 @@ def ngram_jaccard_pairs(
     an LSH band...) — without it this is a cross join, which is only
     acceptable for validation-scale inputs.
     """
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(text_col, k).alias("sh"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
-    ).filter(F.size("sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(text_col).alias("__toks"),
+            *(
+                [F.col(block_col).alias("blk")]
+                if block_col
+                else [F.lit(0).alias("blk")]
+            ),
+        )
+        # filter on the TOKEN count, not size(sh): a size(sh) predicate on
+        # an un-persisted frame is pushed below the projection re-inlined
+        # against raw text (full per-gram re-evaluation per row); the
+        # token-count form only duplicates the tokenizer once per row.
+        # size(sh) > 0 <=> n_tokens >= k exactly.
+        .filter(F.size("__toks") >= k)
+        .select("doc", shingles_from_tokens("__toks", k).alias("sh"), "blk")
+    )
     a = base.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"), "blk")
     b = base.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"), "blk")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -150,8 +164,14 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     expression twice — once for the predicate, once for the downstream
     explode (no cross-operator CSE). Exploding an empty array already
     yields no rows; filter AFTER persist when the empty docs matter.
+
+    Two-step projection (tokens, then grams-from-attribute): inlining
+    the tokenizer into the gram lambda re-evaluates it per gram — see
+    shingles_from_tokens.
     """
-    return df.select(F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh"))
+    return df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    ).select("doc", shingles_from_tokens("__toks", k).alias("sh"))
 
 
 def _signatures_from_exploded(exploded: DataFrame, num_hashes: int) -> DataFrame:
@@ -190,13 +210,14 @@ def minhash_signatures(
     is the classic two-hash construction h_i = (a + i*b) mod 2^48 with
     (a, b) the two 48-bit halves of the shingle's md5 — 16x less hashing
     than md5-per-function, same statistical behavior. Map-side partial
-    min keeps this a single cheap shuffle on the doc id. The explode is
-    applied DIRECTLY to the shingle expression (single projection) so the
-    generator stays inside codegen.
+    min keeps this a single cheap shuffle on the doc id. Tokenization is
+    its own projection (two-step): inlined, the gram lambda re-runs the
+    regex tokenizer per shingle — measured ~8x slower (see
+    shingles_from_tokens).
     """
     exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
-    )
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    ).select("doc", F.explode(shingles_from_tokens("__toks", k)).alias("shingle"))
     return _signatures_from_exploded(exploded, num_hashes)
 
 
@@ -428,11 +449,17 @@ def minhash_incremental_dedup(
         .distinct()
         .persist()  # consumed twice: corpus semi-join + verify join
     )
-    # re-shingle ONLY the colliding existing docs
+    # re-shingle ONLY the colliding existing docs. NO size(sh) filter
+    # here: on an un-persisted frame Catalyst pushes that predicate below
+    # the projections AND the semi-join, re-inlined against raw text — the
+    # full per-gram shingle expression then runs over the ENTIRE corpus
+    # (measured: 2x ~5 s at sf0.1 for a 91-doc fetch). It is also
+    # redundant: an empty-shingle doc has no bands, so it cannot appear
+    # in the index or in cands.
     hit_old = corpus_df.join(
         cands.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    old_sh = shingle_frame(hit_old, id_col, text_col, k).filter(F.size("sh") > 0)
+    old_sh = shingle_frame(hit_old, id_col, text_col, k)
     a = nsh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = old_sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -83,7 +83,8 @@ def lm_score(
         .agg(F.count("*").alias("cw"))
     )
     bi = (
-        train_df.select(F.explode(TX.all_shingles(text_col, 2)).alias("g"))
+        train_df.select(TX.tokens(text_col).alias("__toks"))
+        .select(F.explode(TX.all_shingles_from_tokens("__toks", 2)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("cg"))
     )
@@ -92,7 +93,9 @@ def lm_score(
     )  # one row — safe broadcast
 
     doc_bi = score_df.select(
-        F.col(id_col), F.explode_outer(TX.all_shingles(text_col, 2)).alias("g")
+        F.col(id_col), TX.tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col), F.explode_outer(TX.all_shingles_from_tokens("__toks", 2)).alias("g")
     ).withColumn("w1", F.split("g", " ").getItem(0)).withColumn(
         "w2", F.split("g", " ").getItem(1)
     )

@@ -1577,8 +1577,8 @@ def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.functions import text as TX
 
     d = load_table(spark, sf_dir, "documents")
-    doc_grams = d.select(
-        "doc_id", F.explode(TX.shingles("text", k=3)).alias("g")
+    doc_grams = d.select("doc_id", TX.tokens("text").alias("__toks")).select(
+        "doc_id", F.explode(TX.shingles_from_tokens("__toks", k=3)).alias("g")
     )
     df_counts = doc_grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("df")

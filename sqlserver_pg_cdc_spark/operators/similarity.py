@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,8 +33,12 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[fl
     """Deterministic pseudo-random planes in [-0.5, 0.5)^dim.
 
     Component (p, d) derives from md5(seed|p|d) — stable across engines,
-    sessions, and partitions.
+    sessions, and partitions. Memoized: every banded query regenerates
+    the same plane family.
     """
+    cached = _PLANES_CACHE.get((n_planes, dim, seed))
+    if cached is not None:
+        return cached
     planes = []
     for p in range(n_planes):
         row = []
@@ -42,7 +47,15 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[fl
             (u,) = struct.unpack(">Q", h[:8])
             row.append(u / 2**64 - 0.5)
         planes.append(row)
+    _PLANES_CACHE[(n_planes, dim, seed)] = planes
     return planes
+
+
+_PLANES_CACHE: dict[tuple[int, int, str], list[list[float]]] = {}
+
+# parsed bucket Columns, keyed weakly on the owning SparkSession (a
+# Column wraps a JVM expression handle — it must not outlive its session)
+_BUCKET_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _bucket_expr(vec: str, planes: list[list[float]]) -> Column:
@@ -57,11 +70,26 @@ def _bucket_expr(vec: str, planes: list[list[float]]) -> Column:
 
     ``vec`` must be a plain column name (it is spliced into a SQL
     string; arbitrary Column expressions don't round-trip and the
-    splice is unavailable under Spark Connect)."""
+    splice is unavailable under Spark Connect).
+
+    The parsed Column is memoized per (session, vec, planes): parsing a
+    banding's ~5k float literals costs ~1 s of driver+Catalyst time, and
+    one banded query builds the same expressions two or three times
+    (index side + probe side), several queries share one plane family.
+    The cache is keyed on the live SparkSession so entries cannot leak
+    JVM references across a session restart."""
     if not isinstance(vec, str):
         raise TypeError(
             f"_bucket_expr needs a column name (str), got {type(vec).__name__}"
         )
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = (vec, tuple(tuple(p) for p in planes))
+    per_sess = _BUCKET_CACHE.setdefault(sess, {}) if sess is not None else {}
+    cached = per_sess.get(key)
+    if cached is not None:
+        return cached
     name = f"`{vec}`" if not vec.isidentifier() else vec
     bits = []
     for plane in planes:
@@ -72,7 +100,9 @@ def _bucket_expr(vec: str, planes: list[list[float]]) -> Column:
             f"0.0D, (acc, x) -> acc + x)"
         )
         bits.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    col = F.expr("concat(" + ", ".join(bits) + ")")
+    per_sess[key] = col
+    return col
 
 
 def _bucket_sql(vec: str, planes: list[list[float]]) -> str:

@@ -1897,6 +1897,47 @@ def _dedup_incremental_sql() -> str:
     )
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch membership pre-filter for ingest-time exact dedup:
+    the standing corpus (doc_id % 5 != 0) is sketched once
+    (operators/bloom.py — sparse 62-bit words, mergeable bit_or state);
+    the NEW batch (doc_id % 5 == 0, plus 10 planted exact copies of
+    corpus docs under fresh ids) probes it. `maybe_present = false` is
+    definitive — those documents skip the exact-dup join entirely; the
+    10 planted copies MUST probe true (Bloom has no false negatives).
+    The md5-derived hash stream makes even the false positives
+    deterministic, so the oracle matches bit-for-bit."""
+    from sqlserver_pg_cdc_spark.operators import bloom as BL
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    planted = (
+        corpus.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"), "text")
+    )
+    new = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").unionByName(
+        planted
+    )
+    sketch = BL.bloom_build(corpus, "text")
+    return BL.bloom_probe(new, "doc_id", "text", sketch)
+
+
+def _bloom_prefilter_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import bloom as BL
+
+    sketch = BL.bloom_build_sql(
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0", "text"
+    )
+    new = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL SELECT doc_id + 3000000 AS doc_id, text FROM ("
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 "
+        "ORDER BY doc_id LIMIT 10)"
+    )
+    return BL.bloom_probe_sql(f"({new})", "doc_id", "text", sketch)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash Hamming near-pairs over the corpus plus planted
     near-duplicate variants (suffix-extended copies of docs 0-9), which
@@ -3712,6 +3753,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "dedup_incremental": QuerySpec(
                 q_dedup_incremental, _dedup_incremental_sql()
+            ),
+            "bloom_prefilter": QuerySpec(
+                q_bloom_prefilter, _bloom_prefilter_sql()
             ),
             "embedding_incremental": QuerySpec(
                 q_embedding_incremental, _embedding_incremental_sql()

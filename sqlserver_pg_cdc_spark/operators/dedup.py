@@ -331,6 +331,7 @@ def minhash_jaccard_verified_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path: LSH candidate generation + exact Jaccard verify.
 
@@ -338,11 +339,21 @@ def minhash_jaccard_verified_pairs(
     computed — candidates are O(near-dups), not O(n²/blocks). This is the
     composition to use beyond validation scale (the blocked
     ngram_jaccard_pairs cross-join is ~25x slower at sf0.1 already).
+
+    ``sh_df``: an already-PERSISTED ``(doc, sh)`` shingle frame for the
+    same corpus and k (from :func:`shingle_frame`) — pass it when other
+    steps (e.g. the incremental band index) share the tokenize pass;
+    ownership stays with the caller (it is not unpersisted here).
     """
     # the shingle frame feeds BOTH signature generation and verification;
     # persist it so the expensive tokenize+shingle pass runs once (at
     # warehouse scale, write it to a table instead)
-    sh_cached = shingle_frame(df, id_col, text_col, k).persist()
+    caller_owns_shingles = sh_df is not None
+    sh_cached = (
+        sh_df
+        if sh_df is not None
+        else shingle_frame(df, id_col, text_col, k).persist()
+    )
     # the persisted frame is materialized once; the verify joins filter
     # empties from the CACHED data, not by recomputing shingles
     sh = sh_cached.filter(F.size("sh") > 0)
@@ -365,7 +376,8 @@ def minhash_jaccard_verified_pairs(
     # it when done
     result = result.persist()
     result.count()
-    sh_cached.unpersist()
+    if not caller_owns_shingles:
+        sh_cached.unpersist()
     return result
 
 
@@ -812,6 +824,79 @@ def dup_components(
     )
     edges.unpersist()
     return out
+
+
+def dup_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fold a NEW batch's near-dup pairs into standing duplicate
+    clusters without re-clustering the corpus — the ingest-time
+    companion of :func:`dup_components` (as :func:`minhash_incremental_dedup`
+    is to the pair detection).
+
+    ``labels`` is the persisted ``(doc, component, ...)`` clustering of
+    the standing corpus; ``new_pairs`` are the pairs the new batch
+    introduced (new↔corpus from the incremental band index, new↔new
+    from clustering the batch). Each endpoint maps to its SUPER-NODE —
+    its existing component id if labeled, else itself — so the
+    propagation loop runs on the component-level quotient graph, which
+    is O(new pairs), never O(corpus). Untouched components keep their
+    labels through a left join; only members of merged components are
+    relabeled. Because every component id is the minimum member doc id,
+    min-of-mins over the quotient graph equals the global minimum:
+    the result is IDENTICAL to re-running :func:`dup_components` over
+    the union of all pairs (property-tested, and the contract query's
+    oracle is exactly that from-scratch recompute).
+
+    Output covers labeled corpus docs plus every doc in ``new_pairs``
+    (same convention as dup_components: pairless docs are absent).
+    """
+    lab_a = labels.select(
+        F.col("doc").alias(a_col), F.col("component").alias("__ca")
+    )
+    lab_b = labels.select(
+        F.col("doc").alias(b_col), F.col("component").alias("__cb")
+    )
+    sup_edges = (
+        new_pairs.select(a_col, b_col)
+        .join(lab_a, a_col, "left")
+        .join(lab_b, b_col, "left")
+        .select(
+            F.coalesce("__ca", F.col(a_col)).alias("a"),
+            F.coalesce("__cb", F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sup_map = dup_components(sup_edges).select(
+        F.col("doc").alias("component"), F.col("component").alias("__new_comp")
+    )
+    relabeled = (
+        labels.select("doc", "component")
+        .join(sup_map, "component", "left")
+        .select(
+            "doc", F.coalesce("__new_comp", F.col("component")).alias("component")
+        )
+    )
+    new_nodes = (
+        new_pairs.select(F.col(a_col).alias("doc"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("doc")))
+        .distinct()
+        .join(labels.select("doc"), "doc", "left_anti")
+    )
+    new_labels = (
+        new_nodes.join(
+            sup_map.withColumnRenamed("component", "doc"), "doc", "left"
+        ).select("doc", F.coalesce("__new_comp", F.col("doc")).alias("component"))
+    )
+    return relabeled.unionByName(new_labels).select(
+        "doc",
+        "component",
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
 
 
 def dup_components_sql(pairs_sql: str, a_col: str = "a", b_col: str = "b") -> str:

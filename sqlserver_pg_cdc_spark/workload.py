@@ -1965,6 +1965,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_components(pairs)
 
 
+def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental-ingest clustering: the standing corpus
+    (doc_id % 5 != 0) holds persisted pair-clusters; the NEW batch's
+    pairs (new↔corpus via the band index, new↔new via clustering the
+    batch alone) fold into them on the component-level quotient graph —
+    work ∝ new pairs, never the corpus. Because LSH banding is
+    md5-deterministic, the three pair sets partition exactly the pairs a
+    from-scratch run finds, so the oracle IS the from-scratch recompute
+    (dup_components over all-documents pairs): incremental == rebuild,
+    bit for bit."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus_pairs = DD.minhash_jaccard_verified_pairs(
+        corpus, "doc_id", "text", threshold=0.2
+    )
+    base = DD.dup_components(corpus_pairs)
+    index = DD.minhash_index(corpus, "doc_id", "text")
+    cross = DD.minhash_incremental_dedup(
+        new, corpus, index, "doc_id", "text", threshold=0.2
+    ).select("a", "b")
+    internal = DD.minhash_jaccard_verified_pairs(
+        new, "doc_id", "text", threshold=0.2
+    ).select("a", "b")
+    return DD.dup_components_incremental(
+        base, cross.unionByName(internal)
+    )
+
+
 def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup: 25 re-ingested copies play the
     NEW batch against the standing corpus's precomputed hyperplane band
@@ -3756,6 +3787,16 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "bloom_prefilter": QuerySpec(
                 q_bloom_prefilter, _bloom_prefilter_sql()
+            ),
+            "dedup_components_incremental": QuerySpec(
+                q_dedup_components_incremental,
+                # oracle = from-scratch recompute over ALL pairs: the
+                # incremental fold must reproduce it exactly
+                DD.dup_components_sql(
+                    DD.minhash_jaccard_verified_pairs_sql(
+                        "documents", "doc_id", "text", threshold=0.2
+                    )
+                ),
             ),
             "embedding_incremental": QuerySpec(
                 q_embedding_incremental, _embedding_incremental_sql()

@@ -360,6 +360,52 @@ def test_dup_components_deep_chain_compression(spark):
     assert sorted(r["doc"] for r in rows if r["keep"]) == [0]
 
 
+def test_dup_components_incremental_equals_rebuild(spark):
+    """Folding new pairs into standing labels must reproduce the
+    from-scratch clustering exactly: chain extension, merging two old
+    components through one bridging edge, brand-new islands, and an
+    intra-component no-op edge."""
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a long, b long"
+    )
+    labels = DD.dup_components(old)
+    new = spark.createDataFrame(
+        [
+            (3, 4),     # extends {1,2,3} with a new node
+            (11, 20),   # merges components 10 and 20
+            (30, 31),   # brand-new island
+            (1, 3),     # no-op: both already in component 1
+        ],
+        "a long, b long",
+    )
+    inc = sorted(
+        tuple(r) for r in DD.dup_components_incremental(labels, new).collect()
+    )
+    full = sorted(
+        tuple(r) for r in DD.dup_components(old.unionByName(new)).collect()
+    )
+    assert inc == full
+
+
+def test_dup_components_incremental_empty_sides(spark):
+    """No new pairs -> labels unchanged; no standing labels -> pure
+    clustering of the new pairs."""
+    old = spark.createDataFrame([(1, 2)], "a long, b long")
+    labels = DD.dup_components(old)
+    none = spark.createDataFrame([], "a long, b long")
+    unchanged = sorted(
+        tuple(r) for r in DD.dup_components_incremental(labels, none).collect()
+    )
+    assert unchanged == sorted(tuple(r) for r in labels.collect())
+    fresh = spark.createDataFrame([(5, 6), (6, 7)], "a long, b long")
+    empty_labels = labels.limit(0)
+    got = sorted(
+        tuple(r)
+        for r in DD.dup_components_incremental(empty_labels, fresh).collect()
+    )
+    assert got == sorted(tuple(r) for r in DD.dup_components(fresh).collect())
+
+
 def test_dup_components_oracle_parity(spark, duck):
     """Spark label propagation == DuckDB recursive-CTE closure on the
     real near-dup pair set."""

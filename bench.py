@@ -182,19 +182,25 @@ def main() -> None:
         "sf": sf,
         "cdc_apply_rows_per_sec": round(cdc_rows / cdc_s, 1) if cdc_s > 0 else None,
     }
-    # Compact encoding (no spaces) keeps the 80-query line as short as
-    # possible, and a sidecar file survives any stdout-tail truncation in
-    # the harness that records the run (round-2 BENCH had parsed=null
-    # because the long line was cut mid-dict).
-    line = json.dumps(out, separators=(",", ":"))
+    # The full ~115-query map makes the JSON line longer than the recorder's
+    # captured stdout tail, so three rounds of BENCH records had parsed=null
+    # (the line was cut mid-dict). Split the record: the COMPLETE map goes to
+    # the bench_result.json sidecar; stdout gets ONE short line (same schema,
+    # but `queries` holds only the slowest 20) that always fits whole inside
+    # any reasonable tail capture — so the recorder can parse it whether it
+    # keeps the whole stream or just the last couple of KB.
+    full_line = json.dumps(out, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_result.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError:
         pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    compact = dict(out, queries=slowest, n_queries=len(timings),
+                   queries_full="bench_result.json")
     sys.stdout.flush()
-    print(line, flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -229,3 +229,135 @@ def test_jdbc_builders():
 
     sql = on_conflict_upsert_sql("t", ["id", "a", "b"], ["id"])
     assert "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b" in sql
+
+
+# --- PNG codec: the compressed-format path (stdlib zlib, no image lib) ---
+
+
+def test_png_paeth_predictor_spec_cases():
+    """Paeth (PNG spec §6.6): nearest of a/b/c to p=a+b-c, ties broken
+    left, then up, then up-left — hand-computed cases, not round-trip."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 5) == 20   # p=25: |25-10|=15, |25-20|=5, |25-5|=20
+    assert _paeth(20, 10, 5) == 20   # p=25: pa=5 wins
+    assert _paeth(10, 20, 30) == 10  # p=0: pa=10, pb=20, pc=30
+    assert _paeth(5, 5, 5) == 5      # all equal -> left
+    assert _paeth(100, 2, 3) == 100  # p=99: pa=1, pb=97, pc=96 -> left
+
+
+def test_png_filter0_ground_truth_handbuilt():
+    """A PNG hand-assembled in the test (signature, chunks, CRCs, zlib)
+    with filter-0 scanlines — the decompressed stream IS the pixels, so
+    this checks the decoder against the wire format independently of
+    encode_png."""
+    import struct as S
+    import zlib as Z
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_png
+
+    def chunk(typ, body):
+        return S.pack(">I", len(body)) + typ + body + S.pack(
+            ">I", Z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    w, h = 2, 3  # RGB, stride 6
+    rows = [bytes(range(r * 6, r * 6 + 6)) for r in range(h)]
+    raw = b"".join(b"\x00" + r for r in rows)
+    # one zlib stream carried by TWO IDAT chunks (spec-legal split)
+    comp = Z.compress(raw)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", S.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"tEXt", b"Comment\x00ancillary chunk is skipped")
+        + chunk(b"IDAT", comp[:5])
+        + chunk(b"IDAT", comp[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, 3, sum(range(18)), 18)
+
+
+def test_png_roundtrip_every_filter_rgb_rgba():
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (3, 4):
+        for f in range(5):  # force a single filter type per image
+            px = bytes((i * 11 + f) % 256 for i in range(5 * 4 * ch))
+            png = encode_png(5, 4, px, channels=ch, filters=[f] * 4)
+            assert decode_png(png) == (5, 4, ch, sum(px), len(px)), (ch, f)
+    # default cycling filters (0..4 across rows)
+    px = bytes((i * 7) % 256 for i in range(6 * 5 * 3))
+    assert decode_png(encode_png(6, 5, px)) == (6, 5, 3, sum(px), len(px))
+
+
+def test_png_rejects_corrupt_truncated_unsupported():
+    import struct as S
+    import zlib as Z
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_png, encode_png
+
+    png = encode_png(4, 4, bytes(48), channels=3, filters=[0, 1, 2, 3])
+    assert decode_png(png[:-6]) is None          # truncated (IEND cut)
+    assert decode_png(png[:20]) is None          # truncated mid-IHDR
+    assert decode_png(None) is None
+    assert decode_png(b"\xff\xd8\xff\xe0 jpeg magic not png") is None
+    bad = bytearray(png)
+    bad[45] ^= 0xFF                              # corrupt a body byte -> CRC fail
+    assert decode_png(bytes(bad)) is None
+
+    def chunk(typ, body):
+        return S.pack(">I", len(body)) + typ + body + S.pack(
+            ">I", Z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth: declared out of scope -> None, not garbage values
+    deep = (
+        sig
+        + chunk(b"IHDR", S.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", Z.compress(bytes(26)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(deep) is None
+    # unknown scanline filter type 7 -> None
+    raw = b"\x07" + bytes(6)
+    bad_filter = (
+        sig
+        + chunk(b"IHDR", S.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", Z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(bad_filter) is None
+    # wrong decompressed length (one scanline missing) -> None
+    short = (
+        sig
+        + chunk(b"IHDR", S.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", Z.compress(b"\x00" + bytes(6)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(short) is None
+
+
+def test_decode_images_png_and_auto(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import encode_bmp, encode_png
+
+    rows = [
+        (1, encode_png(2, 2, bytes([20] * 12))),
+        (2, encode_png(2, 2, bytes([40] * 16), channels=4)),
+        (3, b"corrupt payload"),
+        (4, encode_bmp(2, 2, bytes([10] * 12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           decode_images(df, "doc_id", "payload", decoder="png").collect()}
+    assert got[1]["channels"] == 3 and got[1]["mean_pixel"] == pytest.approx(20 / 255)
+    assert got[2]["channels"] == 4 and got[2]["mean_pixel"] == pytest.approx(40 / 255)
+    assert got[3]["width"] is None
+    assert got[4]["width"] is None  # BMP is not PNG under decoder="png"
+    # auto: magic-byte dispatch decodes both formats in one pass
+    auto = {r["doc_id"]: r for r in
+            decode_images(df, "doc_id", "payload", decoder="auto").collect()}
+    assert auto[1]["width"] == 2 and auto[4]["width"] == 2
+    assert auto[4]["mean_pixel"] == pytest.approx(10 / 255)
+    assert auto[3]["width"] is None

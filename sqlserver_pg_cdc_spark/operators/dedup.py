@@ -412,13 +412,23 @@ def minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-side LSH index: (doc, band_id, band_key), computed
     once at ingest and persisted as a table. Incremental dedup of a new
     batch then touches ONLY the new documents' text — the 100 TB shape,
     where re-hashing the standing corpus per ingest is the failure
-    mode."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    mode.
+
+    ``sh_df``: an already-PERSISTED ``(doc, sh)`` shingle frame for the
+    same corpus and k (from :func:`shingle_frame`) — pass it when the
+    index build shares the tokenize+shingle pass with pair verification
+    (one job computing both); ownership stays with the caller."""
+    sigs = (
+        minhash_signatures_from_shingles(sh_df, num_hashes)
+        if sh_df is not None
+        else minhash_signatures(df, id_col, text_col, num_hashes, k)
+    )
     return minhash_band_frame(sigs, bands, num_hashes // bands)
 
 

@@ -1980,14 +1980,24 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
+    # ONE tokenize+shingle pass over the standing corpus feeds both the
+    # pair verification and the band index (production persists the
+    # index as a table; here both setup steps run inline, so sharing the
+    # frame halves the dominant cost — the corpus is shingled once, not
+    # twice)
+    corpus_sh = DD.shingle_frame(corpus, "doc_id", "text").persist()
     corpus_pairs = DD.minhash_jaccard_verified_pairs(
-        corpus, "doc_id", "text", threshold=0.2
+        corpus, "doc_id", "text", threshold=0.2, sh_df=corpus_sh
     )
     base = DD.dup_components(corpus_pairs)
-    index = DD.minhash_index(corpus, "doc_id", "text")
+    index = DD.minhash_index(corpus, "doc_id", "text", sh_df=corpus_sh)
     cross = DD.minhash_incremental_dedup(
         new, corpus, index, "doc_id", "text", threshold=0.2
     ).select("a", "b")
+    # cross is materialized by minhash_incremental_dedup, so the index —
+    # the last consumer of the shared shingle frame — has been fully
+    # read; release the cache before the (pair-sized) fold below
+    corpus_sh.unpersist()
     internal = DD.minhash_jaccard_verified_pairs(
         new, "doc_id", "text", threshold=0.2
     ).select("a", "b")

@@ -4,8 +4,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed once warm-up-free with a count()/collect() action
-(collect for small results, count for large) and timed wall-clock.
+Each query is timed with a count()/collect() action (collect for small
+results, count for large). Queries are run in a FIXED order (catalog
+order) twice — a first pass and a steady-state pass — and the reported
+per-query number is the MIN of the two: the host intermittently loses
+vCPUs to the hypervisor (identical code has measured 84s..319s totals),
+and best-of-2 plus the embedded host probe separates machine state from
+plan regressions. Sub-0.3s queries skip the second pass (noise floor).
 """
 
 from __future__ import annotations
@@ -151,15 +156,45 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
-    timings: dict[str, float] = {}
-    for name, spec in catalog.items():
+    def _probe() -> dict[str, float]:
+        """Inline host-health sample (see scripts/bench_probe.py): a
+        single-core python loop and a 32-way JVM range-sum. Slow
+        jvm_parallel with normal py_single = the guest is not getting
+        its vCPUs; absolute totals from that window should be
+        discounted and query-RELATIVE times compared instead."""
+        t0 = time.time()
+        acc = 0
+        for i in range(20_000_000):
+            acc += i
+        py_single = round(time.time() - t0, 3)
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        jvm_parallel = round(time.time() - t0, 3)
+        return {
+            "py_single_s": py_single,
+            "jvm_parallel_s": jvm_parallel,
+            "healthy": py_single < 0.8 and jvm_parallel < 1.5,
+        }
+
+    def _run_one(name, spec) -> float:
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         if name in _COLLECT:
             df.collect()
         else:
             df.count()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    probe_before = _probe()
+    first_pass: dict[str, float] = {}
+    for name, spec in catalog.items():
+        first_pass[name] = _run_one(name, spec)
+    # steady-state pass: best-of-2 for anything above the noise floor
+    timings: dict[str, float] = dict(first_pass)
+    for name, spec in catalog.items():
+        if first_pass[name] >= 0.3:
+            timings[name] = min(first_pass[name], _run_one(name, spec))
+    probe_after = _probe()
 
     # production checksum path (xxhash64, no hex strings): bench-only —
     # it has no cross-engine oracle, but the md5 contract checksums above
@@ -181,6 +216,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_apply_rows_per_sec": round(cdc_rows / cdc_s, 1) if cdc_s > 0 else None,
+        "first_pass_total": round(sum(first_pass.values()), 3),
+        "host_probe_before": probe_before,
+        "host_probe_after": probe_after,
     }
     # The full ~115-query map makes the JSON line longer than the recorder's
     # captured stdout tail, so three rounds of BENCH records had parsed=null

@@ -37,18 +37,25 @@ _WORD_BITS = 62  # DuckDB's BIGINT << raises at 63 (sign overflow)
 
 
 def _positions(fp_col, n_words: int, k: int) -> list:
-    """k bit positions in [0, n_words*62) from a fingerprint column."""
+    """k bit positions in [0, n_words*62) from a fingerprint column.
+
+    ``b`` is forced odd (``b | 1``): m = n_words*62 is even, so an odd
+    step can never be ≡ 0 (mod m) and the double-hash family never
+    degenerates to a single probe position.
+    """
     m = n_words * _WORD_BITS
     a = F.conv(F.substring(fp_col, 1, 12), 16, 10).cast("bigint")
-    b = F.conv(F.substring(fp_col, 13, 12), 16, 10).cast("bigint")
+    b = F.conv(F.substring(fp_col, 13, 12), 16, 10).cast("bigint").bitwiseOR(
+        F.lit(1)
+    )
     return [F.pmod(a + F.lit(i) * b, F.lit(m)) for i in range(k)]
 
 
 def _positions_sql(fp_sql: str, n_words: int, k: int) -> str:
-    """SQL list of the same k positions (DuckDB)."""
+    """SQL list of the same k positions (DuckDB); same ``b | 1`` family."""
     m = n_words * _WORD_BITS
     a = f"(('0x' || substr({fp_sql}, 1, 12))::BIGINT)"
-    b = f"(('0x' || substr({fp_sql}, 13, 12))::BIGINT)"
+    b = f"((('0x' || substr({fp_sql}, 13, 12))::BIGINT) | 1)"
     return "[" + ", ".join(f"(({a} + {i} * {b}) % {m})" for i in range(k)) + "]"
 
 

@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 from sqlserver_pg_cdc_spark.functions.vectors import cosine, cosine_sql, dot
 
 
-def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[float]]:
+def hyperplanes(
+    n_planes: int, dim: int, seed: str = "ann-seed"
+) -> tuple[tuple[float, ...], ...]:
     """Deterministic pseudo-random planes in [-0.5, 0.5)^dim.
 
     Component (p, d) derives from md5(seed|p|d) — stable across engines,
     sessions, and partitions. Memoized: every banded query regenerates
-    the same plane family.
+    the same plane family. Returned as immutable tuples so no caller can
+    mutate the process-global cache entry.
     """
     cached = _PLANES_CACHE.get((n_planes, dim, seed))
     if cached is not None:
@@ -46,12 +49,13 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "ann-seed") -> list[list[fl
             h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
             (u,) = struct.unpack(">Q", h[:8])
             row.append(u / 2**64 - 0.5)
-        planes.append(row)
-    _PLANES_CACHE[(n_planes, dim, seed)] = planes
-    return planes
+        planes.append(tuple(row))
+    frozen = tuple(planes)
+    _PLANES_CACHE[(n_planes, dim, seed)] = frozen
+    return frozen
 
 
-_PLANES_CACHE: dict[tuple[int, int, str], list[list[float]]] = {}
+_PLANES_CACHE: dict[tuple[int, int, str], tuple[tuple[float, ...], ...]] = {}
 
 # parsed bucket Columns, keyed weakly on the owning SparkSession (a
 # Column wraps a JVM expression handle — it must not outlive its session)

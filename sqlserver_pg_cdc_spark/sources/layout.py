@@ -83,9 +83,12 @@ def zorder_key(
     from pyspark.sql import functions as F
 
     if stats is None:
+        # try_cast, not cast: under ANSI (the session default) a plain
+        # cast of a non-numeric string hard-fails the whole job; here a
+        # non-castable column should surface as the ValueError below
         agg = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+            *[F.min(F.col(c).try_cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).try_cast("double")).alias(f"mx_{c}") for c in cols],
         ).collect()[0]
         stats = {c: (agg[f"mn_{c}"], agg[f"mx_{c}"]) for c in cols}
     k = len(cols)
@@ -105,7 +108,7 @@ def zorder_key(
         mn, mx = float(mn), float(mx)
         span = (mx - mn) or 1.0
         scaled = (
-            f"CAST(least(greatest((CAST(`{c}` AS DOUBLE) - {mn!r}D) / {span!r}D, "
+            f"CAST(least(greatest((TRY_CAST(`{c}` AS DOUBLE) - {mn!r}D) / {span!r}D, "
             f"0.0D), 1.0D) * {top}D AS BIGINT)"
         )
         for i in range(bits):

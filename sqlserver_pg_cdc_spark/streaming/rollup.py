@@ -20,6 +20,9 @@ one extra max-batch-id column).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +101,187 @@ class ContinuousAggSink(ParquetUpsertSink):
 
     def result(self) -> DataFrame | None:
         """The finalized materialized aggregate (None before any batch)."""
+        st = self.read_target()
+        if st is None:
+            return None
+        if self.idempotent and "__bid" in st.columns:
+            st = st.drop("__bid")
+        return finalize(st, self.pk_cols)
+
+
+class PartitionedContinuousAggSink(ContinuousAggSink):
+    """Continuous-agg sink with HASH-PARTITIONED state: the 100 TB shape.
+
+    ``ContinuousAggSink`` reads, merges, and swaps the WHOLE state table
+    every micro-batch — O(state) per batch, which with a
+    high-cardinality group key (per-user rollups: 10^8 groups) turns a
+    10-row batch into a full-table rewrite.  Here the state lives in
+    ``n_partitions`` independent subdirectories keyed by
+    ``pmod(xxhash64(*keys), n_partitions)``; a batch
+
+    1. aggregates its delta (batch-sized),
+    2. collects the distinct partition ids it touches (bounded by
+       ``n_partitions``, never by data),
+    3. reads ONLY the touched partitions of prior state,
+    4. merges and rewrites ONLY those partitions (one job, hive-style
+       ``partitionBy`` write, then one rename-swap per touched
+       partition).
+
+    Untouched partition files are never opened, rewritten, or renamed —
+    per-batch work is O(delta + touched state), the same
+    partition-pruned discipline Delta/Iceberg MERGE gives on a
+    clustered table.  Each partition directory keeps the parent's
+    crash-recoverable generation-swap (write-tmp, rename old, rename
+    new, per-partition __old recovery), and with ``idempotent=True``
+    the replay guard is PER PARTITION (each partition's state carries
+    the last batch id merged into it), so a crash between two partition
+    swaps re-drives the batch without double counting the partitions
+    that already committed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_cols: list[str],
+        value_col: str,
+        project: Callable[[DataFrame], DataFrame] | None = None,
+        idempotent: bool = False,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+    ):
+        super().__init__(
+            spark, state_dir, key_cols, value_col,
+            project=project, idempotent=idempotent, dlq_dir=dlq_dir,
+        )
+        if n_partitions < 1:
+            raise ValueError("n_partitions must be >= 1")
+        self.n_partitions = n_partitions
+
+    # -- partition plumbing -------------------------------------------------
+
+    def _part_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]),
+            F.lit(self.n_partitions),
+        ).cast("int")
+
+    def _part_dir(self, p: int) -> str:
+        return os.path.join(self.target_dir, f"part_{p:05d}")
+
+    def _recover_part(self, pdir: str) -> None:
+        """Per-partition crash recovery: a crash between the two swap
+        renames leaves the newest __old_* generation as the pre-batch
+        partition — restore it (same discipline as the parent's
+        _recover, scoped to one partition directory)."""
+        if os.path.exists(pdir):
+            return
+        olds = self._generations("old", pdir)
+        if olds:
+            os.rename(olds[-1], pdir)
+
+    def _existing_parts(self) -> list[int]:
+        import glob as _glob
+
+        out = []
+        for d in _glob.glob(os.path.join(self.target_dir, "part_[0-9]*")):
+            base = os.path.basename(d)
+            if "__" in base:  # tmp/old generation, not a live partition
+                continue
+            out.append(int(base.split("_", 1)[1]))
+        return sorted(out)
+
+    # -- batch apply --------------------------------------------------------
+
+    def _apply(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        proj = self.project(batch_df) if self.project else batch_df
+        delta = (
+            build_state(proj, self.pk_cols, self.value_col)
+            .withColumn("__p", self._part_expr())
+            .persist()
+        )
+        try:
+            touched = sorted(
+                r["__p"] for r in delta.select("__p").distinct().collect()
+            )
+            if not touched:
+                return
+            os.makedirs(self.target_dir, exist_ok=True)
+            prev_parts: list[int] = []
+            for p in touched:
+                pdir = self._part_dir(p)
+                self._recover_part(pdir)
+                if os.path.exists(pdir):
+                    prev_parts.append(p)
+            prev = None
+            if prev_parts:
+                prev = self.spark.read.parquet(
+                    *[self._part_dir(p) for p in prev_parts]
+                ).withColumn("__p", self._part_expr())
+            skip: set[int] = set()
+            if self.idempotent and prev is not None and batch_id is not None:
+                # per-partition replay guard: __bid is constant within a
+                # partition generation; a partition whose stored id is
+                # >= this batch already merged it (crash mid-swap)
+                done = {
+                    r["__p"]: r["b"]
+                    for r in prev.groupBy("__p").agg(F.max("__bid").alias("b")).collect()
+                }
+                skip = {p for p, b in done.items() if b is not None and batch_id <= b}
+                if skip:
+                    delta_live = delta.filter(~F.col("__p").isin([int(s) for s in skip]))
+                    prev = prev.filter(~F.col("__p").isin([int(s) for s in skip]))
+                else:
+                    delta_live = delta
+                prev = prev.drop("__bid")
+            else:
+                delta_live = delta
+            live_touched = [p for p in touched if p not in skip]
+            if not live_touched:
+                return
+            states = [delta_live.drop("__p")]
+            if prev is not None:
+                states.append(prev.drop("__p"))
+            merged = merge_states(states, self.pk_cols).withColumn(
+                "__p", self._part_expr()
+            )
+            if self.idempotent:
+                merged = merged.withColumn("__bid", F.lit(int(batch_id or 0)))
+            # ONE job writes every touched partition hive-style; the
+            # per-partition swap below is pure renames
+            tmp = os.path.join(
+                self.target_dir, f"__batchtmp_{uuid.uuid4().hex[:8]}"
+            )
+            merged.write.mode("overwrite").partitionBy("__p").parquet(tmp)
+            try:
+                for p in live_touched:
+                    src = os.path.join(tmp, f"__p={p}")
+                    if not os.path.isdir(src):
+                        continue  # delta had only retractions merging to nothing
+                    pdir = self._part_dir(p)
+                    if os.path.exists(pdir):
+                        os.rename(pdir, f"{pdir}__old_{uuid.uuid4().hex[:8]}")
+                    os.rename(src, pdir)
+                    for stale in self._generations("old", pdir) + self._generations(
+                        "tmp", pdir
+                    ):
+                        shutil.rmtree(stale, ignore_errors=True)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            delta.unpersist()
+
+    def read_target(self) -> DataFrame | None:
+        if not os.path.isdir(self.target_dir):
+            return None
+        for p in range(self.n_partitions):
+            self._recover_part(self._part_dir(p))
+        parts = self._existing_parts()
+        if not parts:
+            return None
+        return self.spark.read.parquet(*[self._part_dir(p) for p in parts])
+
+    def result(self) -> DataFrame | None:
         st = self.read_target()
         if st is None:
             return None

@@ -66,3 +66,15 @@ def test_sql_twin_matches(spark, duck, docs):
         )
     )
     assert spark_rows == duck_rows
+
+
+def test_hash_family_never_degenerates_to_one_probe(spark):
+    """b is forced odd (b | 1): a fingerprint whose raw second-half step
+    is ≡ 0 (mod m) must still yield k DISTINCT probe positions — the
+    unfixed double-hash family collapsed every probe to `a % m`."""
+    # n_words=1 → m=62; raw b = 0x3e = 62 ≡ 0 (mod 62); a = 5
+    fp = "000000000005" + "00000000003e" + "00000000"
+    row = spark.range(1).select(
+        F.array(*BL._positions(F.lit(fp), n_words=1, k=5)).alias("pos")
+    ).collect()[0]
+    assert len(set(row["pos"])) == 5, row["pos"]

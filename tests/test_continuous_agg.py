@@ -131,3 +131,144 @@ def test_hll_state_split_equals_one_shot(spark):
     assert merged_m == one_m
     # at this cardinality the sketch is exact-mode: estimates are exact
     assert all(v == 37 for v in one_m.values())
+
+
+# --- partitioned state sink ----------------------------------------------
+
+
+def _part_files(state_dir):
+    """{partition dir: {file: (size, sha256)}} snapshot."""
+    import glob
+    import hashlib
+    import os
+
+    out = {}
+    for pdir in glob.glob(os.path.join(state_dir, "part_[0-9]*")):
+        if "__" in os.path.basename(pdir):
+            continue
+        files = {}
+        for fn in sorted(os.listdir(pdir)):
+            fp = os.path.join(pdir, fn)
+            if os.path.isfile(fp) and not fn.startswith("."):
+                with open(fp, "rb") as f:
+                    files[fn] = (os.path.getsize(fp), hashlib.sha256(f.read()).hexdigest())
+        out[pdir] = files
+    return out
+
+
+def test_partitioned_sink_matches_one_shot(spark, frame, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    sink = PartitionedContinuousAggSink(
+        spark, str(tmp_path / "state"), KEYS, "value", n_partitions=8
+    )
+    batches = [
+        frame.filter("value < -2"),
+        frame.filter("value >= -2 and value < 1"),
+        frame.filter("value >= 1"),
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want
+
+
+def test_partitioned_sink_leaves_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """The whole point: a batch touching one group must not rewrite (or
+    even re-open) the other groups' partition files."""
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    # many groups spread over many partitions
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "k int, value double"
+    )
+    sink = PartitionedContinuousAggSink(
+        spark, str(tmp_path / "state"), KEYS, "value", n_partitions=16
+    )
+    sink(base, 0)
+    before = _part_files(str(tmp_path / "state"))
+    assert len(before) > 4  # groups actually spread over partitions
+    # batch touching ONLY group k=3
+    only3 = spark.createDataFrame([(3, 100.0)], "k int, value double")
+    sink(only3, 1)
+    after = _part_files(str(tmp_path / "state"))
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1, changed  # exactly the partition holding k=3
+    # and the merge is still correct
+    want = _final(
+        CA.finalize(CA.build_state(base.unionByName(only3), KEYS, "value"), KEYS)
+    )
+    assert _final(sink.result()) == want
+
+
+def test_partitioned_sink_idempotent_replay_per_partition(spark, frame, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    sink = PartitionedContinuousAggSink(
+        spark, str(tmp_path / "state"), KEYS, "value", idempotent=True,
+        n_partitions=8,
+    )
+    b0 = frame.filter("value < 0")
+    b1 = frame.filter("value >= 0")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # full redelivery: every partition skips
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want
+
+
+def test_partitioned_sink_partial_crash_recovery(spark, tmp_path):
+    """Crash mid-swap on ONE partition (its dir renamed to __old, new
+    generation lost): the next touch of that partition must restore the
+    pre-batch generation, and with idempotent=True a full batch replay
+    must re-merge ONLY the partition that lost the batch."""
+    import glob
+    import os
+    import shutil
+
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "k int, value double"
+    )
+    sink = PartitionedContinuousAggSink(
+        spark, state, KEYS, "value", idempotent=True, n_partitions=8
+    )
+    sink(base, 0)
+    batch1 = spark.createDataFrame(
+        [(i, 1000.0) for i in range(64)], "k int, value double"
+    )
+    sink(batch1, 1)
+    # simulate crash: one partition's batch-1 generation vanishes, its
+    # pre-batch generation is stranded as __old
+    victim = sorted(glob.glob(os.path.join(state, "part_[0-9]*")))[0]
+    # rebuild the pre-batch generation for the victim by replaying batch 0
+    # into a scratch sink, then stranding it as __old
+    scratch = str(tmp_path / "scratch")
+    s2 = PartitionedContinuousAggSink(
+        spark, scratch, KEYS, "value", idempotent=True, n_partitions=8
+    )
+    s2(base, 0)
+    old_src = os.path.join(scratch, os.path.basename(victim))
+    shutil.rmtree(victim)
+    shutil.copytree(old_src, f"{victim}__old_cafe01")
+    # replay batch 1: the victim (recovered to its batch-0 state, __bid=0)
+    # must merge; every other partition (__bid=1) must skip
+    snap_others = {
+        d: f for d, f in _part_files(state).items() if d != victim
+    }
+    sink(batch1, 1)
+    after = _part_files(state)
+    for d, f in snap_others.items():
+        assert after[d] == f, f"untouched partition rewritten: {d}"
+    want = _final(
+        CA.finalize(
+            CA.build_state(base.unionByName(batch1), KEYS, "value"), KEYS
+        )
+    )
+    assert _final(sink.result()) == want

@@ -541,3 +541,17 @@ def test_repetition_profile_flags_and_empties(spark):
     assert rows[3]["n_grams"] == 0 and rows[3]["top_gram_frac"] == 0.0
     assert rows[4]["n_grams"] == 0
     assert len(rows) == 4
+
+
+def test_hyperplanes_cache_is_immutable():
+    """The memoized plane family must not be corruptible by a caller."""
+    import pytest as _pytest
+
+    from sqlserver_pg_cdc_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(2, 3, "immutability-test")
+    with _pytest.raises(TypeError):
+        planes[0] = (9.0, 9.0, 9.0)  # type: ignore[index]
+    with _pytest.raises(TypeError):
+        planes[0][0] = 9.0  # type: ignore[index]
+    assert hyperplanes(2, 3, "immutability-test") == planes

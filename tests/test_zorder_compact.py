@@ -41,6 +41,32 @@ def test_zorder_key_matches_python_morton(spark):
         assert z == _morton([x, y], 4), (x, y, z)
 
 
+def test_zorder_key_rejects_all_null_column(spark):
+    import pytest
+
+    df = spark.sql(
+        "SELECT x, CAST(NULL AS DOUBLE) AS y FROM VALUES (0),(1),(2) v(x)"
+    )
+    with pytest.raises(ValueError, match="'y'"):
+        zorder_key(df, ["x", "y"], bits=4)
+
+
+def test_zorder_key_rejects_none_in_supplied_stats(spark):
+    import pytest
+
+    df = spark.sql("SELECT x FROM VALUES (0),(1) v(x)")
+    with pytest.raises(ValueError, match="'x'"):
+        zorder_key(df, ["x"], bits=4, stats={"x": (None, None)})
+
+
+def test_zorder_key_rejects_non_castable_column(spark):
+    import pytest
+
+    df = spark.sql("SELECT x, 'abc' AS s FROM VALUES (0),(1) v(x)")
+    with pytest.raises(ValueError, match="'s'"):
+        zorder_key(df, ["x", "s"], bits=4)
+
+
 def test_zorder_clusters_both_columns(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
     path = str(tmp_path / "z")

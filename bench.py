@@ -206,6 +206,42 @@ def main() -> None:
     table_checksum(_lt(spark, sf_dir, "lineitem"), mode="fast").collect()
     timings["checksum_lineitem_fast"] = round(time.time() - t0, 3)
 
+    # skewed-key evidence (bench-only, no oracle): one hot key holding
+    # ~1/3 of a 5M-row change stream — the single-window-task shape the
+    # salted two-phase latest_per_key exists for. Expected: salted wins
+    # ~3x here; at 1000-executor scale the unsalted form pins ONE task
+    # with the hot key's entire volume while salted spreads it.
+    from pyspark.sql import functions as _F
+
+    from sqlserver_pg_cdc_spark.streaming.apply import latest_per_key as _lpk
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rep = spark.range(50).select(_F.col("id").alias("rep"))
+    skewed = ev.crossJoin(rep).select(
+        _F.when(_F.col("user_id") % 3 == 0, _F.lit(0))
+        .otherwise(_F.col("user_id"))
+        .cast("long")
+        .alias("key"),
+        (_F.col("event_id") * 50 + _F.col("rep")).cast("long").alias("lsn"),
+        "event_type",
+        "value",
+    ).persist()
+    skewed.count()  # materialize outside the timed region
+    for label, kw in (
+        ("skew_latest_per_key_window", {}),
+        ("skew_latest_per_key_salted", {"salt_partitions": 32}),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _lpk(skewed, ["key"], "lsn", **kw).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[label] = round(best, 3)
+    skewed.unpersist()
+
     cdc_s, cdc_rows = _bench_cdc_apply(spark, sf_dir)
     timings["cdc_apply_stream"] = round(cdc_s, 3)
 

@@ -81,6 +81,40 @@ def build_tiny(con: duckdb.DuckDBPyConnection, dst: str) -> None:
 BUILDERS = {"nulls": build_nulls, "uni": build_uni, "tiny": build_tiny}
 
 
+def build_edge(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    """Degenerate-population edges the tiny sweep can't hit:
+
+    - documents reduced to {1, 5, 10}: the incremental-clustering
+      contract query then runs with a SINGLE-DOC standing corpus
+      (doc_id % 5 != 0 -> {1}) and a two-doc new batch — no pairs
+      anywhere, empty clusterings on both engines;
+    - embeddings stripped of every vec_id % 20 == 0 row: the
+      semantic-decontamination eval set is EMPTY (and so is its leaked
+      plant), so the detector must return zero hits without erroring on
+      an empty LSH index.
+    Everything else copies through unchanged.
+    """
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE doc_id IN (1, 5, 10)) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE vec_id % 20 <> 0) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+BUILDERS["edge"] = build_edge
+
+
 def main(argv: list[str]) -> int:
     sweeps = argv or list(BUILDERS)
     here = os.path.dirname(os.path.abspath(__file__))

@@ -372,40 +372,71 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
         pos += 12 + length
     if width is None or channels is None or not idat or not seen_end:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     bpp = channels
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: the expected output size is fully determined by
+    # the already-validated IHDR, so cap decompression at expected+1
+    # bytes — a crafted tiny payload (zip bomb) in this documented
+    # untrusted-input path is rejected without ever allocating its
+    # claimed gigabytes
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error:
         return None
-    prev = bytearray(stride)
+    if len(raw) != expected or not dec.eof:
+        return None
+    # numpy-vectorized unfiltering (the per-byte pure-Python loops were
+    # O(width*height*channels) interpreter ops per image): None/Up/Sub
+    # reconstruct as whole-row array ops (Sub is a per-channel cumulative
+    # sum — mod-256 arithmetic distributes over the prefix sum); the
+    # sequentially-dependent Average/Paeth rows fall back to a per-PIXEL
+    # loop with the channel math vectorized (bpp-wide ops, width
+    # iterations instead of width*channels)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    if (filters > 4).any():
+        return None  # unknown filter type
+    data = arr[:, 1:]
+    prev = np.zeros(stride, dtype=np.int64)
     total = 0
     for r in range(height):
-        base = (stride + 1) * r
-        f = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
+        f = int(filters[r])
+        row = data[r].astype(np.int64)
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+            line = row
+        elif f == 1:  # Sub: out[i] = raw[i] + out[i-bpp]  => channel cumsum
+            line = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
         elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            line = (row + prev) & 0xFF
         elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                c = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
-        else:
-            return None  # unknown filter type
-        total += sum(line)
+            line = np.empty(stride, dtype=np.int64)
+            px = row.reshape(-1, bpp)
+            pv = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            for i in range(width):
+                left = (px[i] + ((left + pv[i]) >> 1)) & 0xFF
+                line[i * bpp : (i + 1) * bpp] = left
+        else:  # Paeth
+            line = np.empty(stride, dtype=np.int64)
+            px = row.reshape(-1, bpp)
+            pv = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for i in range(width):
+                up = pv[i]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (px[i] + pred) & 0xFF
+                line[i * bpp : (i + 1) * bpp] = left
+                upleft = up
+        total += int(line.sum())
         prev = line
     return width, height, channels, total, stride * height
 

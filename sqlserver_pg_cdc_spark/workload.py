@@ -1980,27 +1980,35 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
-    # ONE tokenize+shingle pass over the standing corpus feeds both the
-    # pair verification and the band index (production persists the
-    # index as a table; here both setup steps run inline, so sharing the
-    # frame halves the dominant cost — the corpus is shingled once, not
-    # twice)
+    # ONE tokenize+shingle pass AND one signature pass over the standing
+    # corpus feed pair verification and the band index (production
+    # persists the index as a table; here both setup steps run inline,
+    # so the corpus is shingled once and min-hashed once, not twice);
+    # likewise ONE shingle pass over the new batch feeds both the
+    # cross-corpus band probe and the batch's internal clustering
     corpus_sh = DD.shingle_frame(corpus, "doc_id", "text").persist()
+    corpus_sig = DD.minhash_signatures_from_shingles(
+        corpus_sh.filter(F.size("sh") > 0)
+    ).persist()
     corpus_pairs = DD.minhash_jaccard_verified_pairs(
-        corpus, "doc_id", "text", threshold=0.2, sh_df=corpus_sh
+        corpus, "doc_id", "text", threshold=0.2,
+        sh_df=corpus_sh, sig_df=corpus_sig,
     )
     base = DD.dup_components(corpus_pairs)
-    index = DD.minhash_index(corpus, "doc_id", "text", sh_df=corpus_sh)
+    index = DD.minhash_index(corpus, "doc_id", "text", sig_df=corpus_sig)
+    new_sh = DD.shingle_frame(new, "doc_id", "text").persist()
     cross = DD.minhash_incremental_dedup(
-        new, corpus, index, "doc_id", "text", threshold=0.2
+        new, corpus, index, "doc_id", "text", threshold=0.2, new_sh_df=new_sh
     ).select("a", "b")
     # cross is materialized by minhash_incremental_dedup, so the index —
-    # the last consumer of the shared shingle frame — has been fully
-    # read; release the cache before the (pair-sized) fold below
+    # the last consumer of the shared signature frame — has been fully
+    # read; release the caches before the (pair-sized) fold below
+    corpus_sig.unpersist()
     corpus_sh.unpersist()
     internal = DD.minhash_jaccard_verified_pairs(
-        new, "doc_id", "text", threshold=0.2
+        new, "doc_id", "text", threshold=0.2, sh_df=new_sh
     ).select("a", "b")
+    new_sh.unpersist()
     return DD.dup_components_incremental(
         base, cross.unionByName(internal)
     )

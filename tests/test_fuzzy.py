@@ -57,3 +57,32 @@ def test_blocked_equals_brute_force(spark, sides):
     assert (5, 18, 0) in got and (4, 18, 1) in got
     assert not any(bid == 15 for _, bid, _ in got)  # distance-2 excluded
     assert not any(bid == 17 for _, bid, _ in got)
+
+
+def test_fuzzy_join_unicode_names_codepoint_semantics(spark):
+    """The documented contract: the SPARK side operates on Unicode
+    CODEPOINTS (substring/length/levenshtein are codepoint-based), so
+    non-ASCII names behave like any other string — a one-codepoint typo
+    in a multi-byte name is found at dist 1, and identical non-ASCII
+    names match at dist 0. (The DuckDB oracle twin counts BYTES, which
+    is why the cross-engine contract queries run on ASCII columns only
+    — see the module docstring; this test pins the Spark-side
+    semantics that non-ASCII deployments get.)"""
+    from sqlserver_pg_cdc_spark.operators.fuzzy import fuzzy_join_typo
+
+    a = spark.createDataFrame(
+        [(1, "Grüße"), (2, "日本語"), (3, "café")], "id long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "Grüß"),    # one codepoint deleted
+         (20, "日本語"),   # identical
+         (30, "cafe")],   # é -> e substitution: ONE codepoint edit
+        "id long, name string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_join_typo(a, b, "id", "id", "name").collect()
+    }
+    assert got[(1, 10)] == 1
+    assert got[(2, 20)] == 0
+    assert got[(3, 30)] == 1  # byte-counting engines would say 2

@@ -361,3 +361,72 @@ def test_decode_images_png_and_auto(spark):
     assert auto[1]["width"] == 2 and auto[4]["width"] == 2
     assert auto[4]["mean_pixel"] == pytest.approx(10 / 255)
     assert auto[3]["width"] is None
+
+
+def test_png_zip_bomb_rejected_without_full_inflation():
+    """A crafted payload whose IHDR declares a tiny image but whose
+    IDAT inflates to ~64 MB must be rejected via the BOUNDED
+    decompressor (output capped at the IHDR-derived size), not after
+    allocating the whole expansion."""
+    import struct as S
+    import time as T
+    import zlib as Z
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_png
+
+    def chunk(typ, body):
+        return S.pack(">I", len(body)) + typ + body + S.pack(
+            ">I", Z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", S.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))  # 2x2 RGB
+    bomb = Z.compress(b"\x00" * (64 * 1024 * 1024), 9)  # ~64KB compressed
+    payload = sig + ihdr + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    t0 = T.time()
+    assert decode_png(payload) is None
+    assert T.time() - t0 < 1.0  # bounded: never inflates the 64 MB
+
+
+def test_png_corrupt_payloads_null_through_catalog_path(spark):
+    """Corrupt/truncated/bomb payloads through decode_images (the
+    catalog multimodal_png_decode path): NULL rows for every bad
+    payload, real dims for the one valid control."""
+    import struct as S
+    import zlib as Z
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+    )
+
+    good = encode_png(4, 3, bytes(range(36)), channels=3)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    def chunk(typ, body):
+        return S.pack(">I", len(body)) + typ + body + S.pack(
+            ">I", Z.crc32(typ + body) & 0xFFFFFFFF
+        )
+    sig = b"\x89PNG\r\n\x1a\n"
+    bomb = (
+        sig
+        + chunk(b"IHDR", S.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", Z.compress(b"\x00" * (8 * 1024 * 1024), 9))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, good),
+        (2, good[: len(good) // 2]),     # truncated mid-chunk
+        (3, bytes(bad_crc)),             # CRC mismatch
+        (4, b"\x00" * 64),               # not a PNG
+        (5, bomb),                       # declared 2x2, inflates 8 MB
+        (6, None),                       # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(df, "doc_id", "payload", decoder="png").collect()
+    }
+    assert got[1] == (4, 3, 3)
+    for k in (2, 3, 4, 5, 6):
+        assert got[k] == (None, None, None), k

@@ -349,15 +349,37 @@ def test_dup_components_deep_chain_compression(spark):
     """A 40-node path graph has diameter 39 — plain hash-min needs ~39
     rounds, but the pointer-jumping rounds (active from round 3) double
     propagation distance, so max_iter=12 must suffice. Exercises the
-    compressed-round code path end to end."""
+    compressed-round code path end to end (driver_threshold=0 forces the
+    distributed loop — tiny fixtures otherwise take the union-find fast
+    path)."""
     n = 40
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
-    rows = DD.dup_components(pairs, max_iter=12).collect()
+    rows = DD.dup_components(pairs, max_iter=12, driver_threshold=0).collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
     assert sorted(r["doc"] for r in rows if r["keep"]) == [0]
+
+
+def test_dup_components_fast_path_equals_distributed(spark):
+    """The size-gated driver union-find must produce exactly the
+    distributed label-propagation result — components labeled by min
+    member, keep on the minimum — on a graph mixing chains, stars,
+    singleton pairs, and duplicate/reversed edges."""
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]        # 31-node chain
+        + [(100, j) for j in range(101, 110)]      # star
+        + [(200, 201), (300, 301)]                 # islands
+        + [(2, 1), (105, 100), (200, 201)]         # reversed + duplicate
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = {tuple(r) for r in DD.dup_components(pairs).collect()}
+    dist = {
+        tuple(r)
+        for r in DD.dup_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
 
 
 def test_dup_components_incremental_equals_rebuild(spark):

@@ -1,0 +1,61 @@
+"""Count-min sketch laws: overestimation, merge associativity, parity
+between split-build-merge and one-shot build, absent-item behavior."""
+
+import pyspark.sql.functions as F
+
+from sqlserver_pg_cdc_spark.operators import cms
+
+
+def _occ(spark, items):
+    return spark.createDataFrame([(x,) for x in items], "tok string")
+
+
+def test_estimate_never_underestimates(spark):
+    items = ["a"] * 50 + ["b"] * 20 + ["c"] * 3 + [f"x{i}" for i in range(300)]
+    occ = _occ(spark, items)
+    sketch = cms.cms_build(occ, "tok").persist()
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    est = cms.cms_estimate(exact, sketch, "tok")
+    for r in est.collect():
+        assert r["cms_est"] >= r["exact_cnt"], r
+    sketch.unpersist()
+
+
+def test_split_build_merge_equals_one_shot(spark):
+    items = [f"t{i % 37}" for i in range(500)]
+    occ = _occ(spark, items)
+    one = cms.cms_build(occ, "tok")
+    # split deterministically by hash (limit would be unordered)
+    h = F.pmod(F.xxhash64("tok"), F.lit(2))
+    parts = [occ.filter(h == i) for i in (0, 1)]
+    # NOTE per-row multiplicity matters: filter splits occurrences exactly
+    merged = cms.cms_merge([cms.cms_build(p, "tok") for p in parts])
+    a = {(r["row"], r["cell"]): r["cnt"] for r in one.collect()}
+    b = {(r["row"], r["cell"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
+def test_absent_item_estimates_low_or_zero(spark):
+    occ = _occ(spark, [f"w{i}" for i in range(100)])
+    sketch = cms.cms_build(occ, "tok").persist()
+    ghosts = spark.createDataFrame([("never-seen-token",)], "tok string")
+    (r,) = cms.cms_estimate(ghosts, sketch, "tok").collect()
+    # 4 independent cells over 1024 counters with 100 increments: the
+    # min is overwhelmingly 0; assert the sound bound (<= total mass)
+    assert 0 <= r["cms_est"] <= 100
+    sketch.unpersist()
+
+
+def test_sql_twin_matches_spark_bits(spark, duck):
+    """The md5-derived cell family must produce IDENTICAL sketches on
+    both engines (the bloom_prefilter discipline)."""
+    items = [f"tok{i % 11}" for i in range(200)]
+    occ = _occ(spark, items)
+    spark_cells = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in cms.cms_build(occ, "tok").collect()
+    }
+    vals = ", ".join(f"('tok{i % 11}')" for i in range(200))
+    sql = cms.cms_build_sql(f"SELECT * FROM (VALUES {vals}) v(tok)", "tok")
+    duck_cells = {(r[0], r[1]): r[2] for r in duck.execute(sql).fetchall()}
+    assert spark_cells == duck_cells

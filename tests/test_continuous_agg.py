@@ -272,3 +272,39 @@ def test_partitioned_sink_partial_crash_recovery(spark, tmp_path):
         )
     )
     assert _final(sink.result()) == want
+
+
+def test_partitioned_sink_end_to_end_writestream(spark, tmp_path):
+    """Full Structured Streaming path: a JSON file spool read with
+    readStream, foreachBatch(PartitionedContinuousAggSink), availableNow
+    trigger — the materialized rollup must equal the one-shot aggregate
+    over everything spooled."""
+    import json as J
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    rows = [(i % 5, float(i)) for i in range(100)]
+    for fname, chunk in (("a.json", rows[:40]), ("b.json", rows[40:])):
+        with open(spool / fname, "w") as f:
+            for k, v in chunk:
+                f.write(J.dumps({"k": k, "value": v}) + "\n")
+    sink = PartitionedContinuousAggSink(
+        spark, str(tmp_path / "state"), KEYS, "value",
+        idempotent=True, n_partitions=8,
+    )
+    q = (
+        spark.readStream.schema("k int, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    frame = spark.createDataFrame(rows, "k int, value double")
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert _final(sink.result()) == want

@@ -217,3 +217,28 @@ def test_every_catalog_query_has_an_oracle(spark):
     missing = [n for n, spec in cat.items() if spec.oracle is None]
     assert not missing, missing
     assert len(cat) >= 105
+
+
+def test_part_pair_topk_is_take_ordered(spark):
+    """The market-basket top-20 must plan as TakeOrderedAndProject (no
+    global sort materialization of the pair-count table)."""
+    fn = workload.build_catalog(spark)["part_pair_cooccurrence"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["heavy_hitter_tokens", "part_pair_cooccurrence", "latest_per_key_skewed"],
+)
+def test_round5_queries_no_cartesian_no_python(spark, qname):
+    m = _metrics(spark, qname)
+    assert m.python_evals == 0
+    assert not m.has_cartesian, m.joins
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    """The sketch side is <= d*w rows by construction — candidate
+    estimation must broadcast it, never shuffle the candidate frame."""
+    m = _metrics(spark, "heavy_hitter_tokens")
+    assert any("BroadcastHashJoin" in j for j in m.joins), m.joins

@@ -118,10 +118,11 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 
 # ---------------------------------------------------------------------------
 # Real pure-Python codecs (no library needed): 24-bpp BI_RGB BMP,
-# 16-bit PCM WAV, and (below) 8-bit truecolor PNG. These make
-# decode_images / sample_audio_frames REAL decoders — header parse,
-# padding, inflate, unfilter, pixel math — while formats needing a codec
-# library (JPEG/MP3) stay behind decoder="strict".
+# 16-bit PCM WAV, and (below) 8-bit truecolor PNG and baseline JFIF
+# JPEG. These make decode_images / sample_audio_frames REAL decoders —
+# header parse, padding, inflate, unfilter, Huffman entropy decode,
+# IDCT, pixel math — while formats needing an external codec library
+# (MP3, video) stay behind decoder="strict".
 # ---------------------------------------------------------------------------
 
 
@@ -441,8 +442,428 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
     return width, height, channels, total, stride * height
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — REAL entropy-coded decode, no image library.
+# Everything from public spec knowledge (ITU-T T.81 / JFIF 1.02): marker
+# walk, DQT/DHT parsing with canonical Huffman reconstruction, SOF0
+# frame header, SOS entropy scan with 0xFF00 byte unstuffing, DC
+# differential + AC run-length decode, dequantization, inverse zigzag,
+# 8x8 IDCT (numpy DCT-III matrix product), level shift, JFIF YCbCr->RGB.
+# Scope: baseline sequential, 8-bit, 4:4:4 (no chroma subsampling),
+# 1 or 3 components — the shape normalized training payloads take.
+# The sibling encoder emits spec-compliant files the decoder (or any
+# standard decoder) reads; canonical-Huffman DHT tables are built from
+# the symbols actually emitted.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# flat quant table (all 16): DC of a solid block with even gray level
+# round-trips exactly — the property the analytic oracle rides on
+_JPEG_QTABLE = [16] * 64
+
+# canonical-Huffman table specs (bits-per-length + symbol list, the DHT
+# wire format): DC categories 0..11 at 4 bits; AC = EOB + ZRL + the full
+# baseline run/size plane (runs 0..15 x sizes 1..10, 162 symbols — the
+# same symbol set as the standard Annex K tables) at 8 bits. k symbols
+# of equal length L with k < 2^L is a valid canonical code (never
+# exhausts the all-ones prefix).
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _jpeg_huff_spec(symbols: list[int]) -> tuple[list[int], list[int]]:
+    length = max(1, (len(symbols)).bit_length())
+    if len(symbols) >= (1 << length):
+        length += 1
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    return bits, symbols
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":
+    m = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(0.5) if k == 0 else 1.0
+        for n in range(8):
+            m[k, n] = 0.5 * c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return m
+
+
+_IDCT_M = _jpeg_idct_matrix()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _huff_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dht_segment(cls: int, tid: int, bits: list[int], symbols: list[int]) -> bytes:
+    body = bytes([cls << 4 | tid]) + bytes(bits[1:17]) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Baseline JFIF encode of ``width*height*channels`` RGB (or gray)
+    bytes: YCbCr convert, 8x8 DCT, flat quantization, canonical-Huffman
+    entropy coding. A real, standard-decodable JPEG — used by the
+    contract query with solid even-gray inputs (whose DC quantization
+    round-trips exactly) and by tests with arbitrary content."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    q = np.array(_JPEG_QTABLE, dtype=np.float64)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    dc_bits, dc_syms = _jpeg_huff_spec(_JPEG_DC_SYMS)
+    ac_bits, ac_syms = _jpeg_huff_spec(_JPEG_AC_SYMS)
+    dc_codes = _huff_codes(dc_bits, dc_syms)
+    ac_codes = _huff_codes(ac_bits, ac_syms)
+    writer = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                # edge-replicated 8x8 block
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
+                block = plane[np.ix_(ys, xs)] - 128.0
+                coef = _IDCT_M @ block @ _IDCT_M.T  # forward DCT
+                quant = np.round(coef / q).astype(np.int64)
+                zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                s = _category(diff)
+                if s > 11:
+                    raise ValueError("DC difference out of baseline range")
+                code, ln = dc_codes[s]
+                writer.write(code, ln)
+                if s:
+                    v = diff if diff > 0 else diff + (1 << s) - 1
+                    writer.write(v, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i] != 0), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    sym = (run << 4) | s
+                    if sym not in ac_codes:
+                        raise ValueError(
+                            f"AC symbol {sym:#x} outside the baseline "
+                            "table (size > 10)"
+                        )
+                    code, ln = ac_codes[sym]
+                    writer.write(code, ln)
+                    bitsv = v if v > 0 else v + (1 << s) - 1
+                    writer.write(bitsv, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    dqt = bytes([0x00]) + bytes(_JPEG_QTABLE)
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    ncomp = len(planes)
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _dht_segment(0, 0, dc_bits, dc_syms)
+    out += _dht_segment(1, 0, ac_bits, ac_syms)
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0:
+            while True:
+                if self.pos >= len(self.data):
+                    return None
+                byte = self.data[self.pos]
+                self.pos += 1
+                if byte == 0xFF:
+                    if self.pos >= len(self.data):
+                        return None
+                    marker = self.data[self.pos]
+                    self.pos += 1
+                    if marker == 0x00:
+                        pass  # stuffed 0xFF data byte
+                    else:
+                        return None  # real marker inside the scan
+                self.acc = byte
+                self.nbits = 8
+                break
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+
+def _huff_decode(reader: "_BitReader", table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        bit = reader.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, channels, pixel_sum, n_pixel_bytes) from a
+    baseline JFIF payload, or None on any corruption (truncation, bad
+    marker structure, undefined Huffman code, scan underrun) or
+    out-of-scope feature (progressive, 12-bit, chroma subsampling,
+    arithmetic coding). Pure Python + numpy: canonical Huffman decode,
+    flat dequant, IDCT-III matrix product, JFIF color convert."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qid)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None  # truncated segment
+        if marker == 0xDB:  # DQT
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0 or len(b) < 65:
+                    return None  # 12-bit tables out of scope
+                qtables[tq] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                return None
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or width == 0 or height == 0:
+                return None
+            if len(body) < 6 + 3 * ncomp:
+                return None
+            for i in range(ncomp):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    return None  # subsampling out of scope
+                comps.append((cid, samp, qid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # progressive / extended / arithmetic out of scope
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                if len(b) < 17:
+                    return None
+                cls, tid = b[0] >> 4, b[0] & 0xF
+                bits = [0] + list(b[1:17])
+                nsym = sum(bits)
+                if len(b) < 17 + nsym:
+                    return None
+                symbols = list(b[17 : 17 + nsym])
+                codes = _huff_codes(bits, symbols)
+                htables[(cls, tid)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                b = b[17 + nsym :]
+        elif marker == 0xDA:  # SOS
+            if not comps or width is None:
+                return None
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3 or ns != len(comps):
+                return None
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tds = body[2 + 2 * i]
+                scan_comps.append((cid, tds >> 4, tds & 0xF))
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if data_start is None or width is None or not comps:
+        return None
+    for _, _, qid in comps:
+        if qid not in qtables:
+            return None
+    for _, dc_t, ac_t in scan_comps:
+        if (0, dc_t) not in htables or (1, ac_t) not in htables:
+            return None
+    end = payload.rfind(b"\xff\xd9")
+    if end <= data_start:
+        return None
+    reader = _BitReader(payload[data_start:end])
+    ncomp = len(comps)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                _, dc_t, ac_t = scan_comps[ci]
+                q = np.array(qtables[comps[ci][2]], dtype=np.float64)
+                sym = _huff_decode(reader, htables[(0, dc_t)])
+                if sym is None or sym > 11:
+                    return None
+                if sym:
+                    v = reader.read_bits(sym)
+                    if v is None:
+                        return None
+                    diff = _extend(v, sym)
+                else:
+                    diff = 0
+                prev_dc[ci] += diff
+                zz = np.zeros(64)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(reader, htables[(1, ac_t)])
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    v = reader.read_bits(size)
+                    if v is None:
+                        return None
+                    zz[k] = _extend(v, size)
+                    k += 1
+                block = (zz * q)[inv_zz].reshape(8, 8)
+                pix = _IDCT_M.T @ block @ _IDCT_M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:height, :width] for p in planes]
+    if ncomp == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = [r, g, b]
+    elif ncomp == 1:
+        rgb = [planes[0]]
+    else:
+        return None
+    total = 0
+    for p in rgb:
+        total += int(np.clip(np.round(p), 0, 255).astype(np.int64).sum())
+    return width, height, ncomp, total, width * height * ncomp
+
+
 def sniff_decode_image(payload: bytes) -> tuple[int, int, int, int, int] | None:
-    """Magic-byte dispatch to the real codecs (BMP, PNG); None for
+    """Magic-byte dispatch to the real codecs (BMP, PNG, JPEG); None for
     anything else. The ``decoder="auto"`` path of :func:`decode_images`."""
     if payload is None or len(payload) < 8:
         return None
@@ -450,6 +871,8 @@ def sniff_decode_image(payload: bytes) -> tuple[int, int, int, int, int] | None:
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     return None
 
 
@@ -468,14 +891,23 @@ def decode_images(
       PNG — the first COMPRESSED format handled without any library
       (stdlib zlib inflate + per-spec scanline unfiltering, CRC-checked).
       Same NULL-on-corrupt and exact-sum disciplines as BMP.
+    - ``decoder="jpeg"``: REAL decode of baseline JFIF (canonical
+      Huffman entropy decode + dequant + IDCT + YCbCr convert, pure
+      Python/numpy — see :func:`decode_jpeg`). Same NULL-on-corrupt
+      convention; 4:4:4 8-bit sequential scope.
     - ``decoder="auto"``: magic-byte dispatch across the real codecs
-      (BMP, PNG); anything else yields NULLs.
+      (BMP, PNG, JPEG); anything else yields NULLs.
     - ``decoder="fake"``: deterministic dims/mean from the payload hash
       (plumbing tests without any codec assumption).
-    - ``decoder="strict"``: raises where a compressed-format codec
-      (Pillow/ffmpeg) would be called for formats still out of scope
-      (JPEG, ...); those libs aren't in this environment."""
-    real = {"bmp": decode_bmp, "png": decode_png, "auto": sniff_decode_image}
+    - ``decoder="strict"``: raises where an external codec library
+      (ffmpeg etc.) would be called for formats still out of scope
+      (video, MP3); those libs aren't in this environment."""
+    real = {
+        "bmp": decode_bmp,
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "auto": sniff_decode_image,
+    }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -570,16 +1002,88 @@ def sample_audio_frames(
     )
 
 
+def _bmp_pixels(payload: bytes) -> "np.ndarray | None":
+    """Top-down (H, W, 3) BGR pixel array from a 24-bpp BMP, or None on
+    any corruption (same validation as :func:`decode_bmp`)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        return None
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if width <= 0 or height_raw == 0 or bpp != 24 or compression != 0:
+        return None
+    height = abs(height_raw)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(payload) < data_offset + stride * height:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, :row_bytes]
+    if height_raw > 0:
+        rows = rows[::-1]  # stored bottom-up -> top-down
+    return rows.reshape(height, width, 3)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, width: int, height: int
+) -> DataFrame:
+    """REAL nearest-neighbor resize of BMP payloads — decode to a pixel
+    array, sample with the standard floor(i * src/dst) index map (one
+    numpy fancy-index, no per-pixel Python), re-encode. Output rows:
+    (doc_id, payload, width, height) with NULL payload for non-BMP /
+    corrupt inputs (the decode_images convention). Compressed formats
+    route through their decoders first at pipeline level; this operator
+    is the uncompressed-normalization step a training-data image
+    pipeline runs after decode."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dims must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = _bmp_pixels(bytes(payload)) if payload is not None else None
+                if px is None:
+                    rows.append((doc_id, None, width, height))
+                    continue
+                sh, sw = px.shape[0], px.shape[1]
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                out = px[np.ix_(ys, xs)]
+                rows.append(
+                    (doc_id, encode_bmp(width, height, out.tobytes()), width, height)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(batches, schema)
+
+
 def resize_images_stub(
     df: DataFrame, id_col: str, payload_col: str, width: int, height: int
 ) -> DataFrame:
-    """Resize is pure codec work — strict stub only; returns the payload
-    untouched with target dims recorded so pipelines can be wired now and
-    lit up when a codec lands."""
+    """Kept for API compatibility: the strict-raise variant for formats
+    whose decode would need an external library. BMP resize is REAL —
+    use :func:`resize_images`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "image resize requires an image library; not available here"
+            "compressed-format resize requires an image library; "
+            "decode first, or use resize_images for BMP payloads"
         )
         yield  # pragma: no cover
 

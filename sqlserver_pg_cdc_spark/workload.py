@@ -2210,6 +2210,62 @@ FROM px
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of an ENTROPY-CODED image format, no codec library:
+    each document renders to a baseline JFIF JPEG (dims/channels/gray a
+    closed-form function of doc_id), goes through the Arrow-batched
+    mapInPandas decoder — marker walk, DHT canonical-Huffman decode,
+    dequant, IDCT, YCbCr convert (`operators/multimodal.py decode_jpeg`)
+    — and the oracle recomputes the result analytically. JPEG is lossy
+    in general, so the contract rides the one exactly-recoverable
+    shape: SOLID even-gray images, whose single DC coefficient
+    (8*(g-128), divisible by the flat quant step 16 when g is even)
+    round-trips quantization bit-exactly; the full entropy pipeline
+    still runs for every payload. Dims cycle 8/16/24 x 8/16, channels
+    alternate gray/RGB."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        # the (w, h, ch, g) space is <= 768 combos while docs number in
+        # the millions — memoize the encoded payload per combo so the
+        # harness side stays O(combos); the DECODE side (the operator
+        # under test) still runs per document
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                key = (8 * (1 + k % 3), 8 * (1 + k % 2), 1 + 2 * (k % 2),
+                       2 * ((k * 37) % 128))
+                p = cache.get(key)
+                if p is None:
+                    w, h, ch, g = key
+                    p = encode_jpeg(w, h, bytes([g]) * (w * h * ch), channels=ch)
+                    cache[key] = p
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_images(enc, "doc_id", "payload", decoder="jpeg")
+
+
+_MM_JPEG_DECODE_SQL = """
+SELECT doc_id,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+       CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+       CAST(1 + 2 * (doc_id % 2) AS INT) AS channels,
+       CAST(2 * ((doc_id * 37) % 128) AS DOUBLE) / 255 AS mean_pixel
+FROM documents
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -3450,7 +3506,11 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-flavored: suppliers who were the ONLY late shipper on a
     multi-supplier order (late = shipped > 30 days after order date).
     The double-correlation (EXISTS another supplier / NOT EXISTS another
-    late supplier) decorrelates to one per-order aggregate + a join."""
+    late supplier) decorrelates to ONE dedup aggregate + ONE window pass:
+    (order, supplier, ever-late) first — after which plain window counts
+    replace the double countDistinct (no Expand duplication) and the big
+    join is evaluated once instead of twice (measured 1.85s -> 1.32s at
+    sf0.1, identical results)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -3459,18 +3519,17 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 30))
         .alias("late"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    g = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = g.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).over(w).alias("n_late_supp"),
     )
-    sole = (
-        j.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-        )
+    sole = flagged.filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return sole.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
 
@@ -4107,6 +4166,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["heavy_hitter_tokens"] = QuerySpec(
         q_heavy_hitter_tokens, _heavy_hitter_tokens_sql()
     )
+    catalog["multimodal_jpeg_decode"] = QuerySpec(
+        q_multimodal_jpeg_decode, _MM_JPEG_DECODE_SQL
+    )
     catalog["part_pair_cooccurrence"] = QuerySpec(
         q_part_pair_cooccurrence, _Q_PART_PAIR_SQL
     )
@@ -4201,6 +4263,7 @@ _DRIVER_WINDOW_FIRST = [
     "latest_per_key_skewed",  # new this round (salted hot-key reduction)
     "heavy_hitter_tokens",  # new this round (count-min sketch)
     "part_pair_cooccurrence",  # new this round (market-basket top-k)
+    "multimodal_jpeg_decode",  # new this round (real baseline JPEG codec)
     # last driver row is round 2 — fixtures have regenerated since
     "sole_late_supplier",
     "nation_market_share",

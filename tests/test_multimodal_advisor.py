@@ -430,3 +430,132 @@ def test_png_corrupt_payloads_null_through_catalog_path(spark):
     assert got[1] == (4, 3, 3)
     for k in (2, 3, 4, 5, 6):
         assert got[k] == (None, None, None), k
+
+
+def test_jpeg_solid_even_gray_roundtrips_exactly():
+    """Solid even-gray blocks: the single DC coefficient (8*(g-128)) is
+    divisible by the flat quant step 16, so the full
+    encode->huffman->decode->IDCT pipeline must return the EXACT input
+    sum — the property the analytic oracle rides."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for w, h, ch, g in [(8, 8, 3, 0), (16, 8, 1, 254), (24, 16, 3, 100), (10, 6, 3, 64)]:
+        p = encode_jpeg(w, h, bytes([g]) * (w * h * ch), channels=ch)
+        assert decode_jpeg(p) == (w, h, ch, w * h * ch * g, w * h * ch), (w, h, ch, g)
+
+
+def test_jpeg_nonsolid_matches_independent_reference():
+    """Arbitrary content: decoder output must equal an INDEPENDENT
+    numpy reference of the same math (forward DCT -> quantize ->
+    dequant -> IDCT -> clamp), proving the Huffman/zigzag/bitstream
+    plumbing is lossless around the lossy quantization step."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _IDCT_M,
+        _JPEG_QTABLE,
+        _JPEG_ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w = h = 8
+    vals = [(x * 17 + 7) % 256 for x in range(w * h)]
+    p = encode_jpeg(w, h, bytes(vals), channels=1)
+    got = decode_jpeg(p)
+    assert got is not None
+    # independent reference (grayscale: no color conversion in the loop)
+    q = np.array(_JPEG_QTABLE, dtype=np.float64)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    block = np.array(vals, dtype=np.float64).reshape(8, 8) - 128.0
+    coef = _IDCT_M @ block @ _IDCT_M.T
+    deq = np.round(coef / q) * q
+    pix = _IDCT_M.T @ deq @ _IDCT_M + 128.0
+    want_sum = int(np.clip(np.round(pix), 0, 255).astype(np.int64).sum())
+    assert got == (w, h, 1, want_sum, w * h)
+
+
+def test_jpeg_corrupt_payloads_null_through_catalog_path(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, bytes([100]) * (8 * 8 * 3), channels=3)
+    rows = [
+        (1, good),
+        (2, good[: len(good) // 3]),   # truncated in the header walk
+        (3, good[:-2]),                # EOI missing
+        (4, b"\xff\xd8" + b"\x00" * 40),  # SOI then garbage
+        (5, b"GIF89a" + b"\x00" * 40),    # not a JPEG at all
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(df, "doc_id", "payload", decoder="jpeg").collect()
+    }
+    assert got[1] == (8, 8, 3)
+    for k in (2, 3, 4, 5, 6):
+        assert got[k] == (None, None, None), k
+
+
+def test_auto_sniff_dispatches_all_three_codecs(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+
+    rows = [
+        (1, encode_bmp(4, 2, bytes(range(24)))),
+        (2, encode_png(4, 2, bytes(range(24)), channels=3)),
+        (3, encode_jpeg(8, 8, bytes([50]) * 192, channels=3)),
+        (4, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_images(df, "doc_id", "payload", decoder="auto").collect()
+    }
+    assert got[1] == (4, 2) and got[2] == (4, 2) and got[3] == (8, 8)
+    assert got[4] == (None, None)
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """BMP resize is real: integer downscale of a 2x2-block pattern
+    samples exact source pixels; solid stays solid; corrupt -> NULL."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    # 4x4 image of 2x2 blocks with values 10/20/30/40 per channel
+    blocks = [[10, 20], [30, 40]]
+    px = bytearray()
+    for y in range(4):
+        for x in range(4):
+            px += bytes([blocks[y // 2][x // 2]]) * 3
+    src = encode_bmp(4, 4, bytes(px))
+    rows = [(1, src), (2, b"not a bmp"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(df, "doc_id", "payload", 2, 2).collect()
+    }
+    assert out[2]["payload"] is None and out[3]["payload"] is None
+    resized = bytes(out[1]["payload"])
+    parsed = decode_bmp(resized)
+    assert parsed is not None and parsed[0] == 2 and parsed[1] == 2
+    # floor(i*4/2) = 0,2 -> samples the top-left pixel of each block
+    assert parsed[3] == (10 + 20 + 30 + 40) * 3
+    # solid image stays solid at any scale
+    solid = encode_bmp(3, 5, bytes([77]) * 45)
+    df2 = spark.createDataFrame([(9, solid)], "doc_id long, payload binary")
+    (r2,) = resize_images(df2, "doc_id", "payload", 7, 2).collect()
+    p2 = decode_bmp(bytes(r2["payload"]))
+    assert p2 == (7, 2, 3, 7 * 2 * 3 * 77, 7 * 2 * 3)

@@ -862,6 +862,138 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     return width, height, ncomp, total, width * height * ncomp
 
 
+def _jpeg_frame_end(payload: bytes, start: int) -> int | None:
+    """End offset (exclusive, after EOI) of the JPEG frame starting at
+    ``start``, by marker walk + entropy scan — NOT a byte search, which
+    would false-split on 0xFFD9 bytes inside table segments. None if the
+    frame is malformed/truncated."""
+    if payload[start : start + 2] != b"\xff\xd8":
+        return None
+    pos = start + 2
+    in_scan = False
+    while pos < len(payload):
+        if not in_scan:
+            if pos + 2 > len(payload) or payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                return pos + 2
+            if marker == 0xDA:
+                in_scan = True
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                pos += 2  # standalone markers
+                continue
+            if pos + 4 > len(payload):
+                return None
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            pos += 2 + seglen
+        else:
+            # entropy data: skip until a real marker (0xFF not followed
+            # by 0x00 stuffing or an RST)
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            if pos + 1 >= len(payload):
+                return None
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xD9:
+                return pos + 2
+            return None  # unexpected in-scan marker (multi-scan out of scope)
+    return None
+
+
+def split_mjpeg(payload: bytes) -> list[tuple[int, int]]:
+    """Frame (start, end) offsets of an MJPEG elementary stream — the
+    real-world motion-JPEG transport IS concatenated JFIF frames. Stops
+    at the first malformed frame (prefix frames stay usable)."""
+    frames = []
+    pos = 0
+    while pos + 4 <= len(payload) and payload[pos : pos + 2] == b"\xff\xd8":
+        end = _jpeg_frame_end(payload, pos)
+        if end is None:
+            break
+        frames.append((pos, end))
+        pos = end
+    return frames
+
+
+def encode_mjpeg(frames: list[bytes]) -> bytes:
+    """MJPEG elementary stream = frame concatenation."""
+    return b"".join(frames)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    fps: int = 25,
+    stride: int = 5,
+    max_frames: int = 8,
+    decoder: str = "mjpeg",
+) -> DataFrame:
+    """Video frame sampling: one payload fans out to every
+    ``stride``-th frame, up to ``max_frames`` — the mapInPandas shape a
+    training pipeline uses to thin video into image rows.
+
+    ``decoder="mjpeg"``: REAL decode — the stream splits on a
+    marker-walk frame scanner (:func:`split_mjpeg`) and each sampled
+    frame goes through the pure-Python baseline JPEG decoder; rows
+    carry dims + exact-sum mean_pixel, NULL fields for a corrupt frame.
+    Containerized codecs (H.264/VP9) stay behind ``decoder="strict"``
+    (ffmpeg-class work, library absent here)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "containerized video decoding requires ffmpeg-class "
+                    "libraries; not available in this environment"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                spans = split_mjpeg(b)
+                for n, (s, e) in enumerate(spans[:: max(1, stride)][:max_frames]):
+                    src_idx = n * max(1, stride)
+                    ts_ms = src_idx * 1000 // max(1, fps)
+                    parsed = decode_jpeg(b[s:e])
+                    if parsed is None:
+                        rows.append((doc_id, src_idx, ts_ms, None, None, None))
+                    else:
+                        w, h, ch, px_sum, n_px = parsed
+                        rows.append(
+                            (doc_id, src_idx, ts_ms, w, h, px_sum / (n_px * 255))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_offset_ms",
+                    "width", "height", "mean_pixel",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, VIDEO_FRAMES_SCHEMA
+    )
+
+
 def sniff_decode_image(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """Magic-byte dispatch to the real codecs (BMP, PNG, JPEG); None for
     anything else. The ``decoder="auto"`` path of :func:`decode_images`."""

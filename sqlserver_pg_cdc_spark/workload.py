@@ -2266,6 +2266,60 @@ FROM documents
 """
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a REAL MJPEG elementary stream: each
+    document renders 1..6 solid even-gray JPEG frames concatenated as
+    motion-JPEG, the sampler walks frame markers (no byte-search
+    false splits), decodes every 2nd frame through the pure-Python JPEG
+    decoder, and the oracle recomputes the sampled grid analytically
+    (solid even-gray frames decode bit-exactly, see
+    q_multimodal_jpeg_decode)."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mjpeg,
+        sample_video_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                frames = []
+                for i in range(1 + k % 6):
+                    g = 2 * ((k * 11 + i * 53) % 128)
+                    f = cache.get(g)
+                    if f is None:
+                        f = encode_jpeg(16, 8, bytes([g]) * (16 * 8 * 3), channels=3)
+                        cache[g] = f
+                    frames.append(f)
+                payloads.append(encode_mjpeg(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_video_frames(
+        enc, "doc_id", "payload", fps=25, stride=2, max_frames=8
+    )
+
+
+_MM_VIDEO_FRAMES_SQL = """
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * 40 AS BIGINT) AS frame_offset_ms,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(2 * ((d.doc_id * 11 + t.i * 53) % 128) AS DOUBLE) / 255 AS mean_pixel
+FROM documents d
+JOIN generate_series(0, 5) AS t(i)
+  ON t.i < (1 + d.doc_id % 6) AND t.i % 2 = 0
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -4169,6 +4223,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_jpeg_decode"] = QuerySpec(
         q_multimodal_jpeg_decode, _MM_JPEG_DECODE_SQL
     )
+    catalog["multimodal_video_frames"] = QuerySpec(
+        q_multimodal_video_frames, _MM_VIDEO_FRAMES_SQL
+    )
     catalog["part_pair_cooccurrence"] = QuerySpec(
         q_part_pair_cooccurrence, _Q_PART_PAIR_SQL
     )
@@ -4264,6 +4321,7 @@ _DRIVER_WINDOW_FIRST = [
     "heavy_hitter_tokens",  # new this round (count-min sketch)
     "part_pair_cooccurrence",  # new this round (market-basket top-k)
     "multimodal_jpeg_decode",  # new this round (real baseline JPEG codec)
+    "multimodal_video_frames",  # new this round (MJPEG frame sampler)
     # last driver row is round 2 — fixtures have regenerated since
     "sole_late_supplier",
     "nation_market_share",

@@ -559,3 +559,56 @@ def test_resize_images_real_nearest_neighbor(spark):
     (r2,) = resize_images(df2, "doc_id", "payload", 7, 2).collect()
     p2 = decode_bmp(bytes(r2["payload"]))
     assert p2 == (7, 2, 3, 7 * 2 * 3 * 77, 7 * 2 * 3)
+
+
+def test_mjpeg_split_respects_marker_structure():
+    """split_mjpeg must walk markers, not byte-search: a quant table
+    containing the bytes FF D9 must not truncate the frame."""
+    import struct as S
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        split_mjpeg,
+    )
+
+    f1 = encode_jpeg(8, 8, bytes([100]) * 192, channels=3)
+    # craft a variant with an extra COM segment whose body contains FF D9
+    com_body = b"\x00\xff\xd9\x00"
+    com = b"\xff\xfe" + S.pack(">H", len(com_body) + 2) + com_body
+    f2 = f1[:2] + com + f1[2:]
+    assert decode_jpeg(f2) == decode_jpeg(f1)  # COM is skipped
+    stream = f2 + f1 + f2
+    spans = split_mjpeg(stream)
+    assert len(spans) == 3
+    assert [e - s for s, e in spans] == [len(f2), len(f1), len(f2)]
+
+
+def test_sample_video_frames_real_mjpeg(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mjpeg,
+        sample_video_frames,
+    )
+
+    grays = [10, 20, 30, 40, 50]
+    frames = [encode_jpeg(8, 8, bytes([g]) * 192, channels=3) for g in grays]
+    stream = encode_mjpeg(frames)
+    df = spark.createDataFrame([(1, stream)], "doc_id long, payload binary")
+    got = {
+        r["frame_idx"]: (r["frame_offset_ms"], r["width"], r["mean_pixel"])
+        for r in sample_video_frames(
+            df, "doc_id", "payload", fps=25, stride=2, max_frames=8
+        ).collect()
+    }
+    # every 2nd frame of 5: source indices 0, 2, 4; offsets at 25 fps
+    assert sorted(got) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        off, w, mean = got[idx]
+        assert off == idx * 40 and w == 8
+        assert mean == grays[idx] / 255
+    # a corrupted 2nd frame truncates the stream after frame 0
+    bad = frames[0] + frames[1][: len(frames[1]) // 2]
+    df2 = spark.createDataFrame([(2, bad)], "doc_id long, payload binary")
+    rows = sample_video_frames(df2, "doc_id", "payload", stride=1).collect()
+    assert len(rows) == 1 and rows[0]["mean_pixel"] == grays[0] / 255

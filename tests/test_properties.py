@@ -522,3 +522,78 @@ def test_incremental_diff_equals_full_random(spark, deleted, modified, inserted)
         tuple(r) for r in incremental_diff(src, tgt, ["id"], n_buckets=8).collect()
     }
     assert inc == full
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 2),
+    crop_x=st.integers(0, 7),
+    crop_y=st.integers(0, 7),
+    channels=st.sampled_from([1, 3]),
+    seed=st.integers(0, 10**9),
+)
+def test_jpeg_codec_matches_independent_reference(
+    bw, bh, crop_x, crop_y, channels, seed
+):
+    """decode(encode(x)) must equal an independently-computed reference
+    of the same math (YCbCr -> pad -> DCT -> quantize -> dequantize ->
+    IDCT -> color back -> clamp) for ARBITRARY images — the Huffman /
+    zigzag / bitstream layers are lossless around the quantizer."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _IDCT_M,
+        _JPEG_QTABLE,
+        _JPEG_ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w = bw * 8 - crop_x
+    h = bh * 8 - crop_y
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(w, h, arr.tobytes(), channels=channels))
+    assert got is not None
+    # ---- independent reference ----
+    if channels == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    q = np.array(_JPEG_QTABLE, dtype=np.float64)[
+        np.argsort(_JPEG_ZIGZAG)
+    ].reshape(8, 8)
+    out_planes = []
+    for p in planes:
+        # edge-replicate to block multiples (the encoder's padding)
+        py = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        rec = np.zeros_like(py)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = py[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                deq = np.round((_IDCT_M @ blk @ _IDCT_M.T) / q) * q
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _IDCT_M.T @ deq @ _IDCT_M + 128.0
+                )
+        out_planes.append(rec[:h, :w])
+    if channels == 3:
+        y, cb, cr = out_planes
+        rgb = [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ]
+    else:
+        rgb = out_planes
+    want = sum(
+        int(np.clip(np.round(p), 0, 255).astype(np.int64).sum()) for p in rgb
+    )
+    assert got == (w, h, channels, want, w * h * channels)

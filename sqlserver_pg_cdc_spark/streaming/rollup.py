@@ -39,6 +39,11 @@ from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
 class ContinuousAggSink(ParquetUpsertSink):
     """foreachBatch callable: ``writeStream.foreachBatch(sink)``.
 
+    NOTE this base sink reads+rewrites the WHOLE state table per batch
+    — fine for bounded group keys (daily buckets, event types); for
+    high-cardinality keys use :class:`PartitionedContinuousAggSink`,
+    which touches only the hash partitions the batch hits.
+
     ``project`` (optional) maps the raw batch frame to (keys..., value)
     — e.g. unwrap a CDC envelope, derive the day bucket.  With
     ``idempotent=True`` the state carries the last merged batch id and
@@ -107,6 +112,77 @@ class ContinuousAggSink(ParquetUpsertSink):
         if self.idempotent and "__bid" in st.columns:
             st = st.drop("__bid")
         return finalize(st, self.pk_cols)
+
+
+class CmsSink(ParquetUpsertSink):
+    """foreachBatch sink maintaining a count-min sketch
+    (`operators/cms.py`) from a stream — heavy-hitter frequency state
+    that NEVER grows: the merged state is at most d*w cells (4096 by
+    default) regardless of stream cardinality, so unlike the rollup
+    sinks there is nothing to partition — the per-batch rewrite is a
+    few KB by construction. The sketch merge is a cell-wise sum
+    (associative + commutative), so any batch split of the stream
+    produces the identical sketch; ``estimate`` answers point queries
+    against the current state with the broadcast min-over-cells plan.
+
+    ``project`` (optional) maps the raw batch frame to one ITEM
+    OCCURRENCE per row (e.g. unwrap an envelope, explode tokens)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        item_col: str,
+        project: Callable[[DataFrame], DataFrame] | None = None,
+        d: int = 4,
+        w: int = 1024,
+        dlq_dir: str | None = None,
+    ):
+        super().__init__(spark, state_dir, [item_col], dlq_dir=dlq_dir)
+        self.item_col = item_col
+        self.project = project
+        self.d = d
+        self.w = w
+
+    def _apply(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        from sqlserver_pg_cdc_spark.operators.cms import cms_build, cms_merge
+
+        proj = self.project(batch_df) if self.project else batch_df
+        delta = cms_build(proj, self.item_col, self.d, self.w)
+        prev = self.read_target()
+        merged = delta if prev is None else cms_merge([prev, delta])
+        self._swap_in(merged, self.target_dir)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.tracing import get_tracer
+
+        try:
+            with get_tracer().span(
+                "cms_merge_batch", batch_id=batch_id, target=self.target_dir
+            ):
+                self._apply(batch_df, batch_id)
+        except Exception as e:
+            if self.dlq_dir is None:
+                raise
+            (
+                batch_df.withColumn("__error_class", F.lit(type(e).__name__))
+                .withColumn("__error_message", F.lit(str(e)[:2000]))
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self.dlq_dir)
+            )
+
+    def estimate(self, items: DataFrame, est_col: str = "cms_est") -> DataFrame | None:
+        """Point-query estimates for a candidate frame against the
+        current sketch state (None before any batch)."""
+        from sqlserver_pg_cdc_spark.operators.cms import cms_estimate
+
+        sketch = self.read_target()
+        if sketch is None:
+            return None
+        return cms_estimate(
+            items, sketch, self.item_col, self.d, self.w, est_col=est_col
+        )
 
 
 class PartitionedContinuousAggSink(ContinuousAggSink):

@@ -59,3 +59,42 @@ def test_sql_twin_matches_spark_bits(spark, duck):
     sql = cms.cms_build_sql(f"SELECT * FROM (VALUES {vals}) v(tok)", "tok")
     duck_cells = {(r[0], r[1]): r[2] for r in duck.execute(sql).fetchall()}
     assert spark_cells == duck_cells
+
+
+def test_cms_sink_stream_equals_one_shot(spark, tmp_path):
+    """Streamed batches through the CmsSink must produce the IDENTICAL
+    sketch as a one-shot build over everything — and the state stays
+    bounded at d*w cells however much data flows through."""
+    import json as J
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.rollup import CmsSink
+
+    items = [f"t{i % 23}" for i in range(400)]
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    for fname, chunk in (("a.json", items[:150]), ("b.json", items[150:])):
+        with open(spool / fname, "w") as f:
+            for tok in chunk:
+                f.write(J.dumps({"tok": tok}) + "\n")
+    sink = CmsSink(spark, str(tmp_path / "state"), "tok")
+    q = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    occ = _occ(spark, items)
+    want = {(r["row"], r["cell"]): r["cnt"] for r in cms.cms_build(occ, "tok").collect()}
+    got = {(r["row"], r["cell"]): r["cnt"] for r in sink.read_target().collect()}
+    assert got == want
+    assert len(got) <= 4 * 1024
+    # point queries against the streamed state match exact counts
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    est = sink.estimate(exact)
+    for r in est.collect():
+        assert r["cms_est"] >= r["exact_cnt"]

@@ -206,6 +206,19 @@ def main() -> None:
     table_checksum(_lt(spark, sf_dir, "lineitem"), mode="fast").collect()
     timings["checksum_lineitem_fast"] = round(time.time() - t0, 3)
 
+    # incremental-checksum evidence (bench-only): the reference claims
+    # 10-100x on large low-churn tables (incremental/checksum.py:4-6);
+    # here the delta predicate pushes to the parquet scan, so checksum
+    # work ∝ churn. ~1% of lineitem ships after 2001-10-11 (the fixture's
+    # p99 ship date).
+    from sqlserver_pg_cdc_spark.operators.checksum import incremental_checksum
+
+    t0 = time.time()
+    incremental_checksum(
+        _lt(spark, sf_dir, "lineitem"), "l_shipdate", "2001-10-11"
+    ).collect()
+    timings["checksum_lineitem_incremental"] = round(time.time() - t0, 3)
+
     # skewed-key evidence (bench-only, no oracle): one hot key holding
     # ~1/3 of a 5M-row change stream — the single-window-task shape the
     # salted two-phase latest_per_key exists for. Expected: salted wins

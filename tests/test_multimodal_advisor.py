@@ -669,3 +669,70 @@ def test_audio_frames_adpcm_through_spark(spark):
     assert sorted(r["frame_idx"] for r in rows) == [0, 1]
     for r in rows:
         assert 2500 < r["rms"] < 4500  # sine rms ≈ amplitude/sqrt(2)
+
+
+def test_gif_decodes_real_world_encoder_outputs():
+    """The LZW width convention must match REAL encoders: every
+    well-formed GIF shipped with the local Python/Tcl installation must
+    decode to its exact pixel count (a width mismatch desynchronizes
+    the code stream and fails the strict count check). Truncated files
+    must reject."""
+    import glob
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_gif
+
+    files = sorted(
+        glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/**/*.gif",
+            recursive=True,
+        )
+    )
+    if not files:
+        import pytest
+
+        pytest.skip("no real-world GIF corpus on this host")
+    ok = sum(1 for f in files if decode_gif(open(f, "rb").read()) is not None)
+    # all but the known-truncated earth.gif decode on this corpus
+    assert ok >= len(files) - 2 and ok >= 10, (ok, len(files))
+
+
+def test_gif_roundtrip_exact_with_dictionary_rollover():
+    """GIF is lossless: encode->decode returns the exact palette-mapped
+    sum, including on a noisy image large enough to roll the LZW
+    dictionary past 4096 entries (clear-code reset path)."""
+    import random
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_gif, encode_gif
+
+    palette = [(i * 7 % 256, i * 13 % 256, i * 29 % 256) for i in range(64)]
+    rnd = random.Random(7)
+    w, h = 120, 90
+    idx = bytes(rnd.randrange(64) for _ in range(w * h))
+    want = sum(sum(palette[i]) for i in idx)
+    assert decode_gif(encode_gif(w, h, palette, idx)) == (w, h, 3, want, w * h * 3)
+    # tiny edge: 1x1, 1-color palette
+    assert decode_gif(encode_gif(1, 1, [(9, 8, 7)], b"\x00")) == (1, 1, 3, 24, 3)
+
+
+def test_gif_corrupt_payloads_null_through_catalog_path(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_gif,
+    )
+
+    good = encode_gif(4, 3, [(10, 20, 30), (40, 50, 60)], bytes([0, 1] * 6))
+    rows = [
+        (1, good),
+        (2, good[: len(good) // 2]),  # truncated
+        (3, good[:-2]),               # trailer cut
+        (4, b"GIF89a" + b"\x00" * 20),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_images(df, "doc_id", "payload", decoder="gif").collect()
+    }
+    assert got[1] == (4, 3)
+    for k in (2, 3, 4, 5):
+        assert got[k] == (None, None), k

@@ -458,6 +458,7 @@ def minhash_incremental_dedup(
     bands: int = 4,
     k: int = 3,
     new_sh_df: DataFrame | None = None,
+    new_sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of NEW documents against an EXISTING corpus via its
     precomputed band index: (a=new doc, b=existing doc, jaccard).
@@ -477,7 +478,11 @@ def minhash_incremental_dedup(
 
     ``new_sh_df``: an already-PERSISTED shingle frame of the NEW batch
     — pass it when the caller also clusters the batch internally (one
-    tokenize pass for both); ownership stays with the caller."""
+    tokenize pass for both); ownership stays with the caller.
+    ``new_sig_df``: an already-PERSISTED signature frame of the new
+    batch — sharing it also skips the per-shingle hashing (the
+    incremental-clustering contract query computes signatures once for
+    the band probe AND the batch's internal pair verification)."""
     rows_per_band = num_hashes // bands
     caller_owns_new_sh = new_sh_df is not None
     new_sh = (
@@ -486,9 +491,12 @@ def minhash_incremental_dedup(
         else shingle_frame(new_df, id_col, text_col, k).persist()
     )
     nsh = new_sh.filter(F.size("sh") > 0)
-    new_bands = minhash_band_frame(
-        minhash_signatures_from_shingles(nsh, num_hashes), bands, rows_per_band
+    new_sig = (
+        new_sig_df
+        if new_sig_df is not None
+        else minhash_signatures_from_shingles(nsh, num_hashes)
     )
+    new_bands = minhash_band_frame(new_sig, bands, rows_per_band)
     cands = (
         new_bands.join(index_df, ["band_id", "band_key"])
         .select(new_bands.doc.alias("a"), index_df.doc.alias("b"))

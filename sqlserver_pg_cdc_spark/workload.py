@@ -1997,8 +1997,12 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     base = DD.dup_components(corpus_pairs)
     index = DD.minhash_index(corpus, "doc_id", "text", sig_df=corpus_sig)
     new_sh = DD.shingle_frame(new, "doc_id", "text").persist()
+    new_sig = DD.minhash_signatures_from_shingles(
+        new_sh.filter(F.size("sh") > 0)
+    ).persist()
     cross = DD.minhash_incremental_dedup(
-        new, corpus, index, "doc_id", "text", threshold=0.2, new_sh_df=new_sh
+        new, corpus, index, "doc_id", "text", threshold=0.2,
+        new_sh_df=new_sh, new_sig_df=new_sig,
     ).select("a", "b")
     # cross is materialized by minhash_incremental_dedup, so the index —
     # the last consumer of the shared signature frame — has been fully
@@ -2006,8 +2010,9 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     corpus_sig.unpersist()
     corpus_sh.unpersist()
     internal = DD.minhash_jaccard_verified_pairs(
-        new, "doc_id", "text", threshold=0.2, sh_df=new_sh
+        new, "doc_id", "text", threshold=0.2, sh_df=new_sh, sig_df=new_sig
     ).select("a", "b")
+    new_sig.unpersist()
     new_sh.unpersist()
     return DD.dup_components_incremental(
         base, cross.unionByName(internal)

@@ -255,3 +255,21 @@ def test_incremental_checksum_filter_reaches_the_scan(spark):
     m = analyze_plan(incremental_checksum(li, "l_shipdate", "2001-10-11"))
     assert m.pushed_filters > 0, m.scans
     assert m.python_evals == 0
+
+
+def test_sole_late_supplier_has_no_expand(spark):
+    """The Q21 re-plan replaced the double countDistinct with window
+    counts over a dedup aggregate — the Expand row-duplication operator
+    must not reappear."""
+    fn = workload.build_catalog(spark)["sole_late_supplier"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "Expand" not in plan, plan
+
+
+def test_latest_per_key_skewed_is_two_phase(spark):
+    """The salted hot-key reduction must plan as two aggregate levels
+    (per-salt partial, then per-key merge), not a single window."""
+    fn = workload.build_catalog(spark)["latest_per_key_skewed"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert plan.count("max_by") >= 2, plan
+    assert "Window" not in plan, plan

@@ -597,3 +597,70 @@ def test_jpeg_codec_matches_independent_reference(
         int(np.clip(np.round(p), 0, 255).astype(np.int64).sum()) for p in rgb
     )
     assert got == (w, h, channels, want, w * h * channels)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(2, 1500),
+    amp=st.integers(0, 30000),
+    period=st.floats(3.0, 200.0),
+    seed=st.integers(0, 10**9),
+)
+def test_adpcm_roundtrip_properties(n, amp, period, seed):
+    """Any signal: decode(encode(x)) preserves the sample count and
+    rate, never exceeds int16 range, and tracks the signal within the
+    quantizer's step-bounded error envelope (checked as SNR > 10 dB for
+    band-limited content, plus exact first-sample seeding per block)."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    smooth = amp * np.sin(np.arange(n) / period)
+    noise = rng.normal(0, amp * 0.02 + 1, n)
+    sig = np.clip(smooth + noise, -32768, 32767).astype(np.int16)
+    rate = 8000
+    r = decode_wav_adpcm(encode_wav_adpcm(rate, sig))
+    assert r is not None
+    got_rate, out = r
+    assert got_rate == rate and len(out) == n
+    # block seeds are carried verbatim
+    assert out[0] == sig[0]
+    # SNR bound only where ADPCM can physically track: enough samples
+    # for step adaptation and a max slope (amp/period per sample) the
+    # adaptive quantizer can follow — slope-overloaded signals degrade
+    # by design, like any delta modulator
+    if amp >= 100 and n >= 200 and amp / period <= 3000:
+        err = out.astype(np.int64) - sig.astype(np.int64)
+        snr = 10 * np.log10(
+            max(1, (sig.astype(np.int64) ** 2).mean())
+            / max(1, (err ** 2).mean())
+        )
+        assert snr > 10, snr
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    ncolors=st.integers(1, 256),
+    seed=st.integers(0, 10**9),
+)
+def test_gif_roundtrip_exact_properties(w, h, ncolors, seed):
+    """GIF is lossless: decode(encode(x)) returns the EXACT dims and
+    palette-mapped pixel sum for arbitrary palettes and index streams."""
+    import random
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_gif, encode_gif
+
+    rnd = random.Random(seed)
+    palette = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(ncolors)
+    ]
+    idx = bytes(rnd.randrange(ncolors) for _ in range(w * h))
+    want = sum(sum(palette[i]) for i in idx)
+    assert decode_gif(encode_gif(w, h, palette, idx)) == (w, h, 3, want, w * h * 3)

@@ -115,6 +115,41 @@ def build_edge(con: duckdb.DuckDBPyConnection, dst: str) -> None:
 BUILDERS["edge"] = build_edge
 
 
+def build_dups(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    """Duplicate-HEAVY corpus: every document reappears twice under
+    fresh ids (one byte-identical, one with trailing whitespace — a
+    near-dup at Jaccard 1.0 on tokenized shingles). Stresses the whole
+    dedup family — exact groups, LSH banding, clustering tie-breaks,
+    canonical selection, incremental folds — where min-id tie-break
+    divergence between engines would first show. Embeddings gain exact
+    vector copies likewise (near-dup at cosine 1.0)."""
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' "
+                f" UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars"
+                f"   FROM '{SRC}/{t}.parquet'"
+                f" UNION ALL SELECT doc_id + 200000, text || '  ', lang, source, n_chars + 2"
+                f"   FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' "
+                f" UNION ALL SELECT vec_id + 100000, embedding, label"
+                f"   FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+BUILDERS["dups"] = build_dups
+
+
 def main(argv: list[str]) -> int:
     sweeps = argv or list(BUILDERS)
     here = os.path.dirname(os.path.abspath(__file__))

@@ -121,6 +121,27 @@ def create_parser() -> argparse.ArgumentParser:
     rollup.add_argument("--idempotent", action="store_true")
     rollup.add_argument("--output",
                         help="also write the finalized aggregate parquet here")
+    rollup.add_argument("--partitions", type=int, default=0,
+                        help="hash-partition the state into N independent "
+                             "partitions; a batch rewrites only the "
+                             "partitions it touches (0 = single state table)")
+
+    sketch = sub.add_parser(
+        "sketch",
+        help="maintain a count-min frequency sketch over a column "
+             "(bounded mergeable state; heavy-hitter estimates)",
+    )
+    sketch.add_argument("--input", required=True,
+                        help="parquet with one item OCCURRENCE per row")
+    sketch.add_argument("--item-col", required=True)
+    sketch.add_argument("--state-dir", required=True,
+                        help="persisted sketch (created on first run; "
+                             "subsequent runs merge cell-wise)")
+    sketch.add_argument("--estimate",
+                        help="parquet of candidate items: write their "
+                             "sketch estimates to --output")
+    sketch.add_argument("--output",
+                        help="estimates parquet (requires --estimate)")
     return p
 
 
@@ -445,13 +466,27 @@ def cmd_rollup(args) -> int:
     from sqlserver_pg_cdc_spark.streaming.rollup import ContinuousAggSink
 
     spark = get_spark("rollup-cli")
-    sink = ContinuousAggSink(
-        spark,
-        args.state_dir,
-        args.key_columns,
-        args.value_col,
-        idempotent=args.idempotent,
-    )
+    if getattr(args, "partitions", 0):
+        from sqlserver_pg_cdc_spark.streaming.rollup import (
+            PartitionedContinuousAggSink,
+        )
+
+        sink = PartitionedContinuousAggSink(
+            spark,
+            args.state_dir,
+            args.key_columns,
+            args.value_col,
+            idempotent=args.idempotent,
+            n_partitions=args.partitions,
+        )
+    else:
+        sink = ContinuousAggSink(
+            spark,
+            args.state_dir,
+            args.key_columns,
+            args.value_col,
+            idempotent=args.idempotent,
+        )
     delta = spark.read.parquet(args.input)
     sink(delta, args.batch_id if args.batch_id is not None else 0)
     result = sink.result()
@@ -459,6 +494,29 @@ def cmd_rollup(args) -> int:
     if args.output and result is not None:
         result.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"groups": n, "state_dir": args.state_dir}))
+    return 0
+
+
+def cmd_sketch(args) -> int:
+    """Maintain a count-min sketch: merge the input occurrences into
+    the persisted sketch (state bounded at d*w cells forever), then
+    optionally answer point queries for a candidate list."""
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.rollup import CmsSink
+
+    spark = get_spark("sketch-cli")
+    sink = CmsSink(spark, args.state_dir, args.item_col)
+    sink(spark.read.parquet(args.input), 0)
+    state = sink.read_target()
+    n_cells = state.count() if state is not None else 0
+    result = {"state_dir": args.state_dir, "cells": n_cells}
+    if args.estimate:
+        if not args.output:
+            raise SystemExit("--estimate requires --output")
+        est = sink.estimate(spark.read.parquet(args.estimate))
+        est.write.mode("overwrite").parquet(args.output)
+        result["estimated_items"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
     return 0
 
 
@@ -478,6 +536,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_decontam(args)
     if args.command == "rollup":
         return cmd_rollup(args)
+    if args.command == "sketch":
+        return cmd_sketch(args)
     return 2
 
 

@@ -529,3 +529,72 @@ def test_cli_rollup_subcommand(tmp_path, spark):
         for r in CA.finalize(CA.build_state(full, ["k"], "value"), ["k"]).collect()
     }
     assert got == want
+
+
+def test_cli_sketch_subcommand(tmp_path):
+    """O5 + CMS through the CLI: two merge invocations over halves must
+    equal one sketch over the whole stream; estimates respect the
+    overestimation bound."""
+    import json as _json
+
+    import duckdb as _duck
+
+    items = [f"t{i % 13}" for i in range(300)]
+    con = _duck.connect()
+    half1 = ", ".join(f"('{x}')" for x in items[:150])
+    half2 = ", ".join(f"('{x}')" for x in items[150:])
+    con.execute(f"COPY (SELECT * FROM (VALUES {half1}) v(tok)) TO '{tmp_path}/h1.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM (VALUES {half2}) v(tok)) TO '{tmp_path}/h2.parquet' (FORMAT PARQUET)")
+    con.execute(
+        f"COPY (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM "
+        f"(SELECT * FROM (VALUES {half1}) v(tok) UNION ALL SELECT * FROM (VALUES {half2}) w(tok)) GROUP BY tok) "
+        f"TO '{tmp_path}/cand.parquet' (FORMAT PARQUET)"
+    )
+    base = [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "sketch",
+            "--item-col", "tok", "--state-dir", str(tmp_path / "state")]
+    r1 = subprocess.run(base + ["--input", f"{tmp_path}/h1.parquet"],
+                        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        base + ["--input", f"{tmp_path}/h2.parquet",
+                "--estimate", f"{tmp_path}/cand.parquet",
+                "--output", f"{tmp_path}/est.parquet"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out["estimated_items"] == 13
+    rows = con.execute(f"SELECT * FROM '{tmp_path}/est.parquet/*.parquet'").fetchall()
+    cols = [d[0] for d in con.execute(f"SELECT * FROM '{tmp_path}/est.parquet/*.parquet' LIMIT 0").description]
+    est_i, exact_i = cols.index("cms_est"), cols.index("exact_cnt")
+    for r in rows:
+        assert r[est_i] >= r[exact_i], r
+
+
+def test_cli_rollup_partitioned(tmp_path):
+    """O5 + partitioned continuous-agg state through the CLI: two delta
+    merges with --partitions, finalized output equals the one-shot
+    aggregate."""
+    import json as _json
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(f"COPY (SELECT (range % 5)::INT AS k, (range * 1.5)::DOUBLE AS v FROM range(0, 50)) TO '{tmp_path}/d1.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT (range % 5)::INT AS k, (range * 1.5)::DOUBLE AS v FROM range(50, 100)) TO '{tmp_path}/d2.parquet' (FORMAT PARQUET)")
+    base = [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "rollup",
+            "--state-dir", str(tmp_path / "state"),
+            "--key-columns", "k", "--value-col", "v",
+            "--partitions", "4", "--idempotent"]
+    r1 = subprocess.run(base + ["--input", f"{tmp_path}/d1.parquet", "--batch-id", "1"],
+                        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(base + ["--input", f"{tmp_path}/d2.parquet", "--batch-id", "2",
+                                "--output", f"{tmp_path}/final.parquet"],
+                        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    got = {r[0]: (r[1], round(r[2], 6)) for r in con.execute(
+        f"SELECT k, n_events, total FROM '{tmp_path}/final.parquet/*.parquet' ORDER BY k").fetchall()}
+    want = {r[0]: (r[1], round(r[2], 6)) for r in con.execute(
+        "SELECT (range % 5)::INT AS k, CAST(count(*) AS BIGINT), "
+        "CAST(sum(CAST(range * 1.5 AS DECIMAL(18,2))) AS DOUBLE) FROM range(0, 100) GROUP BY 1 ORDER BY 1").fetchall()}
+    assert got == want

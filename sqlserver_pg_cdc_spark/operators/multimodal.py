@@ -923,12 +923,23 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline JFIF encode of ``width*height*channels`` RGB (or gray)
     bytes: YCbCr convert, 8x8 DCT, flat quantization, canonical-Huffman
     entropy coding. A real, standard-decodable JPEG — used by the
     contract query with solid even-gray inputs (whose DC quantization
-    round-trips exactly) and by tests with arbitrary content."""
+    round-trips exactly) and by tests with arbitrary content.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned scan, DC predictors reset, marker
+    number cycling mod 8 per T.81 E.1.4) — exercises the decoder's
+    restart resync path."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -956,6 +967,13 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> by
     prev_dc = [0] * len(planes)
     for by in range(bh):
         for bx in range(bw):
+            mcu = by * bw + bx  # 1x1 sampling: one MCU per block
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()  # byte-align (pad bits are 1s per spec)
+                writer.out += bytes(
+                    [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
+                )
+                prev_dc = [0] * len(planes)
             for ci, plane in enumerate(planes):
                 # edge-replicated 8x8 block
                 ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
@@ -1014,6 +1032,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> by
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
     out += _dht_segment(0, 0, dc_bits, dc_syms)
     out += _dht_segment(1, 0, ac_bits, ac_syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytearray([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
@@ -1026,21 +1046,29 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3) -> by
 
 class _BitReader:
     """Entropy-scan bit reader: the stream is UNSTUFFED ONCE up front
-    (0xFF00 -> 0xFF; stops at the first real marker), then reads are
-    16-bit window peeks over the flat buffer — no per-bit Python calls.
-    Reads past the true bit count return None (truncation detection is
-    exact; the 3-byte tail padding only serves the window arithmetic)."""
+    (0xFF00 -> 0xFF; RST0-7 markers are elided with their bit position
+    and number recorded for :meth:`sync_restart`; stops at the first
+    OTHER real marker), then reads are 16-bit window peeks over the
+    flat buffer — no per-bit Python calls. Reads past the true bit
+    count return None (truncation detection is exact; the 3-byte tail
+    padding only serves the window arithmetic)."""
 
-    __slots__ = ("buf", "pos", "total")
+    __slots__ = ("buf", "pos", "total", "restarts", "_rst_i")
 
     def __init__(self, data: bytes):
         buf = bytearray()
+        restarts: list[tuple[int, int]] = []
         i, n = 0, len(data)
         while i < n:
             b = data[i]
             if b == 0xFF:
-                if i + 1 < n and data[i + 1] == 0x00:
+                nxt = data[i + 1] if i + 1 < n else None
+                if nxt == 0x00:
                     buf.append(0xFF)
+                    i += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    restarts.append((len(buf) * 8, nxt - 0xD0))
                     i += 2
                     continue
                 break  # real marker (or dangling 0xFF)
@@ -1049,6 +1077,22 @@ class _BitReader:
         self.total = len(buf) * 8
         self.buf = bytes(buf) + b"\x00\x00\x00"
         self.pos = 0
+        self.restarts = restarts
+        self._rst_i = 0
+
+    def sync_restart(self, expected_n: int) -> bool:
+        """Align onto the next recorded RSTn boundary: at most 7
+        encoder padding bits may remain before it, and the marker
+        number must follow the modulo-8 sequence (T.81 E.1.4) —
+        anything else is a corrupt or desynchronized scan."""
+        if self._rst_i >= len(self.restarts):
+            return False
+        mark_pos, n = self.restarts[self._rst_i]
+        self._rst_i += 1
+        if n != expected_n or self.pos > mark_pos or mark_pos - self.pos >= 8:
+            return False
+        self.pos = mark_pos
+        return True
 
     def peek16(self) -> int:
         bp = self.pos >> 3
@@ -1086,10 +1130,13 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """(width, height, channels, pixel_sum, n_pixel_bytes) from a
     baseline JFIF payload, or None on any corruption (truncation, bad
-    marker structure, undefined Huffman code, scan underrun) or
-    out-of-scope feature (progressive, 12-bit, chroma subsampling,
-    arithmetic coding). Pure Python + numpy: canonical Huffman decode,
-    flat dequant, IDCT-III matrix product, JFIF color convert."""
+    marker structure, undefined Huffman code, scan underrun, RST
+    sequence violation) or out-of-scope feature (progressive, 12-bit,
+    chroma subsampling, arithmetic coding). Restart intervals (DRI +
+    RST0-7, T.81 E.1.4) ARE in scope: DC predictors reset and the
+    reader re-aligns at each marker. Pure Python + numpy: canonical
+    Huffman decode, flat dequant, IDCT-III matrix product, JFIF color
+    convert."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -1099,6 +1146,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qid)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
@@ -1149,6 +1197,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 b = b[17 + nsym :]
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if not comps or width is None:
                 return None
@@ -1183,6 +1235,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     comp_q = [np.array(qtables[comps[ci][2]], dtype=np.float64) for ci in range(ncomp)]
     for by in range(bh):
         for bx in range(bw):
+            mcu = by * bw + bx  # 1x1 sampling: one MCU per block column
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not reader.sync_restart((mcu // restart_interval - 1) % 8):
+                    return None
+                prev_dc = [0] * ncomp
             for ci in range(ncomp):
                 _, dc_t, ac_t = scan_comps[ci]
                 q = comp_q[ci]

@@ -3078,13 +3078,11 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     occ = d.select(F.explode(tokens("text")).alias("tok"))
     sketch = cms.cms_build(occ, "tok")
-    # vocab-bounded; persisted so the candidate filter and the join-back
-    # inside cms_estimate read it once (same convention as the dedup
-    # family's persisted result frames)
-    exact = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
-        .persist()
+    # no persist: both reads of the candidate frame live in the ONE
+    # returned plan, so ReuseExchange dedupes the identical exact-count
+    # aggregate subtree — a session-lifetime cache would only leak
+    exact = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )
     cands = exact.filter(F.col("exact_cnt") >= 100)
     return cms.cms_estimate(cands, sketch, "tok")

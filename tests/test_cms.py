@@ -98,3 +98,28 @@ def test_cms_sink_stream_equals_one_shot(spark, tmp_path):
     est = sink.estimate(exact)
     for r in est.collect():
         assert r["cms_est"] >= r["exact_cnt"]
+
+
+def test_cms_sink_idempotent_replay(spark, tmp_path):
+    """With idempotent=True a foreachBatch redelivery (crash post-swap,
+    pre-checkpoint-commit) is skipped: the replayed batch must not
+    double-count into the additive sketch, and the batch-id bookkeeping
+    column must never leak into read_target()/estimate() output."""
+    from sqlserver_pg_cdc_spark.streaming.rollup import CmsSink
+
+    items = [f"t{i % 11}" for i in range(300)]
+    occ = _occ(spark, items)
+    b0 = _occ(spark, items[:120])
+    b1 = _occ(spark, items[120:])
+    sink = CmsSink(spark, str(tmp_path / "state"), "tok", idempotent=True)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once redelivery: must be a no-op
+    want = {(r["row"], r["cell"]): r["cnt"] for r in cms.cms_build(occ, "tok").collect()}
+    got_df = sink.read_target()
+    assert "__bid" not in got_df.columns
+    got = {(r["row"], r["cell"]): r["cnt"] for r in got_df.collect()}
+    assert got == want
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    for r in sink.estimate(exact).collect():
+        assert r["cms_est"] >= r["exact_cnt"]

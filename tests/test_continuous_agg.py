@@ -308,3 +308,65 @@ def test_partitioned_sink_end_to_end_writestream(spark, tmp_path):
     frame = spark.createDataFrame(rows, "k int, value double")
     want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
     assert _final(sink.result()) == want
+
+
+def test_partitioned_sink_rejects_loose_state_dir(spark, frame, tmp_path):
+    """Pointing the partitioned sink at an existing NON-partitioned
+    state dir must fail fast, not silently ignore the prior state."""
+    from sqlserver_pg_cdc_spark.streaming.rollup import (
+        ContinuousAggSink,
+        PartitionedContinuousAggSink,
+    )
+
+    state = str(tmp_path / "state")
+    ContinuousAggSink(spark, state, KEYS, "value")(frame.filter("value < 0"), 0)
+    part = PartitionedContinuousAggSink(spark, state, KEYS, "value", n_partitions=8)
+    with pytest.raises(ValueError, match="NON-partitioned"):
+        part(frame.filter("value >= 0"), 1)
+    with pytest.raises(ValueError, match="NON-partitioned"):
+        part.read_target()
+
+
+def test_partitioned_sink_rejects_partition_count_mismatch(spark, frame, tmp_path):
+    """Reopening partitioned state with a different n_partitions would
+    hash keys into the wrong partition (same key alive in two) — the
+    layout marker must make that a hard error on both write and read."""
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    state = str(tmp_path / "state")
+    PartitionedContinuousAggSink(spark, state, KEYS, "value", n_partitions=8)(
+        frame.filter("value < 0"), 0
+    )
+    wrong = PartitionedContinuousAggSink(spark, state, KEYS, "value", n_partitions=4)
+    with pytest.raises(ValueError, match="n_partitions=8"):
+        wrong(frame.filter("value >= 0"), 1)
+    with pytest.raises(ValueError, match="n_partitions=8"):
+        wrong.read_target()
+    # the matching count still opens fine and the state is intact
+    ok = PartitionedContinuousAggSink(spark, state, KEYS, "value", n_partitions=8)
+    ok(frame.filter("value >= 0"), 1)
+    got = _final(ok.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want
+
+
+def test_partitioned_sink_sweeps_orphan_batchtmp(spark, frame, tmp_path):
+    """A crash between the partitionBy write and its cleanup strands a
+    __batchtmp_* dir at the state root; the next batch (and any read)
+    must sweep it rather than let orphans accumulate forever."""
+    import os
+
+    from sqlserver_pg_cdc_spark.streaming.rollup import PartitionedContinuousAggSink
+
+    state = str(tmp_path / "state")
+    sink = PartitionedContinuousAggSink(spark, state, KEYS, "value", n_partitions=8)
+    sink(frame.filter("value < 0"), 0)
+    orphan = os.path.join(state, "__batchtmp_deadbeef")
+    os.makedirs(os.path.join(orphan, "__part=3"))
+    with open(os.path.join(orphan, "__part=3", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    sink(frame.filter("value >= 0"), 1)
+    assert not os.path.exists(orphan)
+    got = _final(sink.result())
+    want = _final(CA.finalize(CA.build_state(frame, KEYS, "value"), KEYS))
+    assert got == want

@@ -736,3 +736,44 @@ def test_gif_corrupt_payloads_null_through_catalog_path(spark):
     assert got[1] == (4, 3)
     for k in (2, 3, 4, 5):
         assert got[k] == (None, None), k
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI + RST0-7 (T.81 E.1.4) are in scope: a JPEG encoded with any
+    restart interval must decode to exactly the same result as the same
+    pixels without restarts — the DC-predictor resets and byte-align
+    resyncs cancel out."""
+    import random
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(6)
+    for w, h, ch, ri in [(24, 16, 1, 2), (16, 16, 3, 1), (40, 8, 3, 3), (32, 32, 3, 7)]:
+        vals = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        plain = decode_jpeg(encode_jpeg(w, h, vals, channels=ch))
+        with_rst = encode_jpeg(w, h, vals, channels=ch, restart_interval=ri)
+        assert b"\xff\xdd" in with_rst  # DRI segment present
+        assert decode_jpeg(with_rst) == plain, (w, h, ch, ri)
+
+
+def test_jpeg_restart_sequence_violation_returns_none():
+    """A RSTn marker out of the mod-8 sequence means a desynchronized
+    or corrupt scan — the decoder must NULL the row, not mis-decode."""
+    import random
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(7)
+    vals = bytes(rng.randrange(256) for _ in range(24 * 16))
+    p = encode_jpeg(24, 16, vals, channels=1, restart_interval=1)
+    i = p.find(b"\xff\xd0")
+    assert i > 0
+    assert decode_jpeg(p[: i + 1] + bytes([0xD3]) + p[i + 2 :]) is None
+    # truncating the scan at a restart marker also NULLs (underrun)
+    assert decode_jpeg(p[: i + 2] + b"\xff\xd9") is None

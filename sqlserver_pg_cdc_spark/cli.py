@@ -71,6 +71,10 @@ def create_parser() -> argparse.ArgumentParser:
     stream.add_argument("--stale-hours", type=int, default=24)
     stream.add_argument("--max-files-per-trigger", type=int,
                         help="bound each micro-batch (max.batch.size parity)")
+    stream.add_argument("--partitions", type=int, default=0,
+                        help="hash-partition the parquet target into N "
+                             "part_NNNNN/ dirs; a batch rewrites only the "
+                             "partitions it touches (0 = flat table)")
     stream.add_argument("--transactional", action="store_true",
                         help="apply source transactions all-or-nothing "
                              "(provide.transaction.metadata parity)")
@@ -358,6 +362,24 @@ def cmd_stream(args) -> int:
     from sqlserver_pg_cdc_spark.streaming.pipeline import CdcPipeline
 
     spark = get_spark("cdc-stream-cli")
+    sink = None
+    if getattr(args, "partitions", 0):
+        if args.transactional:
+            raise SystemExit(
+                "--partitions and --transactional are mutually exclusive "
+                "(the transactional sink applies through one atomic swap)"
+            )
+        from sqlserver_pg_cdc_spark.streaming.apply import (
+            PartitionedParquetUpsertSink,
+        )
+
+        sink = PartitionedParquetUpsertSink(
+            spark,
+            args.target_dir,
+            args.pk_columns,
+            dlq_dir=args.dlq_dir,
+            n_partitions=args.partitions,
+        )
     pipe = CdcPipeline(
         spark,
         source_dir=args.spool_dir,
@@ -367,6 +389,7 @@ def cmd_stream(args) -> int:
         pk_cols=args.pk_columns,
         dlq_dir=args.dlq_dir,
         stale_hours=args.stale_hours,
+        sink=sink,
         transactional=args.transactional,
     )
     pipe.run_available_now(max_files_per_trigger=args.max_files_per_trigger)

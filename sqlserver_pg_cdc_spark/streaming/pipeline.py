@@ -143,6 +143,10 @@ class CdcPipeline:
         q.awaitTermination()
 
     def target(self) -> DataFrame | None:
+        # a custom sink (partitioned layout, DBAPI target) knows how to
+        # read its own state; fall back to the plain parquet layout
+        if self.sink is not None and hasattr(self.sink, "read_target"):
+            return self.sink.read_target()
         sink = ParquetUpsertSink(self.spark, self.target_dir, self.pk_cols)
         return sink.read_target()
 

@@ -21,8 +21,6 @@ one extra max-batch-id column).
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +31,10 @@ from sqlserver_pg_cdc_spark.operators.continuous_agg import (
     finalize,
     merge_states,
 )
-from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+from sqlserver_pg_cdc_spark.streaming.apply import (
+    HashPartitionedStateMixin,
+    ParquetUpsertSink,
+)
 
 
 class ContinuousAggSink(ParquetUpsertSink):
@@ -125,6 +126,13 @@ class CmsSink(ParquetUpsertSink):
     produces the identical sketch; ``estimate`` answers point queries
     against the current state with the broadcast min-over-cells plan.
 
+    Split-invariance holds for at-MOST-once delivery of each batch id;
+    a foreachBatch REDELIVERY (crash post-swap, pre-checkpoint-commit)
+    would double-count the replayed batch into an additive sketch.
+    ``idempotent=True`` closes that: the state carries the last merged
+    batch id (one extra constant column on the ≤ d*w-row state) and
+    re-delivered ids are skipped — same contract as the rollup sinks.
+
     ``project`` (optional) maps the raw batch frame to one ITEM
     OCCURRENCE per row (e.g. unwrap an envelope, explode tokens)."""
 
@@ -137,21 +145,38 @@ class CmsSink(ParquetUpsertSink):
         d: int = 4,
         w: int = 1024,
         dlq_dir: str | None = None,
+        idempotent: bool = False,
     ):
         super().__init__(spark, state_dir, [item_col], dlq_dir=dlq_dir)
         self.item_col = item_col
         self.project = project
         self.d = d
         self.w = w
+        self.idempotent = idempotent
 
     def _apply(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         from sqlserver_pg_cdc_spark.operators.cms import cms_build, cms_merge
 
         proj = self.project(batch_df) if self.project else batch_df
         delta = cms_build(proj, self.item_col, self.d, self.w)
-        prev = self.read_target()
+        prev = super().read_target()  # raw state incl. the __bid column
+        if prev is not None and self.idempotent and "__bid" in prev.columns:
+            done = prev.agg(F.max("__bid")).collect()[0][0]
+            if done is not None and batch_id is not None and batch_id <= done:
+                return  # replayed batch: already merged into the sketch
+            prev = prev.drop("__bid")
         merged = delta if prev is None else cms_merge([prev, delta])
+        if self.idempotent:
+            merged = merged.withColumn("__bid", F.lit(int(batch_id or 0)))
         self._swap_in(merged, self.target_dir)
+
+    def read_target(self) -> DataFrame | None:
+        """The current sketch (None before any batch); the internal
+        batch-id bookkeeping column never leaks to callers."""
+        st = super().read_target()
+        if st is not None and "__bid" in st.columns:
+            st = st.drop("__bid")
+        return st
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.tracing import get_tracer
@@ -185,7 +210,7 @@ class CmsSink(ParquetUpsertSink):
         )
 
 
-class PartitionedContinuousAggSink(ContinuousAggSink):
+class PartitionedContinuousAggSink(HashPartitionedStateMixin, ContinuousAggSink):
     """Continuous-agg sink with HASH-PARTITIONED state: the 100 TB shape.
 
     ``ContinuousAggSink`` reads, merges, and swaps the WHOLE state table
@@ -234,40 +259,7 @@ class PartitionedContinuousAggSink(ContinuousAggSink):
             raise ValueError("n_partitions must be >= 1")
         self.n_partitions = n_partitions
 
-    # -- partition plumbing -------------------------------------------------
-
-    def _part_expr(self):
-        return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.pk_cols]),
-            F.lit(self.n_partitions),
-        ).cast("int")
-
-    def _part_dir(self, p: int) -> str:
-        return os.path.join(self.target_dir, f"part_{p:05d}")
-
-    def _recover_part(self, pdir: str) -> None:
-        """Per-partition crash recovery: a crash between the two swap
-        renames leaves the newest __old_* generation as the pre-batch
-        partition — restore it (same discipline as the parent's
-        _recover, scoped to one partition directory)."""
-        if os.path.exists(pdir):
-            return
-        olds = self._generations("old", pdir)
-        if olds:
-            os.rename(olds[-1], pdir)
-
-    def _existing_parts(self) -> list[int]:
-        import glob as _glob
-
-        out = []
-        for d in _glob.glob(os.path.join(self.target_dir, "part_[0-9]*")):
-            base = os.path.basename(d)
-            if "__" in base:  # tmp/old generation, not a live partition
-                continue
-            out.append(int(base.split("_", 1)[1]))
-        return sorted(out)
-
-    # -- batch apply --------------------------------------------------------
+    # -- batch apply (partition plumbing: HashPartitionedStateMixin) --------
 
     def _apply(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         proj = self.project(batch_df) if self.project else batch_df
@@ -283,6 +275,8 @@ class PartitionedContinuousAggSink(ContinuousAggSink):
             if not touched:
                 return
             os.makedirs(self.target_dir, exist_ok=True)
+            self._check_layout(create=True)
+            self._sweep_batchtmps()
             prev_parts: list[int] = []
             for p in touched:
                 pdir = self._part_dir(p)
@@ -323,39 +317,9 @@ class PartitionedContinuousAggSink(ContinuousAggSink):
             )
             if self.idempotent:
                 merged = merged.withColumn("__bid", F.lit(int(batch_id or 0)))
-            # ONE job writes every touched partition hive-style; the
-            # per-partition swap below is pure renames
-            tmp = os.path.join(
-                self.target_dir, f"__batchtmp_{uuid.uuid4().hex[:8]}"
-            )
-            merged.write.mode("overwrite").partitionBy("__p").parquet(tmp)
-            try:
-                for p in live_touched:
-                    src = os.path.join(tmp, f"__p={p}")
-                    if not os.path.isdir(src):
-                        continue  # delta had only retractions merging to nothing
-                    pdir = self._part_dir(p)
-                    if os.path.exists(pdir):
-                        os.rename(pdir, f"{pdir}__old_{uuid.uuid4().hex[:8]}")
-                    os.rename(src, pdir)
-                    for stale in self._generations("old", pdir) + self._generations(
-                        "tmp", pdir
-                    ):
-                        shutil.rmtree(stale, ignore_errors=True)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
+            self._swap_parts(merged, live_touched)
         finally:
             delta.unpersist()
-
-    def read_target(self) -> DataFrame | None:
-        if not os.path.isdir(self.target_dir):
-            return None
-        for p in range(self.n_partitions):
-            self._recover_part(self._part_dir(p))
-        parts = self._existing_parts()
-        if not parts:
-            return None
-        return self.spark.read.parquet(*[self._part_dir(p) for p in parts])
 
     def result(self) -> DataFrame | None:
         st = self.read_target()

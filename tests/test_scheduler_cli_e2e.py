@@ -598,3 +598,39 @@ def test_cli_rollup_partitioned(tmp_path):
         "SELECT (range % 5)::INT AS k, CAST(count(*) AS BIGINT), "
         "CAST(sum(CAST(range * 1.5 AS DECIMAL(18,2))) AS DOUBLE) FROM range(0, 100) GROUP BY 1 ORDER BY 1").fetchall()}
     assert got == want
+
+
+def test_cli_stream_partitioned_target(tmp_path):
+    """`stream --partitions N`: the target lands in the part_NNNNN/
+    hash layout, reads back the same rows, and a resumed invocation
+    (checkpoint replay window) changes nothing."""
+    import json as _json
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    events = [
+        {"op": "c", "lsn": i, "ts_ms": 1700000000000 + i,
+         "before": None, "after": {"id": i, "name": f"n{i}", "amount": i * 1.5}}
+        for i in range(1, 21)
+    ]
+    with open(spool / "batch.json", "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "stream",
+        "--spool-dir", str(spool),
+        "--target-dir", str(tmp_path / "tgt"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--payload-schema", "id LONG, name STRING, amount DOUBLE",
+        "--pk-columns", "id",
+        "--partitions", "8",
+    ]
+    r1 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out["applied_target_rows"] == 20
+    parts = sorted(p.name for p in (tmp_path / "tgt").glob("part_*"))
+    assert parts and all(p.startswith("part_") for p in parts)
+    r2 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert _json.loads(r2.stdout.strip().splitlines()[-1])["applied_target_rows"] == 20

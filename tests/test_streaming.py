@@ -366,3 +366,159 @@ def test_latest_per_key_salted_equals_plain_on_hot_key(spark):
     assert salted == plain
     assert (1, "v899", 899) in salted
     assert len(salted) == 101
+
+
+# --- hash-partitioned upsert sink ----------------------------------------
+
+
+def _part_sink(spark, tmp_path, n=8):
+    from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+
+    return PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "ptarget"), ["id"], n_partitions=n
+    )
+
+
+def _rows(spark, recs):
+    return spark.createDataFrame(
+        recs, "id long, name string, amount double, lsn long"
+    )
+
+
+def _as_map(df):
+    return {r["id"]: (r["name"], r["amount"], r["lsn"]) for r in df.collect()}
+
+
+def test_partitioned_upsert_matches_flat_sink(spark, tmp_path):
+    """The partitioned sink must produce exactly the flat sink's table
+    for any batch split — same merge_upsert semantics, different layout."""
+    from sqlserver_pg_cdc_spark.streaming.apply import ParquetUpsertSink
+
+    b0 = _rows(spark, [(i, f"n{i}", float(i), 10 + i) for i in range(40)])
+    b1 = _rows(
+        spark,
+        [(i, f"u{i}", float(i) * 2, 100 + i) for i in range(0, 40, 3)]
+        + [(100 + i, f"new{i}", 1.0, 200 + i) for i in range(5)],
+    )
+    flat = ParquetUpsertSink(spark, str(tmp_path / "flat"), ["id"])
+    part = _part_sink(spark, tmp_path)
+    for i, b in enumerate([b0, b1]):
+        flat(b, i)
+        part(b, i)
+    assert _as_map(part.read_target()) == _as_map(flat.read_target())
+
+
+def test_partitioned_upsert_untouched_partitions_byte_identical(spark, tmp_path):
+    """A batch touching a few keys must not rewrite (or even re-stamp)
+    the partitions it does not hit — the O(delta) contract."""
+    import glob
+
+    part = _part_sink(spark, tmp_path)
+    part(_rows(spark, [(i, f"n{i}", float(i), i) for i in range(200)]), 0)
+    before = {}
+    for f in glob.glob(str(tmp_path / "ptarget" / "part_*" / "*")):
+        with open(f, "rb") as fh:
+            before[f] = (os.path.getmtime(f), fh.read())
+    # one key -> exactly one touched partition
+    part(_rows(spark, [(7, "update", 99.0, 1000)]), 1)
+    touched_dirs = set()
+    for f, (mt, content) in before.items():
+        if not os.path.exists(f):
+            touched_dirs.add(os.path.dirname(f))
+            continue
+        with open(f, "rb") as fh:
+            now = fh.read()
+        if now != content:
+            touched_dirs.add(os.path.dirname(f))
+    assert len(touched_dirs) <= 1  # only key 7's partition rewritten
+    assert _as_map(part.read_target())[7] == ("update", 99.0, 1000)
+
+
+def test_partitioned_upsert_replay_converges_via_lsn_guard(spark, tmp_path):
+    """No batch-id bookkeeping needed: re-driving a batch (foreachBatch
+    redelivery) converges to the same table through the LSN guard."""
+    part = _part_sink(spark, tmp_path)
+    b0 = _rows(spark, [(i, f"n{i}", float(i), 10 + i) for i in range(30)])
+    b1 = _rows(spark, [(5, "upd", 5.5, 100), (31, "new", 1.0, 101)])
+    part(b0, 0)
+    part(b1, 1)
+    want = _as_map(part.read_target())
+    part(b1, 1)  # replay
+    part(b0, 0)  # stale replay: every LSN older -> no-op
+    assert _as_map(part.read_target()) == want
+
+
+def test_partitioned_upsert_crash_between_partition_swaps(spark, tmp_path):
+    """Crash after one partition committed but another did not: the
+    re-driven batch must converge (LSN guard absorbs the committed
+    partition, normal merge fills the lost one) and a stranded
+    __batchtmp is swept."""
+    part = _part_sink(spark, tmp_path)
+    b0 = _rows(spark, [(i, f"n{i}", float(i), 10 + i) for i in range(60)])
+    part(b0, 0)
+    want_pre = _as_map(part.read_target())
+    b1 = _rows(spark, [(i, f"u{i}", -1.0, 500 + i) for i in range(0, 60, 7)])
+
+    # simulate the crash window: one partition swapped to __old with no
+    # replacement (rename 1 of 2 done), plus an orphaned batchtmp
+    pdirs = sorted((tmp_path / "ptarget").glob("part_*"))
+    victim = str(pdirs[0])
+    os.rename(victim, victim + "__old_cafe")
+    os.makedirs(str(tmp_path / "ptarget" / "__batchtmp_dead" / "__p=0"))
+
+    part(b1, 1)  # re-driven batch
+    got = _as_map(part.read_target())
+    assert not os.path.exists(str(tmp_path / "ptarget" / "__batchtmp_dead"))
+    for i in range(60):
+        if i % 7 == 0:
+            assert got[i] == (f"u{i}", -1.0, 500 + i)
+        else:
+            assert got[i] == want_pre[i]
+
+
+def test_partitioned_upsert_layout_guards(spark, tmp_path):
+    """Flat-state dir and partition-count mismatch both fail fast."""
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        ParquetUpsertSink,
+        PartitionedParquetUpsertSink,
+    )
+
+    b = _rows(spark, [(1, "a", 1.0, 1)])
+    flat_dir = str(tmp_path / "flat")
+    ParquetUpsertSink(spark, flat_dir, ["id"])(b, 0)
+    bad = PartitionedParquetUpsertSink(spark, flat_dir, ["id"], n_partitions=8)
+    with pytest.raises(ValueError, match="NON-partitioned"):
+        bad(b, 1)
+    part = _part_sink(spark, tmp_path, n=8)
+    part(b, 0)
+    wrong = PartitionedParquetUpsertSink(
+        spark, part.target_dir, ["id"], n_partitions=4
+    )
+    with pytest.raises(ValueError, match="n_partitions=8"):
+        wrong(b, 1)
+    with pytest.raises(ValueError, match="n_partitions=8"):
+        wrong.read_target()
+
+
+def test_partitioned_upsert_end_to_end_pipeline(spark, tmp_path):
+    """Full CdcPipeline writeStream drain through the partitioned sink:
+    same end state as the flat default, read back via pipeline.target()."""
+    from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+
+    events = [
+        _event(1, "c", {"id": 1, "name": "alice", "amount": 10.0}),
+        _event(2, "c", {"id": 2, "name": "bob", "amount": 20.0}),
+        _event(3, "u", {"id": 1, "name": "alice2", "amount": 11.0}),
+        _event(4, "d", {"id": 2, "name": "bob", "amount": 20.0}),
+    ]
+    p = _mk_pipeline(spark, tmp_path)
+    p.sink = PartitionedParquetUpsertSink(
+        spark, p.target_dir, p.pk_cols, n_partitions=8
+    )
+    _spool(p.source_dir, events)
+    p.run_available_now()
+    st = _state(p)
+    assert st[1] == ("alice2", 11.0, "false")
+    assert st[2] == ("bob", 20.0, "true")
+    active = {r["id"] for r in p.active_rows().collect()}
+    assert active == {1}

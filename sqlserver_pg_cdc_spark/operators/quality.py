@@ -361,3 +361,60 @@ SELECT CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_child_distinct,
        (SELECT count(*) FROM contained) = (SELECT count(*) FROM cd)
            AS is_fk_candidate
 """
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n: int,
+    relative_error: float = 1e-4,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Scale path for NTILE-style quantile bucketing (the production
+    variant `workload.q_balance_quartiles` documents; reference analog:
+    quartile severity bucketing, src/reporting/severity.py).
+
+    Exact NTILE is one GLOBAL sort — a single-partition WindowExec that
+    cannot scale past one executor's memory. Here the plan is
+
+    1. ONE approx-percentile aggregate computes the n-1 interior cut
+       points (a t-digest-style mergeable sketch: map-side partials,
+       one tiny reduce — `approx_percentile` with accuracy
+       ``1/relative_error``), then
+    2. ONE scan assigns each row ``1 + #cuts strictly below its
+       value`` via a literal-array fold — embarrassingly parallel,
+       whole-stage-codegen, no shuffle, no window.
+
+    Differences from exact NTILE, by construction: rows within
+    ``relative_error`` of a cut point may land one bucket off, heavy
+    ties keep ALL equal values in one bucket (NTILE force-splits them
+    to equalize counts), and NULLs get a NULL bucket (NTILE ranks them
+    wherever the sort placed them). On continuous data the two agree.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out_t = "int" if n <= 2**31 - 1 else "long"
+    if n == 1:
+        return df.withColumn(
+            bucket_col,
+            F.when(F.col(col).isNotNull(), F.lit(1)).cast(out_t),
+        )
+    probs = [i / n for i in range(1, n)]
+    accuracy = max(100, int(round(1.0 / relative_error)))
+    cuts_row = (
+        df.filter(F.col(col).isNotNull())
+        .agg(F.percentile_approx(col, probs, accuracy).alias("c"))
+        .collect()[0]["c"]
+    )
+    if cuts_row is None:  # no non-NULL rows
+        return df.withColumn(bucket_col, F.lit(None).cast(out_t))
+    arr = F.array(*[F.lit(c) for c in cuts_row])
+    count_below = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, cut: acc + F.when(F.col(col) > cut, 1).otherwise(0),
+    )
+    return df.withColumn(
+        bucket_col,
+        F.when(F.col(col).isNotNull(), F.lit(1) + count_below).cast(out_t),
+    )

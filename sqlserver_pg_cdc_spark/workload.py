@@ -2972,7 +2972,8 @@ def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance quartiles (deterministic tie-break on the key), per-quartile
     count and balance range. The ntile window is a single global sort at
     validation scale — the production path for unbounded data is
-    approx-percentile cut points; this is the exact contract."""
+    `operators/quality.quantile_buckets` (approx-percentile cut points,
+    one aggregate + one windowless scan); this is the exact contract."""
     # explicit NULLS LAST (Spark asc defaults FIRST, DuckDB LAST)
     w = Window.orderBy(
         F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()

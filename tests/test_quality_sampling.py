@@ -192,3 +192,69 @@ def test_outliers_zscore_semantics(spark):
     assert r["k"] == "g" and r["v"] == 500.0 and r["zscore"] > 3.0
     # zero-variance group flags nothing (sd == 0)
     assert not [x for x in out if x["k"] == "h"]
+
+
+# --- quantile_buckets: the no-global-sort NTILE scale path ----------------
+
+
+def test_quantile_buckets_matches_ntile_on_continuous_data(spark):
+    """On continuous (all-distinct) data the approx path must agree
+    with exact NTILE for effectively every row: near-equal bucket
+    counts and >=99% row-level agreement (disagreement only within the
+    sketch's relative error of a cut point)."""
+    from pyspark.sql import Window
+
+    from sqlserver_pg_cdc_spark.operators.quality import quantile_buckets
+
+    rows = [(i, ((i * 2654435761) % 100003) / 7.0) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = quantile_buckets(df, "v", 4)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    exact = df.withColumn("q", F.ntile(4).over(w))
+    joined = got.join(exact, ["id", "v"])
+    n = joined.count()
+    agree = joined.filter(F.col("bucket") == F.col("q")).count()
+    assert agree / n >= 0.99
+    counts = {r["bucket"]: r["c"] for r in got.groupBy("bucket").count().withColumnRenamed("count", "c").collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    for b, c in counts.items():
+        assert abs(c - 5000) <= 100, (b, c)
+    # buckets are monotonic in value: max of bucket b <= min of bucket b+1
+    rng = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in got.groupBy("bucket").agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    }
+    for b in (1, 2, 3):
+        assert rng[b][1] <= rng[b + 1][0]
+
+
+def test_quantile_buckets_nulls_ties_and_degenerate(spark):
+    from sqlserver_pg_cdc_spark.operators.quality import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, None), (5, 9.0)], "id long, v double"
+    )
+    got = {r["id"]: r["bucket"] for r in quantile_buckets(df, "v", 2).collect()}
+    assert got[4] is None  # NULL -> NULL bucket, never force-ranked
+    assert got[1] == got[2] == got[3]  # heavy ties stay together
+    assert got[5] > got[1]
+    # all-NULL input: every bucket NULL, no crash
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    assert [r["bucket"] for r in quantile_buckets(nulls, "v", 3).collect()] == [None, None]
+    # n=1: everything in bucket 1
+    one = quantile_buckets(df, "v", 1)
+    assert {r["bucket"] for r in one.filter("v is not null").collect()} == {1}
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "v", 0)
+
+
+def test_quantile_buckets_plan_has_no_window_or_global_sort(spark):
+    """The assignment scan must be windowless and sortless — the whole
+    point vs exact NTILE's single-partition WindowExec."""
+    from sqlserver_pg_cdc_spark.operators.quality import quantile_buckets
+
+    df = spark.range(0, 10000).withColumn("v", (F.col("id") * 37 % 9973).cast("double"))
+    plan = quantile_buckets(df, "v", 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "Exchange" not in plan  # no shuffle at all: aggregate ran at build time

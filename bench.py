@@ -183,7 +183,13 @@ def main() -> None:
             df.collect()
         else:
             df.count()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        # cache hygiene: some contract queries return persisted frames
+        # (the dedup family's result caches, ownership with the caller);
+        # over a 126-query session those would accumulate in executor
+        # memory. Release between queries so the session profile is flat.
+        spark.catalog.clearCache()
+        return dt
 
     probe_before = _probe()
     first_pass: dict[str, float] = {}

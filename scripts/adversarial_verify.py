@@ -150,6 +150,44 @@ def build_dups(con: duckdb.DuckDBPyConnection, dst: str) -> None:
 BUILDERS["dups"] = build_dups
 
 
+def build_corrupt(con: duckdb.DuckDBPyConnection, dst: str) -> None:
+    """Corrupt-payload-HEAVY multimodal fixture: the catalog queries
+    synthesize their JPEG/GIF/ADPCM/MJPEG payloads from doc_id and
+    inject deterministic corruption for doc_id%13 in (5, 9)
+    (workload._mm_corrupt: 60%/tail truncation, destroyed magic bytes).
+    On natural ids ~15% of docs hit those classes; here every doc_id is
+    remapped to 13*id + (5|9|0 by id%3), so two thirds of the corpus is
+    corrupt — both engines must agree on every NULL field and every
+    dropped row. Runs only the multimodal catalog queries (the rest of
+    the catalog does not read payloads)."""
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"COPY (SELECT doc_id * 13 + CASE doc_id % 3 WHEN 0 THEN 5 "
+                f"WHEN 1 THEN 9 ELSE 0 END AS doc_id, text, lang, source, "
+                f"n_chars FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+BUILDERS["corrupt"] = build_corrupt
+# payload-reading queries only: the corrupt sweep's remapped doc ids
+# exist to stress the decode contracts, not the text/relational catalog
+SWEEP_QUERIES = {
+    "corrupt": [
+        "multimodal_jpeg_decode",
+        "multimodal_gif_decode",
+        "multimodal_adpcm_frames",
+        "multimodal_video_frames",
+    ]
+}
+
+
 def main(argv: list[str]) -> int:
     sweeps = argv or list(BUILDERS)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -160,7 +198,8 @@ def main(argv: list[str]) -> int:
         BUILDERS[name](duckdb.connect(), dst)
         print(f"=== sweep {name} -> {dst}")
         r = subprocess.run(
-            [sys.executable, os.path.join(here, "verify_local.py"), dst],
+            [sys.executable, os.path.join(here, "verify_local.py"), dst]
+            + SWEEP_QUERIES.get(name, []),
             cwd=os.path.dirname(here),
         )
         if r.returncode != 0:

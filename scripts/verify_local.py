@@ -96,6 +96,8 @@ def main() -> int:
         spark_cols = df.columns
         spark_rows = [tuple(r) for r in df.collect()]
         spark_s = time.time() - t0
+        # release persisted result frames between queries (cache hygiene)
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"  {name:32s} rows={len(spark_rows):7d} ({spark_s:5.1f}s)  [rows-only, no oracle]")
             continue

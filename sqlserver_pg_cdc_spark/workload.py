@@ -2215,6 +2215,27 @@ FROM px
 """
 
 
+def _mm_corrupt(payload: bytes, k: int, chop_tail: bool = False) -> bytes:
+    """Deterministic corrupt-payload injection shared by the multimodal
+    contract queries — the NULL-on-corrupt convention is part of the
+    CATALOG contract, not just the pytest suites: doc_id%13==5
+    truncates (60%; or a 2-byte tail chop for framed streams, killing
+    exactly the last frame), doc_id%13==9 destroys the magic bytes.
+    Both are decode-deterministic for every payload the queries emit
+    (exhaustively verified over the full combo space in
+    tests/test_multimodal_advisor.py), so the SQL oracles mirror them
+    analytically. Mid-scan bit-flips are deliberately NOT injected
+    here: whether a flipped entropy byte still decodes is
+    codec-state-dependent, so no analytic oracle could mirror it — the
+    pytest corruption suites cover those paths."""
+    c = k % 13
+    if c == 5:
+        return payload[:-2] if chop_tail else payload[: len(payload) * 3 // 5]
+    if c == 9:
+        return b"\x00\x00" + payload
+    return payload
+
+
 def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of an ENTROPY-CODED image format, no codec library:
     each document renders to a baseline JFIF JPEG (dims/channels/gray a
@@ -2254,7 +2275,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h, ch, g = key
                     p = encode_jpeg(w, h, bytes([g]) * (w * h * ch), channels=ch)
                     cache[key] = p
-                payloads.append(p)
+                payloads.append(_mm_corrupt(p, k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2263,10 +2284,14 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MM_JPEG_DECODE_SQL = """
 SELECT doc_id,
-       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
-       CAST(8 * (1 + doc_id % 2) AS INT) AS height,
-       CAST(1 + 2 * (doc_id % 2) AS INT) AS channels,
-       CAST(2 * ((doc_id * 37) % 128) AS DOUBLE) / 255 AS mean_pixel
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(8 * (1 + doc_id % 3) AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(8 * (1 + doc_id % 2) AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + 2 * (doc_id % 2) AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(2 * ((doc_id * 37) % 128) AS DOUBLE) / 255 END AS mean_pixel
 FROM documents
 """
 
@@ -2303,7 +2328,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f = encode_jpeg(16, 8, bytes([g]) * (16 * 8 * 3), channels=3)
                         cache[g] = f
                     frames.append(f)
-                payloads.append(encode_mjpeg(frames))
+                payloads.append(_mm_corrupt(encode_mjpeg(frames), k, chop_tail=True))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2321,7 +2346,10 @@ SELECT d.doc_id,
        CAST(2 * ((d.doc_id * 11 + t.i * 53) % 128) AS DOUBLE) / 255 AS mean_pixel
 FROM documents d
 JOIN generate_series(0, 5) AS t(i)
-  ON t.i < (1 + d.doc_id % 6) AND t.i % 2 = 0
+  ON t.i < (CASE WHEN d.doc_id % 13 = 9 THEN 0
+                 WHEN d.doc_id % 13 = 5 THEN d.doc_id % 6
+                 ELSE 1 + d.doc_id % 6 END)
+ AND t.i % 2 = 0
 """
 
 
@@ -2357,7 +2385,7 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = bytes((k * 7 + j * 3) % 8 for j in range(w * h))
                     p = encode_gif(w, h, palette, idx)
                     cache[key] = p
-                payloads.append(p)
+                payloads.append(_mm_corrupt(p, k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2373,11 +2401,15 @@ WITH px AS (
     GROUP BY d.doc_id
 )
 SELECT doc_id,
-       CAST(1 + doc_id % 9 AS INT) AS width,
-       CAST(1 + doc_id % 5 AS INT) AS height,
-       CAST(3 AS INT) AS channels,
-       CAST(px_sum AS DOUBLE)
-         / ((1 + doc_id % 9) * (1 + doc_id % 5) * 3 * 255) AS mean_pixel
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 9 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 5 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(3 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(px_sum AS DOUBLE)
+              / ((1 + doc_id % 9) * (1 + doc_id % 5) * 3 * 255) END AS mean_pixel
 FROM px
 """
 
@@ -2417,7 +2449,7 @@ def q_multimodal_adpcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1000, np.full(n, c, dtype=np.int16)
                     )
                     cache[key] = p
-                payloads.append(p)
+                payloads.append(_mm_corrupt(p, k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2434,6 +2466,7 @@ SELECT d.doc_id,
 FROM documents d
 JOIN generate_series(0, 1) AS t(i)
   ON t.i * 1000 < 500 * (1 + d.doc_id % 4)
+WHERE d.doc_id % 13 NOT IN (5, 9)
 """
 
 

@@ -777,3 +777,57 @@ def test_jpeg_restart_sequence_violation_returns_none():
     assert decode_jpeg(p[: i + 1] + bytes([0xD3]) + p[i + 2 :]) is None
     # truncating the scan at a restart marker also NULLs (underrun)
     assert decode_jpeg(p[: i + 2] + b"\xff\xd9") is None
+
+
+def test_catalog_corruption_classes_are_decode_deterministic():
+    """The multimodal catalog queries inject corruption for
+    doc_id%13 in (5,9) and their SQL oracles mirror the outcome
+    analytically — valid ONLY if every corrupt payload fails decode
+    deterministically. Guard that over strided slices of each query's
+    combo space (the full spaces were verified exhaustively once:
+    768 JPEG / 900 GIF / 256 ADPCM / 400 MJPEG combos)."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_gif,
+        decode_jpeg,
+        decode_wav_adpcm,
+        encode_gif,
+        encode_jpeg,
+        encode_mjpeg,
+        encode_wav_adpcm,
+        split_mjpeg,
+    )
+    from sqlserver_pg_cdc_spark.workload import _mm_corrupt
+
+    for k in range(0, 768, 13):  # coprime stride walks all residues
+        w, h, ch, g = 8 * (1 + k % 3), 8 * (1 + k % 2), 1 + 2 * (k % 2), 2 * ((k * 37) % 128)
+        p = encode_jpeg(w, h, bytes([g]) * (w * h * ch), channels=ch)
+        assert decode_jpeg(_mm_corrupt(p, 5)) is None
+        assert decode_jpeg(_mm_corrupt(p, 9)) is None
+
+    palette = [(i * 30, i * 20 + 5, i * 10 + 3) for i in range(8)]
+    for k in range(0, 2520, 31):
+        w, h = 1 + k % 9, 1 + k % 5
+        idx = bytes((k * 7 + j * 3) % 8 for j in range(w * h))
+        p = encode_gif(w, h, palette, idx)
+        assert decode_gif(_mm_corrupt(p, 5)) is None
+        assert decode_gif(_mm_corrupt(p, 9)) is None
+
+    for k in range(0, 256, 7):
+        c = ((k * 97) % 256 - 128) * 100
+        p = encode_wav_adpcm(1000, np.full(500 * (1 + k % 4), c, dtype=np.int16))
+        assert decode_wav_adpcm(_mm_corrupt(p, 5)) is None
+        assert decode_wav_adpcm(_mm_corrupt(p, 9)) is None
+
+    for k in range(0, 120, 7):
+        frames = [
+            encode_jpeg(16, 8, bytes([2 * ((k * 11 + i * 53) % 128)]) * 384, channels=3)
+            for i in range(1 + k % 6)
+        ]
+        p = encode_mjpeg(frames)
+        chopped = _mm_corrupt(p, 5, chop_tail=True)
+        spans = split_mjpeg(chopped)
+        assert len(spans) == len(frames) - 1  # exactly the last frame dies
+        assert all(decode_jpeg(chopped[s:e]) is not None for s, e in spans)
+        assert split_mjpeg(_mm_corrupt(p, 9)) == []

@@ -1,0 +1,141 @@
+"""Streaming-maintained ANN index: a foreachBatch sink keeping the
+hyperplane-LSH band index (`operators/dedup.embedding_band_index`)
+continuously up to date from an embedding change stream.
+
+The batch-indexed story persists the corpus index once and probes it
+with new batches (`embedding_incremental_near_dup`); here the index
+ITSELF is the streamed state, so similarity search never needs a
+rebuild: each micro-batch upserts one row per vector — (doc, v, nv,
+bands) with the doc's full band-key array — through the
+hash-partitioned LSN-guarded upsert (`PartitionedParquetUpsertSink`),
+touching only the partitions the batch hits. A re-ingested doc with a
+CHANGED vector replaces its whole row, so stale band keys cannot linger
+(the one-row-per-doc layout is what makes the upsert atomic per doc —
+band rows split across files could half-update).
+
+Query side: ``index()`` explodes the stored band arrays to the (doc,
+band, bkt) shape the batch operators consume; ``near_dups(new)`` runs
+the standard incremental probe against the streamed state. Streamed
+state == one-shot index is pytest-pinned, and the
+``embedding_streamed_index`` catalog query keeps it oracle-green.
+
+Reference analog: the reference maintains reconciliation state
+incrementally per change batch (src/incremental/state.py); this is the
+same discipline applied to a vector index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+
+
+class AnnIndexSink(PartitionedParquetUpsertSink):
+    """foreachBatch callable: ``writeStream.foreachBatch(sink)``.
+
+    ``lsn_col`` orders updates to the same doc across batches (CDC
+    streams carry one); without it each row is stamped with its batch
+    id — last batch wins, ties within a batch arbitrary (fine for
+    append-mostly embedding streams)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        vec_col: str,
+        lsn_col: str | None = None,
+        bands: int = 8,
+        planes_per_band: int = 10,
+        dim: int = 64,
+        seed: str = "emb-dedup",
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.src_lsn_col = lsn_col
+        self.bands = bands
+        self.planes_per_band = planes_per_band
+        self.dim = dim
+        self.seed = seed
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        from sqlserver_pg_cdc_spark.functions.vectors import norm
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            _bucket_expr,
+            hyperplanes,
+        )
+
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(
+                    self.vec_col,
+                    hyperplanes(self.planes_per_band, self.dim, f"{self.seed}|band{b}"),
+                ).alias("bkt"),
+            )
+            for b in range(self.bands)
+        ]
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        return (
+            batch_df.filter(F.col(self.vec_col).isNotNull())
+            .select(
+                F.col(self.id_col).alias("doc"),
+                F.col(self.vec_col).alias("v"),
+                norm(self.vec_col).alias("nv"),
+                F.array(*band_structs).alias("bands"),
+                lsn.alias("lsn"),
+            )
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        super().__call__(self._project(batch_df, batch_id), batch_id)
+
+    # -- query surface ------------------------------------------------------
+
+    def index(self) -> DataFrame | None:
+        """The (doc, band, bkt) band index over the streamed state —
+        the exact shape `embedding_band_index` computes one-shot."""
+        st = self.read_target()
+        if st is None:
+            return None
+        return st.select("doc", F.explode("bands").alias("bb")).select(
+            "doc", "bb.band", "bb.bkt"
+        )
+
+    def vectors(self) -> DataFrame | None:
+        """The streamed corpus vectors under the caller's column names."""
+        st = self.read_target()
+        if st is None:
+            return None
+        return st.select(
+            F.col("doc").alias(self.id_col), F.col("v").alias(self.vec_col)
+        )
+
+    def near_dups(self, new_df: DataFrame, threshold: float = 0.95) -> DataFrame | None:
+        """Near-dups of a NEW batch against the streamed index:
+        (a=new id, b=indexed id, cosine >= threshold). Work ∝ new batch
+        + collisions — only colliding corpus vectors are fetched."""
+        from sqlserver_pg_cdc_spark.operators.dedup import (
+            embedding_incremental_near_dup,
+        )
+
+        corpus = self.vectors()
+        if corpus is None:
+            return None
+        return embedding_incremental_near_dup(
+            new_df, corpus, self.index(), self.id_col, self.vec_col,
+            threshold=threshold, bands=self.bands,
+            planes_per_band=self.planes_per_band, dim=self.dim, seed=self.seed,
+        )

@@ -1,0 +1,115 @@
+"""Streaming-maintained ANN index: streamed-equals-one-shot, upsert
+replaces stale band keys, end-to-end writeStream, and probe parity with
+the batch-built index path."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+
+def _vecs(spark, ids, dim=8, bump=None):
+    rows = []
+    for i in ids:
+        v = [float((i * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+        if bump is not None and i in bump:
+            v = [x + 100.0 for x in v]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _sink(spark, tmp_path, **kw):
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+
+    kw.setdefault("bands", 4)
+    kw.setdefault("planes_per_band", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("n_partitions", 8)
+    return AnnIndexSink(
+        spark, str(tmp_path / "ann_state"), "vec_id", "embedding", **kw
+    )
+
+
+def _index_set(df):
+    return {(r["doc"], r["band"], r["bkt"]) for r in df.collect()}
+
+
+def test_streamed_index_equals_one_shot(spark, tmp_path):
+    all_v = _vecs(spark, range(60))
+    sink = _sink(spark, tmp_path)
+    for b, pred in enumerate(["vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"]):
+        sink(all_v.filter(pred), b)
+    one_shot = DD.embedding_band_index(
+        all_v, "vec_id", "embedding", bands=4, planes_per_band=4, dim=8
+    )
+    assert _index_set(sink.index()) == _index_set(one_shot)
+
+
+def test_update_replaces_stale_band_keys(spark, tmp_path):
+    """Re-ingesting a doc with a CHANGED vector must atomically replace
+    its band keys — no stale buckets from the old vector survive."""
+    sink = _sink(spark, tmp_path)
+    sink(_vecs(spark, range(20)), 0)
+    changed = _vecs(spark, [3, 7], bump={3, 7})
+    sink(changed, 1)
+    want_changed = DD.embedding_band_index(
+        changed, "vec_id", "embedding", bands=4, planes_per_band=4, dim=8
+    )
+    got = sink.index()
+    got_37 = _index_set(got.filter(F.col("doc").isin(3, 7)))
+    assert got_37 == _index_set(want_changed)
+    # every doc still has exactly `bands` keys (one row per doc upsert)
+    per_doc = {r["doc"]: r["n"] for r in got.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc) == set(range(20)) and all(n == 4 for n in per_doc.values())
+    # stale replay of batch 0 (older lsn) must not resurrect old vectors
+    sink(_vecs(spark, range(20)), 0)
+    assert _index_set(sink.index().filter(F.col("doc").isin(3, 7))) == got_37
+
+
+def test_streamed_index_end_to_end_writestream(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    all_ids = list(range(40))
+    for fname, ids in (("a.json", all_ids[:25]), ("b.json", all_ids[25:])):
+        rows = _vecs(spark, ids).collect()
+        with open(spool / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    one_shot = DD.embedding_band_index(
+        _vecs(spark, all_ids), "vec_id", "embedding", bands=4, planes_per_band=4, dim=8
+    )
+    assert _index_set(sink.index()) == _index_set(one_shot)
+
+
+def test_near_dups_against_streamed_index_matches_batch_path(spark, tmp_path):
+    corpus = _vecs(spark, range(50))
+    sink = _sink(spark, tmp_path)
+    sink(corpus.filter("vec_id < 30"), 0)
+    sink(corpus.filter("vec_id >= 30"), 1)
+    new = corpus.filter("vec_id < 10").withColumn("vec_id", F.col("vec_id") + 1000)
+    got = sink.near_dups(new, threshold=0.95)
+    batch_index = DD.embedding_band_index(
+        corpus, "vec_id", "embedding", bands=4, planes_per_band=4, dim=8
+    )
+    want = DD.embedding_incremental_near_dup(
+        new, corpus, batch_index, "vec_id", "embedding",
+        threshold=0.95, bands=4, planes_per_band=4, dim=8,
+    )
+    gm = {(r["a"], r["b"]): r["cosine"] for r in got.collect()}
+    wm = {(r["a"], r["b"]): r["cosine"] for r in want.collect()}
+    assert gm == wm and len(gm) >= 10  # every re-keyed copy finds its source
+    got.unpersist(); want.unpersist()

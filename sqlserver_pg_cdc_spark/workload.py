@@ -2076,7 +2076,10 @@ def q_embedding_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") < 40).withColumn(
         "vec_id", F.col("vec_id") + F.lit(2_000_000)
     )
-    return sink.near_dups(new, threshold=0.92)
+    res = sink.near_dups(new, threshold=0.92)
+    if res is None:  # empty corpus: no batch ever reached the sink
+        return spark.createDataFrame([], "a long, b long, cosine double")
+    return res
 
 
 def _embedding_streamed_index_sql() -> str:
@@ -2174,7 +2177,10 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sqlserver_pg_cdc_spark.operators.multimodal import decode_images, encode_bmp
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         for pdf in it:
@@ -2223,7 +2229,10 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sqlserver_pg_cdc_spark.operators.multimodal import decode_images, encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         for pdf in it:
@@ -2300,7 +2309,10 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         # the (w, h, ch, g) space is <= 768 combos while docs number in
@@ -2356,7 +2368,10 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         cache: dict = {}
@@ -2413,7 +2428,10 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
     palette = [(i * 30, i * 20 + 5, i * 10 + 3) for i in range(8)]
 
     def encode(it):
@@ -2474,7 +2492,10 @@ def q_multimodal_adpcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_audio_frames,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         import numpy as np
@@ -2511,6 +2532,74 @@ FROM documents d
 JOIN generate_series(0, 1) AS t(i)
   ON t.i * 1000 < 500 * (1 + d.doc_id % 4)
 WHERE d.doc_id % 13 NOT IN (5, 9)
+"""
+
+
+def q_multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a Rice-coded LOSSLESS audio format (the sixth
+    from-scratch compression family): each document renders a
+    deterministic mod-2048 sawtooth as mono 16-bit FLAC — real fixed
+    linear prediction + Rice residuals with CRC-8/CRC-16/MD5 integrity
+    — and the frame sampler windows the reconstructed PCM. FLAC is
+    lossless, so unlike ADPCM the signal is ARBITRARY and the oracle
+    recomputes each frame's rms from the closed-form samples. The
+    corrupt classes (doc_id%13 in 5,9 — truncation, destroyed magic)
+    fail decode structurally (every bit read is bounds-checked; 60%
+    truncation always cuts the frame stream short of STREAMINFO's
+    total-sample count), so corrupt docs drop from both engines."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_flac,
+        sample_audio_frames,
+    )
+
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                off = (k * 31) % 2048
+                n = 400 * (1 + k % 4)
+                key = (off, n)
+                p = cache.get(key)
+                if p is None:
+                    j = np.arange(n, dtype=np.int64)
+                    sig = ((off + j * 17) % 2048 - 1024).astype(np.int16)
+                    p = encode_flac(1000, sig, block_size=1024)
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_audio_frames(
+        enc, "doc_id", "payload", frame_ms=1000, decoder="flac"
+    )
+
+
+_MM_FLAC_FRAMES_SQL = """
+WITH s AS (
+    SELECT d.doc_id, t.j,
+           CAST((d.doc_id * 31 + t.j * 17) % 2048 - 1024 AS BIGINT) AS v
+    FROM documents d
+    JOIN generate_series(0, 1599) AS t(j)
+      ON t.j < 400 * (1 + d.doc_id % 4)
+    WHERE d.doc_id % 13 NOT IN (5, 9)
+)
+SELECT doc_id,
+       CAST(j // 1000 AS INT) AS frame_idx,
+       CAST((j // 1000) * 1000 AS BIGINT) AS frame_offset_ms,
+       sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms
+FROM s
+GROUP BY doc_id, j // 1000
 """
 
 
@@ -3348,7 +3437,10 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_audio_frames,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def encode(it):
         for pdf in it:
@@ -4425,6 +4517,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_adpcm_frames"] = QuerySpec(
         q_multimodal_adpcm_frames, _MM_ADPCM_FRAMES_SQL
     )
+    catalog["multimodal_flac_frames"] = QuerySpec(
+        q_multimodal_flac_frames, _MM_FLAC_FRAMES_SQL
+    )
     catalog["multimodal_gif_decode"] = QuerySpec(
         q_multimodal_gif_decode, _MM_GIF_DECODE_SQL
     )
@@ -4521,6 +4616,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_jpeg_decode",  # contract CHANGED this round (corrupt-payload classes)
     "multimodal_gif_decode",  # contract CHANGED this round
     "multimodal_adpcm_frames",  # contract CHANGED this round
+    "multimodal_flac_frames",  # NEW this round: real Rice-coded FLAC codec
     "multimodal_video_frames",  # contract CHANGED this round
     # last driver row: round 3
     "dedup_incremental",

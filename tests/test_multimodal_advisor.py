@@ -831,3 +831,193 @@ def test_catalog_corruption_classes_are_decode_deterministic():
         assert len(spans) == len(frames) - 1  # exactly the last frame dies
         assert all(decode_jpeg(chopped[s:e]) is not None for s, e in spans)
         assert split_mjpeg(_mm_corrupt(p, 9)) == []
+
+
+# --- FLAC: Rice-coded lossless audio -------------------------------------
+
+
+def test_flac_lossless_roundtrip():
+    """Losslessness IS the codec's contract: encode->decode must return
+    the exact input samples for constant, ramp, sine, alternating-
+    extreme, random, empty, and single-sample signals."""
+    import random
+
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = random.Random(42)
+    cases = [
+        np.zeros(100, dtype=np.int16),
+        np.full(5000, -1234, dtype=np.int16),
+        np.arange(-3000, 3000, 3, dtype=np.int16),
+        np.array([rng.randrange(-32768, 32768) for _ in range(4000)], dtype=np.int16),
+        (1000 * np.sin(np.arange(7000) / 20)).astype(np.int16),
+        np.array([], dtype=np.int16),
+        np.array([7], dtype=np.int16),
+        np.array([-32768, 32767] * 500, dtype=np.int16),
+    ]
+    for i, x in enumerate(cases):
+        d = decode_flac(encode_flac(44100, x, block_size=1024))
+        assert d is not None, i
+        assert d[0] == 44100 and np.array_equal(x, d[1]), i
+
+
+def test_flac_compresses_predictable_signals():
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import encode_flac
+
+    x = (500 * np.sin(np.arange(8000) / 30)).astype(np.int16)
+    assert len(encode_flac(1000, x)) < 2 * len(x) * 0.5  # >2x on smooth audio
+    const = np.full(8000, 123, dtype=np.int16)
+    assert len(encode_flac(1000, const)) < 200  # CONSTANT subframes
+
+
+def _build_flac_stream(nb, subframe_bits, expected, rate=1000):
+    """Hand-built mono-16 stream: STREAMINFO + one frame whose subframe
+    payload comes from `subframe_bits(writer)` — exercises decoder-only
+    paths (LPC, rice2, partitions, wasted bits) per RFC 9639."""
+    import hashlib
+
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _crc8,
+        _crc16,
+        _flac_utf8_number,
+        _MsbWriter,
+    )
+
+    x = np.asarray(expected, dtype=np.int16)
+    info = _MsbWriter()
+    for v, n in ((nb, 16), (nb, 16), (0, 24), (0, 24), (rate, 20), (0, 3), (15, 5), (len(x), 36)):
+        info.write(v, n)
+    body = bytes(info.out) + hashlib.md5(x.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC") + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    hdr = _MsbWriter()
+    for v, n in ((0b11111111111110, 14), (0, 1), (0, 1), (0b0111, 4), (0b0000, 4),
+                 (0b0000, 4), (0b100, 3), (0, 1)):
+        hdr.write(v, n)
+    for b in _flac_utf8_number(0):
+        hdr.write(b, 8)
+    hdr.write(nb - 1, 16)
+    hb = bytes(hdr.out)
+    fr = _MsbWriter()
+    for b in hb:
+        fr.write(b, 8)
+    fr.write(_crc8(hb), 8)
+    subframe_bits(fr)
+    fr.align()
+    fb = bytes(fr.out)
+    return bytes(out + fb + _crc16(fb).to_bytes(2, "big"))
+
+
+def _rice_write(fr, res, k):
+    for v in res:
+        u = v * 2 if v >= 0 else -v * 2 - 1
+        fr.write_unary(u >> k)
+        if k:
+            fr.write(u & ((1 << k) - 1), k)
+
+
+def test_flac_decoder_only_paths_from_spec_bitstreams():
+    """FIXED order 4 + rice2 + 2 partitions, LPC order 2, wasted-bits
+    CONSTANT, and an escape partition — none of which the encoder
+    emits — must decode to independently computed samples."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import decode_flac
+
+    # FIXED order 4, two partitions, 5-bit rice2 params
+    nb = 16
+    x = [(i * i * 3 - 40 * i + 7) % 2000 - 1000 for i in range(nb)]
+    res = [x[i] - (4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4]) for i in range(4, nb)]
+
+    def sub1(fr):
+        fr.write(0b0001100, 7); fr.write(0, 1)
+        for v in x[:4]:
+            fr.write(v & 0xFFFF, 16)
+        fr.write(0b01, 2); fr.write(1, 4)
+        fr.write(6, 5); _rice_write(fr, res[:4], 6)
+        fr.write(7, 5); _rice_write(fr, res[4:], 7)
+
+    d = decode_flac(_build_flac_stream(nb, sub1, x))
+    assert d is not None and list(d[1]) == x
+
+    # LPC order 2: x[i] = res[i] + ((3*x[i-1] - 2*x[i-2]) >> 1)
+    warm, coefs, shift, prec = [100, -200], [3, -2], 1, 4
+    resid = [5, -7, 11, 0, -3, 8]
+    xs = list(warm)
+    for rr in resid:
+        xs.append(rr + ((coefs[0] * xs[-1] + coefs[1] * xs[-2]) >> shift))
+
+    def sub2(fr):
+        fr.write(0b0100001, 7); fr.write(0, 1)
+        for v in warm:
+            fr.write(v & 0xFFFF, 16)
+        fr.write(prec - 1, 4); fr.write(shift, 5)
+        for c in coefs:
+            fr.write(c & ((1 << prec) - 1), prec)
+        fr.write(0b00, 2); fr.write(0, 4)
+        fr.write(3, 4); _rice_write(fr, resid, 3)
+
+    d = decode_flac(_build_flac_stream(len(xs), sub2, xs))
+    assert d is not None and list(d[1]) == xs
+
+    # wasted bits: CONSTANT at bps 15 with 1 wasted bit -> value << 1
+    def sub3(fr):
+        fr.write(0b0000000, 7); fr.write(1, 1); fr.write(1, 1)
+        fr.write(21 & 0x7FFF, 15)
+
+    d = decode_flac(_build_flac_stream(10, sub3, [42] * 10))
+    assert d is not None and list(d[1]) == [42] * 10
+
+    # escape partition: verbatim 12-bit residuals inside FIXED order 1
+    res4 = [1000, -2000, 1500, -1800]
+    x4 = [7]
+    for rr in res4:
+        x4.append(x4[-1] + rr)
+
+    def sub4(fr):
+        fr.write(0b0001001, 7); fr.write(0, 1)
+        fr.write(x4[0] & 0xFFFF, 16)
+        fr.write(0b00, 2); fr.write(0, 4)
+        fr.write(0b1111, 4); fr.write(12, 5)
+        for v in res4:
+            fr.write(v & 0xFFF, 12)
+
+    d = decode_flac(_build_flac_stream(len(x4), sub4, x4))
+    assert d is not None and list(d[1]) == x4
+
+
+def test_flac_corruption_returns_none():
+    """Truncation (any split), destroyed magic, a mid-stream bit flip
+    (CRC-16), and a frame-header flip (CRC-8) all NULL out — plus the
+    catalog's corrupt classes on the contract signal shape."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+    from sqlserver_pg_cdc_spark.workload import _mm_corrupt
+
+    x = ((np.arange(1600) * 17 + 31) % 2048 - 1024).astype(np.int16)
+    p = encode_flac(1000, x, block_size=1024)
+    assert decode_flac(p[: len(p) * 3 // 5]) is None
+    assert decode_flac(b"\x00\x00" + p) is None
+    for cut in (10, 41, 43, len(p) // 2, len(p) - 1):
+        assert decode_flac(p[:cut]) is None, cut
+    bad = bytearray(p); bad[len(p) // 2] ^= 0x40
+    assert decode_flac(bytes(bad)) is None
+    # contract corruption classes over a stride of the query combo space
+    for k in range(0, 8192, 37):
+        off, n = (k * 31) % 2048, 400 * (1 + k % 4)
+        j = np.arange(n, dtype=np.int64)
+        sig = ((off + j * 17) % 2048 - 1024).astype(np.int16)
+        q = encode_flac(1000, sig, block_size=1024)
+        assert decode_flac(_mm_corrupt(q, 5)) is None, k
+        assert decode_flac(_mm_corrupt(q, 9)) is None, k
+        assert decode_flac(_mm_corrupt(q, 0)) is not None, k

@@ -664,3 +664,40 @@ def test_gif_roundtrip_exact_properties(w, h, ncolors, seed):
     idx = bytes(rnd.randrange(ncolors) for _ in range(w * h))
     want = sum(sum(palette[i]) for i in idx)
     assert decode_gif(encode_gif(w, h, palette, idx)) == (w, h, 3, want, w * h * 3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    kind=st.integers(0, 3),
+    amp=st.integers(0, 32767),
+    period=st.floats(2.0, 300.0),
+    block=st.sampled_from([192, 576, 1024, 4096]),
+    seed=st.integers(0, 10**9),
+)
+def test_flac_roundtrip_is_exactly_lossless(n, kind, amp, period, block, seed):
+    """FLAC is LOSSLESS: decode(encode(x)) == x EXACTLY for every
+    signal family (constant, ramp, sine, white noise), every block
+    size, every length — including the short-final-block and
+    empty-stream edges. Rate and sample count are preserved and the
+    STREAMINFO MD5 self-validates on the way back out."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        sig = np.full(n, ((seed % 65536) - 32768), dtype=np.int16)
+    elif kind == 1:
+        sig = (np.arange(n) * (1 + seed % 7) % 65536 - 32768).astype(np.int16)
+    elif kind == 2:
+        sig = np.clip(amp * np.sin(np.arange(n) / period), -32768, 32767).astype(np.int16)
+    else:
+        sig = rng.integers(-32768, 32768, n).astype(np.int16)
+    r = decode_flac(encode_flac(8000, sig, block_size=block))
+    assert r is not None
+    rate, out = r
+    assert rate == 8000 and np.array_equal(out, sig)

@@ -184,6 +184,10 @@ SWEEP_QUERIES = {
         "multimodal_gif_decode",
         "multimodal_adpcm_frames",
         "multimodal_video_frames",
+        "multimodal_flac_frames",
+        "multimodal_image_decode",
+        "multimodal_png_decode",
+        "multimodal_audio_frames",
     ]
 }
 

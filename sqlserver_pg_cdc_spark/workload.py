@@ -2189,7 +2189,7 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = int(doc_id)
                 w, h = 1 + k % 16, 1 + k % 8
                 px = bytes((k * 31 + i * 7) % 256 for i in range(w * h * 3))
-                payloads.append(encode_bmp(w, h, px))
+                payloads.append(_mm_corrupt(encode_bmp(w, h, px), k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2206,11 +2206,15 @@ WITH px AS (
     GROUP BY d.doc_id
 )
 SELECT doc_id,
-       CAST(1 + doc_id % 16 AS INT) AS width,
-       CAST(1 + doc_id % 8 AS INT) AS height,
-       CAST(3 AS INT) AS channels,
-       CAST(px_sum AS DOUBLE)
-         / ((1 + doc_id % 16) * (1 + doc_id % 8) * 3 * 255) AS mean_pixel
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 16 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(3 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(px_sum AS DOUBLE)
+              / ((1 + doc_id % 16) * (1 + doc_id % 8) * 3 * 255) END AS mean_pixel
 FROM px
 """
 
@@ -2241,7 +2245,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = int(doc_id)
                 w, h, ch = 1 + k % 13, 1 + k % 7, 3 + k % 2
                 px = bytes((k * 31 + i * 7) % 256 for i in range(w * h * ch))
-                payloads.append(encode_png(w, h, px, channels=ch))
+                payloads.append(_mm_corrupt(encode_png(w, h, px, channels=ch), k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -2258,12 +2262,16 @@ WITH px AS (
     GROUP BY d.doc_id
 )
 SELECT doc_id,
-       CAST(1 + doc_id % 13 AS INT) AS width,
-       CAST(1 + doc_id % 7 AS INT) AS height,
-       CAST(3 + doc_id % 2 AS INT) AS channels,
-       CAST(px_sum AS DOUBLE)
-         / ((1 + doc_id % 13) * (1 + doc_id % 7) * (3 + doc_id % 2) * 255)
-         AS mean_pixel
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 13 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + doc_id % 7 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(3 + doc_id % 2 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(px_sum AS DOUBLE)
+              / ((1 + doc_id % 13) * (1 + doc_id % 7) * (3 + doc_id % 2) * 255)
+         END AS mean_pixel
 FROM px
 """
 
@@ -3449,7 +3457,7 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = int(doc_id)
                 n = 600 + k % 1000
                 samples = [((k * 7 + j * 13) % 4096) - 2048 for j in range(n)]
-                payloads.append(encode_wav_pcm16(1000, samples))
+                payloads.append(_mm_corrupt(encode_wav_pcm16(1000, samples), k))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = d.mapInPandas(encode, "doc_id long, payload binary")
@@ -3469,6 +3477,7 @@ WITH s AS (
            count(*) AS n
     FROM documents d JOIN generate_series(0, 1598) AS t(j)
       ON t.j < 600 + d.doc_id % 1000
+    WHERE d.doc_id % 13 NOT IN (5, 9)
     GROUP BY d.doc_id, t.j // 500
 )
 SELECT doc_id,

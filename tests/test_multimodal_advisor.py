@@ -832,6 +832,33 @@ def test_catalog_corruption_classes_are_decode_deterministic():
         assert all(decode_jpeg(chopped[s:e]) is not None for s, e in spans)
         assert split_mjpeg(_mm_corrupt(p, 9)) == []
 
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav_pcm16,
+        encode_bmp,
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    for k in range(0, 256, 5):  # BMP combo space is lcm(16,8,256)=256
+        w, h = 1 + k % 16, 1 + k % 8
+        p = encode_bmp(w, h, bytes((k * 31 + i * 7) % 256 for i in range(w * h * 3)))
+        assert decode_bmp(_mm_corrupt(p, 5)) is None
+        assert decode_bmp(_mm_corrupt(p, 9)) is None
+
+    for k in range(0, 1456, 17):  # PNG: lcm(13,7,2) x content
+        w, h, ch = 1 + k % 13, 1 + k % 7, 3 + k % 2
+        p = encode_png(w, h, bytes((k * 31 + i * 7) % 256 for i in range(w * h * ch)), channels=ch)
+        assert decode_png(_mm_corrupt(p, 5)) is None
+        assert decode_png(_mm_corrupt(p, 9)) is None
+
+    for k in range(0, 1000, 29):  # WAV: n cycle is 1000
+        n = 600 + k % 1000
+        p = encode_wav_pcm16(1000, [((k * 7 + j * 13) % 4096) - 2048 for j in range(n)])
+        assert decode_wav_pcm16(_mm_corrupt(p, 5)) is None
+        assert decode_wav_pcm16(_mm_corrupt(p, 9)) is None
+
 
 # --- FLAC: Rice-coded lossless audio -------------------------------------
 

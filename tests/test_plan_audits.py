@@ -273,3 +273,31 @@ def test_latest_per_key_skewed_is_two_phase(spark):
     plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
     assert plan.count("max_by") >= 2, plan
     assert "Window" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["embedding_streamed_index", "multimodal_flac_frames"],
+)
+def test_round6_queries_no_cartesian(spark, qname):
+    """Round-6 additions: the streamed-index probe must stay a banded
+    equi-join (no cartesian), and the FLAC contract plan must contain
+    exactly the two deliberate Python stages (encode harness + decode
+    operator) and nothing else."""
+    m = _metrics(spark, qname)
+    assert not m.has_cartesian, m.joins
+    if qname == "multimodal_flac_frames":
+        assert m.python_evals <= 2
+
+
+def test_codec_queries_fan_out_before_python(spark):
+    """The codec mapInPandas stages must sit behind a repartition —
+    documents reads as one split at bench scale, and without the
+    exchange the whole Python decode serializes on a single task."""
+    for qname in ("multimodal_flac_frames", "multimodal_jpeg_decode"):
+        fn = workload.build_catalog(spark)[qname].fn
+        plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+        i_ex = plan.find("Exchange RoundRobinPartitioning(32")
+        i_py = plan.find("MapInPandas")
+        assert i_ex != -1, qname
+        assert i_py != -1, qname

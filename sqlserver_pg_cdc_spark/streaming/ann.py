@@ -38,7 +38,13 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
     ``lsn_col`` orders updates to the same doc across batches (CDC
     streams carry one); without it each row is stamped with its batch
     id — last batch wins, ties within a batch arbitrary (fine for
-    append-mostly embedding streams)."""
+    append-mostly embedding streams).
+
+    ``deleted_col`` (optional) makes the sink CDC-complete: rows whose
+    flag is true ('true'/true) are soft-deleted — kept in state under
+    the LSN guard (so a late stale update cannot resurrect them) but
+    excluded from ``index()``/``vectors()``/``near_dups()``. A later
+    re-insert with a newer LSN brings the doc back."""
 
     def __init__(
         self,
@@ -53,6 +59,7 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         seed: str = "emb-dedup",
         dlq_dir: str | None = None,
         n_partitions: int = 32,
+        deleted_col: str | None = None,
     ):
         super().__init__(
             spark, state_dir, ["doc"], lsn_col="lsn",
@@ -65,6 +72,7 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         self.planes_per_band = planes_per_band
         self.dim = dim
         self.seed = seed
+        self.deleted_col = deleted_col
 
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         from sqlserver_pg_cdc_spark.functions.vectors import norm
@@ -88,6 +96,21 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
             if self.src_lsn_col
             else F.lit(int(batch_id)).cast("long")
         )
+        if self.deleted_col:
+            # CDC-complete: deletes ride through the same LSN-guarded
+            # upsert (a stale update cannot resurrect a newer delete);
+            # their band keys are never read, so a NULL before-image
+            # vector is fine
+            del_flag = F.col(self.deleted_col).cast("string") == F.lit("true")
+            kept = batch_df.filter(F.col(self.vec_col).isNotNull() | del_flag)
+            return kept.select(
+                F.col(self.id_col).alias("doc"),
+                F.col(self.vec_col).alias("v"),
+                norm(self.vec_col).alias("nv"),
+                F.array(*band_structs).alias("bands"),
+                lsn.alias("lsn"),
+                del_flag.alias("__del"),
+            )
         return (
             batch_df.filter(F.col(self.vec_col).isNotNull())
             .select(
@@ -104,10 +127,19 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
 
     # -- query surface ------------------------------------------------------
 
+    def _live_state(self) -> DataFrame | None:
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            st = st.filter(~F.col("__del"))
+        return st
+
     def index(self) -> DataFrame | None:
         """The (doc, band, bkt) band index over the streamed state —
-        the exact shape `embedding_band_index` computes one-shot."""
-        st = self.read_target()
+        the exact shape `embedding_band_index` computes one-shot.
+        Soft-deleted docs are excluded."""
+        st = self._live_state()
         if st is None:
             return None
         return st.select("doc", F.explode("bands").alias("bb")).select(
@@ -115,8 +147,9 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         )
 
     def vectors(self) -> DataFrame | None:
-        """The streamed corpus vectors under the caller's column names."""
-        st = self.read_target()
+        """The streamed live corpus vectors under the caller's column
+        names (soft-deleted docs excluded)."""
+        st = self._live_state()
         if st is None:
             return None
         return st.select(

@@ -113,3 +113,43 @@ def test_near_dups_against_streamed_index_matches_batch_path(spark, tmp_path):
     wm = {(r["a"], r["b"]): r["cosine"] for r in want.collect()}
     assert gm == wm and len(gm) >= 10  # every re-keyed copy finds its source
     got.unpersist(); want.unpersist()
+
+
+def test_cdc_deletes_drop_from_index_and_lsn_guard_holds(spark, tmp_path):
+    """deleted_col makes the sink CDC-complete: a delete (even with a
+    NULL before-image vector) removes the doc from index()/vectors()/
+    near_dups(); a STALE update cannot resurrect it; a NEWER re-insert
+    brings it back."""
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+
+    def ch(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, lsn long, __deleted string"
+        )
+
+    def vec(i, bump=0.0):
+        return [float((i * 31 + j * 7) % 13) - 6.0 + bump for j in range(8)]
+
+    sink = AnnIndexSink(
+        spark, str(tmp_path / "st"), "vec_id", "embedding",
+        lsn_col="lsn", deleted_col="__deleted",
+        bands=4, planes_per_band=4, dim=8, n_partitions=8,
+    )
+    sink(ch(spark, [(i, vec(i), 10 + i, "false") for i in range(20)]), 0)
+    # delete doc 3 with a NULL before image, doc 7 with its vector
+    sink(ch(spark, [(3, None, 100, "true"), (7, vec(7), 101, "true")]), 1)
+    live = {r["vec_id"] for r in sink.vectors().collect()}
+    assert 3 not in live and 7 not in live and 5 in live
+    assert {r["doc"] for r in sink.index().collect()} == live
+    # near_dups of an exact copy of doc 7 finds nothing (7 is deleted)
+    probe = spark.createDataFrame([(1007, vec(7))], "vec_id long, embedding array<double>")
+    got = sink.near_dups(probe, threshold=0.95)
+    assert got.filter(F.col("b") == 7).count() == 0
+    got.unpersist()
+    # stale update (older LSN than the delete) must NOT resurrect
+    sink(ch(spark, [(3, vec(3), 50, "false")]), 2)
+    assert 3 not in {r["vec_id"] for r in sink.vectors().collect()}
+    # newer re-insert DOES bring it back
+    sink(ch(spark, [(3, vec(3, bump=1.0), 200, "false")]), 3)
+    back = sink.vectors().filter(F.col("vec_id") == 3).collect()
+    assert len(back) == 1 and back[0]["embedding"][0] == vec(3, bump=1.0)[0]

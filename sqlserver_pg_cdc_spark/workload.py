@@ -725,6 +725,143 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase from dropping the discount on one
+    year's small-quantity shipments — a pure filter + decimal-exact
+    conditional sum, the canonical predicate-pushdown showcase (all
+    three filters reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * disc
+    lo = F.lit("0.05").cast("decimal(4,2)")
+    hi = F.lit("0.07").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (disc >= lo)
+            & (disc <= hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue_increase"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_increase,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST('0.05' AS DECIMAL(4,2))
+                                           AND CAST('0.07' AS DECIMAL(4,2))
+  AND l_quantity < 24
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted to the fixture (lineitem stands in for
+    partsupp; the complaints filter becomes 'ever shipped a returned
+    item'): distinct supplier count per (brand, type, size) for
+    selected sizes, excluding one brand and blemished suppliers. The
+    exclusion is an anti-join against the DISTINCT flagged-supplier
+    set (NOT EXISTS semantics — NULL-safe, unlike NOT IN)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # "complaints" analog on this fixture: chronic-return suppliers,
+    # rate > 0.35 tested as the integer cross-product 20*R > 7*total —
+    # no float division, bit-identical on both engines
+    complained = (
+        li.groupBy(F.col("l_suppkey").alias("bad_supp"))
+        .agg(
+            F.count_if(F.col("l_returnflag") == "R").alias("__r"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__r") * 20 > F.col("__n") * 7)
+        .select("bad_supp")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .join(complained, li.l_suppkey == complained.bad_supp, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q_SUPPLIER_PART_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem r
+      WHERE r.l_suppkey = l.l_suppkey
+      GROUP BY r.l_suppkey
+      HAVING count(*) FILTER (r.l_returnflag = 'R') * 20 > count(*) * 7
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (lineitem volume stands in for partsupp
+    availability): suppliers who shipped more than 100 units of any
+    PROMO part during 1996, with their nation — the nested semi-join
+    chain (part -> per-(part,supplier) volume -> supplier -> nation)
+    that Q20 exists to exercise, kept as semi-joins so no duplicate
+    supplier rows ever materialize."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    return (
+        supplier.join(vol, supplier.s_suppkey == vol.sk, "left_semi")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q_PROMO_PART_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE EXISTS (
+    SELECT 1
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+      AND l.l_suppkey = s.s_suppkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_partkey, l.l_suppkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 45
+)
+"""
+
+
 _Q_SMALL_QTY_SQL = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
        count(*) AS n_lineitems
@@ -4277,6 +4414,15 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "pricing_pivot": QuerySpec(q_pricing_pivot, _Q_PRICING_PIVOT_SQL),
         "order_priority_exists": QuerySpec(q_order_priority_exists, _Q_EXISTS_SQL),
         "small_quantity_revenue": QuerySpec(q_small_quantity_revenue, _Q_SMALL_QTY_SQL),
+        "forecast_revenue_change": QuerySpec(
+            q_forecast_revenue_change, _Q_FORECAST_REVENUE_SQL
+        ),
+        "supplier_part_variety": QuerySpec(
+            q_supplier_part_variety, _Q_SUPPLIER_PART_VARIETY_SQL
+        ),
+        "promo_part_suppliers": QuerySpec(
+            q_promo_part_suppliers, _Q_PROMO_PART_SUPPLIERS_SQL
+        ),
         "rich_inactive_customers": QuerySpec(q_rich_inactive_customers, _Q_RICH_INACTIVE_SQL),
         "customer_order_outer": QuerySpec(q_customer_order_outer, _Q_CUSTOMER_OUTER_SQL),
         "scalar_function_showcase": QuerySpec(q_scalar_function_showcase, _Q_SCALAR_SQL),
@@ -4626,6 +4772,9 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_gif_decode",  # contract CHANGED this round
     "multimodal_adpcm_frames",  # contract CHANGED this round
     "multimodal_flac_frames",  # NEW this round: real Rice-coded FLAC codec
+    "forecast_revenue_change",  # NEW this round (TPC-H Q6)
+    "supplier_part_variety",  # NEW this round (TPC-H Q16 adapted)
+    "promo_part_suppliers",  # NEW this round (TPC-H Q20 adapted)
     "multimodal_video_frames",  # contract CHANGED this round
     # last driver row: round 3
     "dedup_incremental",

@@ -253,3 +253,191 @@ FROM (
     FROM (SELECT {id_col}, {toks} AS toks FROM {table})
 )
 """
+
+
+def window_hash_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, wh): every OVERLAPPING ``k``-token window of each
+    document, keyed by the md5 of its text (the cross-engine hash
+    family; the window string itself never leaves the projection, so
+    the shuffled frame is O(tokens x 16B) rather than O(tokens x k) —
+    the payload discipline that makes overlapping-window scans viable
+    at corpus scale). Docs shorter than ``k`` tokens produce no rows."""
+    kk = int(k)
+    base = df.select(F.col(id_col).alias("doc"), TX.tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    nwin = F.size(toks) - F.lit(kk - 1)
+    arr = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, kk))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc", F.posexplode(arr).alias("pos", "wh"))
+
+
+def _window_hash_frame_sql(table: str, id_col: str, text_col: str, k: int) -> str:
+    kk = int(k)
+    toks = TX.tokens_sql(text_col)
+    return f"""
+SELECT doc, pos,
+       md5(array_to_string(list_slice(toks, pos + 1, pos + {kk}), ' ')) AS wh
+FROM (
+    SELECT doc, toks,
+           unnest(range(0, greatest(len(toks) - {kk - 1}, 0))) AS pos
+    FROM (SELECT {id_col} AS doc, {toks} AS toks FROM {table})
+)
+"""
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022
+    'Deduplicating Training Data' shape, with overlapping token-window
+    hashing standing in for the suffix array): every MAXIMAL token span
+    covered by ``k``-token windows whose exact text recurs in >=
+    ``min_docs`` distinct documents.
+
+    Returns ``(id, span_start, span_end, n_windows)`` — token offsets,
+    end exclusive; one row per maximal span. Overlapping duplicate
+    windows merge by gaps-and-islands: a new span starts where the gap
+    to the previous duplicate window exceeds ``k`` (contiguous coverage
+    breaks). Unlike :func:`segment_dedup` (disjoint windows = line
+    dedup), this catches duplicated passages at ANY token alignment.
+
+    Plan: one window explode (md5-keyed, O(tokens x 16B)) feeding the
+    document-frequency aggregation and a semi-join back; the island
+    numbering is one per-doc window pass keyed on the doc id. All
+    shuffles key on window hash or doc — bounded, skew-resistant keys."""
+    from pyspark.sql import Window as W
+
+    wins = window_hash_frame(df, id_col, text_col, k)
+    docfreq = (
+        wins.select("wh", "doc")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    common = docfreq.filter(F.col("dfreq") >= int(min_docs)).select("wh")
+    dup = wins.join(common, "wh", "left_semi").select("doc", "pos")
+    w = W.partitionBy("doc").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > int(k)),
+        1,
+    ).otherwise(0)
+    islands = dup.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(w)
+    )
+    return (
+        islands.groupBy("doc", "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + int(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+
+
+def duplicate_spans_sql(
+    table: str, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` (same md5 window keys,
+    same gaps-and-islands recurrence)."""
+    kk = int(k)
+    wins = _window_hash_frame_sql(table, id_col, text_col, kk)
+    return f"""
+WITH wins AS ({wins}),
+common AS (
+    SELECT wh FROM (
+        SELECT wh, count(*) AS dfreq
+        FROM (SELECT DISTINCT wh, doc FROM wins) GROUP BY wh
+    ) WHERE dfreq >= {int(min_docs)}
+),
+dup AS (SELECT w.doc, w.pos FROM wins w JOIN common USING (wh)),
+flagged AS (
+    SELECT doc, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) > {kk}
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+),
+isl AS (
+    SELECT doc, pos,
+           sum(brk) OVER (PARTITION BY doc ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT doc AS {id_col},
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {kk} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc, island
+"""
+
+
+def strip_duplicate_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each document with its duplicate spans REMOVED (the
+    apply step of exact-substring dedup): tokens whose offset falls in
+    any of the doc's spans are dropped, survivors re-concatenated in
+    order. Returns ``(id, clean_text, n_tokens, n_removed)``.
+
+    The span join keys on the doc id (spans per doc are few), so the
+    range predicate rides an equi-join — no cartesian anywhere."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), TX.tokens(text_col).alias("__toks")
+    ).select("doc", F.posexplode_outer("__toks").alias("pos", "tok"))
+    sp = spans.select(
+        F.col(id_col).alias("doc"), "span_start", "span_end"
+    )
+    hit = (
+        toks.join(
+            sp,
+            (toks.doc == sp.doc)
+            & (toks.pos >= sp.span_start)
+            & (toks.pos < sp.span_end),
+            "left_semi",
+        )
+    )
+    kept = toks.join(hit, ["doc", "pos"], "left_anti").filter(
+        F.col("tok").isNotNull()
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks.filter(F.col("tok").isNotNull()).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(totals, "doc", "left")
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -1823,6 +1823,26 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 shape):
+    maximal token spans covered by 8-token windows recurring verbatim
+    in >= 2 documents, found via overlapping md5-keyed window hashing
+    + gaps-and-islands merging — duplicated passages at ANY alignment,
+    where segment_dedup's disjoint windows only catch aligned ones."""
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_docs=2,
+    )
+
+
+def _duplicate_spans_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    return CO.duplicate_spans_sql("documents", "doc_id", "text", k=8, min_docs=2)
+
+
 def _segment_dedup_sql() -> str:
     from sqlserver_pg_cdc_spark.operators import corpus as CO
 
@@ -4484,6 +4504,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "vocab_topk": QuerySpec(q_vocab_topk, _vocab_topk_sql()),
             "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
+            "duplicate_spans": QuerySpec(
+                q_duplicate_spans, _duplicate_spans_sql()
+            ),
             "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),
             "dedup_select_canonical": QuerySpec(
                 q_dedup_select_canonical, _dedup_select_canonical_sql()
@@ -4775,6 +4798,7 @@ _DRIVER_WINDOW_FIRST = [
     "forecast_revenue_change",  # NEW this round (TPC-H Q6)
     "supplier_part_variety",  # NEW this round (TPC-H Q16 adapted)
     "promo_part_suppliers",  # NEW this round (TPC-H Q20 adapted)
+    "duplicate_spans",  # NEW this round (exact-substring dedup spans)
     "multimodal_video_frames",  # contract CHANGED this round
     # last driver row: round 3
     "dedup_incremental",

@@ -249,3 +249,92 @@ def test_training_order_oracle_parity(spark, duck):
     )
     assert got == want
     duck.unregister("ord_docs")
+
+
+# --- exact-substring duplicate spans (Lee et al. shape) -------------------
+
+
+def _span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        (1, f"one two three {shared} tail1 tail2"),
+        (2, f"{shared} completely different ending here now"),
+        (3, "entirely unique document with no repeated passage at all ok"),
+        (4, "short doc"),
+        # within-doc repetition only (no window shared with ANY other
+        # doc): must NOT flag — min_docs counts distinct documents
+        (5, "pn qn rn sn tn un vn wn xn yn filler pn qn rn sn tn un vn wn xn yn"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_passages_at_any_alignment(spark):
+    from sqlserver_pg_cdc_spark.operators.corpus import duplicate_spans
+
+    spans = duplicate_spans(_span_docs(spark), "doc_id", "text", k=8, min_docs=2)
+    got: dict = {}
+    for r in spans.collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    # doc1: shared passage at token offset 3..13 (10 tokens, 3 windows of 8)
+    assert got[1] == {(3, 13, 3)}
+    # doc2: same passage at offset 0 — different alignment, still found
+    assert got[2] == {(0, 10, 3)}
+    assert 3 not in got and 4 not in got
+    assert 5 not in got  # within-doc repeats alone don't cross min_docs
+
+
+def test_duplicate_spans_merges_overlapping_windows_maximally(spark):
+    from sqlserver_pg_cdc_spark.operators.corpus import duplicate_spans
+
+    # two docs sharing one LONG passage: every window inside is common,
+    # so the island merge must yield ONE maximal span per doc, not many
+    long = " ".join(f"w{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, f"preamble {long} postamble"), (2, f"{long} coda")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    rows = spans.collect()
+    assert len(rows) == 2
+    m = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
+    assert m[1] == (1, 31) and m[2] == (0, 30)
+
+
+def test_strip_duplicate_spans_removes_exactly_the_spans(spark):
+    from sqlserver_pg_cdc_spark.operators.corpus import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, spans, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "one two three tail1 tail2"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "completely different ending here now"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("entirely unique")
+    assert out[4]["clean_text"] == "short doc"
+
+
+def test_duplicate_spans_matches_duckdb_oracle(spark, duck):
+    from sqlserver_pg_cdc_spark.operators.corpus import (
+        duplicate_spans,
+        duplicate_spans_sql,
+    )
+
+    docs = _span_docs(spark)
+    duck.register("documents", docs.toPandas())
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            duplicate_spans_sql("documents", "doc_id", "text", k=8, min_docs=2)
+        ).fetchall()
+    }
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2).collect()
+    }
+    assert got == want

@@ -301,3 +301,21 @@ def test_codec_queries_fan_out_before_python(spark):
         i_py = plan.find("MapInPandas")
         assert i_ex != -1, qname
         assert i_py != -1, qname
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["forecast_revenue_change", "supplier_part_variety", "promo_part_suppliers",
+     "duplicate_spans"],
+)
+def test_round6_tpch_and_spans_no_cartesian_no_python(spark, qname):
+    m = _metrics(spark, qname)
+    assert m.python_evals == 0
+    assert not m.has_cartesian, m.joins
+
+
+def test_forecast_revenue_filters_reach_the_scan(spark):
+    """Q6 is THE pushdown query: the date range must reach the parquet
+    scan as pushed filters."""
+    m = _metrics(spark, "forecast_revenue_change")
+    assert m.pushed_filters > 0, m.scans

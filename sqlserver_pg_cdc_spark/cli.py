@@ -91,6 +91,14 @@ def create_parser() -> argparse.ArgumentParser:
     corpus.add_argument("--output", required=True,
                         help="write the keep-list parquet here")
     corpus.add_argument("--stats-out", help="write run stats JSON here")
+    corpus.add_argument("--substring", action="store_true",
+                        help="exact-substring span dedup instead of "
+                             "document dedup: strip maximal k-token "
+                             "spans recurring across documents")
+    corpus.add_argument("--span-tokens", type=int, default=16,
+                        help="window size (k) for --substring")
+    corpus.add_argument("--min-docs", type=int, default=2,
+                        help="distinct-document threshold for --substring")
 
     decontam = sub.add_parser(
         "decontam",
@@ -146,6 +154,31 @@ def create_parser() -> argparse.ArgumentParser:
                              "sketch estimates to --output")
     sketch.add_argument("--output",
                         help="estimates parquet (requires --estimate)")
+
+    ann = sub.add_parser(
+        "ann",
+        help="maintain a streaming ANN index (hyperplane band keys, "
+             "hash-partitioned state) and run near-dup queries against it",
+    )
+    ann.add_argument("--state-dir", required=True,
+                     help="persisted index (created on first run; "
+                          "subsequent ingests upsert only touched "
+                          "partitions)")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--ingest", help="parquet of vectors to upsert")
+    ann.add_argument("--lsn", type=int,
+                     help="ordering stamp for this ingest (default: "
+                          "one past the stored maximum)")
+    ann.add_argument("--query",
+                     help="parquet of probe vectors: write near-dups "
+                          "(a=probe, b=indexed, cosine) to --output")
+    ann.add_argument("--threshold", type=float, default=0.9)
+    ann.add_argument("--output", help="near-dup parquet (requires --query)")
+    ann.add_argument("--partitions", type=int, default=32)
+    ann.add_argument("--bands", type=int, default=8)
+    ann.add_argument("--planes-per-band", type=int, default=10)
+    ann.add_argument("--dim", type=int, default=64)
     return p
 
 
@@ -414,6 +447,49 @@ def cmd_corpus(args) -> int:
 
     spark = get_spark("corpus-dedup-cli")
     docs = spark.read.parquet(args.input)
+    if getattr(args, "substring", False):
+        # exact-substring mode: strip recurring k-token spans from every
+        # document instead of dropping whole near-dup documents
+        from sqlserver_pg_cdc_spark.operators.corpus import (
+            duplicate_spans,
+            strip_duplicate_spans,
+        )
+
+        spans = duplicate_spans(
+            docs, args.id_col, args.text_col,
+            k=args.span_tokens, min_docs=args.min_docs,
+        )
+        cleaned = strip_duplicate_spans(docs, spans, args.id_col, args.text_col)
+        out = (
+            docs.drop(args.text_col)
+            .join(
+                cleaned.select(
+                    args.id_col,
+                    F.col("clean_text").alias(args.text_col),
+                    "n_tokens",
+                    "n_removed",
+                ),
+                args.id_col,
+            )
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_removed").alias("removed"),
+        ).collect()[0]
+        stats = {
+            "input_docs": int(agg["docs"]),
+            "total_tokens": int(agg["tokens"] or 0),
+            "removed_tokens": int(agg["removed"] or 0),
+            "span_tokens": args.span_tokens,
+            "min_docs": args.min_docs,
+        }
+        print(json.dumps(stats))
+        if args.stats_out:
+            with open(args.stats_out, "w") as f:
+                json.dump(stats, f)
+        return 0
     pairs = minhash_jaccard_verified_pairs(
         docs, args.id_col, args.text_col, threshold=args.threshold
     )
@@ -543,6 +619,49 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Maintain the streaming ANN index: upsert an ingest batch (only
+    touched partitions rewrite; re-ingested ids atomically replace
+    their band keys), then optionally run a near-dup probe against the
+    current index state."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+
+    spark = get_spark("ann-cli")
+    sink = AnnIndexSink(
+        spark, args.state_dir, args.id_col, args.vec_col,
+        bands=args.bands, planes_per_band=args.planes_per_band,
+        dim=args.dim, n_partitions=args.partitions,
+    )
+    if args.ingest:
+        lsn = args.lsn
+        if lsn is None:
+            st = sink.read_target()
+            lsn = 0 if st is None else (
+                (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+            )
+        sink(spark.read.parquet(args.ingest), int(lsn))
+    vecs = sink.vectors()
+    result = {
+        "state_dir": args.state_dir,
+        "indexed_vectors": vecs.count() if vecs is not None else 0,
+    }
+    if args.query:
+        if not args.output:
+            raise SystemExit("--query requires --output")
+        pairs = sink.near_dups(
+            spark.read.parquet(args.query), threshold=args.threshold
+        )
+        if pairs is None:
+            raise SystemExit("index is empty: ingest before querying")
+        pairs.write.mode("overwrite").parquet(args.output)
+        result["near_dup_pairs"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -561,6 +680,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_rollup(args)
     if args.command == "sketch":
         return cmd_sketch(args)
+    if args.command == "ann":
+        return cmd_ann(args)
     return 2
 
 

@@ -326,13 +326,18 @@ def test_duplicate_spans_matches_duckdb_oracle(spark, duck):
     )
 
     docs = _span_docs(spark)
-    duck.register("documents", docs.toPandas())
-    want = {
-        tuple(r)
-        for r in duck.execute(
-            duplicate_spans_sql("documents", "doc_id", "text", k=8, min_docs=2)
-        ).fetchall()
-    }
+    # session-scoped duck connection: never shadow the fixture views
+    # (registering as "documents" would break every later oracle test)
+    duck.register("span_docs_frame", docs.toPandas())
+    try:
+        want = {
+            tuple(r)
+            for r in duck.execute(
+                duplicate_spans_sql("span_docs_frame", "doc_id", "text", k=8, min_docs=2)
+            ).fetchall()
+        }
+    finally:
+        duck.unregister("span_docs_frame")
     got = {
         (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
         for r in duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2).collect()

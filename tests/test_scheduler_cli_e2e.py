@@ -634,3 +634,81 @@ def test_cli_stream_partitioned_target(tmp_path):
     r2 = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert _json.loads(r2.stdout.strip().splitlines()[-1])["applied_target_rows"] == 20
+
+
+def test_cli_corpus_substring_dedup(tmp_path):
+    """`corpus --substring`: recurring k-token spans are stripped from
+    every document; unique text survives; stats JSON reports removal."""
+    import json as _json
+
+    import duckdb as _duck
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+            (1, 'front matter {shared} closing words one'),
+            (2, '{shared} something else entirely here'),
+            (3, 'totally unique text with nothing shared at all')
+        ) AS t(doc_id, text)) TO '{tmp_path}/docs.parquet' (FORMAT PARQUET)
+    """)
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "corpus",
+        "--input", str(tmp_path / "docs.parquet"),
+        "--output", str(tmp_path / "out"),
+        "--substring", "--span-tokens", "8", "--min-docs", "2",
+    ]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["input_docs"] == 3 and stats["removed_tokens"] == 24
+    rows = {r2[0]: r2[1] for r2 in con.execute(
+        f"SELECT doc_id, text FROM '{tmp_path}/out/*.parquet'").fetchall()}
+    assert rows[1] == "front matter closing words one"
+    assert rows[2] == "something else entirely here"
+    assert rows[3].startswith("totally unique")
+
+
+def test_cli_ann_ingest_and_query(tmp_path):
+    """`ann`: two ingests build the partitioned index incrementally; a
+    probe of exact copies finds its sources at cosine 1."""
+    import json as _json
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def write_vecs(path, id_pairs):
+        # (stored_id, source_id): the vector is a function of source_id,
+        # so a probe row (1001, 1) is an exact copy of indexed vector 1
+        vals = ", ".join(
+            f"({sid}, [{', '.join(str(float((src * 31 + j * 7) % 13) - 6.0) for j in range(8))}])"
+            for sid, src in id_pairs
+        )
+        con.execute(f"COPY (SELECT * FROM (VALUES {vals}) AS t(vec_id, embedding)) TO '{path}' (FORMAT PARQUET)")
+
+    write_vecs(tmp_path / "a.parquet", [(i, i) for i in range(0, 15)])
+    write_vecs(tmp_path / "b.parquet", [(i, i) for i in range(15, 30)])
+    write_vecs(tmp_path / "probe.parquet", [(1001, 1), (1017, 17)])
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+        "--state-dir", str(tmp_path / "state"),
+        "--bands", "4", "--planes-per-band", "4", "--dim", "8",
+        "--partitions", "8",
+    ]
+    r1 = subprocess.run(base + ["--ingest", str(tmp_path / "a.parquet")],
+                        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert _json.loads(r1.stdout.strip().splitlines()[-1])["indexed_vectors"] == 15
+    r2 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b.parquet"),
+                "--query", str(tmp_path / "probe.parquet"),
+                "--threshold", "0.99",
+                "--output", str(tmp_path / "pairs")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out["indexed_vectors"] == 30
+    pairs = con.execute(f"SELECT a, b, cosine FROM '{tmp_path}/pairs/*.parquet'").fetchall()
+    found = {(a, b) for a, b, c in pairs if c > 0.9999}
+    assert (1001, 1) in found and (1017, 17) in found

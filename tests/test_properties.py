@@ -701,3 +701,66 @@ def test_flac_roundtrip_is_exactly_lossless(n, kind, amp, period, block, seed):
     assert r is not None
     rate, out = r
     assert rate == 8000 and np.array_equal(out, sig)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10**6), k=st.integers(3, 6), n_docs=st.integers(2, 8))
+def test_duplicate_spans_invariants(spark, seed, k, n_docs):
+    """Any corpus: spans are disjoint per doc, at least k tokens long,
+    inside the doc's token range; every flagged window really does
+    recur in >= 2 distinct docs; and the strip step removes exactly
+    the spanned token count."""
+    import random
+
+    from sqlserver_pg_cdc_spark.operators.corpus import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> real collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=k, min_docs=2).collect()
+    toks = {i: t.split() for i, t in docs}
+    per_doc: dict = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    win_sets: dict = {}
+    for i, tk in toks.items():
+        win_sets[i] = {
+            " ".join(tk[j : j + k]) for j in range(len(tk) - k + 1)
+        }
+    for doc_id, sp in per_doc.items():
+        sp.sort()
+        tk = toks[doc_id]
+        prev_end = -1
+        for start, end, nwin in sp:
+            assert 0 <= start < end <= len(tk)
+            assert end - start >= k
+            assert start > prev_end  # disjoint maximal spans
+            prev_end = end
+            # the first window of the span must recur in another doc
+            w = " ".join(tk[start : start + k])
+            assert any(w in win_sets[o] for o in win_sets if o != doc_id)
+    stripped = strip_duplicate_spans(
+        df, spark.createDataFrame(
+            [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans]
+            or [(None, None, None)],
+            "doc_id long, span_start long, span_end long",
+        ).filter(F.col("doc_id").isNotNull()),
+        "doc_id", "text",
+    ).collect()
+    spanned = {
+        d: sum(e - s for s, e, _ in sp) for d, sp in per_doc.items()
+    }
+    for r in stripped:
+        assert r["n_removed"] == spanned.get(r["doc_id"], 0)
+        assert r["n_tokens"] == len(toks[r["doc_id"]])

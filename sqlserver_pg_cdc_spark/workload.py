@@ -1177,6 +1177,36 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 """
 
 
+def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history + LSN time travel, oracle-checked (the versioned-CDC
+    family's first value-hash contract — previously pytest-only): the
+    event change stream applies through `streaming/scd2.scd2_apply` in
+    TWO batches split by LSN parity (cross-batch validity-chain closure
+    exercised), then `as_of_lsn` reconstructs the table as it stood at
+    the stream's midpoint LSN. The oracle recomputes the snapshot
+    relationally: latest change per key at lsn <= midpoint, deletes
+    excluded — the equivalence that makes interval surgery correct."""
+    from sqlserver_pg_cdc_spark.streaming.scd2 import as_of_lsn, scd2_apply
+
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    hist = scd2_apply(None, ev.filter(F.col("lsn") % 2 == 0), ["user_id"])
+    hist = scd2_apply(hist, ev.filter(F.col("lsn") % 2 == 1), ["user_id"])
+    mid = ev.agg((F.max("lsn") / 2).cast("long")).collect()[0][0] or 0
+    return as_of_lsn(hist, int(mid)).select("user_id", "ts", "value")
+
+
+_Q_SCD2_TIME_TRAVEL_SQL = f"""
+WITH ev AS ({_CDC_EVENTS_SQL}),
+mid AS (SELECT CAST(max(lsn) // 2 AS BIGINT) AS l FROM ev)
+SELECT user_id, ts, value
+FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY lsn DESC) AS rn
+    FROM ev, mid WHERE ev.lsn <= mid.l
+) WHERE rn = 1 AND op <> 'd'
+"""
+
+
 def q_checksum_ordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: order-sensitive SHA-256 digest, hierarchical form — per
     PK-range-bucket ordered folds (distributed, bounded collects) then a
@@ -4452,6 +4482,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
+        "scd2_time_travel": QuerySpec(q_scd2_time_travel, _Q_SCD2_TIME_TRAVEL_SQL),
         "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
         "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, _PII_UDF_SQL),
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
@@ -4799,6 +4830,7 @@ _DRIVER_WINDOW_FIRST = [
     "supplier_part_variety",  # NEW this round (TPC-H Q16 adapted)
     "promo_part_suppliers",  # NEW this round (TPC-H Q20 adapted)
     "duplicate_spans",  # NEW this round (exact-substring dedup spans)
+    "scd2_time_travel",  # NEW this round (SCD2 as-of snapshot, first oracle)
     "multimodal_video_frames",  # contract CHANGED this round
     # last driver row: round 3
     "dedup_incremental",

@@ -764,3 +764,46 @@ def test_duplicate_spans_invariants(spark, seed, k, n_docs):
     for r in stripped:
         assert r["n_removed"] == spanned.get(r["doc_id"], 0)
         assert r["n_tokens"] == len(toks[r["doc_id"]])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(2, 12),
+    rows=st.integers(0, 400),
+    dup_every=st.integers(0, 5),
+    seed=st.integers(0, 10**6),
+)
+def test_quantile_buckets_invariants(spark, n, rows, dup_every, seed):
+    """Any data, any n: buckets are in [1, n], monotone in the value
+    (sorting by value never decreases the bucket), equal values share a
+    bucket, NULLs get NULL, and non-null rows are all assigned."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.quality import quantile_buckets
+
+    rng = random.Random(seed)
+    data = []
+    for i in range(rows):
+        if i % 7 == 3:
+            data.append((i, None))
+        elif dup_every and i % (dup_every + 1) == 0:
+            data.append((i, 42.0))  # heavy ties
+        else:
+            data.append((i, rng.uniform(-1e6, 1e6)))
+    df = spark.createDataFrame(data or [(0, None)], "id long, v double")
+    got = quantile_buckets(df, "v", n).collect()
+    by_val = sorted((r for r in got if r["v"] is not None), key=lambda r: r["v"])
+    prev_bucket = 0
+    val_bucket = {}
+    for r in by_val:
+        b = r["bucket"]
+        assert b is not None and 1 <= b <= n
+        assert b >= prev_bucket  # monotone in the value
+        prev_bucket = b
+        if r["v"] in val_bucket:
+            assert val_bucket[r["v"]] == b  # ties stay together
+        val_bucket[r["v"]] = b
+    for r in got:
+        assert (r["v"] is None) == (r["bucket"] is None)

@@ -188,6 +188,7 @@ SWEEP_QUERIES = {
         "multimodal_image_decode",
         "multimodal_png_decode",
         "multimodal_audio_frames",
+        "multimodal_resize",
     ]
 }
 

@@ -2406,6 +2406,69 @@ FROM px
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize, oracle-checked end to end:
+    each document's deterministic-pattern BMP (same pixel formula as
+    `multimodal_image_decode`) resizes to a fixed 7x5 grid through the
+    numpy index-map path (`resize_images`), and the resized payload is
+    then DECODED again — the oracle recomputes the sampled pixel sum
+    analytically from the floor(i*src/dst) index map, so the sampling
+    grid, BMP re-encode, and re-decode are all value-hash-verified.
+    Corrupt classes (doc_id%13 in 5,9) surface as NULL rows through
+    both steps."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        resize_images,
+    )
+
+    # documents is a single parquet split at bench scale — repartition
+    # for 32-way decode (see the other codec queries)
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 1 + k % 16, 1 + k % 8
+                px = bytes((k * 31 + i * 7) % 256 for i in range(w * h * 3))
+                payloads.append(_mm_corrupt(encode_bmp(w, h, px), k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    resized = resize_images(enc, "doc_id", "payload", width=7, height=5)
+    return decode_images(resized, "doc_id", "payload", decoder="bmp")
+
+
+_MM_RESIZE_SQL = """
+WITH px AS (
+    SELECT d.doc_id,
+           sum((d.doc_id * 31
+                + ((((ty.i * (1 + d.doc_id % 8)) // 5) * (1 + d.doc_id % 16)
+                    + ((tx.i * (1 + d.doc_id % 16)) // 7)) * 3 + c.i) * 7) % 256
+           ) AS px_sum
+    FROM documents d
+    JOIN generate_series(0, 4) AS ty(i) ON true
+    JOIN generate_series(0, 6) AS tx(i) ON true
+    JOIN generate_series(0, 2) AS c(i) ON true
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(7 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(5 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(3 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(px_sum AS DOUBLE) / (7 * 5 * 3 * 255) END AS mean_pixel
+FROM px
+"""
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED image format, no codec library: each
     document is rendered to a deterministic PNG (dims/channels/pixels a
@@ -4729,6 +4792,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["multimodal_flac_frames"] = QuerySpec(
         q_multimodal_flac_frames, _MM_FLAC_FRAMES_SQL
     )
+    catalog["multimodal_resize"] = QuerySpec(
+        q_multimodal_resize, _MM_RESIZE_SQL
+    )
     catalog["multimodal_gif_decode"] = QuerySpec(
         q_multimodal_gif_decode, _MM_GIF_DECODE_SQL
     )
@@ -4831,6 +4897,7 @@ _DRIVER_WINDOW_FIRST = [
     "promo_part_suppliers",  # NEW this round (TPC-H Q20 adapted)
     "duplicate_spans",  # NEW this round (exact-substring dedup spans)
     "scd2_time_travel",  # NEW this round (SCD2 as-of snapshot, first oracle)
+    "multimodal_resize",  # NEW this round (resize grid oracle-checked)
     "multimodal_video_frames",  # contract CHANGED this round
     # last driver row: round 3
     "dedup_incremental",

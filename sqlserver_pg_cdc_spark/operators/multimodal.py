@@ -577,6 +577,18 @@ def _rice_cost(residuals: "np.ndarray", k: int) -> int:
     return int(np.sum((u >> k) + 1 + k))
 
 
+def _signed_bit_width(residuals: "np.ndarray") -> int:
+    """Smallest two's-complement width holding every residual
+    (-2^(w-1) <= r < 2^(w-1)). The caller must reject widths above the
+    5-bit escape field's max of 31 (int16 input at FIXED order <= 2
+    never exceeds 18)."""
+    mn, mx = int(residuals.min()), int(residuals.max())
+    return max(
+        mx.bit_length() + 1 if mx > 0 else 1,
+        (-mn - 1).bit_length() + 1 if mn < 0 else 1,
+    )
+
+
 def _rice_encode_bits(u: "np.ndarray", k: int) -> "np.ndarray":
     """Vectorized Rice stream for one partition: 0/1 uint8 bit array of
     every code (q zeros, a one, k low bits) — no per-sample Python."""
@@ -684,7 +696,11 @@ def encode_flac(sample_rate: int, samples: "np.ndarray | list[int]",
         for b in hdr_bytes:
             frame.write(b, 8)
         frame.write(_crc8(hdr_bytes), 8)
-        # choose the cheapest subframe form by exact bit cost
+        # choose the cheapest subframe form by exact bit cost; residual
+        # coding per order is the cheaper of best-k Rice and the escape
+        # partition (raw signed values at their actual bit width — FIXED
+        # order-1/2 residuals of int16 input can need up to 18 bits, so
+        # the width is derived from the residual range, never assumed 16)
         best = ("verbatim", None, None, 16 * nb)
         if np.all(blk == blk[0]):
             best = ("constant", None, None, 16)
@@ -697,9 +713,14 @@ def encode_flac(sample_rate: int, samples: "np.ndarray | list[int]",
                     res = np.diff(res)
                 ks = [(k, _rice_cost(res, k)) for k in range(15)]
                 k, cost = min(ks, key=lambda t: t[1])
+                coding = ("rice", k)
+                width = _signed_bit_width(res)
+                esc_cost = 5 + width * len(res)  # 5-bit raw width + values
+                if width <= 31 and esc_cost < cost:
+                    cost, coding = esc_cost, ("esc", width)
                 cost += 16 * order + 2 + 4 + 4  # warmup + method + partorder + param
                 if cost < best[3]:
-                    best = ("fixed", order, (k, res), cost)
+                    best = ("fixed", order, (coding, res), cost)
         kind = best[0]
         if kind == "constant":
             frame.write(0b000000, 6 + 1)  # pad bit 0 + type CONSTANT
@@ -712,22 +733,23 @@ def encode_flac(sample_rate: int, samples: "np.ndarray | list[int]",
                 frame.write(int(v) & 0xFFFF, 16)
         else:
             order = best[1]
-            k, res = best[2]
+            (method, param), res = best[2]
             frame.write(0b001000 | order, 7)
             frame.write(0, 1)
             for v in blk[:order]:
                 frame.write(int(v) & 0xFFFF, 16)
             frame.write(0b00, 2)  # rice method 0 (4-bit params)
             frame.write(0, 4)     # partition order 0
-            u = (res << 1) ^ (res >> 63)
-            if _rice_cost(res, k) > 5 + 16 * len(res):
+            if method == "esc":
                 frame.write(0b1111, 4)   # escape partition
-                frame.write(16, 5)
+                frame.write(param, 5)    # raw bit width (from residual range)
+                mask = (1 << param) - 1
                 for v in res:
-                    frame.write(int(v) & 0xFFFF, 16)
+                    frame.write(int(v) & mask, param)
             else:
-                frame.write(k, 4)
-                frame.write_bit_array(_rice_encode_bits(u.astype(np.int64), k))
+                u = (res << 1) ^ (res >> 63)
+                frame.write(param, 4)
+                frame.write_bit_array(_rice_encode_bits(u.astype(np.int64), param))
         frame.align()
         fb = bytes(frame.out)
         out += fb + _crc16(fb).to_bytes(2, "big")

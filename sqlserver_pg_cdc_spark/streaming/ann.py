@@ -74,6 +74,58 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         self.seed = seed
         self.deleted_col = deleted_col
 
+    _PARAMS_FILE = "__ann_params.json"
+
+    def _params(self) -> dict:
+        return {
+            "bands": self.bands,
+            "planes_per_band": self.planes_per_band,
+            "dim": self.dim,
+            "seed": self.seed,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        """The LSH parameters are baked into the STORED band keys: state
+        written with one (bands, planes_per_band, dim, seed) probed with
+        another silently returns wrong/empty candidates. Record them in
+        the state dir on first write and fail fast on mismatch at open —
+        the same discipline the layout marker applies to n_partitions."""
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    k: {"stored": stored.get(k), "sink": v}
+                    for k, v in mine.items()
+                    if stored.get(k) != v
+                }
+                raise ValueError(
+                    f"ANN state at {self.target_dir} was built with "
+                    f"different LSH parameters than this sink: {diff} — "
+                    "probing it would hash with mismatched hyperplanes; "
+                    "open it with the recorded parameters or rebuild"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"ANN state at {self.target_dir} holds partitions but no "
+                f"{self._PARAMS_FILE} — its LSH parameters are unknown; "
+                "rebuild the state (pre-metadata state cannot be safely "
+                "probed)"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         from sqlserver_pg_cdc_spark.functions.vectors import norm
         from sqlserver_pg_cdc_spark.operators.similarity import (
@@ -123,11 +175,16 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
         super().__call__(self._project(batch_df, batch_id), batch_id)
 
     # -- query surface ------------------------------------------------------
 
     def _live_state(self) -> DataFrame | None:
+        self._check_params()
         st = self.read_target()
         if st is None:
             return None

@@ -390,6 +390,20 @@ class HashPartitionedStateMixin:
                 "silently ignore it — use the non-partitioned sink for "
                 "this state, or migrate it into part_NNNNN/ subdirectories"
             )
+        # Markerless state that already holds part_* dirs cannot be
+        # adopted: the marker is written BEFORE the first partition dir
+        # is ever created, so its absence means the dirs were built by
+        # something else (or the marker was deleted) and their
+        # n_partitions is unknowable — stamping the CURRENT count could
+        # mis-assign keys so one key lives in two partitions.
+        if self._existing_parts():
+            raise ValueError(
+                f"state dir {self.target_dir} holds part_* directories "
+                "but no __layout.json marker — its partition count is "
+                "unknown and adopting it could split keys across "
+                "partitions; restore the marker (with the count the "
+                "state was built with) or rebuild the state"
+            )
         if create:
             with open(marker, "w") as f:
                 json.dump({"n_partitions": self.n_partitions}, f)

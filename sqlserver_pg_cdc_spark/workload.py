@@ -814,7 +814,7 @@ GROUP BY p_brand, p_type, p_size
 
 def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 adapted (lineitem volume stands in for partsupp
-    availability): suppliers who shipped more than 100 units of any
+    availability): suppliers who shipped more than 45 units of any
     PROMO part during 1996, with their nation — the nested semi-join
     chain (part -> per-(part,supplier) volume -> supplier -> nation)
     that Q20 exists to exercise, kept as semi-joins so no duplicate
@@ -2236,6 +2236,32 @@ def _embedding_incremental_sql() -> str:
     )
 
 
+_ANN_STREAMED_WORK: dict[str, str] = {}
+
+
+def _ann_streamed_workdir(sf_dir: str) -> str:
+    """One ANN-state work dir per (process, sf_dir), wiped clean on
+    every invocation and removed at interpreter exit — repeated bench
+    passes must not accumulate state dirs in the temp filesystem."""
+    import atexit
+    import os
+    import shutil as _sh
+    import tempfile
+
+    work = _ANN_STREAMED_WORK.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="ann_streamed_q_")
+        _ANN_STREAMED_WORK[sf_dir] = work
+        atexit.register(_sh.rmtree, work, ignore_errors=True)
+    else:
+        # deterministic rebuild: each invocation drives the sink from an
+        # empty state (LSN-guarded replay over prior state would also
+        # converge, but an empty start keeps the measured work honest)
+        for n in os.listdir(work):
+            _sh.rmtree(os.path.join(work, n), ignore_errors=True)
+    return work
+
+
 def q_embedding_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search against the STREAMING-maintained ANN index
     (`streaming/ann.AnnIndexSink`): the corpus arrives as three ingest
@@ -2245,12 +2271,11 @@ def q_embedding_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch recompute — streamed index == one-shot index is the sink's
     pytest-pinned contract, and this query keeps it oracle-green."""
     import os as _os
-    import tempfile
 
     from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    work = tempfile.mkdtemp(prefix="ann_streamed_q_")
+    work = _ann_streamed_workdir(sf_dir)
     # 4x8 banding: exact-copy probes collide in EVERY band regardless of
     # width, and parity needs only that both engines use the same planes
     # — the narrower index keeps this contract query bench-light

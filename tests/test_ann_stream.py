@@ -153,3 +153,35 @@ def test_cdc_deletes_drop_from_index_and_lsn_guard_holds(spark, tmp_path):
     sink(ch(spark, [(3, vec(3, bump=1.0), 200, "false")]), 3)
     back = sink.vectors().filter(F.col("vec_id") == 3).collect()
     assert len(back) == 1 and back[0]["embedding"][0] == vec(3, bump=1.0)[0]
+
+
+def test_param_mismatch_fails_fast(spark, tmp_path):
+    """State built with one LSH parameterization must refuse probes and
+    writes from a sink configured differently — the band keys baked into
+    the state are meaningless under other hyperplanes."""
+    sink = _sink(spark, tmp_path, bands=4)
+    sink(_vecs(spark, range(10)), 0)
+
+    wrong = _sink(spark, tmp_path, bands=8)
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        wrong.index()
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        wrong(_vecs(spark, [11]), 1)
+    wrong_seed = _sink(spark, tmp_path, seed="other")
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        wrong_seed.near_dups(_vecs(spark, [12]))
+
+    # matching params keep working
+    same = _sink(spark, tmp_path)
+    assert same.index().count() == 10 * 4
+
+
+def test_params_file_missing_fails_fast(spark, tmp_path):
+    """Partitioned ANN state without its __ann_params.json cannot be
+    safely probed (parameters unknowable) — fail, don't guess."""
+    sink = _sink(spark, tmp_path)
+    sink(_vecs(spark, range(5)), 0)
+    os.remove(os.path.join(sink.target_dir, sink._PARAMS_FILE))
+    fresh = _sink(spark, tmp_path)
+    with pytest.raises(ValueError, match="no __ann_params.json"):
+        fresh.index()

@@ -522,3 +522,17 @@ def test_partitioned_upsert_end_to_end_pipeline(spark, tmp_path):
     assert st[2] == ("bob", 20.0, "true")
     active = {r["id"] for r in p.active_rows().collect()}
     assert active == {1}
+
+
+def test_partitioned_upsert_rejects_markerless_partitioned_state(spark, tmp_path):
+    """part_* dirs without a __layout.json marker cannot be adopted —
+    their partition count is unknowable, and stamping the current count
+    could split a key across two partitions."""
+    part = _part_sink(spark, tmp_path, n=8)
+    part(_rows(spark, [(i, f"n{i}", float(i), i) for i in range(20)]), 0)
+    os.remove(str(tmp_path / "ptarget" / "__layout.json"))
+    fresh = _part_sink(spark, tmp_path, n=8)
+    with pytest.raises(ValueError, match="no __layout.json"):
+        fresh.read_target()
+    with pytest.raises(ValueError, match="no __layout.json"):
+        fresh(_rows(spark, [(1, "x", 1.0, 99)]), 1)

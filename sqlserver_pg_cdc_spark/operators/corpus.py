@@ -387,6 +387,48 @@ GROUP BY doc, island
 """
 
 
+def strip_duplicate_spans_sql(
+    table: str, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of the find->strip composition (duplicate_spans +
+    strip_duplicate_spans): the end-to-end path a Lee-et-al-style
+    pipeline actually runs, hash-pinned cross-engine."""
+    spans = duplicate_spans_sql(table, id_col, text_col, k, min_docs)
+    toks = TX.tokens_sql(text_col)
+    return f"""
+WITH spans AS ({spans}),
+toks AS (
+    SELECT doc, pos, tk[pos + 1] AS tok
+    FROM (
+        SELECT doc, tk, unnest(range(0, len(tk))) AS pos
+        FROM (SELECT {id_col} AS doc, {toks} AS tk FROM {table})
+    )
+),
+kept AS (
+    SELECT t.doc, t.pos, t.tok FROM toks t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.{id_col} = t.doc
+          AND t.pos >= s.span_start AND t.pos < s.span_end
+    )
+),
+rebuilt AS (
+    SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc
+),
+totals AS (SELECT doc, count(*) AS n_tokens FROM toks GROUP BY doc)
+SELECT d.{id_col},
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tt.n_tokens, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM (SELECT {id_col} FROM {table}) d
+LEFT JOIN totals tt ON tt.doc = d.{id_col}
+LEFT JOIN rebuilt r ON r.doc = d.{id_col}
+"""
+
+
 def strip_duplicate_spans(
     df: DataFrame, spans: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

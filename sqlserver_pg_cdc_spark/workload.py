@@ -1873,6 +1873,39 @@ def _duplicate_spans_sql() -> str:
     return CO.duplicate_spans_sql("documents", "doc_id", "text", k=8, min_docs=2)
 
 
+def q_duplicate_spans_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The find->strip composition of exact-substring dedup (the
+    operation Lee et al. pipelines actually run): locate duplicate
+    spans, rebuild every document with those token ranges removed, and
+    return (doc_id, md5 of the cleaned text, token counts) — the clean
+    text is hash-pinned cross-engine, not just the span coordinates.
+    The strip join keys on doc_id with the range predicate riding the
+    equi-join (no cartesian)."""
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = CO.duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    stripped = CO.strip_duplicate_spans(d, spans, "doc_id", "text")
+    return stripped.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
+def _duplicate_spans_stripped_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import corpus as CO
+
+    inner = CO.strip_duplicate_spans_sql(
+        "documents", "doc_id", "text", k=8, min_docs=2
+    )
+    return f"""
+SELECT doc_id, md5(clean_text) AS clean_hash, n_tokens, n_removed
+FROM ({inner})
+"""
+
+
 def _segment_dedup_sql() -> str:
     from sqlserver_pg_cdc_spark.operators import corpus as CO
 
@@ -3455,6 +3488,45 @@ GROUP BY quartile
 """
 
 
+def q_quantile_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for quantile bucketing, oracle-pinned per row:
+    `operators/quality.quantile_buckets` (one mergeable approx-percentile
+    aggregate for the cut points + one windowless codegen scan — no
+    global sort, no Window) assigns every order a totalprice quartile.
+
+    Cross-engine exactness is engineered, not hoped for: accuracy 1e6
+    makes Spark's Greenwald-Khanna sketch rank-exact at every fixture
+    scale (rank error <= N/accuracy < 1 up to sf0.1's 150k orders), and
+    quartile probabilities (i/4) are exact binary fractions, so the
+    boundary-rank arithmetic is fp-deterministic on both engines —
+    empirically verified against DuckDB quantile_disc across N in
+    1..1484 including N % 4 == 0 boundaries. The oracle mirrors the
+    construction: exact quantile cuts + the same strictly-greater
+    count-below assignment (NULLs get NULL buckets on both sides)."""
+    from sqlserver_pg_cdc_spark.operators.quality import quantile_buckets
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return quantile_buckets(
+        o, "o_totalprice", 4, relative_error=1e-6, bucket_col="bucket"
+    ).select("o_orderkey", "bucket")
+
+
+_Q_QUANTILE_BUCKETS_SQL = """
+WITH cuts AS (
+    SELECT quantile_disc(o_totalprice, 0.25) AS c1,
+           quantile_disc(o_totalprice, 0.50) AS c2,
+           quantile_disc(o_totalprice, 0.75) AS c3
+    FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            ELSE 1 + CAST(o_totalprice > c1 AS INT)
+                   + CAST(o_totalprice > c2 AS INT)
+                   + CAST(o_totalprice > c3 AS INT) END AS bucket
+FROM orders, cuts
+"""
+
+
 def q_order_lines_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per order, the SORTED array of its part
     keys plus line count — collect_list is unordered in both engines, so
@@ -4626,6 +4698,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "duplicate_spans": QuerySpec(
                 q_duplicate_spans, _duplicate_spans_sql()
             ),
+            "duplicate_spans_stripped": QuerySpec(
+                q_duplicate_spans_stripped, _duplicate_spans_stripped_sql()
+            ),
             "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),
             "dedup_select_canonical": QuerySpec(
                 q_dedup_select_canonical, _dedup_select_canonical_sql()
@@ -4844,6 +4919,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["order_outliers"] = QuerySpec(q_order_outliers, _order_outliers_sql())
     catalog["balance_quartiles"] = QuerySpec(
         q_balance_quartiles, _Q_BALANCE_QUARTILES_SQL
+    )
+    catalog["quantile_buckets_orders"] = QuerySpec(
+        q_quantile_buckets_orders, _Q_QUANTILE_BUCKETS_SQL
     )
     catalog["user_series_correlation"] = QuerySpec(
         q_user_series_correlation, _user_series_correlation_sql()

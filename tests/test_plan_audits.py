@@ -319,3 +319,23 @@ def test_forecast_revenue_filters_reach_the_scan(spark):
     scan as pushed filters."""
     m = _metrics(spark, "forecast_revenue_change")
     assert m.pushed_filters > 0, m.scans
+
+
+def test_duplicate_spans_stripped_range_rides_equi_join(spark):
+    """The strip step's span-range predicate must ride the doc-keyed
+    equi-join (semi-join per doc, spans-per-doc bounded) — never a
+    cartesian — and the whole find->strip plan stays JVM-side."""
+    m = _metrics(spark, "duplicate_spans_stripped")
+    assert not m.has_cartesian, m.joins
+    assert m.python_evals == 0
+
+
+def test_quantile_buckets_orders_no_window_no_sort(spark):
+    """The quantile-bucket scale path must stay one aggregate (sketch)
+    + one windowless assignment scan — never a global-sort NTILE."""
+    fn = workload.build_catalog(spark)["quantile_buckets_orders"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    m = _metrics(spark, "quantile_buckets_orders")
+    assert m.python_evals == 0

@@ -227,3 +227,131 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return {"before": before, "after": small_file_report(path, target_file_bytes)}
+
+
+# ---------------------------------------------------------------------------
+# Manifest-indirected layout: compaction with NO reader-visible gap
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST"
+
+
+def _manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, _MANIFEST)
+
+
+def _write_manifest(path: str, generation: str) -> None:
+    """Atomic manifest update: write-to-tmp + one os.rename (POSIX
+    rename replaces the target atomically) — a reader resolving the
+    manifest sees the old generation or the new one, never a missing or
+    half-written file."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(path, f".{_MANIFEST}_tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"generation": generation}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _manifest_path(path))
+
+
+def current_generation(path: str) -> str:
+    import json
+
+    with open(_manifest_path(path)) as f:
+        return json.load(f)["generation"]
+
+
+def write_manifested(df: DataFrame, path: str) -> str:
+    """Write (or fully replace) a manifested parquet table: data goes to
+    a fresh ``gen_<uuid>/`` under ``path``, then the ``_MANIFEST`` swings
+    to it in one atomic rename. Returns the generation name. The
+    PREVIOUS generation is kept (grace for in-flight readers that
+    resolved the manifest before the swap); generations older than that
+    are swept."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    gen = f"gen_{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, gen))
+    prev = None
+    if os.path.exists(_manifest_path(path)):
+        prev = current_generation(path)
+    _write_manifest(path, gen)
+    _sweep_generations(path, keep={gen, prev} if prev else {gen})
+    return gen
+
+
+def read_manifested(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the manifest once and read that generation. The returned
+    DataFrame keeps reading the SAME generation even if a compaction
+    swaps the manifest mid-query — the one-generation grace window in
+    the writers guarantees its files outlive any reasonable scan."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, current_generation(path)))
+
+
+def _sweep_generations(path: str, keep: set) -> None:
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(path, "gen_*")):
+        if os.path.basename(d) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def compact_manifested(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """`compact()` without the reader-visible instant: the rewrite lands
+    in a NEW generation directory, is verified (row count) while the
+    manifest still points at the old one, then the manifest swings in
+    one atomic rename. A concurrent reader observes either generation —
+    never a missing directory, never partial data. The superseded
+    generation survives one more compaction cycle (grace for readers
+    that resolved the manifest just before the swap), then is swept;
+    a crash at ANY point leaves a readable table (stranded unreferenced
+    generations are garbage-collected by the next successful swap).
+
+    This closes the documented `compact()` caveat (SCALE.md): two
+    sequential renames on the live directory briefly expose a missing
+    path; one rename on a 50-byte manifest does not."""
+    import os
+    import shutil
+    import uuid
+
+    cur = current_generation(path)
+    cur_dir = os.path.join(path, cur)
+    before = small_file_report(cur_dir, target_file_bytes)
+    df = spark.read.parquet(cur_dir)
+    n_rows = df.count()
+    n = max(1, round(before["total_bytes"] / target_file_bytes))
+    out = df.repartitionByRange(n, *sort_cols) if sort_cols else df.coalesce(n)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    gen = f"gen_{uuid.uuid4().hex[:12]}"
+    gen_dir = os.path.join(path, gen)
+    out.write.mode("overwrite").parquet(gen_dir)
+    if spark.read.parquet(gen_dir).count() != n_rows:
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_manifested: rewritten generation {gen} did not read "
+            f"back with {n_rows} rows; manifest untouched"
+        )
+    _write_manifest(path, gen)
+    _sweep_generations(path, keep={gen, cur})
+    return {
+        "before": before,
+        "after": small_file_report(gen_dir, target_file_bytes),
+        "generation": gen,
+    }

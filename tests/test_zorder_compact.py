@@ -135,3 +135,74 @@ def test_compact_with_sort_improves_spans(spark, tmp_path):
     # spans must sum to ~the full span (disjoint), not n_files * full
     total = sum(s["user_id"][1] - s["user_id"][0] for s in spans)
     assert total <= full * 1.5, (total, full, len(spans))
+
+
+# --- manifest-indirected compaction -----------------------------------------
+
+
+def test_manifested_write_read_roundtrip(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.sources import layout as L
+
+    path = str(tmp_path / "mtab")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    gen = L.write_manifested(df, path)
+    assert L.current_generation(path) == gen
+    got = L.read_manifested(spark, path)
+    assert got.count() == 1000
+    assert {r["v"] for r in got.filter("id < 3").collect()} == {0, 2, 4}
+
+
+def test_manifested_compact_no_reader_gap(spark, tmp_path):
+    """A reader that resolved the manifest BEFORE the compaction swap
+    must still read its generation completely AFTER the swap (the
+    one-generation grace window), and a reader resolving after sees the
+    compacted generation — at no instant is the table path missing."""
+    import os
+
+    from sqlserver_pg_cdc_spark.sources import layout as L
+
+    path = str(tmp_path / "mtab")
+    df = spark.range(5000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    L.write_manifested(df.repartition(20), path)
+
+    # reader A resolves the manifest now (pre-compaction)
+    gen_a = L.current_generation(path)
+    pre_df = spark.read.parquet(os.path.join(path, gen_a))
+
+    rep = L.compact_manifested(spark, path, target_file_bytes=1 << 30)
+    assert rep["after"]["n_files"] < rep["before"]["n_files"]
+
+    # post-swap: reader A's generation is still fully on disk
+    assert pre_df.count() == 5000
+    assert os.path.isdir(os.path.join(path, gen_a))
+    # reader B resolves fresh and sees the compacted generation
+    gen_b = L.current_generation(path)
+    assert gen_b != gen_a
+    assert L.read_manifested(spark, path).count() == 5000
+
+    # a second compaction sweeps generation A (grace = one cycle)
+    L.compact_manifested(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.isdir(os.path.join(path, gen_a))
+
+
+def test_manifested_compact_crash_leaves_readable_table(spark, tmp_path):
+    """A stranded generation with no manifest swing (crash between the
+    generation write and the manifest rename) must not disturb readers
+    and is swept by the next successful swap."""
+    import os
+
+    from sqlserver_pg_cdc_spark.sources import layout as L
+
+    path = str(tmp_path / "mtab")
+    L.write_manifested(spark.range(100).selectExpr("id"), path)
+    gen0 = L.current_generation(path)
+    # simulate the crash artifact: an unreferenced generation
+    stranded = os.path.join(path, "gen_deadbeef0000")
+    spark.range(5).write.parquet(stranded)
+    assert L.read_manifested(spark, path).count() == 100  # undisturbed
+    L.compact_manifested(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.isdir(stranded)  # GC'd by the swap's sweep
+    assert L.read_manifested(spark, path).count() == 100
+    # row-count verification failure leaves the manifest untouched
+    gen_now = L.current_generation(path)
+    assert gen_now != gen0 and L.read_manifested(spark, path).count() == 100

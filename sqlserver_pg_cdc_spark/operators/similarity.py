@@ -232,6 +232,35 @@ def train_ivf_centroids(
     return cents.select("cell_id", "cv", norm("cv").alias("cn"))
 
 
+def _cell_argmax_expr(cents: list) -> str:
+    """Max-cosine cell id over ``__v``/``__vn`` columns as ONE
+    JVM-parsed literal expression (the py4j-literal-expression-cost
+    pattern, see _bucket_expr): no k-way row blowup, no shuffle, no
+    window. ``cents`` are collected (cell_id, cv, cn) rows sorted by
+    cell_id; the fold keeps the FIRST max, matching the
+    (cc DESC, cell_id ASC) window tiebreak."""
+    cell_structs = []
+    for r in cents:
+        # NOTE perf: an unrolled 0.0D + v[0]*c0 + ... form was tried and
+        # MEASURED SLOWER (4.0s vs 1.8s steady at sf0.1) — the 16x64-term
+        # tree defeats whole-stage codegen; the HOF fold stays.
+        lits = ", ".join(f"{float(x)!r}D" for x in r["cv"])
+        d = (
+            f"aggregate(zip_with(__v, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        cc = f"({d} / (__vn * {float(r['cn'])!r}D))"
+        cell_structs.append(
+            f"named_struct('cc', {cc}, 'cell', {int(r['cell_id'])})"
+        )
+    return (
+        f"aggregate(slice(array({', '.join(cell_structs)}), 2, "
+        f"{len(cell_structs) - 1}), {cell_structs[0]}, "
+        "(acc, x) -> IF(x.cc > acc.cc, x, acc)).cell"
+    )
+
+
 def with_ivf_cell(
     vectors: DataFrame,
     id_col: str,
@@ -277,26 +306,7 @@ def with_ivf_cell(
             F.lit(None).cast("int").alias("cell_id"),
         ).limit(0)
         return assigned, centroids
-    cell_structs = []
-    for r in cents:
-        # NOTE perf: an unrolled 0.0D + v[0]*c0 + ... form was tried and
-        # MEASURED SLOWER (4.0s vs 1.8s steady at sf0.1) — the 16x64-term
-        # tree defeats whole-stage codegen; the HOF fold stays.
-        lits = ", ".join(f"{float(x)!r}D" for x in r["cv"])
-        d = (
-            f"aggregate(zip_with(__v, array({lits}), "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
-            "(acc, x) -> acc + x)"
-        )
-        cc = f"({d} / (__vn * {float(r['cn'])!r}D))"
-        cell_structs.append(
-            f"named_struct('cc', {cc}, 'cell', {int(r['cell_id'])})"
-        )
-    argmax = (
-        f"aggregate(slice(array({', '.join(cell_structs)}), 2, "
-        f"{len(cell_structs) - 1}), {cell_structs[0]}, "
-        "(acc, x) -> IF(x.cc > acc.cc, x, acc)).cell"
-    )
+    argmax = _cell_argmax_expr(cents)
     assigned = (
         vectors.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
@@ -320,13 +330,32 @@ def topk_ivf(
     """IVF search: assign corpus to cells once, probe each query's
     ``n_probe`` nearest cells, exact cosine within the probed candidates.
     Pass ``centroids`` from train_ivf_centroids for trained cells."""
+    assigned, centroids = with_ivf_cell(
+        vectors, id_col, vec_col, n_cells, centroids=centroids
+    )
+    return topk_ivf_assigned(
+        assigned, centroids, queries, id_col, vec_col, k=k, n_probe=n_probe
+    )
+
+
+def topk_ivf_assigned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The probe phase of IVF search against a PREBUILT cell-assigned
+    corpus ``(id, v, cell_id)`` — the path both the one-shot build and
+    the stream-maintained index (`streaming/ann.IvfIndexSink`) share:
+    each query ranks the centroids, fetches only its ``n_probe`` cells'
+    candidates, exact cosine within them."""
     from pyspark.sql import Window as W
 
     from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
 
-    assigned, centroids = with_ivf_cell(
-        vectors, id_col, vec_col, n_cells, centroids=centroids
-    )
     queries = queries.filter(F.col(vec_col).isNotNull())  # no direction
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm(vec_col).alias("qn"))

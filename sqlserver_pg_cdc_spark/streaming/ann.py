@@ -229,3 +229,190 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
             threshold=threshold, bands=self.bands,
             planes_per_band=self.planes_per_band, dim=self.dim, seed=self.seed,
         )
+
+
+class IvfIndexSink(PartitionedParquetUpsertSink):
+    """Streaming-maintained IVF index: cell assignments kept continuously
+    up to date from an embedding change stream through the same
+    hash-partitioned LSN-guarded upsert discipline as `AnnIndexSink`.
+
+    Centroids are FIXED PER EPOCH (collected once at sink construction
+    and recorded in the state dir's ``__ivf_params.json`` — reopening
+    with different centroids/columns fails fast): per batch, each vector
+    is assigned to its max-cosine cell by the same one-expression argmax
+    the batch build uses (`operators/similarity._cell_argmax_expr`), and
+    (doc, v, cell_id) upserts by doc, touching only the partitions the
+    batch hits. Search never needs a corpus rebuild:
+    ``topk(queries, ...)`` probes the streamed assignments through
+    `topk_ivf_assigned` — identical results to the one-shot `topk_ivf`
+    with the same centroids (pytest-pinned).
+
+    Centroid drift policy: under distribution drift, recall degrades
+    gracefully (assignments stay max-cosine vs the EPOCH's centroids;
+    the probe stays exact within probed cells). Re-training opens a new
+    epoch: train on the streamed ``vectors()``, build a NEW state dir,
+    swap consumers — the same generation discipline as table layouts.
+
+    ``deleted_col`` mirrors AnnIndexSink: soft deletes stay in state
+    under the LSN guard (a stale update cannot resurrect them) but are
+    excluded from ``assigned()``/``topk()``."""
+
+    _PARAMS_FILE = "__ivf_params.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        vec_col: str,
+        centroids,
+        lsn_col: str | None = None,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+        deleted_col: str | None = None,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        from sqlserver_pg_cdc_spark.operators.similarity import _cell_argmax_expr
+
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.src_lsn_col = lsn_col
+        self.deleted_col = deleted_col
+        if isinstance(centroids, DataFrame):
+            cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+            self._cents = [
+                (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cn"]))
+                for r in cents
+            ]
+        else:  # pre-collected [(cell_id, cv, cn), ...] (params reload)
+            self._cents = sorted(
+                (int(c), [float(x) for x in v], float(n)) for c, v, n in centroids
+            )
+        if not self._cents:
+            raise ValueError("IvfIndexSink needs at least one centroid")
+
+        self._argmax = _cell_argmax_expr(
+            [{"cell_id": c, "cv": v, "cn": n} for c, v, n in self._cents]
+        )
+
+    def _params(self) -> dict:
+        import hashlib
+        import json
+
+        blob = json.dumps(self._cents, sort_keys=True).encode()
+        return {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "n_cells": len(self._cents),
+            "centroids_sha256": hashlib.sha256(blob).hexdigest(),
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    k: {"stored": stored.get(k), "sink": v}
+                    for k, v in mine.items()
+                    if stored.get(k) != v
+                }
+                raise ValueError(
+                    f"IVF state at {self.target_dir} was built with a "
+                    f"different epoch than this sink: {diff} — probing "
+                    "it would mix cell spaces; reopen with the epoch's "
+                    "centroids or retrain into a new state dir"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"IVF state at {self.target_dir} holds partitions but no "
+                f"{self._PARAMS_FILE} — its centroid epoch is unknown; "
+                "rebuild the state"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        from sqlserver_pg_cdc_spark.functions.vectors import norm
+
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        cols = [
+            F.col(self.id_col).alias("doc"),
+            F.col("__v").alias("v"),
+            F.expr(self._argmax).alias("cell_id"),
+            lsn.alias("lsn"),
+        ]
+        if self.deleted_col:
+            del_flag = F.col(self.deleted_col).cast("string") == F.lit("true")
+            kept = batch_df.filter(F.col(self.vec_col).isNotNull() | del_flag)
+            return kept.select(
+                F.col(self.vec_col).alias("__v"),
+                norm(self.vec_col).alias("__vn"),
+                "*",
+            ).select(*cols, del_flag.alias("__del"))
+        return (
+            batch_df.filter(F.col(self.vec_col).isNotNull())
+            .select(
+                F.col(self.vec_col).alias("__v"),
+                norm(self.vec_col).alias("__vn"),
+                "*",
+            )
+            .select(*cols)
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
+        super().__call__(self._project(batch_df, batch_id), batch_id)
+
+    # -- query surface ------------------------------------------------------
+
+    def centroids(self) -> DataFrame:
+        """The epoch's centroid table in the (cell_id, cv, cn) shape the
+        probe consumes."""
+        return self.spark.createDataFrame(
+            [(c, v, n) for c, v, n in self._cents],
+            "cell_id int, cv array<double>, cn double",
+        )
+
+    def assigned(self) -> DataFrame | None:
+        """Live streamed assignments (id, v, cell_id) — the exact shape
+        `with_ivf_cell` builds one-shot. Soft-deleted docs excluded."""
+        self._check_params()
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            st = st.filter(~F.col("__del"))
+        return st.select(F.col("doc").alias("id"), "v", "cell_id")
+
+    def topk(self, queries: DataFrame, k: int = 10, n_probe: int = 2) -> DataFrame | None:
+        """IVF top-k against the streamed assignments — identical to the
+        one-shot `topk_ivf` with this epoch's centroids."""
+        from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf_assigned
+
+        a = self.assigned()
+        if a is None:
+            return None
+        return topk_ivf_assigned(
+            a, self.centroids(), queries, self.id_col, self.vec_col,
+            k=k, n_probe=n_probe,
+        )

@@ -185,3 +185,93 @@ def test_params_file_missing_fails_fast(spark, tmp_path):
     fresh = _sink(spark, tmp_path)
     with pytest.raises(ValueError, match="no __ann_params.json"):
         fresh.index()
+
+
+# --- streaming-maintained IVF index -----------------------------------------
+
+
+def _ivf_sink(spark, tmp_path, cents=None, **kw):
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfIndexSink
+
+    if cents is None:
+        # deterministic first-k centroids over the full corpus (the
+        # test-epoch convention with_ivf_cell uses)
+        _, cents = with_ivf_cell(_vecs(spark, range(60)), "vec_id", "embedding", 4)
+    kw.setdefault("n_partitions", 8)
+    return IvfIndexSink(
+        spark, str(tmp_path / "ivf_state"), "vec_id", "embedding", cents, **kw
+    )
+
+
+def test_ivf_streamed_assignments_equal_one_shot(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+
+    all_v = _vecs(spark, range(60))
+    sink = _ivf_sink(spark, tmp_path)
+    for b, pred in enumerate(["vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"]):
+        sink(all_v.filter(pred), b)
+    one_shot, _ = with_ivf_cell(
+        all_v, "vec_id", "embedding", 4, centroids=sink.centroids()
+    )
+    got = {(r["id"], r["cell_id"]) for r in sink.assigned().collect()}
+    want = {(r["id"], r["cell_id"]) for r in one_shot.collect()}
+    assert got == want
+
+
+def test_ivf_streamed_topk_equals_batch_topk(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf
+
+    all_v = _vecs(spark, range(60))
+    sink = _ivf_sink(spark, tmp_path)
+    sink(all_v.filter("vec_id % 2 = 0"), 0)
+    sink(all_v.filter("vec_id % 2 = 1"), 1)
+    queries = _vecs(spark, range(5))
+    want = topk_ivf(
+        all_v, queries, "vec_id", "embedding", k=5, n_cells=4, n_probe=2,
+        centroids=sink.centroids(),
+    )
+    got = sink.topk(queries, k=5, n_probe=2)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+
+
+def test_ivf_update_moves_cell_and_deletes_drop(spark, tmp_path):
+    sink = _ivf_sink(spark, tmp_path, deleted_col="__deleted", lsn_col="lsn")
+    base = _vecs(spark, range(20)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn", "'false' AS __deleted"
+    )
+    sink(base, 0)
+    before = {r["id"]: r["cell_id"] for r in sink.assigned().collect()}
+    # vector change re-assigns atomically (one row per doc)
+    moved = _vecs(spark, [3], bump={3}).selectExpr(
+        "vec_id", "embedding", "CAST(100 AS LONG) AS lsn", "'false' AS __deleted"
+    )
+    sink(moved, 1)
+    after = {r["id"]: r["cell_id"] for r in sink.assigned().collect()}
+    assert set(after) == set(before)
+    assert all(after[i] == before[i] for i in before if i != 3)
+    # soft delete drops from assignments; stale update cannot resurrect
+    gone = spark.createDataFrame(
+        [(5, None, 200, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(gone, 2)
+    assert 5 not in {r["id"] for r in sink.assigned().collect()}
+    sink(base.filter("vec_id = 5"), 3)  # lsn 5 < 200 -> guarded out
+    assert 5 not in {r["id"] for r in sink.assigned().collect()}
+
+
+def test_ivf_epoch_mismatch_fails_fast(spark, tmp_path):
+    import pytest as _pytest
+
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+
+    sink = _ivf_sink(spark, tmp_path)
+    sink(_vecs(spark, range(20)), 0)
+    _, other = with_ivf_cell(_vecs(spark, range(30, 60)), "vec_id", "embedding", 4)
+    wrong = _ivf_sink(spark, tmp_path, cents=other)
+    with _pytest.raises(ValueError, match="different epoch"):
+        wrong.assigned()
+    with _pytest.raises(ValueError, match="different epoch"):
+        wrong(_vecs(spark, [99]), 1)

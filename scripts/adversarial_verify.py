@@ -189,6 +189,7 @@ SWEEP_QUERIES = {
         "multimodal_png_decode",
         "multimodal_audio_frames",
         "multimodal_resize",
+        "multimodal_resize_jpeg",
     ]
 }
 

@@ -1693,6 +1693,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
     reader re-aligns at each marker. Pure Python + numpy: canonical
     Huffman decode, flat dequant, IDCT-III matrix product, JFIF color
     convert."""
+    px = _jpeg_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return w, h, c, int(px.astype(np.int64).sum()), w * h * c
+
+
+def _jpeg_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full pixel decode of a baseline JFIF payload: top-down (H, W, C)
+    uint8 RGB (or gray) array, or None under exactly the same corruption
+    and scope rules as :func:`decode_jpeg` (which delegates here)."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -1853,10 +1864,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int] | None:
         rgb = [planes[0]]
     else:
         return None
-    total = 0
-    for p in rgb:
-        total += int(np.clip(np.round(p), 0, 255).astype(np.int64).sum())
-    return width, height, ncomp, total, width * height * ncomp
+    return np.stack(
+        [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in rgb], axis=-1
+    )
 
 
 def _jpeg_frame_end(payload: bytes, start: int) -> int | None:
@@ -2177,24 +2187,45 @@ def _bmp_pixels(payload: bytes) -> "np.ndarray | None":
 
 
 def resize_images(
-    df: DataFrame, id_col: str, payload_col: str, width: int, height: int
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    codec: str = "bmp",
 ) -> DataFrame:
-    """REAL nearest-neighbor resize of BMP payloads — decode to a pixel
-    array, sample with the standard floor(i * src/dst) index map (one
-    numpy fancy-index, no per-pixel Python), re-encode. Output rows:
-    (doc_id, payload, width, height) with NULL payload for non-BMP /
-    corrupt inputs (the decode_images convention). Compressed formats
-    route through their decoders first at pipeline level; this operator
-    is the uncompressed-normalization step a training-data image
-    pipeline runs after decode."""
+    """REAL nearest-neighbor resize — decode to a pixel array, sample
+    with the standard floor(i * src/dst) index map (one numpy
+    fancy-index, no per-pixel Python), re-encode in the SAME format.
+    Output rows: (doc_id, payload, width, height) with NULL payload for
+    corrupt / wrong-format inputs (the decode_images convention).
+
+    ``codec="bmp"``: 24-bpp BMP in/out (the uncompressed-normalization
+    step a training-data image pipeline runs after decode).
+    ``codec="jpeg"``: baseline JFIF in/out through the real pure-Python
+    codec pair (full entropy decode -> resize -> re-encode; channel
+    count preserved). Lossy by nature — the oracle contract rides
+    solid-gray inputs, which round-trip exactly.
+    ``codec="strict"``: raise — the seam for formats whose decode needs
+    an external library."""
     if width <= 0 or height <= 0:
         raise ValueError("target dims must be positive")
+    if codec not in ("bmp", "jpeg", "strict"):
+        raise ValueError(f"unknown resize codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if codec == "strict":
+                raise NotImplementedError(
+                    "resize of this format requires an image library; "
+                    "not available in this environment"
+                )
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = _bmp_pixels(bytes(payload)) if payload is not None else None
+                b = bytes(payload) if payload is not None else None
+                px = None
+                if b is not None:
+                    px = _bmp_pixels(b) if codec == "bmp" else _jpeg_pixels(b)
                 if px is None:
                     rows.append((doc_id, None, width, height))
                     continue
@@ -2202,9 +2233,13 @@ def resize_images(
                 ys = (np.arange(height) * sh) // height
                 xs = (np.arange(width) * sw) // width
                 out = px[np.ix_(ys, xs)]
-                rows.append(
-                    (doc_id, encode_bmp(width, height, out.tobytes()), width, height)
-                )
+                if codec == "bmp":
+                    enc = encode_bmp(width, height, out.tobytes())
+                else:
+                    enc = encode_jpeg(
+                        width, height, out.tobytes(), channels=px.shape[2]
+                    )
+                rows.append((doc_id, enc, width, height))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "width", "height"]
             )

@@ -2527,6 +2527,65 @@ FROM px
 """
 
 
+def q_multimodal_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over an ENTROPY-CODED format, oracle-checked end to end:
+    each document's baseline JFIF JPEG (same dims/channels/gray combos
+    as `multimodal_jpeg_decode`) goes decode -> nearest-neighbor 7x5
+    resize -> JPEG re-encode (`resize_images(codec="jpeg")`), and the
+    resized payload is DECODED AGAIN — full Huffman/DCT pipeline twice
+    per doc. JPEG is lossy in general, so the value contract rides the
+    exactly-recoverable shape (solid even-gray: the resize of a constant
+    image is the constant image, whose lone DC coefficient round-trips
+    quantization bit-exactly at any output dims via edge replication);
+    the sampling GRID itself is value-pinned by the BMP resize oracle,
+    which shares the index-map code path. Corrupt classes (doc_id%13 in
+    5,9) surface as NULL rows through both codec passes."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_jpeg,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                key = (8 * (1 + k % 3), 8 * (1 + k % 2), 1 + 2 * (k % 2),
+                       2 * ((k * 37) % 128))
+                p = cache.get(key)
+                if p is None:
+                    w, h, ch, g = key
+                    p = encode_jpeg(w, h, bytes([g]) * (w * h * ch), channels=ch)
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    resized = resize_images(enc, "doc_id", "payload", width=7, height=5,
+                            codec="jpeg")
+    return decode_images(resized, "doc_id", "payload", decoder="jpeg")
+
+
+_MM_RESIZE_JPEG_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(7 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(5 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(1 + 2 * (doc_id % 2) AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(2 * ((doc_id * 37) % 128) AS DOUBLE) / 255 END AS mean_pixel
+FROM documents
+"""
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED image format, no codec library: each
     document is rendered to a deterministic PNG (dims/channels/pixels a
@@ -4894,6 +4953,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_resize"] = QuerySpec(
         q_multimodal_resize, _MM_RESIZE_SQL
+    )
+    catalog["multimodal_resize_jpeg"] = QuerySpec(
+        q_multimodal_resize_jpeg, _MM_RESIZE_JPEG_SQL
     )
     catalog["multimodal_gif_decode"] = QuerySpec(
         q_multimodal_gif_decode, _MM_GIF_DECODE_SQL

@@ -1087,3 +1087,48 @@ def test_flac_escape_partition_encoder_path():
     y = np.array([-32768, 32767] * 2000, dtype=np.int16)
     dy = decode_flac(encode_flac(8000, y, block_size=512))
     assert dy is not None and np.array_equal(dy[1], y)
+
+
+def test_resize_jpeg_grid_on_arbitrary_content(spark):
+    """JPEG resize must apply the exact floor(i*src/dst) index map to
+    the DECODED pixels and re-encode deterministically — pinned on
+    non-constant content (the oracle contract rides solid gray; this
+    covers the grid)."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+        resize_images,
+    )
+
+    w, h = 24, 16
+    px = bytes(((x * 7 + y * 13 + c) * 11) % 256
+               for y in range(h) for x in range(w) for c in range(3))
+    payload = encode_jpeg(w, h, px, channels=3)
+    df = spark.createDataFrame([(1, payload), (2, b"junk"), (3, None)],
+                               "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           resize_images(df, "doc_id", "payload", 7, 5, codec="jpeg").collect()}
+    # corrupt / NULL inputs -> NULL payload
+    assert out[2]["payload"] is None and out[3]["payload"] is None
+    # expected: decode -> index-map sample -> deterministic re-encode
+    dec = _jpeg_pixels(payload)
+    ys = (np.arange(5) * dec.shape[0]) // 5
+    xs = (np.arange(7) * dec.shape[1]) // 7
+    want = encode_jpeg(7, 5, dec[np.ix_(ys, xs)].tobytes(), channels=3)
+    assert bytes(out[1]["payload"]) == want
+    # and the resized payload itself decodes
+    assert _jpeg_pixels(bytes(out[1]["payload"])).shape == (5, 7, 3)
+
+
+def test_resize_strict_codec_raises(spark):
+    from sqlserver_pg_cdc_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    out = resize_images(df, "doc_id", "payload", 4, 4, codec="strict")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="image library"):
+        out.collect()

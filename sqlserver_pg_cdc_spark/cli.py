@@ -179,6 +179,18 @@ def create_parser() -> argparse.ArgumentParser:
     ann.add_argument("--bands", type=int, default=8)
     ann.add_argument("--planes-per-band", type=int, default=10)
     ann.add_argument("--dim", type=int, default=64)
+    ann.add_argument("--mode", choices=("lsh", "ivf"), default="lsh",
+                     help="lsh: banded near-dup index (default); ivf: "
+                          "cell-probed top-k index with per-epoch "
+                          "centroids stored in the state dir")
+    ann.add_argument("--train-cells", type=int,
+                     help="ivf first run: train this many k-means cells "
+                          "on the --ingest batch and store them as the "
+                          "state dir's epoch")
+    ann.add_argument("--k", type=int, default=10,
+                     help="ivf: top-k per probe vector")
+    ann.add_argument("--n-probe", type=int, default=2,
+                     help="ivf: cells probed per query")
     return p
 
 
@@ -630,6 +642,8 @@ def cmd_ann(args) -> int:
     from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
 
     spark = get_spark("ann-cli")
+    if args.mode == "ivf":
+        return _cmd_ann_ivf(spark, args)
     sink = AnnIndexSink(
         spark, args.state_dir, args.id_col, args.vec_col,
         bands=args.bands, planes_per_band=args.planes_per_band,
@@ -658,6 +672,67 @@ def cmd_ann(args) -> int:
             raise SystemExit("index is empty: ingest before querying")
         pairs.write.mode("overwrite").parquet(args.output)
         result["near_dup_pairs"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
+    return 0
+
+
+def _cmd_ann_ivf(spark, args) -> int:
+    """IVF mode: centroids live with the state as its epoch — trained
+    once from the first ingest (--train-cells) and reloaded on every
+    later open, so the IvfIndexSink epoch guard always sees the same
+    cells. Queries write exact-within-probed-cells top-k."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.similarity import train_ivf_centroids
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfIndexSink
+
+    cdir = os.path.join(args.state_dir, "__centroids.parquet")
+    if os.path.isdir(cdir):
+        cents = spark.read.parquet(cdir)
+    elif args.ingest and args.train_cells:
+        cents = train_ivf_centroids(
+            spark.read.parquet(args.ingest), args.vec_col,
+            n_cells=args.train_cells,
+        )
+        os.makedirs(args.state_dir, exist_ok=True)
+        cents.write.mode("overwrite").parquet(cdir)
+        cents = spark.read.parquet(cdir)  # reload: exact stored floats
+    else:
+        raise SystemExit(
+            "ivf mode needs an existing epoch (state dir with "
+            "__centroids.parquet) or --ingest with --train-cells"
+        )
+    sink = IvfIndexSink(
+        spark, args.state_dir, args.id_col, args.vec_col, cents,
+        n_partitions=args.partitions,
+    )
+    if args.ingest:
+        lsn = args.lsn
+        if lsn is None:
+            st = sink.read_target()
+            lsn = 0 if st is None else (
+                (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+            )
+        sink(spark.read.parquet(args.ingest), int(lsn))
+    a = sink.assigned()
+    result = {
+        "state_dir": args.state_dir,
+        "mode": "ivf",
+        "indexed_vectors": a.count() if a is not None else 0,
+        "n_cells": cents.count(),
+    }
+    if args.query:
+        if not args.output:
+            raise SystemExit("--query requires --output")
+        topk = sink.topk(
+            spark.read.parquet(args.query), k=args.k, n_probe=args.n_probe
+        )
+        if topk is None:
+            raise SystemExit("index is empty: ingest before querying")
+        topk.write.mode("overwrite").parquet(args.output)
+        result["topk_rows"] = spark.read.parquet(args.output).count()
     print(json.dumps(result))
     return 0
 

@@ -712,3 +712,55 @@ def test_cli_ann_ingest_and_query(tmp_path):
     pairs = con.execute(f"SELECT a, b, cosine FROM '{tmp_path}/pairs/*.parquet'").fetchall()
     found = {(a, b) for a, b, c in pairs if c > 0.9999}
     assert (1001, 1) in found and (1017, 17) in found
+
+
+def test_cli_ann_ivf_mode(tmp_path):
+    """`ann --mode ivf`: first run trains the epoch's centroids from the
+    ingest and stores them with the state; the second run reloads the
+    SAME epoch, upserts more vectors, and a probe of exact copies ranks
+    its source at cosine 1 in position 1."""
+    import json as _json
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def write_vecs(path, id_pairs):
+        # period-97 pattern: all 30 corpus vectors DISTINCT (the LSH
+        # test's mod-13 formula makes src 4 and 17 exact copies, which
+        # would tie the top-1)
+        vals = ", ".join(
+            f"({sid}, [{', '.join(str(float((src * 31 + j * 7) % 97) - 48.0) for j in range(8))}])"
+            for sid, src in id_pairs
+        )
+        con.execute(f"COPY (SELECT * FROM (VALUES {vals}) AS t(vec_id, embedding)) TO '{path}' (FORMAT PARQUET)")
+
+    write_vecs(tmp_path / "a.parquet", [(i, i) for i in range(0, 15)])
+    write_vecs(tmp_path / "b.parquet", [(i, i) for i in range(15, 30)])
+    write_vecs(tmp_path / "probe.parquet", [(1001, 1), (1017, 17)])
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+        "--mode", "ivf", "--state-dir", str(tmp_path / "state"),
+        "--partitions", "8", "--k", "3", "--n-probe", "2",
+    ]
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "a.parquet"), "--train-cells", "4"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["indexed_vectors"] == 15 and out1["n_cells"] == 4
+    r2 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b.parquet"),
+                "--query", str(tmp_path / "probe.parquet"),
+                "--output", str(tmp_path / "topk")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["indexed_vectors"] == 30
+    rows = con.execute(
+        f"SELECT query_id, rank, id, cosine FROM '{tmp_path}/topk/*.parquet'"
+    ).fetchall()
+    top1 = {q: i for q, rk, i, c in rows if rk == 1}
+    cos1 = {q: c for q, rk, i, c in rows if rk == 1}
+    assert top1[1001] == 1 and cos1[1001] > 0.9999
+    assert top1[1017] == 17 and cos1[1017] > 0.9999

@@ -148,6 +148,145 @@ class Tracer:
             self.finished.clear()
 
 
+def _otlp_attr_value(v: Any) -> dict[str, Any]:
+    """One attribute value in the OTLP JSON mapping
+    (opentelemetry-proto common/v1: AnyValue)."""
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}  # int64s are strings in OTLP JSON
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    return {"stringValue": str(v)}
+
+
+class OtlpHttpExporter:
+    """OTLP/HTTP traces exporter, stdlib-only (urllib): POSTs finished
+    spans to ``{endpoint}/v1/traces`` in the OTLP JSON encoding — the
+    wire format any OpenTelemetry collector ingests. This closes the
+    reference-parity gap honestly: the reference configures the OTel SDK
+    with OTLP exporters (src/utils/tracing/tracer.py); here the same
+    wire protocol is spoken without the SDK dependency.
+
+    Endpoint resolution follows the standard env vars:
+    ``OTEL_EXPORTER_OTLP_ENDPOINT`` (default http://localhost:4318) and
+    ``OTEL_EXPORTER_OTLP_HEADERS`` ("k=v,k2=v2"). Export is best-effort
+    and driver-side only — a failed POST never disturbs the pipeline."""
+
+    def __init__(
+        self,
+        endpoint: str | None = None,
+        headers: dict[str, str] | None = None,
+        timeout_s: float = 5.0,
+    ):
+        self.endpoint = (
+            endpoint
+            or os.getenv("OTEL_EXPORTER_OTLP_ENDPOINT")
+            or "http://localhost:4318"
+        ).rstrip("/")
+        hdrs = dict(headers or {})
+        env_hdrs = os.getenv("OTEL_EXPORTER_OTLP_HEADERS", "")
+        for part in env_hdrs.split(","):
+            if "=" in part:
+                k, _, v = part.partition("=")
+                hdrs.setdefault(k.strip(), v.strip())
+        self.headers = hdrs
+        self.timeout_s = timeout_s
+
+    def encode(self, spans: list[Span], service_name: str) -> dict[str, Any]:
+        """The OTLP JSON request body (ExportTraceServiceRequest)."""
+        out_spans = []
+        for s in spans:
+            attrs = [
+                {"key": k, "value": _otlp_attr_value(v)}
+                for k, v in s.attributes.items()
+                if k != "service.name"  # resource-level, not span-level
+            ]
+            span_json: dict[str, Any] = {
+                "traceId": s.trace_id,  # 32 hex chars (uuid4().hex)
+                "spanId": s.span_id,    # 16 hex chars
+                "name": s.name,
+                "kind": 1,  # SPAN_KIND_INTERNAL
+                "startTimeUnixNano": str(s.start_ns),
+                "endTimeUnixNano": str(s.end_ns or s.start_ns),
+                "attributes": attrs,
+                "status": (
+                    {"code": 2, "message": s.error or ""}
+                    if s.status == "ERROR"
+                    else {"code": 1}
+                ),
+            }
+            if s.parent_id:
+                span_json["parentSpanId"] = s.parent_id
+            out_spans.append(span_json)
+        return {
+            "resourceSpans": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {
+                                "key": "service.name",
+                                "value": {"stringValue": service_name},
+                            }
+                        ]
+                    },
+                    "scopeSpans": [
+                        {
+                            "scope": {"name": service_name},
+                            "spans": out_spans,
+                        }
+                    ],
+                }
+            ]
+        }
+
+    def export(self, spans: list[Span], service_name: str) -> bool:
+        """POST one OTLP JSON batch; True iff the collector accepted it
+        (HTTP 2xx). Never raises — wire export is best-effort."""
+        import urllib.error
+        import urllib.request
+
+        if not spans:
+            return True
+        body = json.dumps(
+            self.encode(spans, service_name), separators=(",", ":"),
+            default=str,
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.endpoint}/v1/traces",
+            data=body,
+            headers={"Content-Type": "application/json", **self.headers},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return 200 <= resp.status < 300
+        except (urllib.error.URLError, OSError, ValueError):
+            return False
+
+
+def flush_otlp(
+    tracer: "Tracer | None" = None, exporter: OtlpHttpExporter | None = None
+) -> bool:
+    """Ship the tracer's finished spans over OTLP/HTTP; the buffer is
+    cleared only on an accepted export (a down collector keeps spans in
+    the bounded ring for the next flush)."""
+    t = tracer or _tracer
+    with t._lock:
+        spans = list(t.finished)
+    ex = exporter or OtlpHttpExporter()
+    ok = ex.export(spans, t.service_name)
+    if ok:
+        with t._lock:
+            # appends are the only concurrent mutation, so the exported
+            # snapshot is a prefix of the deque — drop exactly that many
+            # (under ring eviction mid-flight this may drop newer spans
+            # instead; bounded-buffer tracing accepts that loss)
+            for _ in range(min(len(spans), len(t.finished))):
+                t.finished.popleft()
+    return ok
+
+
 _tracer = Tracer()
 
 

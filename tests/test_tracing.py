@@ -98,3 +98,113 @@ def test_reconcile_table_emits_phase_spans(spark):
     children = [s for s in spans if s["parent_id"] == root["span_id"]]
     assert len(children) >= 2
     tr.clear()
+
+
+# --- OTLP/HTTP wire export ---------------------------------------------------
+
+
+class _Collector:
+    """Minimal in-process OTLP collector: captures POST bodies, answers
+    with a configurable status."""
+
+    def __init__(self, status=200):
+        import http.server
+        import json as _json
+        import threading
+
+        collector = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                collector.requests.append(
+                    (self.path,
+                     {k.lower(): v for k, v in self.headers.items()},
+                     _json.loads(self.rfile.read(n)))
+                )
+                self.send_response(collector.status)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.requests = []
+        self.status = status
+        self.server = http.server.HTTPServer(("127.0.0.1", 0), H)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_otlp_export_wire_format_and_flush():
+    from sqlserver_pg_cdc_spark.tracing import (
+        OtlpHttpExporter,
+        Tracer,
+        flush_otlp,
+    )
+
+    col = _Collector()
+    try:
+        t = Tracer(service_name="svc-under-test")
+        with t.span("outer", table="orders", n=3, ratio=0.5, flag=True):
+            with t.span("inner"):
+                pass
+        try:
+            with t.span("boom"):
+                raise RuntimeError("kaput")
+        except RuntimeError:
+            pass
+        ex = OtlpHttpExporter(
+            endpoint=f"http://127.0.0.1:{col.port}", headers={"x-k": "v"}
+        )
+        assert flush_otlp(t, ex) is True
+        assert len(t.finished) == 0  # accepted export drains the ring
+        path, headers, body = col.requests[0]
+        assert path == "/v1/traces"
+        assert headers.get("x-k") == "v"
+        rs = body["resourceSpans"][0]
+        svc = rs["resource"]["attributes"][0]
+        assert svc["key"] == "service.name"
+        assert svc["value"]["stringValue"] == "svc-under-test"
+        spans = {s["name"]: s for s in rs["scopeSpans"][0]["spans"]}
+        assert set(spans) == {"outer", "inner", "boom"}
+        outer, inner = spans["outer"], spans["inner"]
+        assert len(outer["traceId"]) == 32 and len(outer["spanId"]) == 16
+        assert inner["parentSpanId"] == outer["spanId"]
+        assert inner["traceId"] == outer["traceId"]
+        attrs = {a["key"]: a["value"] for a in outer["attributes"]}
+        assert attrs["table"] == {"stringValue": "orders"}
+        assert attrs["n"] == {"intValue": "3"}
+        assert attrs["ratio"] == {"doubleValue": 0.5}
+        assert attrs["flag"] == {"boolValue": True}
+        assert spans["boom"]["status"] == {"code": 2, "message": "RuntimeError: kaput"}
+        assert int(outer["endTimeUnixNano"]) >= int(outer["startTimeUnixNano"])
+    finally:
+        col.stop()
+
+
+def test_otlp_rejected_export_keeps_spans():
+    from sqlserver_pg_cdc_spark.tracing import (
+        OtlpHttpExporter,
+        Tracer,
+        flush_otlp,
+    )
+
+    col = _Collector(status=503)
+    try:
+        t = Tracer()
+        with t.span("kept"):
+            pass
+        ex = OtlpHttpExporter(endpoint=f"http://127.0.0.1:{col.port}")
+        assert flush_otlp(t, ex) is False
+        assert len(t.finished) == 1  # buffer intact for the next flush
+    finally:
+        col.stop()
+    # collector unreachable entirely: best-effort, no raise, spans kept
+    ex_down = OtlpHttpExporter(endpoint="http://127.0.0.1:9", timeout_s=0.5)
+    assert flush_otlp(t, ex_down) is False
+    assert len(t.finished) == 1

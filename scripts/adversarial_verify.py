@@ -190,6 +190,7 @@ SWEEP_QUERIES = {
         "multimodal_audio_frames",
         "multimodal_resize",
         "multimodal_resize_jpeg",
+        "multimodal_avi_frames",
     ]
 }
 

@@ -7,12 +7,13 @@ Spark-side machinery — schemas, partition-sized Arrow batches through
 are five pure-Python codecs that need no image/audio library: 24-bpp
 BMP, 8-bit RGB/RGBA PNG (stdlib zlib + per-spec unfiltering), baseline
 JFIF JPEG (canonical-Huffman entropy decode + IDCT), MJPEG
-elementary-stream frame sampling, and 16-bit PCM WAV. Formats that
-genuinely require a codec library remain explicit stubs:
+frame sampling (elementary stream AND the AVI/RIFF container, demuxed
+by chunk walk), and 16-bit PCM WAV. Formats that genuinely require a
+codec library remain explicit stubs:
 
 - with ``decoder="strict"`` the decode raises NotImplementedError,
-  exactly where torchaudio/ffmpeg would be called (MP3, containerized
-  video);
+  exactly where torchaudio/ffmpeg would be called (MP3, compressed
+  inter-frame video codecs);
 - with ``decoder="fake"`` (default for tests) a deterministic fake
   derives plausible dimensions/duration from the payload hash, so the
   downstream plumbing (schema, batching, joins) can be exercised
@@ -124,7 +125,7 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 # JPEG. These make decode_images / sample_audio_frames REAL decoders —
 # header parse, padding, inflate, unfilter, Huffman entropy decode,
 # IDCT, pixel math — while formats needing an external codec library
-# (MP3, video) stay behind decoder="strict".
+# (MP3, H.264-class video codecs) stay behind decoder="strict".
 # ---------------------------------------------------------------------------
 
 
@@ -1932,6 +1933,115 @@ def encode_mjpeg(frames: list[bytes]) -> bytes:
     return b"".join(frames)
 
 
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc + little-endian size + data + even pad."""
+    return (
+        fourcc + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """REAL AVI (RIFF) container around MJPEG frames, per the public
+    Microsoft AVI RIFF spec: RIFF('AVI ' LIST('hdrl' avih
+    LIST('strl' strh strf)) LIST('movi' '00dc'...)). One 'vids' stream
+    with fccHandler/biCompression 'MJPG', 24-bit frames. The optional
+    idx1 index is deliberately omitted (flags don't claim it): readers
+    then walk 'movi' directly, and tail truncation kills exactly the
+    LAST frame — the same corrupt-class behavior as the elementary
+    stream, which the catalog contract relies on."""
+    n = len(frames)
+    buf = max((len(f) for f in frames), default=0)
+    usec = 1_000_000 // max(1, fps)
+    avih = struct.pack(
+        "<14I",
+        usec,                 # dwMicroSecPerFrame
+        buf * max(1, fps),    # dwMaxBytesPerSec (upper bound)
+        0,                    # dwPaddingGranularity
+        0,                    # dwFlags: no index claimed
+        n,                    # dwTotalFrames
+        0,                    # dwInitialFrames
+        1,                    # dwStreams
+        buf,                  # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,           # dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,        # dwFlags
+            0, 0,     # wPriority, wLanguage
+            0,        # dwInitialFrames
+            1,        # dwScale
+            max(1, fps),  # dwRate (rate/scale = fps)
+            0,        # dwStart
+            n,        # dwLength (frames)
+            buf,      # dwSuggestedBufferSize
+            0,        # dwQuality (driver default)
+            0,        # dwSampleSize (0: one sample per chunk)
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def split_avi_mjpeg(payload: bytes) -> list[tuple[int, int]]:
+    """Frame (start, end) offsets of the '00dc'/'00db' video chunks
+    inside an AVI container, by RIFF chunk walk — never a byte search.
+    Lenient on TRAILING truncation the way real demuxers are (a cut-off
+    file still plays its complete prefix frames): a 'movi' list or video
+    chunk extending past the payload yields the frames that fit and
+    stops. Returns [] for anything that is not RIFF/'AVI '."""
+    if payload is None or len(payload) < 12:
+        return []
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return []
+    riff_size = int.from_bytes(payload[4:8], "little")
+    end = min(len(payload), 8 + riff_size)
+    spans: list[tuple[int, int]] = []
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        data_start = pos + 8
+        data_end = data_start + size
+        if fourcc == b"LIST" and payload[data_start : data_start + 4] == b"movi":
+            bound = min(data_end, end)
+            q = data_start + 4
+            while q + 8 <= bound:
+                cid = payload[q : q + 4]
+                csz = int.from_bytes(payload[q + 4 : q + 8], "little")
+                cs, ce = q + 8, q + 8 + csz
+                if ce > bound:
+                    break  # truncated trailing frame: prefix stays usable
+                if cid in (b"00dc", b"00db"):
+                    spans.append((cs, ce))
+                q = ce + (csz & 1)
+        if data_end > end:
+            break  # truncated trailing top-level chunk
+        pos = data_end + (size & 1)
+    return spans
+
+
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -1961,22 +2071,26 @@ def sample_video_frames(
     marker-walk frame scanner (:func:`split_mjpeg`) and each sampled
     frame goes through the pure-Python baseline JPEG decoder; rows
     carry dims + exact-sum mean_pixel, NULL fields for a corrupt frame.
-    Containerized codecs (H.264/VP9) stay behind ``decoder="strict"``
+    ``decoder="avi"``: REAL CONTAINERIZED decode — the payload is an
+    AVI (RIFF) file; frames come from a chunk walk of the 'movi' list
+    (:func:`split_avi_mjpeg`), then the same JPEG path. Compressed
+    inter-frame codecs (H.264/VP9) stay behind ``decoder="strict"``
     (ffmpeg-class work, library absent here)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
-                    "containerized video decoding requires ffmpeg-class "
+                    "compressed-codec video decoding requires ffmpeg-class "
                     "libraries; not available in this environment"
                 )
+            split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                spans = split_mjpeg(b)
+                spans = split_fn(b)
                 for n, (s, e) in enumerate(spans[:: max(1, stride)][:max_frames]):
                     src_idx = n * max(1, stride)
                     ts_ms = src_idx * 1000 // max(1, fps)
@@ -2045,7 +2159,8 @@ def decode_images(
       (plumbing tests without any codec assumption).
     - ``decoder="strict"``: raises where an external codec library
       (ffmpeg etc.) would be called for formats still out of scope
-      (video, MP3); those libs aren't in this environment."""
+      (compressed video codecs, MP3); those libs aren't in this
+      environment."""
     real = {
         "bmp": decode_bmp,
         "png": decode_png,

@@ -1132,3 +1132,70 @@ def test_resize_strict_codec_raises(spark):
 
     with _pytest.raises(Exception, match="image library"):
         out.collect()
+
+
+def test_avi_container_roundtrip_and_demux():
+    """Spec-correct AVI wrap + RIFF chunk-walk demux: every frame comes
+    back byte-identical; truncation kills exactly the trailing frame(s)
+    (lenient prefix demux); non-AVI payloads demux to nothing."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        split_avi_mjpeg,
+    )
+
+    frames = [
+        encode_jpeg(16, 8, bytes([2 * g]) * (16 * 8 * 3), channels=3)
+        for g in (10, 60, 110, 3)
+    ]
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=25)
+    # RIFF structure sanity: magic, declared size covers the payload
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert 8 + int.from_bytes(avi[4:8], "little") == len(avi)
+    spans = split_avi_mjpeg(avi)
+    assert [avi[s:e] for s, e in spans] == frames
+    for s, e in spans:
+        assert decode_jpeg(avi[s:e]) is not None
+    # tail chop: exactly the last frame drops
+    assert len(split_avi_mjpeg(avi[:-2])) == 3
+    # cut inside frame 3: frames 1-2 survive
+    assert len(split_avi_mjpeg(avi[: spans[2][0] + 4])) == 2
+    # corrupt magic / junk / empty
+    assert split_avi_mjpeg(b"XXXX" + avi[4:]) == []
+    assert split_avi_mjpeg(b"RIFFxxxxWAVE") == []
+    assert split_avi_mjpeg(b"") == [] and split_avi_mjpeg(None) == []
+    # empty movie: header-only AVI demuxes to no frames, no crash
+    assert split_avi_mjpeg(encode_avi_mjpeg([], 16, 8)) == []
+
+
+def test_avi_sample_video_frames_matches_elementary_stream(spark):
+    """decoder='avi' must produce exactly the rows decoder='mjpeg'
+    produces for the same frames — the container is value-transparent."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mjpeg,
+        sample_video_frames,
+    )
+
+    frames = [
+        encode_jpeg(16, 8, bytes([2 * g]) * (16 * 8 * 3), channels=3)
+        for g in (5, 50, 100, 20, 80)
+    ]
+    df_avi = spark.createDataFrame(
+        [(1, encode_avi_mjpeg(frames, 16, 8))], "doc_id long, payload binary"
+    )
+    df_raw = spark.createDataFrame(
+        [(1, encode_mjpeg(frames))], "doc_id long, payload binary"
+    )
+    kw = dict(fps=25, stride=2, max_frames=8)
+    got_avi = sorted(
+        tuple(r) for r in
+        sample_video_frames(df_avi, "doc_id", "payload", decoder="avi", **kw).collect()
+    )
+    got_raw = sorted(
+        tuple(r) for r in
+        sample_video_frames(df_raw, "doc_id", "payload", decoder="mjpeg", **kw).collect()
+    )
+    assert got_avi == got_raw and len(got_avi) == 3  # frames 0, 2, 4

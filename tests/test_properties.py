@@ -807,3 +807,83 @@ def test_quantile_buckets_invariants(spark, n, rows, dup_every, seed):
         val_bucket[r["v"]] = b
     for r in got:
         assert (r["v"] is None) == (r["bucket"] is None)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_keys=st.integers(1, 6),
+    n_events=st.integers(1, 40),
+    n_batches=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+)
+def test_scd2_apply_invariants(spark, n_keys, n_events, n_batches, seed):
+    """Any CDC event sequence, any batch split: the SCD2 history holds
+    exactly one row per (key, LSN); per key the validity intervals chain
+    contiguously from the first LSN to the OPEN sentinel; at most one
+    active version per key, active iff the latest op isn't a delete;
+    and as_of at any LSN equals the relational latest-at-LSN recompute.
+    Batch-split independence: ANY split produces the identical history."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.streaming.scd2 import (
+        OPEN_LSN,
+        as_of_lsn,
+        scd2_apply,
+    )
+
+    rng = random.Random(seed)
+    events = []
+    for lsn in range(1, n_events + 1):
+        k = rng.randrange(n_keys)
+        op = rng.choice(["c", "u", "u", "d"])
+        events.append((k, f"v{lsn}" if op != "d" else None, lsn, op))
+    schema = "id long, name string, lsn long, op string"
+
+    # random batch split (contiguous by LSN, like a real change stream)
+    cuts = sorted(rng.sample(range(1, n_events), min(n_batches - 1, n_events - 1))) if n_events > 1 else []
+    bounds = [0] + cuts + [n_events]
+    hist = None
+    for i in range(len(bounds) - 1):
+        batch = events[bounds[i]:bounds[i + 1]]
+        if not batch:
+            continue
+        hist = scd2_apply(hist, spark.createDataFrame(batch, schema), ["id"])
+    rows = hist.collect()
+
+    # one row per (key, LSN), every event present
+    assert len(rows) == n_events
+    assert {(r["id"], r["__lsn"]) for r in rows} == {(k, l) for k, _, l, _ in events}
+
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r["id"], []).append(r)
+    latest = {}
+    for k, name, lsn, op in events:
+        latest[k] = (lsn, op)
+    for k, versions in per_key.items():
+        versions.sort(key=lambda r: r["__lsn"])
+        # contiguous chain: each closes at the next's LSN, last is OPEN
+        for a, b in zip(versions, versions[1:]):
+            assert a["__valid_to_lsn"] == b["__lsn"]
+        assert versions[-1]["__valid_to_lsn"] == OPEN_LSN
+        actives = [r for r in versions if r["__active"]]
+        if latest[k][1] == "d":
+            assert actives == []
+        else:
+            assert len(actives) == 1 and actives[0]["__lsn"] == latest[k][0]
+
+    # time travel == relational recompute at a few probe LSNs
+    for probe in {1, n_events // 2, n_events}:
+        got = {(r["id"], r["name"]) for r in as_of_lsn(hist, probe).collect()}
+        want = {}
+        for k, name, lsn, op in events:
+            if lsn <= probe:
+                want[k] = (name, op)
+        want_set = {(k, v[0]) for k, v in want.items() if v[1] != "d"}
+        assert got == want_set, (probe, got, want_set)
+
+    # batch-split independence: one-shot apply gives the identical history
+    one = scd2_apply(None, spark.createDataFrame(events, schema), ["id"])
+    assert {tuple(r) for r in one.collect()} == {tuple(r) for r in rows}

@@ -294,7 +294,8 @@ def test_codec_queries_fan_out_before_python(spark):
     """The codec mapInPandas stages must sit behind a repartition —
     documents reads as one split at bench scale, and without the
     exchange the whole Python decode serializes on a single task."""
-    for qname in ("multimodal_flac_frames", "multimodal_jpeg_decode"):
+    for qname in ("multimodal_flac_frames", "multimodal_jpeg_decode",
+                  "multimodal_resize_jpeg", "multimodal_avi_frames"):
         fn = workload.build_catalog(spark)[qname].fn
         plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
         i_ex = plan.find("Exchange RoundRobinPartitioning(32")

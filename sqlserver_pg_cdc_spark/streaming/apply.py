@@ -235,7 +235,13 @@ def merge_upsert(
 
     ``assume_deduped=True`` skips the within-batch latest-per-key pass —
     for callers that already reduced the batch (the partitioned sink
-    dedupes ONCE before routing rows to partitions)."""
+    dedupes ONCE before routing rows to partitions).
+
+    PK contract: key columns are assumed NOT NULL (SQL primary keys are;
+    Debezium keys are) — the name-list joins here use null-unsafe
+    equality, so a NULL-key row would never match its stored version.
+    The SCD2 apply (streaming/scd2.py), whose key column comes from
+    arbitrary data, does its own null-safe matching."""
     deduped = changes if assume_deduped else latest_per_key(changes, pk_cols, lsn_col)
     if target is None:
         return deduped

@@ -57,12 +57,32 @@ def scd2_apply(
         (F.col(op_col) == delete_op).alias("__is_delete"),
     )
     if history is not None:
+        # NULL-SAFE key matching throughout: the window recomputation
+        # below groups NULL keys into one partition (SQL semantics), so
+        # the semi/anti split must too — with plain equality a NULL-key
+        # chain would never be "affected", leaving two open versions
+        # after a cross-batch update. <=> keys still hash-join.
         keys = versions.select(*pk_cols).distinct()
-        affected = history.join(keys, pk_cols, "left_semi")
-        untouched = history.join(keys, pk_cols, "left_anti")
+
+        def _key_cond(left, right):
+            cond = None
+            for c in pk_cols:
+                term = left[c].eqNullSafe(right[c])
+                cond = term if cond is None else (cond & term)
+            return cond
+
+        h = history.alias("__h")
+        k = keys.alias("__k")
+        affected = h.join(k, _key_cond(h, k), "left_semi")
+        untouched = h.join(k, _key_cond(h, k), "left_anti")
         # idempotent replay: drop batch versions already in the history
-        seen = affected.select(*pk_cols, "__lsn")
-        versions = versions.join(seen, [*pk_cols, "__lsn"], "left_anti")
+        seen = affected.select(*pk_cols, "__lsn").alias("__s")
+        v = versions.alias("__v")
+        versions = v.join(
+            seen,
+            _key_cond(v, seen) & (v["__lsn"] == seen["__lsn"]),
+            "left_anti",
+        )
         merged = affected.select(
             *[F.col(c) for c in biz], "__lsn", F.col("__is_delete")
         ).unionByName(versions)

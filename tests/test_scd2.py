@@ -289,3 +289,24 @@ def test_partitioned_scd2_end_to_end_pipeline(spark, tmp_path):
     pipe2.run_available_now()
     assert pipe2.sink.history().count() == 4
     assert {(r["id"], r["name"]) for r in pipe2.sink.current().collect()} == cur
+
+
+def test_null_key_chains_merge_across_batches(spark):
+    """NULL-key versions must chain like any other key value (the SQL
+    window groups NULLs into one partition; the semi/anti split is
+    null-safe to match) — found by the nulls adversarial sweep where a
+    cross-batch update of a NULL-key row left two open versions."""
+    b1 = spark.createDataFrame([(None, "n1", 10, "c"), (1, "a", 11, "c")], SCHEMA)
+    b2 = spark.createDataFrame([(None, "n2", 20, "u")], SCHEMA)
+    h = scd2_apply(scd2_apply(None, b1, ["id"]), b2, ["id"])
+    null_rows = sorted(
+        ((r["__lsn"], r["__valid_to_lsn"], r["__active"])
+         for r in h.filter("id IS NULL").collect())
+    )
+    assert null_rows == [(10, 20, False), (20, OPEN_LSN, True)]
+    # replay of the NULL-key version is idempotent too
+    again = scd2_apply(h, b2, ["id"])
+    assert again.count() == h.count()
+    # time travel returns exactly one NULL-key row at any point
+    assert as_of_lsn(h, 15).filter("id IS NULL").count() == 1
+    assert as_of_lsn(h, 25).filter("id IS NULL").count() == 1

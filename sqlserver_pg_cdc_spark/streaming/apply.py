@@ -501,6 +501,46 @@ class HashPartitionedStateMixin:
             return None
         return self.spark.read.parquet(*[self._part_dir(p) for p in parts])
 
+    def _parts_for_keys(self, key_rows: list) -> list[int]:
+        """Partition ids a set of key tuples hashes to — the same
+        ``pmod(xxhash64(*pk), n)`` the write path routes with, computed
+        through Spark so the hash semantics are identical by
+        construction. Bounded by the lookup set, never by state."""
+        if not key_rows:
+            return []
+        df = self.spark.createDataFrame(key_rows, self.pk_cols)
+        return sorted(
+            r["__p"]
+            for r in df.select(self._part_expr().alias("__p")).distinct().collect()
+        )
+
+    def read_keys(self, key_rows: list) -> DataFrame | None:
+        """Point-lookup path: read ONLY the partitions holding the given
+        keys (list of tuples, or scalars for a single-column PK), then
+        filter to exactly those keys. This is the partitioned layout's
+        read payoff — a k-key lookup opens at most k partition
+        directories of the whole state. NULL-safe key match."""
+        if key_rows and not isinstance(key_rows[0], (tuple, list)):
+            key_rows = [(k,) for k in key_rows]
+        key_rows = [tuple(k) for k in key_rows]
+        if not os.path.isdir(self.target_dir) or not key_rows:
+            return None
+        self._check_layout()
+        hit = self._parts_for_keys(key_rows)
+        for p in hit:
+            self._recover_part(self._part_dir(p))
+        parts = [p for p in hit if os.path.isdir(self._part_dir(p))]
+        if not parts:
+            return None
+        df = self.spark.read.parquet(*[self._part_dir(p) for p in parts])
+        keys = self.spark.createDataFrame(key_rows, self.pk_cols).alias("__k")
+        d = df.alias("__d")
+        cond = None
+        for c in self.pk_cols:
+            term = d[c].eqNullSafe(keys[c])
+            cond = term if cond is None else (cond & term)
+        return d.join(keys, cond, "left_semi")
+
 
 class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink):
     """CDC upsert sink with HASH-PARTITIONED state: the 100 TB shape of

@@ -247,6 +247,12 @@ class PartitionedScd2Sink:
         h = self.history()
         return None if h is None else as_of_lsn(h, lsn)
 
+    def history_for_keys(self, key_rows: list) -> DataFrame | None:
+        """Point lookup into the versioned history: opens only the
+        partition directories the keys hash to (a key's full audit trail
+        lives in one partition by construction)."""
+        return self._store.read_keys(key_rows)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.tracing import get_tracer
 

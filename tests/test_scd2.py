@@ -310,3 +310,15 @@ def test_null_key_chains_merge_across_batches(spark):
     # time travel returns exactly one NULL-key row at any point
     assert as_of_lsn(h, 15).filter("id IS NULL").count() == 1
     assert as_of_lsn(h, 25).filter("id IS NULL").count() == 1
+
+
+def test_partitioned_scd2_point_lookup(spark, tmp_path):
+    """history_for_keys reads one key's full version chain from only
+    its hash partition."""
+    part = _psink(spark, tmp_path)
+    part(_batch(spark, [(i, f"n{i}", 10 + i, "c") for i in range(50)]), 0)
+    part(_batch(spark, [(7, "v2", 100, "u")]), 1)
+    chain = sorted(
+        (r["__lsn"], r["name"]) for r in part.history_for_keys([7]).collect()
+    )
+    assert chain == [(17, "n7"), (100, "v2")]

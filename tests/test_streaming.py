@@ -536,3 +536,24 @@ def test_partitioned_upsert_rejects_markerless_partitioned_state(spark, tmp_path
         fresh.read_target()
     with pytest.raises(ValueError, match="no __layout.json"):
         fresh(_rows(spark, [(1, "x", 1.0, 99)]), 1)
+
+
+def test_partitioned_upsert_point_lookup_prunes_partitions(spark, tmp_path):
+    """read_keys must open ONLY the partition directories the lookup
+    keys hash to (verified by deleting every other partition — a full
+    read would fail), and return exactly the requested rows."""
+    import shutil as _sh
+
+    part = _part_sink(spark, tmp_path, n=8)
+    part(_rows(spark, [(i, f"n{i}", float(i), i) for i in range(200)]), 0)
+    hit = part._parts_for_keys([(7,), (13,)])
+    assert 1 <= len(hit) <= 2
+    # remove all partitions NOT holding the keys: a pruned read survives
+    for p in part._existing_parts():
+        if p not in hit:
+            _sh.rmtree(part._part_dir(p))
+    got = {r["id"]: r["name"] for r in part.read_keys([7, 13]).collect()}
+    assert got == {7: "n7", 13: "n13"}
+    # missing key: no row, no error (None when its partition is absent)
+    res = part.read_keys([(999999,)])
+    assert res is None or res.filter("id = 999999").count() == 0

@@ -305,6 +305,15 @@ def _sweep_generations(path: str, keep: set) -> None:
     for d in glob.glob(os.path.join(path, "gen_*")):
         if os.path.basename(d) not in keep:
             shutil.rmtree(d, ignore_errors=True)
+    # manifest tmp files stranded by a crash between _write_manifest's
+    # write and rename: any present here is from a DEAD writer (live
+    # ones exist only inside _write_manifest), so sweep them too —
+    # otherwise they accumulate forever
+    for t in glob.glob(os.path.join(path, f".{_MANIFEST}_tmp_*")):
+        try:
+            os.remove(t)
+        except OSError:
+            pass
 
 
 def compact_manifested(

@@ -189,7 +189,9 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         if st is None:
             return None
         if "__del" in st.columns:
-            st = st.filter(~F.col("__del"))
+            # NULL deleted-flag means "not deleted" (consistent with
+            # CdcPipeline.active_rows): a bare NOT would drop NULL rows
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
         return st
 
     def index(self) -> DataFrame | None:
@@ -401,7 +403,8 @@ class IvfIndexSink(PartitionedParquetUpsertSink):
         if st is None:
             return None
         if "__del" in st.columns:
-            st = st.filter(~F.col("__del"))
+            # NULL deleted-flag is live (matches CdcPipeline.active_rows)
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
         return st.select(F.col("doc").alias("id"), "v", "cell_id")
 
     def topk(self, queries: DataFrame, k: int = 10, n_probe: int = 2) -> DataFrame | None:

@@ -215,6 +215,45 @@ def latest_per_key(
     return phase2.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def align_evolved_sides(
+    target: DataFrame, changes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution at the sink (reference ``auto.evolve=true``,
+    docker/configs/kafka-connect/postgresql-sink.json:29; supported-
+    changes matrix docs/guides-schema-evolution.md:499-508): widen BOTH
+    sides to the union schema when they differ ADDITIVELY.
+
+    - batch gained a column (upstream ``ADD COLUMN``): stored rows get a
+      typed NULL for it — the state widens, prior data intact;
+    - batch LACKS a column the state has (old-shape producer, or an
+      upstream column drop the reference explicitly does NOT propagate):
+      batch rows get NULL for it — the sink keeps the column;
+    - a TYPE change raises — the sink's error path routes the batch to
+      the DLQ, matching the reference's contract
+      (tests/integration/test_schema_evolution.py:187,235).
+    """
+    from pyspark.sql import types as T
+
+    from sqlserver_pg_cdc_spark.operators.evolution import (
+        align_to_evolved,
+        diff_schemas,
+    )
+
+    d = diff_schemas(target.schema, changes.schema)
+    if d.type_changed:
+        raise ValueError(
+            f"incompatible schema change (type): {d.type_changed} — "
+            "additive evolution only; route this batch to the DLQ"
+        )
+    if not d.added and not d.removed:
+        return target, changes
+    union = T.StructType(
+        list(target.schema.fields)
+        + [changes.schema[name] for name, _ in d.added]
+    )
+    return align_to_evolved(target, union), align_to_evolved(changes, union)
+
+
 def merge_upsert(
     target: DataFrame | None,
     changes: DataFrame,
@@ -237,6 +276,10 @@ def merge_upsert(
     for callers that already reduced the batch (the partitioned sink
     dedupes ONCE before routing rows to partitions).
 
+    Additive schema drift between the stored state and the batch is
+    EVOLVED in place (:func:`align_evolved_sides` — the reference's
+    ``auto.evolve``); a type change raises and the sink DLQs the batch.
+
     PK contract: key columns are assumed NOT NULL (SQL primary keys are;
     Debezium keys are) — the name-list joins here use null-unsafe
     equality, so a NULL-key row would never match its stored version.
@@ -245,6 +288,7 @@ def merge_upsert(
     deduped = changes if assume_deduped else latest_per_key(changes, pk_cols, lsn_col)
     if target is None:
         return deduped
+    target, deduped = align_evolved_sides(target, deduped)
     stale_keys = deduped.select(*pk_cols, F.col(lsn_col).alias("__new_lsn"))
     kept = (
         target.join(stale_keys, pk_cols, "left")
@@ -414,6 +458,29 @@ class HashPartitionedStateMixin:
             with open(marker, "w") as f:
                 json.dump({"n_partitions": self.n_partitions}, f)
 
+    def _stamp_schema(self, df: DataFrame) -> None:
+        """Record the ACTIVE (post-evolution) schema in __layout.json so
+        operators and humans can see what shape the state is in without
+        opening parquet footers; updated whenever a batch evolves it.
+        The part footers stay authoritative for reads (mergeSchema) —
+        the stamp is observability + a version trail, not a gate."""
+        import json
+
+        marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
+        if not os.path.exists(marker):
+            return
+        ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("schema") == ddl:
+            return
+        meta["schema"] = ddl
+        meta["schema_version"] = int(meta.get("schema_version", 0)) + 1
+        tmp = f"{marker}.tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, marker)
+
     def _sweep_batchtmps(self) -> None:
         """A crash between the partitionBy write and its finally block
         strands a __batchtmp_* dir at the state-dir root; the
@@ -499,16 +566,62 @@ class HashPartitionedStateMixin:
         parts = self._existing_parts()
         if not parts:
             return None
-        return self.spark.read.parquet(*[self._part_dir(p) for p in parts])
+        return self._read_parts(parts)
+
+    def _read_parts(self, parts: list[int]) -> DataFrame:
+        """Read a set of partition dirs with SCHEMA MERGING: after an
+        additive evolution, touched partitions carry the widened schema
+        while untouched ones keep the old — a plain read would pick one
+        footer's schema and silently drop (or never surface) the new
+        column for half the state. mergeSchema unions the footers;
+        pre-evolution rows read as NULL in added columns."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[self._part_dir(p) for p in parts]
+        )
+
+    def _stored_pk_types(self) -> dict[str, str] | None:
+        """simpleString type of each pk column AS STORED, read from one
+        existing partition's parquet footer (authoritative — it is what
+        the write path hashed). None when no partitions exist yet."""
+        parts = self._existing_parts()
+        if not parts:
+            return None
+        schema = self.spark.read.parquet(self._part_dir(parts[0])).schema
+        by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return {c: by_name[c] for c in self.pk_cols if c in by_name}
+
+    def _cast_keys_to_stored(self, df: DataFrame) -> DataFrame:
+        """Cast pk columns to the STORED key types before hashing.
+
+        ``xxhash64`` is type-sensitive: hash(1 AS INT) != hash(1 AS
+        BIGINT). ``createDataFrame`` infers LongType/DoubleType from
+        Python ints/floats, so probing an IntegerType-keyed state with
+        uncast keys computes the WRONG partition id and the lookup
+        silently returns nothing — every probe (and the write path, when
+        a batch's key dtype drifts from the stored one) must hash the
+        stored dtype."""
+        types = self._stored_pk_types()
+        if not types:
+            return df
+        out = df
+        for c in self.pk_cols:
+            t = types.get(c)
+            if t is not None and dict(out.dtypes).get(c) != t:
+                out = out.withColumn(c, F.col(c).cast(t))
+        return out
 
     def _parts_for_keys(self, key_rows: list) -> list[int]:
         """Partition ids a set of key tuples hashes to — the same
         ``pmod(xxhash64(*pk), n)`` the write path routes with, computed
         through Spark so the hash semantics are identical by
-        construction. Bounded by the lookup set, never by state."""
+        construction (probe keys cast to the stored key dtypes first —
+        xxhash64 is type-sensitive). Bounded by the lookup set, never by
+        state."""
         if not key_rows:
             return []
-        df = self.spark.createDataFrame(key_rows, self.pk_cols)
+        df = self._cast_keys_to_stored(
+            self.spark.createDataFrame(key_rows, self.pk_cols)
+        )
         return sorted(
             r["__p"]
             for r in df.select(self._part_expr().alias("__p")).distinct().collect()
@@ -532,7 +645,7 @@ class HashPartitionedStateMixin:
         parts = [p for p in hit if os.path.isdir(self._part_dir(p))]
         if not parts:
             return None
-        df = self.spark.read.parquet(*[self._part_dir(p) for p in parts])
+        df = self._read_parts(parts)
         keys = self.spark.createDataFrame(key_rows, self.pk_cols).alias("__k")
         d = df.alias("__d")
         cond = None
@@ -585,7 +698,9 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
 
     def _apply(self, batch_df: DataFrame) -> None:
         deduped = (
-            latest_per_key(batch_df, self.pk_cols, self.lsn_col)
+            self._cast_keys_to_stored(
+                latest_per_key(batch_df, self.pk_cols, self.lsn_col)
+            )
             .withColumn("__p", self._part_expr())
             .persist()
         )
@@ -606,9 +721,7 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
                     prev_parts.append(p)
             prev = None
             if prev_parts:
-                prev = self.spark.read.parquet(
-                    *[self._part_dir(p) for p in prev_parts]
-                )
+                prev = self._read_parts(prev_parts)
             merged = merge_upsert(
                 prev,
                 deduped.drop("__p"),
@@ -616,6 +729,7 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
                 self.lsn_col,
                 assume_deduped=True,
             ).withColumn("__p", self._part_expr())
+            self._stamp_schema(merged.drop("__p"))
             self._swap_parts(merged, touched)
         finally:
             deduped.unpersist()

@@ -1,0 +1,293 @@
+"""Streaming-maintained MinHash band index: a foreachBatch sink keeping
+the text-dedup LSH index (`operators/dedup.minhash_index`) continuously
+up to date from a document change stream.
+
+The batch story persists the corpus band index once and probes it with
+new batches (`minhash_incremental_dedup`); here the index ITSELF is the
+streamed state — a continuously-ingesting corpus never rebuilds it.
+Each micro-batch upserts ONE ROW PER DOCUMENT — (doc, sh, bands, lsn)
+with the doc's full shingle set and band-key array — through the
+hash-partitioned LSN-guarded upsert (`PartitionedParquetUpsertSink`),
+touching only the partitions the batch hits. A re-ingested doc with
+CHANGED text replaces its whole row, so stale band keys cannot linger
+(the one-row-per-doc layout is what makes the upsert atomic per doc —
+band rows split across files could half-update). Storing the shingle
+set beside the bands means the exact-Jaccard verify step never
+re-tokenizes corpus text: colliding docs' shingles come straight from
+the index partitions.
+
+Query side: ``index()`` explodes the stored band arrays to the (doc,
+band_id, band_key) shape the batch operators consume — it plugs
+directly into `minhash_incremental_dedup` as ``index_df``;
+``near_dups(new)`` runs the full incremental probe against the streamed
+state (candidates from the band join, verification against stored
+shingles). Streamed state == one-shot index is pytest-pinned, and the
+``text_dedup_streamed_index`` catalog query keeps it oracle-green.
+
+LSH parameters (num_hashes, bands, k) are baked into the stored keys:
+they are recorded in the state dir on first write and validated on
+every open, the same discipline `AnnIndexSink.__ann_params.json`
+applies to its hyperplanes.
+
+Reference analog: the reference maintains reconciliation state
+incrementally per change batch (src/reconciliation/incremental/
+state.py:112-164); this is the same discipline applied to a text-dedup
+index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+
+
+class MinhashIndexSink(PartitionedParquetUpsertSink):
+    """foreachBatch callable: ``writeStream.foreachBatch(sink)``.
+
+    ``lsn_col`` orders updates to the same doc across batches (CDC
+    streams carry one); without it each row is stamped with its batch
+    id — last batch wins. ``deleted_col`` (optional) makes the sink
+    CDC-complete: soft-deleted docs stay in state under the LSN guard
+    (a late stale update cannot resurrect them) but are excluded from
+    ``index()``/``shingles()``/``near_dups()``."""
+
+    _PARAMS_FILE = "__minhash_params.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        text_col: str,
+        lsn_col: str | None = None,
+        num_hashes: int = 16,
+        bands: int = 4,
+        k: int = 3,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+        deleted_col: str | None = None,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must divide evenly into bands")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.src_lsn_col = lsn_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.deleted_col = deleted_col
+
+    def _params(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "k": self.k,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        """State written with one (num_hashes, bands, k) probed with
+        another silently returns wrong/empty candidates — record the
+        parameters on first write, fail fast on mismatch at open."""
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    kk: {"stored": stored.get(kk), "sink": v}
+                    for kk, v in mine.items()
+                    if stored.get(kk) != v
+                }
+                raise ValueError(
+                    f"MinHash state at {self.target_dir} was built with "
+                    f"different LSH parameters than this sink: {diff} — "
+                    "probing it would band with mismatched hash families; "
+                    "open it with the recorded parameters or rebuild"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"MinHash state at {self.target_dir} holds partitions but "
+                f"no {self._PARAMS_FILE} — its LSH parameters are unknown; "
+                "rebuild the state"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Batch -> one (doc, sh, bands, lsn[, __del]) row per document.
+
+        One shingle pass feeds both the stored shingle set and the
+        signature/band computation; docs whose text shingles to nothing
+        keep an EMPTY band array (they can never collide) but still own
+        a state row, so a later text update or delete lands on them."""
+        from sqlserver_pg_cdc_spark.operators.dedup import (
+            _signatures_from_exploded,
+            shingle_frame,
+        )
+
+        rows = self.num_hashes // self.bands
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        extra = [lsn.alias("lsn")]
+        src = batch_df
+        if self.deleted_col:
+            del_flag = F.coalesce(
+                F.col(self.deleted_col).cast("string") == F.lit("true"),
+                F.lit(False),
+            )
+            src = batch_df.filter(F.col(self.text_col).isNotNull() | del_flag)
+            extra.append(del_flag.alias("__del"))
+        sh_f = shingle_frame(src, self.id_col, self.text_col, self.k).select(
+            "doc",
+            F.coalesce(
+                F.col("sh"), F.array().cast("array<string>")
+            ).alias("sh"),
+        )
+        carried = src.select(F.col(self.id_col).alias("doc"), *extra)
+        sigs = _signatures_from_exploded(
+            sh_f.select("doc", F.explode("sh").alias("shingle")),
+            self.num_hashes,
+        )
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"h{b * rows + r}" for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(self.bands)
+        ]
+        empty_bands = F.array().cast(
+            "array<struct<band_id:int,band_key:string>>"
+        )
+        return (
+            sh_f.join(sigs, "doc", "left")
+            .select(
+                "doc",
+                "sh",
+                F.when(F.col("h0").isNotNull(), F.array(*band_structs))
+                .otherwise(empty_bands)
+                .alias("bands"),
+            )
+            .join(carried, "doc")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
+        super().__call__(self._project(batch_df, batch_id), batch_id)
+
+    # -- query surface ------------------------------------------------------
+
+    def _live_state(self) -> DataFrame | None:
+        self._check_params()
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            # NULL deleted-flag is live (matches CdcPipeline.active_rows)
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        return st
+
+    def index(self) -> DataFrame | None:
+        """The (doc, band_id, band_key) band index over the streamed
+        state — the exact shape `minhash_index` computes one-shot, and
+        the ``index_df`` input `minhash_incremental_dedup` probes.
+        Soft-deleted docs excluded."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select("doc", F.explode("bands").alias("bk")).select(
+            "doc", "bk.band_id", "bk.band_key"
+        )
+
+    def shingles(self) -> DataFrame | None:
+        """The stored (doc, sh) shingle sets of live docs — what the
+        exact-Jaccard verify joins against instead of re-tokenizing
+        corpus text."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select("doc", "sh")
+
+    def near_dups(
+        self, new_df: DataFrame, threshold: float = 0.5
+    ) -> DataFrame | None:
+        """Near-dups of a NEW batch against the streamed index:
+        (a=new id, b=indexed id, jaccard >= threshold). Work ∝ new
+        batch + collisions: only the new docs are shingled/hashed; the
+        band join hits the stored index; verification joins candidates
+        to STORED shingles (no corpus re-tokenize — an equi-join on the
+        colliding doc ids, partition-prunable by the state's doc hash)."""
+        from sqlserver_pg_cdc_spark.operators.dedup import (
+            minhash_band_frame,
+            minhash_signatures_from_shingles,
+            shingle_frame,
+        )
+
+        idx = self.index()
+        if idx is None:
+            return None
+        rows = self.num_hashes // self.bands
+        new_sh = shingle_frame(
+            new_df, self.id_col, self.text_col, self.k
+        ).persist()
+        try:
+            nsh = new_sh.filter(F.size("sh") > 0)
+            new_sig = minhash_signatures_from_shingles(nsh, self.num_hashes)
+            new_bands = minhash_band_frame(new_sig, self.bands, rows)
+            cands = (
+                new_bands.join(idx, ["band_id", "band_key"])
+                .select(new_bands.doc.alias("a"), idx.doc.alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .persist()
+            )
+            try:
+                stored = self.shingles()
+                b = stored.join(
+                    cands.select(F.col("b").alias("doc")).distinct(),
+                    "doc",
+                    "left_semi",
+                ).select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+                a = nsh.select(
+                    F.col("doc").alias("a"), F.col("sh").alias("sh_a")
+                )
+                inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                result = (
+                    cands.join(a, "a")
+                    .join(b, "b")
+                    .select("a", "b", (inter / union).alias("jaccard"))
+                    .filter(F.col("jaccard") >= threshold)
+                )
+                result = result.persist()
+                result.count()
+                return result
+            finally:
+                cands.unpersist()
+        finally:
+            new_sh.unpersist()

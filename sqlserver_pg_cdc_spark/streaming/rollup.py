@@ -264,7 +264,11 @@ class PartitionedContinuousAggSink(HashPartitionedStateMixin, ContinuousAggSink)
     def _apply(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         proj = self.project(batch_df) if self.project else batch_df
         delta = (
-            build_state(proj, self.pk_cols, self.value_col)
+            # hash the STORED key dtypes — xxhash64 is type-sensitive,
+            # so a dtype-drifted batch must route like prior writes
+            self._cast_keys_to_stored(
+                build_state(proj, self.pk_cols, self.value_col)
+            )
             .withColumn("__p", self._part_expr())
             .persist()
         )
@@ -285,9 +289,9 @@ class PartitionedContinuousAggSink(HashPartitionedStateMixin, ContinuousAggSink)
                     prev_parts.append(p)
             prev = None
             if prev_parts:
-                prev = self.spark.read.parquet(
-                    *[self._part_dir(p) for p in prev_parts]
-                ).withColumn("__p", self._part_expr())
+                prev = self._read_parts(prev_parts).withColumn(
+                    "__p", self._part_expr()
+                )
             skip: set[int] = set()
             if self.idempotent and prev is not None and batch_id is not None:
                 # per-partition replay guard: __bid is constant within a

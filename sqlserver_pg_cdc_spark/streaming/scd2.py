@@ -57,6 +57,41 @@ def scd2_apply(
         (F.col(op_col) == delete_op).alias("__is_delete"),
     )
     if history is not None:
+        # additive schema evolution (reference auto.evolve): a batch that
+        # GAINED a column widens the history (old versions read NULL); a
+        # batch LACKING a history column gets typed NULLs (old-shape
+        # producer / upstream drop the sink keeps). Type changes raise —
+        # the sink's error path DLQs the batch.
+        from pyspark.sql import types as T
+
+        from sqlserver_pg_cdc_spark.operators.evolution import diff_schemas
+
+        meta_cols = {
+            "__lsn", "__is_delete", "__valid_from_lsn",
+            "__valid_to_lsn", "__active",
+        }
+        hist_biz = T.StructType(
+            [f for f in history.schema.fields if f.name not in meta_cols]
+        )
+        batch_biz = T.StructType(
+            [f for f in versions.schema.fields if f.name not in meta_cols]
+        )
+        d = diff_schemas(hist_biz, batch_biz)
+        if d.type_changed:
+            raise ValueError(
+                f"incompatible schema change (type): {d.type_changed} — "
+                "additive evolution only; route this batch to the DLQ"
+            )
+        for name, _ in d.added:
+            history = history.withColumn(
+                name, F.lit(None).cast(batch_biz[name].dataType)
+            )
+        for name, _ in d.removed:
+            versions = versions.withColumn(
+                name, F.lit(None).cast(hist_biz[name].dataType)
+            )
+        biz = [f.name for f in hist_biz.fields] + [n for n, _ in d.added]
+    if history is not None:
         # NULL-SAFE key matching throughout: the window recomputation
         # below groups NULL keys into one partition (SQL semantics), so
         # the semi/anti split must too — with plain equality a NULL-key
@@ -278,7 +313,14 @@ class PartitionedScd2Sink:
         import os
 
         st = self._store
-        routed = batch_df.withColumn("__p", st._part_expr()).persist()
+        # hash the STORED key dtypes (xxhash64 is type-sensitive): a
+        # batch whose key column arrives as int32 against a long-keyed
+        # history (or vice versa) must route identically to prior writes
+        routed = (
+            st._cast_keys_to_stored(batch_df)
+            .withColumn("__p", st._part_expr())
+            .persist()
+        )
         try:
             touched = sorted(
                 r["__p"] for r in routed.select("__p").distinct().collect()
@@ -296,9 +338,7 @@ class PartitionedScd2Sink:
                     prev_parts.append(p)
             prev = None
             if prev_parts:
-                prev = self.spark.read.parquet(
-                    *[st._part_dir(p) for p in prev_parts]
-                )
+                prev = st._read_parts(prev_parts)  # mergeSchema: evolved
             new_slice = scd2_apply(
                 prev,
                 routed.drop("__p"),
@@ -306,6 +346,7 @@ class PartitionedScd2Sink:
                 lsn_col=self.lsn_col,
                 op_col=self.op_col,
             )
+            st._stamp_schema(new_slice)
             st._swap_parts(new_slice.withColumn("__p", st._part_expr()), touched)
         finally:
             routed.unpersist()

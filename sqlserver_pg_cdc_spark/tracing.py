@@ -117,6 +117,7 @@ class Tracer:
         self.service_name = service_name
         self.finished: deque[Span] = deque(maxlen=max_spans)
         self._lock = threading.Lock()
+        self._flush_lock = threading.Lock()  # serializes flush_otlp
         self.disabled = os.getenv("OTEL_SDK_DISABLED", "").lower() == "true"
 
     def span(self, name: str, **attributes: Any) -> _SpanContext:
@@ -272,18 +273,23 @@ def flush_otlp(
     cleared only on an accepted export (a down collector keeps spans in
     the bounded ring for the next flush)."""
     t = tracer or _tracer
-    with t._lock:
-        spans = list(t.finished)
     ex = exporter or OtlpHttpExporter()
-    ok = ex.export(spans, t.service_name)
-    if ok:
+    # one flusher at a time: two concurrent flushers would each pop
+    # their snapshot's length, dropping spans only one of them exported
+    with t._flush_lock:
         with t._lock:
-            # appends are the only concurrent mutation, so the exported
-            # snapshot is a prefix of the deque — drop exactly that many
-            # (under ring eviction mid-flight this may drop newer spans
-            # instead; bounded-buffer tracing accepts that loss)
-            for _ in range(min(len(spans), len(t.finished))):
-                t.finished.popleft()
+            spans = list(t.finished)
+        ok = ex.export(spans, t.service_name)
+        if ok:
+            exported = {id(s) for s in spans}  # spans list keeps them alive
+            with t._lock:
+                # pop by IDENTITY, not by count: if ring eviction ran
+                # mid-flight the evicted spans were exported ones (the
+                # deque evicts oldest-first), so the surviving prefix of
+                # exported spans is exactly what should be removed —
+                # newer, unexported spans stay for the next flush
+                while t.finished and id(t.finished[0]) in exported:
+                    t.finished.popleft()
     return ok
 
 

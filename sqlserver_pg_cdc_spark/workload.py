@@ -1177,6 +1177,39 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 """
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-level ADDITIVE schema evolution (reference auto.evolve=true,
+    docker/configs/kafka-connect/postgresql-sink.json:29): two ingest
+    batches that DIFFER BY A COLUMN apply through the same LSN-guarded
+    `merge_upsert` — batch 1 is the old shape, batch 2 gained a
+    ``category`` column mid-stream. The state widens in place: keys whose
+    latest change predates the DDL read NULL in the new column. The
+    oracle recomputes the final state relationally (latest change per
+    key; category present only when that change came from the evolved
+    batch)."""
+    from sqlserver_pg_cdc_spark.streaming.apply import merge_upsert
+
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    b1 = ev.filter(F.col("lsn") % 2 == 0).select("user_id", "lsn", "op", "value")
+    b2 = ev.filter(F.col("lsn") % 2 == 1).select(
+        "user_id", "lsn", "op", "value",
+        F.concat(F.lit("cat_"), (F.col("lsn") % 5).cast("string")).alias("category"),
+    )
+    state = merge_upsert(None, b1, ["user_id"])
+    state = merge_upsert(state, b2, ["user_id"])
+    return state.select("user_id", "lsn", "op", "value", "category")
+
+
+_Q_CDC_EVOLUTION_SQL = f"""
+SELECT user_id, lsn, op, value,
+       CASE WHEN lsn % 2 = 1 THEN 'cat_' || CAST(lsn % 5 AS VARCHAR) END AS category
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ({_CDC_EVENTS_SQL})
+) WHERE rn = 1
+"""
+
+
 def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history + LSN time travel, oracle-checked (the versioned-CDC
     family's first value-hash contract — previously pytest-only): the
@@ -2338,6 +2371,50 @@ def _embedding_streamed_index_sql() -> str:
         threshold=0.92,
         bands=4,
         planes_per_band=8,
+    )
+
+
+def q_text_dedup_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup probe against the STREAMING-maintained MinHash band
+    index (`streaming/minhash.MinhashIndexSink`): the document corpus
+    arrives as two ingest batches through the hash-partitioned
+    LSN-guarded upsert sink (shingles + band keys computed per batch,
+    one row per doc, state on disk), then a re-keyed probe set
+    near-dup-queries the streamed state — candidates from the stored
+    band index, exact Jaccard verified against STORED shingles (no
+    corpus re-tokenize). The oracle is the from-scratch batch recompute:
+    streamed index == one-shot index is the sink's pytest-pinned
+    contract, and this query keeps it oracle-green."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.minhash import MinhashIndexSink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _ann_streamed_workdir(sf_dir)
+    sink = MinhashIndexSink(
+        spark, _os.path.join(work, "mh_state"), "doc_id", "text",
+        n_partitions=4,
+    )
+    sink(d.filter("doc_id % 2 = 0"), 0)
+    sink(d.filter("doc_id % 2 = 1"), 1)
+    new = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    res = sink.near_dups(new, threshold=0.2)
+    if res is None:  # empty corpus: no batch ever reached the sink
+        return spark.createDataFrame([], "a long, b long, jaccard double")
+    return res
+
+
+def _text_dedup_streamed_index_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    return DD.minhash_incremental_dedup_sql(
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0",
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        "text",
+        threshold=0.2,
     )
 
 
@@ -4751,6 +4828,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "events_daily_revenue": QuerySpec(q_events_daily_revenue, _Q_EVENTS_DAILY_SQL),
         "cdc_latest_state": QuerySpec(q_cdc_latest_state, _Q_CDC_LATEST_SQL),
         "cdc_active_rows": QuerySpec(q_cdc_active_rows, _Q_CDC_ACTIVE_SQL),
+        "cdc_schema_evolution": QuerySpec(
+            q_cdc_schema_evolution, _Q_CDC_EVOLUTION_SQL
+        ),
         "scd2_time_travel": QuerySpec(q_scd2_time_travel, _Q_SCD2_TIME_TRAVEL_SQL),
         "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
         "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, _PII_UDF_SQL),
@@ -4879,6 +4959,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "embedding_streamed_index": QuerySpec(
                 q_embedding_streamed_index, _embedding_streamed_index_sql()
+            ),
+            "text_dedup_streamed_index": QuerySpec(
+                q_text_dedup_streamed_index, _text_dedup_streamed_index_sql()
             ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,

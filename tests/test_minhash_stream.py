@@ -1,0 +1,201 @@
+"""Streaming-maintained MinHash band index (`streaming/minhash.
+MinhashIndexSink`): streamed-equals-one-shot, upsert replaces stale
+band keys on text change, CDC deletes, LSN guard, parameter guards,
+end-to-end writeStream, and probe parity with the batch
+`minhash_incremental_dedup` path."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+         "golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+
+def _docs(spark, ids, mutate=None):
+    rows = []
+    for i in ids:
+        toks = [WORDS[(i + j * (1 + i % 3)) % len(WORDS)] for j in range(8)]
+        if mutate is not None and i in mutate:
+            toks = list(reversed(toks)) + ["zulu"]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sink(spark, tmp_path, **kw):
+    from sqlserver_pg_cdc_spark.streaming.minhash import MinhashIndexSink
+
+    kw.setdefault("num_hashes", 16)
+    kw.setdefault("bands", 4)
+    kw.setdefault("k", 3)
+    kw.setdefault("n_partitions", 8)
+    return MinhashIndexSink(
+        spark, str(tmp_path / "mh_state"), "doc_id", "text", **kw
+    )
+
+
+def _index_set(df):
+    return {(r["doc"], r["band_id"], r["band_key"]) for r in df.collect()}
+
+
+def test_streamed_index_equals_one_shot(spark, tmp_path):
+    all_d = _docs(spark, range(60))
+    sink = _sink(spark, tmp_path)
+    for b, pred in enumerate(["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]):
+        sink(all_d.filter(pred), b)
+    one_shot = DD.minhash_index(all_d, "doc_id", "text")
+    assert _index_set(sink.index()) == _index_set(one_shot)
+
+
+def test_update_replaces_stale_band_keys(spark, tmp_path):
+    """Re-ingesting a doc with CHANGED text must atomically replace its
+    band keys; a stale replay (older lsn) must not resurrect old text."""
+    sink = _sink(spark, tmp_path)
+    sink(_docs(spark, range(20)), 0)
+    changed = _docs(spark, [3, 7], mutate={3, 7})
+    sink(changed, 1)
+    want_changed = DD.minhash_index(changed, "doc_id", "text")
+    got = sink.index()
+    got_37 = _index_set(got.filter(F.col("doc").isin(3, 7)))
+    assert got_37 == _index_set(want_changed)
+    per_doc = {
+        r["doc"]: r["n"]
+        for r in got.groupBy("doc").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc) == set(range(20))
+    assert all(n == 4 for n in per_doc.values())
+    sink(_docs(spark, range(20)), 0)  # stale replay
+    assert _index_set(sink.index().filter(F.col("doc").isin(3, 7))) == got_37
+
+
+def test_near_dups_against_streamed_index_matches_batch_path(spark, tmp_path):
+    corpus = _docs(spark, range(50))
+    sink = _sink(spark, tmp_path)
+    sink(corpus.filter("doc_id < 30"), 0)
+    sink(corpus.filter("doc_id >= 30"), 1)
+    new = corpus.filter("doc_id < 10").withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    got = sink.near_dups(new, threshold=0.5)
+    batch_index = DD.minhash_index(corpus, "doc_id", "text")
+    want = DD.minhash_incremental_dedup(
+        new, corpus, batch_index, "doc_id", "text", threshold=0.5
+    )
+    gm = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in got.collect()}
+    wm = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in want.collect()}
+    assert gm == wm and len(gm) >= 10  # every re-keyed copy finds its source
+    got.unpersist()
+    want.unpersist()
+
+
+def test_streamed_index_feeds_minhash_incremental_dedup(spark, tmp_path):
+    """sink.index() IS the index_df contract of the batch operator:
+    `minhash_incremental_dedup` probing streamed state returns exactly
+    what it returns with the batch-built index."""
+    corpus = _docs(spark, range(40))
+    sink = _sink(spark, tmp_path)
+    sink(corpus.filter("doc_id % 2 = 0"), 0)
+    sink(corpus.filter("doc_id % 2 = 1"), 1)
+    new = corpus.filter("doc_id < 8").withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    via_stream = DD.minhash_incremental_dedup(
+        new, corpus, sink.index(), "doc_id", "text", threshold=0.5
+    )
+    via_batch = DD.minhash_incremental_dedup(
+        new, corpus, DD.minhash_index(corpus, "doc_id", "text"),
+        "doc_id", "text", threshold=0.5,
+    )
+    sm = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in via_stream.collect()}
+    bm = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in via_batch.collect()}
+    assert sm == bm and len(sm) >= 8
+    via_stream.unpersist()
+    via_batch.unpersist()
+
+
+def test_cdc_deletes_and_lsn_guard(spark, tmp_path):
+    """Soft deletes drop docs from index()/shingles()/near_dups() even
+    with a NULL before-image text; a stale update cannot resurrect."""
+    sink = _sink(spark, tmp_path, lsn_col="lsn", deleted_col="__deleted")
+    b0 = _docs(spark, range(12)).select(
+        "doc_id", "text", (F.col("doc_id") + 10).alias("lsn"),
+        F.lit("false").alias("__deleted"),
+    )
+    sink(b0, 0)
+    dels = spark.createDataFrame(
+        [(3, None, 100, "true"), (7, None, 101, "true")],
+        "doc_id long, text string, lsn long, __deleted string",
+    )
+    sink(dels, 1)
+    live = {r["doc"] for r in sink.index().select("doc").distinct().collect()}
+    assert live == set(range(12)) - {3, 7}
+    # near-dup probe of an exact copy of a deleted doc finds nothing
+    probe = _docs(spark, [3]).withColumn("doc_id", F.lit(9003))
+    res = sink.near_dups(probe, threshold=0.5)
+    assert res.filter(F.col("b") == 3).count() == 0
+    res.unpersist()
+    # stale update (older lsn) cannot resurrect the deleted doc
+    stale = _docs(spark, [3]).select(
+        "doc_id", "text", F.lit(50).alias("lsn"), F.lit("false").alias("__deleted")
+    )
+    sink(stale, 2)
+    assert 3 not in {
+        r["doc"] for r in sink.index().select("doc").distinct().collect()
+    }
+
+
+def test_param_guards(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink(_docs(spark, range(10)), 0)
+    reopened_bad = _sink(spark, tmp_path, bands=8, num_hashes=16)
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        reopened_bad.index()
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        reopened_bad(_docs(spark, range(5)), 1)
+    # params file gone but partitions present: refuse to guess
+    os.remove(str(tmp_path / "mh_state" / "__minhash_params.json"))
+    fresh = _sink(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown"):
+        fresh.index()
+
+
+def test_empty_shingle_docs_own_state_rows(spark, tmp_path):
+    """A doc too short to shingle gets an empty band array (never
+    collides) but still owns a row — a later text update lands on it."""
+    sink = _sink(spark, tmp_path)
+    short = spark.createDataFrame(
+        [(1, "hi"), (2, " ".join(WORDS[:8]))], "doc_id long, text string"
+    )
+    sink(short, 0)
+    assert sink.index().filter(F.col("doc") == 1).count() == 0
+    assert sink.read_target().filter(F.col("doc") == 1).count() == 1
+    sink(_docs(spark, [1]), 1)  # text update arrives later
+    assert sink.index().filter(F.col("doc") == 1).count() == 4
+
+
+def test_end_to_end_writestream(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    all_ids = list(range(30))
+    for fname, ids in (("a.json", all_ids[:18]), ("b.json", all_ids[18:])):
+        rows = _docs(spark, ids).collect()
+        with open(spool / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    one_shot = DD.minhash_index(_docs(spark, all_ids), "doc_id", "text")
+    assert _index_set(sink.index()) == _index_set(one_shot)

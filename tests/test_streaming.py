@@ -557,3 +557,37 @@ def test_partitioned_upsert_point_lookup_prunes_partitions(spark, tmp_path):
     # missing key: no row, no error (None when its partition is absent)
     res = part.read_keys([(999999,)])
     assert res is None or res.filter("id = 999999").count() == 0
+
+
+def test_partitioned_point_lookup_with_integer_typed_keys(spark, tmp_path):
+    """xxhash64 is TYPE-sensitive: hash(1 AS INT) != hash(1 AS BIGINT).
+    State keyed by an IntegerType pk (int32 parquet keys) probed with
+    Python ints (inferred LongType) must still compute the partition ids
+    the WRITE path routed with — the probe casts to the stored dtype.
+    Also: a later batch whose key dtype drifted (long vs stored int)
+    must route like prior writes, not split the key across partitions."""
+    from pyspark.sql import functions as F
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    part = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "int_state"), ["id"], n_partitions=8
+    )
+    b0 = spark.createDataFrame(
+        [(i, f"n{i}", i) for i in range(50)], "id int, name string, lsn long"
+    )
+    part(b0, 0)
+    # point lookup with plain Python ints (would hash as LongType uncast)
+    got = {r["id"]: r["name"] for r in part.read_keys([1, 7, 42]).collect()}
+    assert got == {1: "n1", 7: "n7", 42: "n42"}
+    # dtype-drifted batch: long-typed keys update int-keyed state
+    b1 = spark.createDataFrame(
+        [(7, "updated", 100)], "id long, name string, lsn long"
+    )
+    part(b1, 1)
+    st = part.read_target()
+    assert st.filter(F.col("id") == 7).count() == 1  # not split
+    assert st.filter(F.col("id") == 7).first()["name"] == "updated"
+    got2 = {r["id"]: r["name"] for r in part.read_keys([7]).collect()}
+    assert got2 == {7: "updated"}

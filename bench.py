@@ -126,11 +126,19 @@ def _assert_state_matches(got, expected, cols, what: str) -> None:
 
 
 def _bench_cdc_apply(spark, spool, payload_schema, work: str, tag: str,
-                     expected=None) -> float:
-    """End-to-end CDC apply throughput through the PARTITIONED upsert
-    sink (the 100 TB layout): unwrap -> soft delete -> dedup ->
-    LSN-guarded partition-pruned upsert with availableNow; the drain is
-    timed, the state verification is not.
+                     expected=None, partitioned: bool = True) -> float:
+    """End-to-end CDC apply throughput: unwrap -> soft delete -> dedup
+    -> LSN-guarded upsert with availableNow; the drain is timed, the
+    state verification is not.
+
+    Two sink variants feed two bench rows (round-7 verdict #3 — the r6
+    132k -> r7 86k shift mixed a sink change with host drift):
+    ``partitioned=True`` drives the hash-partitioned sink (the 100 TB
+    layout, `cdc_apply_stream`); ``partitioned=False`` drives the flat
+    whole-table-swap sink (`cdc_apply_stream_flat`, the series
+    comparable to rounds <= 6) — the delta between the rows IS the
+    partitioned layout's routing-shuffle + per-partition-swap overhead
+    at this (single-batch, state-fits-in-memory) scale.
 
     Comparable to the reference's headline NFR-001 (>= 10,000 rows/s
     sustained through Debezium/Kafka/JDBC): rows / seconds here is the
@@ -148,9 +156,10 @@ def _bench_cdc_apply(spark, spool, payload_schema, work: str, tag: str,
         payload_schema,
         ["user_id"],
     )
-    pipe.sink = PartitionedParquetUpsertSink(
-        spark, target, ["user_id"], n_partitions=32
-    )
+    if partitioned:
+        pipe.sink = PartitionedParquetUpsertSink(
+            spark, target, ["user_id"], n_partitions=32
+        )
     t0 = time.time()
     pipe.run_available_now()
     elapsed = time.time() - t0
@@ -158,7 +167,7 @@ def _bench_cdc_apply(spark, spool, payload_schema, work: str, tag: str,
         _assert_state_matches(
             pipe.target(), expected,
             ["user_id", "event_type", "value", "lsn", "__deleted"],
-            "cdc_apply_stream",
+            "cdc_apply_stream" if partitioned else "cdc_apply_stream_flat",
         )
     return elapsed
 
@@ -401,6 +410,16 @@ def main() -> None:
             _bench_cdc_apply(spark, spool, payload_schema, cdc_work, "b"),
         )
         timings["cdc_apply_stream"] = round(cdc_s, 3)
+        # like-for-like row vs rounds <= 6: same drain through the FLAT
+        # whole-table-swap sink, so sink overhead and host drift stay
+        # decomposed in the series
+        cdc_flat_s = min(
+            _bench_cdc_apply(spark, spool, payload_schema, cdc_work, "fa",
+                             expected=expected, partitioned=False),
+            _bench_cdc_apply(spark, spool, payload_schema, cdc_work, "fb",
+                             partitioned=False),
+        )
+        timings["cdc_apply_stream_flat"] = round(cdc_flat_s, 3)
         scd2_s = min(
             _bench_scd2_apply(spark, spool, payload_schema, cdc_work, "a",
                               cdc_rows, expected=expected),
@@ -445,6 +464,20 @@ def main() -> None:
         if slower:
             timings[name] = min(t, t3)
 
+    # round-7 verdict #4: pin the dedup_incremental variance. Three
+    # consecutive isolated runs recorded verbatim (not folded into the
+    # headline): isolated profiling measured 7.3/3.0/2.7/2.6 s at sf0.1
+    # — run-to-run spread after the first invocation is within 1.2x, so
+    # the r7 1.33/3.08 s spread was a host-throttle window plus
+    # first-invocation codegen warmup, not plan nondeterminism. This
+    # triple makes each round's stability visible in the record.
+    tri: list[float] = []
+    spec = catalog.get("dedup_incremental")
+    if spec is not None:
+        for _ in range(3):
+            spark.catalog.clearCache()
+            tri.append(_run_one("dedup_incremental", spec))
+
     out = {
         "metric": "workload_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -452,9 +485,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_apply_rows_per_sec": round(cdc_rows / cdc_s, 1) if cdc_s > 0 else None,
+        "cdc_apply_flat_rows_per_sec": (
+            round(cdc_rows / cdc_flat_s, 1) if cdc_flat_s > 0 else None
+        ),
         "scd2_apply_rows_per_sec": round(cdc_rows / scd2_s, 1) if scd2_s > 0 else None,
         "cdc_state_verified": True,  # _assert_state_matches raised otherwise
         "remeasured": remeasured,
+        "dedup_incremental_triple": tri,
         "first_pass_total": round(sum(first_pass.values()), 3),
         "host_probe_before": probe_before,
         "host_probe_after": probe_after,

@@ -419,3 +419,132 @@ class IvfIndexSink(PartitionedParquetUpsertSink):
             a, self.centroids(), queries, self.id_col, self.vec_col,
             k=k, n_probe=n_probe,
         )
+
+    # -- centroid drift (round-7 verdict #6) --------------------------------
+
+    _BASELINE_FILE = "__ivf_baseline.json"
+
+    def mean_assigned_cos(self) -> float | None:
+        """Mean cosine of live stored vectors to their ASSIGNED centroid
+        — the index-quality scalar, computed entirely from state (one
+        broadcast join on the k-row centroid table + one aggregate; no
+        driver-side data). Falls as the stream's distribution drifts
+        away from the epoch's centroids. None when state is empty."""
+        from sqlserver_pg_cdc_spark.functions.vectors import cosine
+
+        a = self.assigned()
+        if a is None:
+            return None
+        row = (
+            a.join(F.broadcast(self.centroids()), "cell_id")
+            .agg(F.avg(cosine("v", "cv")).alias("m"))
+            .collect()[0]
+        )
+        return None if row["m"] is None else float(row["m"])
+
+    def capture_baseline(self) -> float | None:
+        """Record the current mean assigned-cosine as this epoch's
+        training-time baseline (call once after the bootstrap batch —
+        i.e. while state still reflects the distribution the centroids
+        were trained on). Separate file from the params: the baseline is
+        a measurement, not an identity, so it must not participate in
+        the epoch-mismatch guard."""
+        import json
+        import os
+
+        m = self.mean_assigned_cos()
+        if m is None:
+            return None
+        with open(os.path.join(self.target_dir, self._BASELINE_FILE), "w") as f:
+            json.dump({"mean_assigned_cos": m}, f)
+        return m
+
+    def drift(self, tolerance: float = 0.05) -> dict:
+        """Cheap drift probe: current mean assigned-cosine vs the
+        captured baseline. ``drifted`` is True when the mean dropped by
+        more than ``tolerance`` (absolute cosine points) — the signal to
+        ``rotate_epoch``. Raises if no baseline was captured (a probe
+        against nothing would always read healthy)."""
+        import json
+        import os
+
+        bf = os.path.join(self.target_dir, self._BASELINE_FILE)
+        if not os.path.exists(bf):
+            raise ValueError(
+                f"no {self._BASELINE_FILE} at {self.target_dir} — call "
+                "capture_baseline() after the bootstrap batch so drift "
+                "has a training-time reference"
+            )
+        with open(bf) as f:
+            baseline = float(json.load(f)["mean_assigned_cos"])
+        current = self.mean_assigned_cos()
+        drop = None if current is None else baseline - current
+        return {
+            "baseline_mean_cos": baseline,
+            "mean_cos": current,
+            "drop": drop,
+            "drifted": drop is not None and drop > tolerance,
+        }
+
+    def rotate_epoch(
+        self,
+        new_state_dir: str,
+        n_cells: int | None = None,
+        max_iter: int = 20,
+        seed: int = 42,
+    ) -> "IvfIndexSink":
+        """Open a NEW centroid epoch: retrain spherical k-means on the
+        streamed live vectors, build a fresh sink at ``new_state_dir``,
+        and bulk-load the CURRENT state (live and soft-deleted rows,
+        original LSNs — so the new epoch's LSN guard keeps protecting
+        against stale replays). The old state dir is left untouched:
+        consumers generation-swap to the returned sink and the caller
+        retires the old dir — the same swing discipline the manifested
+        table layouts use. A baseline is captured on the new epoch
+        immediately (its state IS the training distribution)."""
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+
+        st = self.read_target()
+        if st is None:
+            raise ValueError("cannot rotate an empty IVF state")
+        live = st
+        if "__del" in st.columns:
+            live = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        cents = train_ivf_centroids(
+            live.select(F.col("v").alias(self.vec_col)),
+            self.vec_col,
+            n_cells=n_cells or len(self._cents),
+            max_iter=max_iter,
+            seed=seed,
+        )
+        # the new epoch keeps the ORIGINAL deleted_col contract: later
+        # batches come from the same CDC stream, whose column names do
+        # not change just because the index rotated
+        has_del = "__del" in st.columns
+        fresh = IvfIndexSink(
+            self.spark,
+            new_state_dir,
+            self.id_col,
+            self.vec_col,
+            cents,
+            lsn_col="lsn",
+            dlq_dir=self.dlq_dir,
+            n_partitions=self.n_partitions,
+            deleted_col=(self.deleted_col or "__rotated_del") if has_del else None,
+        )
+        cols = [
+            F.col("doc").alias(self.id_col),
+            F.col("v").alias(self.vec_col),
+            F.col("lsn"),
+        ]
+        if has_del:
+            cols.append(
+                F.when(
+                    F.coalesce(F.col("__del"), F.lit(False)), F.lit("true")
+                ).otherwise(F.lit("false")).alias(fresh.deleted_col)
+            )
+        fresh(st.select(*cols), 0)
+        fresh.capture_baseline()
+        return fresh

@@ -2255,7 +2255,7 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     ).persist()
     cross = DD.minhash_incremental_dedup(
         new, corpus, index, "doc_id", "text", threshold=0.2,
-        new_sh_df=new_sh, new_sig_df=new_sig,
+        new_sh_df=new_sh, new_sig_df=new_sig, corpus_sh_df=corpus_sh,
     ).select("a", "b")
     # cross is materialized by minhash_incremental_dedup, so the index —
     # the last consumer of the shared signature frame — has been fully

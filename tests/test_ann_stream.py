@@ -275,3 +275,76 @@ def test_ivf_epoch_mismatch_fails_fast(spark, tmp_path):
         wrong.assigned()
     with _pytest.raises(ValueError, match="different epoch"):
         wrong(_vecs(spark, [99]), 1)
+
+
+def test_ivf_drift_probe_detects_distribution_shift(spark, tmp_path):
+    """A drifted ingest stream (vectors far from the epoch's training
+    distribution) must trip the drift probe; a same-distribution stream
+    must not."""
+    sink = _ivf_sink(spark, tmp_path, lsn_col="lsn")
+    base = _vecs(spark, range(30)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn"
+    )
+    sink(base, 0)
+    assert sink.capture_baseline() is not None
+    # same-distribution ingest: healthy
+    more = _vecs(spark, range(30, 45)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn"
+    )
+    sink(more, 1)
+    assert sink.drift(tolerance=0.05)["drifted"] is False
+    # drifted ingest: shifted far off the unit directions the epoch saw
+    drifted = spark.createDataFrame(
+        [(1000 + i, [200.0 + 13.0 * i * j for j in range(8)], 2000 + i)
+         for i in range(60)],
+        "vec_id long, embedding array<double>, lsn long",
+    )
+    sink(drifted, 2)
+    rep = sink.drift(tolerance=0.05)
+    assert rep["drifted"] is True and rep["mean_cos"] < rep["baseline_mean_cos"]
+
+
+def test_ivf_drift_requires_baseline(spark, tmp_path):
+    sink = _ivf_sink(spark, tmp_path)
+    sink(_vecs(spark, range(10)), 0)
+    with pytest.raises(ValueError, match="capture_baseline"):
+        sink.drift()
+
+
+def test_ivf_rotate_epoch_retrains_and_preserves_topk_parity(spark, tmp_path):
+    """rotate_epoch: retrain on streamed vectors, bulk-load state into a
+    NEW epoch dir (LSNs preserved so the guard still holds), and the new
+    epoch's topk equals the batch path with the retrained centroids.
+    Soft-deleted docs stay deleted across the rotation."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf
+
+    sink = _ivf_sink(spark, tmp_path, lsn_col="lsn", deleted_col="__deleted")
+    base = _vecs(spark, range(40)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id + 10 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(base, 0)
+    sink.capture_baseline()
+    gone = spark.createDataFrame(
+        [(5, None, 500, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(gone, 1)
+    fresh = sink.rotate_epoch(str(tmp_path / "epoch2"), n_cells=4)
+    # live set preserved, delete preserved
+    live = {r["id"] for r in fresh.assigned().collect()}
+    assert live == set(range(40)) - {5}
+    # LSN guard carried over: stale pre-delete replay cannot resurrect
+    fresh(base.filter("vec_id = 5"), 99)
+    assert 5 not in {r["id"] for r in fresh.assigned().collect()}
+    # topk parity with the batch path under the retrained centroids
+    queries = _vecs(spark, range(3))
+    want = topk_ivf(
+        _vecs(spark, range(40)).filter("vec_id <> 5"), queries,
+        "vec_id", "embedding", k=5, n_probe=2, centroids=fresh.centroids(),
+    )
+    got = fresh.topk(queries, k=5, n_probe=2)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+    # new epoch has its own baseline on disk
+    assert os.path.exists(os.path.join(fresh.target_dir, fresh._BASELINE_FILE))

@@ -407,6 +407,15 @@ def test_dup_components_incremental_equals_rebuild(spark):
         tuple(r) for r in DD.dup_components(old.unionByName(new)).collect()
     )
     assert inc == full
+    # the driver union-find fast path and the distributed quotient fold
+    # must be indistinguishable
+    dist = sorted(
+        tuple(r)
+        for r in DD.dup_components_incremental(
+            labels, new, driver_threshold=0
+        ).collect()
+    )
+    assert dist == full
 
 
 def test_dup_components_incremental_empty_sides(spark):

@@ -246,3 +246,178 @@ class DbApiUpsertSink:
         )
         target = deduped if self.parallel else deduped.coalesce(1)
         target.foreachPartition(writer)
+
+
+def _null_safe_key_cond(left: str, right: str, pk_cols: list[str]) -> str:
+    return " AND ".join(
+        f"{left}.{c} IS NOT DISTINCT FROM {right}.{c}" for c in pk_cols
+    )
+
+
+class _PartitionScd2Writer:
+    """Executor-side SCD2 apply: ONE connection, ONE transaction for the
+    whole batch (the sink coalesces to a single partition) — close the
+    current version + insert the new ones atomically, so a reader at the
+    database never observes a half-applied batch. Must stay picklable."""
+
+    def __init__(self, connection_factory, table: str, biz_cols: list[str],
+                 pk_cols: list[str], batch_size: int, open_lsn: int):
+        self.connection_factory = connection_factory
+        self.table = table
+        self.biz_cols = biz_cols
+        self.pk_cols = pk_cols
+        self.batch_size = batch_size
+        self.open_lsn = open_lsn
+
+    def __call__(self, rows) -> None:
+        t = self.table
+        biz = ", ".join(self.biz_cols)
+        key_hb = _null_safe_key_cond("h", "b", self.pk_cols)
+        key_tb = _null_safe_key_cond(t, "b", self.pk_cols)
+        key_tn = _null_safe_key_cond(t, "n", self.pk_cols)
+        keys = ", ".join(self.pk_cols)
+        cols = self.biz_cols + ["__lsn", "__is_delete"]
+        placeholders = ", ".join(["?"] * len(cols))
+        con = self.connection_factory()
+        try:
+            con.execute("BEGIN TRANSACTION")
+            # batch spool: a session-temp table keeps every later step
+            # set-based (and parameterized — no values ever rendered
+            # into SQL text)
+            con.execute(
+                f"CREATE TEMPORARY TABLE __scd2_batch AS "
+                f"SELECT {biz}, __lsn, __is_delete FROM {t} LIMIT 0"
+            )
+            ins = (
+                f"INSERT INTO __scd2_batch ({', '.join(cols)}) "
+                f"VALUES ({placeholders})"
+            )
+            buf = []
+            n_rows = 0
+            for row in rows:
+                buf.append(tuple(row[c] for c in cols))
+                n_rows += 1
+                if len(buf) >= self.batch_size:
+                    con.executemany(ins, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(ins, buf)
+            if n_rows == 0:
+                con.execute("COMMIT")
+                return
+            # replay-idempotent version insert: a (key, lsn) already in
+            # the history is skipped BEFORE any interval surgery; the
+            # row_number dedupes within-batch duplicates the transport
+            # may re-deliver. Validity is provisional (open) — the
+            # recompute below fixes every affected chain.
+            con.execute(
+                f"INSERT INTO {t} ({biz}, __lsn, __is_delete, "
+                f"__valid_from_lsn, __valid_to_lsn, __active) "
+                f"SELECT {biz}, __lsn, __is_delete, __lsn, "
+                f"{self.open_lsn}, FALSE FROM ("
+                f"  SELECT *, row_number() OVER ("
+                f"    PARTITION BY {keys}, __lsn ORDER BY __lsn) AS __rn"
+                f"  FROM __scd2_batch) b "
+                f"WHERE __rn = 1 AND NOT EXISTS ("
+                f"  SELECT 1 FROM {t} h WHERE {key_hb} AND h.__lsn = b.__lsn)"
+            )
+            # validity-chain recompute for AFFECTED keys only (the keys
+            # present in the batch): each version closes at the next
+            # version's LSN; the last stays open and is active unless it
+            # is a delete tombstone. Handles out-of-order LSN arrivals
+            # by construction — the chain is rebuilt from the stored
+            # set, not patched incrementally.
+            con.execute(
+                f"UPDATE {t} SET "
+                f"  __valid_to_lsn = n.__next_lsn, "
+                f"  __active = (n.__next_lsn = {self.open_lsn} "
+                f"              AND NOT {t}.__is_delete) "
+                f"FROM ("
+                f"  SELECT {keys}, __lsn, COALESCE("
+                f"    LEAD(__lsn) OVER (PARTITION BY {keys} ORDER BY __lsn), "
+                f"    {self.open_lsn}) AS __next_lsn "
+                f"  FROM {t} "
+                f"  WHERE EXISTS (SELECT 1 FROM __scd2_batch b WHERE {key_tb})"
+                f") n "
+                f"WHERE {key_tn} AND {t}.__lsn = n.__lsn"
+            )
+            con.execute("DROP TABLE __scd2_batch")
+            con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
+            raise
+        finally:
+            con.close()
+
+
+class DbApiScd2Sink:
+    """Executed-target SCD2 history apply (round-7 verdict #8): the
+    versioned-dimension twin of :class:`DbApiUpsertSink`, writing to a
+    live DBAPI database (PostgreSQL in the reference deployment —
+    postgresql-sink.json:23-34 is the sink plane; DuckDB in tests, same
+    statement shapes).
+
+    Semantics match `streaming/scd2.scd2_apply` exactly (the parquet
+    history sink's contract): every change event becomes a version row
+    with a validity interval; a new version closes its predecessor; a
+    delete closes the chain without an active successor; replays are
+    idempotent by (key, LSN); out-of-order LSNs converge because the
+    affected chains are RECOMPUTED set-based (one windowed UPDATE), not
+    patched. The whole batch applies in ONE transaction — close current
+    version + insert new versions atomically.
+
+    The history table must exist with columns: the business columns plus
+    ``__lsn BIGINT, __is_delete BOOLEAN, __valid_from_lsn BIGINT,
+    __valid_to_lsn BIGINT, __active BOOLEAN``.
+    """
+
+    def __init__(
+        self,
+        connection_factory,
+        table: str,
+        pk_cols: list[str],
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        delete_op: str = "d",
+        batch_size: int = 3000,
+    ):
+        _safe_ident(table)
+        for c in pk_cols:
+            _safe_ident(c)
+        self.connection_factory = connection_factory
+        self.table = table
+        self.pk_cols = pk_cols
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+        self.delete_op = delete_op
+        self.batch_size = batch_size
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        biz = [
+            c for c in batch_df.columns
+            if c not in (self.lsn_col, self.op_col)
+        ]
+        for c in biz:
+            _safe_ident(c)
+        versions = batch_df.select(
+            *[F.col(c) for c in biz],
+            F.col(self.lsn_col).cast("long").alias("__lsn"),
+            (F.col(self.op_col) == self.delete_op).alias("__is_delete"),
+        )
+        writer = _PartitionScd2Writer(
+            self.connection_factory, self.table, biz, self.pk_cols,
+            self.batch_size, self._open_lsn(),
+        )
+        # one partition -> one connection -> one transaction per batch
+        versions.coalesce(1).foreachPartition(writer)
+
+    @staticmethod
+    def _open_lsn() -> int:
+        from sqlserver_pg_cdc_spark.streaming.scd2 import OPEN_LSN
+
+        return OPEN_LSN

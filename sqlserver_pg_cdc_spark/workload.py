@@ -2488,6 +2488,88 @@ def _text_dedup_streamed_index_sql() -> str:
     )
 
 
+def q_text_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup GATE (`streaming/minhash.DedupGateSink`) — the
+    production shape of continuous corpus dedup: two document batches
+    stream through the gate; each batch is probed against the standing
+    streamed index (near-dups rejected as kind='corpus', best match by
+    max jaccard / min id), the remainder clustered within the batch
+    (non-canonical members rejected as kind='batch', dup_of = the
+    cluster's minimum id), and only survivors are indexed — becoming the
+    corpus the next batch probes. Returns the full dup log. The oracle
+    recomputes the whole two-batch gating relationally (batch-0 internal
+    clustering -> survivors -> batch-1 cross probe -> batch-1 internal
+    clustering), so every accept/reject decision is value-checked."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter("doc_id % 4 = 0")
+    b1 = d.filter("doc_id % 4 = 1").unionByName(
+        d.filter("doc_id % 20 = 0").select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    work = _ann_streamed_workdir(sf_dir)
+    gate = DedupGateSink(
+        spark, _os.path.join(work, "gate_state"),
+        _os.path.join(work, "gate_dups"),
+        "doc_id", "text", threshold=0.2, n_partitions=4,
+    )
+    gate(b0, 0)
+    gate(b1, 1)
+    log = gate.dup_log()
+    if log is None:
+        return spark.createDataFrame(
+            [], "doc long, dup_of long, kind string, __batch_id int"
+        )
+    return log.select("doc", "dup_of", "kind", "__batch_id")
+
+
+def _text_dedup_gate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    b0 = "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0"
+    b1 = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 20 = 0"
+    )
+    pairs0 = DD.minhash_jaccard_verified_pairs_sql("batch0", "doc_id", "text", 0.2)
+    comp0 = DD.dup_components_sql(pairs0)
+    cross = DD.minhash_incremental_dedup_sql(
+        "SELECT * FROM batch1", "SELECT * FROM surv0", "doc_id", "text", 0.2
+    )
+    pairs1 = DD.minhash_jaccard_verified_pairs_sql("rem1", "doc_id", "text", 0.2)
+    comp1 = DD.dup_components_sql(pairs1)
+    # MATERIALIZED is load-bearing: each stage references its upstream
+    # CTE several times (band joins, NOT IN probes), and the stages nest
+    # recursive component CTEs — plain inlining re-expands the whole
+    # chain per reference and the oracle goes from ~8 s to >10 min.
+    return f"""
+WITH batch0 AS MATERIALIZED ({b0}),
+batch1 AS MATERIALIZED ({b1}),
+comp0 AS MATERIALIZED ({comp0}),
+losers0 AS MATERIALIZED (SELECT doc, component AS dup_of FROM comp0 WHERE NOT keep),
+surv0 AS MATERIALIZED (SELECT * FROM batch0 WHERE doc_id NOT IN (SELECT doc FROM losers0)),
+crossdups AS MATERIALIZED ({cross}),
+best AS MATERIALIZED (
+    SELECT a AS doc, b AS dup_of FROM (
+        SELECT a, b, row_number() OVER (
+            PARTITION BY a ORDER BY jaccard DESC, b ASC) AS rn
+        FROM crossdups
+    ) WHERE rn = 1
+),
+rem1 AS MATERIALIZED (SELECT * FROM batch1 WHERE doc_id NOT IN (SELECT doc FROM best)),
+comp1 AS MATERIALIZED ({comp1}),
+losers1 AS MATERIALIZED (SELECT doc, component AS dup_of FROM comp1 WHERE NOT keep)
+SELECT doc, dup_of, 'batch' AS kind, 0 AS __batch_id FROM losers0
+UNION ALL SELECT doc, dup_of, 'corpus' AS kind, 1 AS __batch_id FROM best
+UNION ALL SELECT doc, dup_of, 'batch' AS kind, 1 AS __batch_id FROM losers1
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
     an 8-band x 10-plane banded self-join, exact-cosine verified; no
@@ -5033,6 +5115,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "text_dedup_streamed_index": QuerySpec(
                 q_text_dedup_streamed_index, _text_dedup_streamed_index_sql()
+            ),
+            "text_dedup_gate": QuerySpec(
+                q_text_dedup_gate, _text_dedup_gate_sql()
             ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,

@@ -199,3 +199,91 @@ def test_end_to_end_writestream(spark, tmp_path):
     q.awaitTermination()
     one_shot = DD.minhash_index(_docs(spark, all_ids), "doc_id", "text")
     assert _index_set(sink.index()) == _index_set(one_shot)
+
+
+# --- ingest-time dedup gate --------------------------------------------------
+
+
+def _udocs(spark, ids):
+    """Pairwise-disjoint documents (unique token vocabulary per doc) —
+    the gate tests need a corpus with NO accidental near-dups so every
+    rejection is one the test planted."""
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _gate(spark, tmp_path, **kw):
+    from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+    kw.setdefault("n_partitions", 8)
+    kw.setdefault("threshold", 0.5)
+    return DedupGateSink(
+        spark, str(tmp_path / "gate_state"), str(tmp_path / "gate_dups"),
+        "doc_id", "text", **kw
+    )
+
+
+def test_gate_rejects_cross_corpus_and_within_batch_dups(spark, tmp_path):
+    gate = _gate(spark, tmp_path)
+    b0 = _udocs(spark, range(20))
+    gate(b0, 0)
+    # all unique: everything indexed, nothing logged as corpus dup
+    assert {r["doc"] for r in gate.index().select("doc").distinct().collect()} == set(range(20))
+    log0 = gate.dup_log()
+    assert log0 is None or log0.filter("kind = 'corpus'").count() == 0
+    # batch 1: exact copies of indexed docs 3/7 (rejected, kind=corpus),
+    # two copies of a NEW doc 100/101 (one within-batch canonical
+    # survives), one genuinely new doc 102
+    copies = _udocs(spark, [3, 7]).withColumn("doc_id", F.col("doc_id") + 1000)
+    t100 = " ".join(WORDS[:9])
+    fresh = spark.createDataFrame(
+        [(100, t100), (101, t100), (102, "completely distinct words only here "
+                                         + " ".join(reversed(WORDS)))],
+        "doc_id long, text string",
+    )
+    gate(copies.unionByName(fresh), 1)
+    log = {r["doc"]: (r["dup_of"], r["kind"]) for r in gate.dup_log().collect()}
+    assert log[1003] == (3, "corpus") and log[1007] == (7, "corpus")
+    assert log[101] == (100, "batch")  # canonical = min id
+    idx_docs = {r["doc"] for r in gate.index().select("doc").distinct().collect()}
+    assert 1003 not in idx_docs and 1007 not in idx_docs and 101 not in idx_docs
+    assert 100 in idx_docs and 102 in idx_docs
+    # batch 2 copy of doc 100 (indexed last batch) now rejects as corpus
+    gate(spark.createDataFrame([(200, t100)], "doc_id long, text string"), 2)
+    log2 = {r["doc"]: (r["dup_of"], r["kind"])
+            for r in gate.dup_log().filter("__batch_id = 2").collect()}
+    assert log2[200] == (100, "corpus")
+
+
+def test_gate_replay_overwrites_dup_generation(spark, tmp_path):
+    """A Structured Streaming replay re-drives the SAME batch id: the
+    dup log generation is rewritten, not appended — exactly-once
+    without read-side dedup — and the index converges."""
+    gate = _gate(spark, tmp_path)
+    gate(_udocs(spark, range(10)), 0)
+    dup_batch = _udocs(spark, [2]).withColumn("doc_id", F.lit(500))
+    gate(dup_batch, 1)
+    first = sorted(tuple(r) for r in gate.dup_log().collect())
+    idx_first = {r["doc"] for r in gate.index().select("doc").distinct().collect()}
+    gate(dup_batch, 1)  # replay
+    assert sorted(tuple(r) for r in gate.dup_log().collect()) == first
+    assert {r["doc"] for r in gate.index().select("doc").distinct().collect()} == idx_first
+
+
+def test_gate_deletes_bypass_probe(spark, tmp_path):
+    gate = _gate(spark, tmp_path, lsn_col="lsn", deleted_col="__deleted")
+    b0 = _udocs(spark, range(8)).select(
+        "doc_id", "text", (F.col("doc_id") + 10).alias("lsn"),
+        F.lit("false").alias("__deleted"),
+    )
+    gate(b0, 0)
+    dels = spark.createDataFrame(
+        [(4, None, 100, "true")],
+        "doc_id long, text string, lsn long, __deleted string",
+    )
+    gate(dels, 1)
+    live = {r["doc"] for r in gate.index().select("doc").distinct().collect()}
+    assert live == set(range(8)) - {4}
+    # the delete was not logged as a dup
+    log = gate.dup_log()
+    assert log is None or log.filter("doc = 4").count() == 0

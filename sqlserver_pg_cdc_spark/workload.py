@@ -5340,9 +5340,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 
 # The driver's correctness gate evaluates only the FIRST 50 catalog entries.
 # Round-8 ordering (longest-unsampled-first rotation): new/changed contracts
-# lead (2 new queries + the 4 partsupp rewrites + the 2 dedup queries whose
+# lead (3 new queries + the 4 partsupp rewrites + the 2 dedup queries whose
 # implementation changed), then ALL queries whose last driver row is round 5
-# (the oldest evidence — fixtures regenerate per round), then the oldest 9
+# (the oldest evidence — fixtures regenerate per round), then the oldest 8
 # of the round-6 cohort. Everything behind the window stays locally verified
 # by scripts/verify_local.py, which runs ALL entries with the driver-faithful
 # comparator.
@@ -5350,6 +5350,7 @@ _DRIVER_WINDOW_FIRST = [
     # NEW contracts this round
     "cdc_schema_evolution",  # NEW: additive sink evolution, 2-shape ingest
     "text_dedup_streamed_index",  # NEW: streaming-maintained MinHash index
+    "text_dedup_gate",  # NEW: ingest-time dedup gate over the streamed index
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5393,7 +5394,8 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 9 of that cohort)
+    # last driver row: round 6 (oldest 8 of that cohort; checksum_orders
+    # rotated behind the window to make room for text_dedup_gate)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
@@ -5402,7 +5404,6 @@ _DRIVER_WINDOW_FIRST = [
     "checksum_incremental_events",
     "checksum_lineitem",
     "checksum_ordered_orders",
-    "checksum_orders",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

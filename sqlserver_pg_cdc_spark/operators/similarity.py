@@ -526,3 +526,332 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "cosine")
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+#
+# The 100 TB memory story for embedding search: a 64-dim float vector is
+# 256 B; its PQ code (m_sub codes of <=256 entries each) is m_sub bytes —
+# a 32x compression at the defaults, which is what lets a candidate scan
+# hold the WHOLE corpus's codes in a fraction of the raw footprint while
+# the full vectors stay in cold parquet, touched only for the final
+# re-rank of a few candidates per query. Reference analog: the
+# reference's validation plane bounds its working set the same way
+# (checksums stand in for rows); here codes stand in for vectors.
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> list[list[tuple[float, ...]]]:
+    """Deterministic codebooks for oracles and tests: subvector slices of
+    the first ``k_codes`` non-NULL vectors by id (the first-k-vectors
+    discipline with_ivf_cell uses). ``[m][j]`` -> j-th codeword of
+    subspace m. Production recall wants :func:`train_pq_codebooks`."""
+    rows = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(k_codes)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    if not rows:
+        return []
+    d = len(rows[0]["v"])
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
+    sub = d // m_sub
+    return [
+        [
+            tuple(float(x) for x in r["v"][m * sub : (m + 1) * sub])
+            for r in rows
+        ]
+        for m in range(m_sub)
+    ]
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    vec_col: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> list[list[tuple[float, ...]]]:
+    """k-means-trained codebooks (the production path): one distributed
+    KMeans per subspace over that subspace's slices. m_sub small jobs;
+    only m_sub*k_codes codewords ever reach the driver. Not
+    SQL-reproducible (k-means|| init) — recall is pytest-checked against
+    brute force instead, like train_ivf_centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.size(vec_col).alias("d")
+    ).limit(1).collect()
+    if not first:
+        return []
+    d = first[0]["d"]
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
+    sub = d // m_sub
+    src = vectors.filter(F.col(vec_col).isNotNull()).select(
+        *[
+            F.slice(F.col(vec_col), m * sub + 1, sub).alias(f"__s{m}")
+            for m in range(m_sub)
+        ]
+    ).persist()
+    try:
+        books = []
+        for m in range(m_sub):
+            feats = src.select(array_to_vector(f"__s{m}").alias("features"))
+            model = KMeans(
+                k=k_codes, maxIter=max_iter, seed=seed + m,
+                featuresCol="features",
+            ).fit(feats)
+            books.append(
+                [tuple(float(x) for x in c) for c in model.clusterCenters()]
+            )
+        return books
+    finally:
+        src.unpersist()
+
+
+def _pq_lit_dot(vec_sql: str, codeword: tuple[float, ...]) -> str:
+    """dot(<expr>, <literal codeword>) with the exact fold order of
+    functions.vectors.dot — double cast on the data side, literal
+    doubles on the codeword side."""
+    lits = ", ".join(f"{float(x)!r}D" for x in codeword)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_codes_expr(vec: str, books: list) -> str:
+    """PQ encode as ONE literal expression: array(code_0 .. code_{M-1}),
+    code_m = argmax_j of score_j = dot(sub_m, cb[m][j]) - 0.5*|cb[m][j]|²
+    (equivalent to min squared distance; the shared dot(sub,sub) term is
+    dropped so both engines compare the SAME floats). First-max fold over
+    ascending j mirrors the oracle's (score DESC, j ASC) row_number."""
+    sub = len(books[0][0])
+    per_m = []
+    for m, book in enumerate(books):
+        s = f"slice({vec}, {m * sub + 1}, {sub})"
+        structs = []
+        for j, cw in enumerate(book):
+            half = _pq_lit_dot(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cw) + ")", cw
+            )
+            score = f"({_pq_lit_dot(s, cw)} - 0.5D * {half})"
+            structs.append(f"named_struct('s', {score}, 'c', {j})")
+        fold = (
+            f"aggregate(slice(array({', '.join(structs)}), 2, "
+            f"{len(structs) - 1}), {structs[0]}, "
+            "(acc, x) -> IF(x.s > acc.s, x, acc)).c"
+        )
+        per_m.append(fold)
+    return f"array({', '.join(per_m)})"
+
+
+def _pq_lut_expr(vec: str, books: list) -> str:
+    """Per-query ADC lookup table as one literal expression:
+    array(array(dot(q_sub_m, cb[m][j]) for j) for m)."""
+    sub = len(books[0][0])
+    rows = []
+    for m, book in enumerate(books):
+        s = f"slice({vec}, {m * sub + 1}, {sub})"
+        rows.append(
+            "array(" + ", ".join(_pq_lit_dot(s, cw) for cw in book) + ")"
+        )
+    return f"array({', '.join(rows)})"
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list,
+) -> DataFrame:
+    """(id, codes array<int>) — the compact searchable form. A pure
+    narrow projection (literal argmax per subspace, see
+    _cell_argmax_expr for why literals beat a k-way join): no shuffle,
+    no join, whole-stage codegen end to end."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.expr(_pq_codes_expr(vec_col, books)).alias("codes"),
+    )
+
+
+def topk_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    refine: int = 32,
+    books: list | None = None,
+) -> DataFrame:
+    """PQ/ADC top-k: encode the corpus to codes, score candidates by
+    asymmetric distance (sum of per-subspace LUT hits — approximate dot
+    against the query), keep the top ``refine`` per query, then exact
+    cosine re-rank of only those. Output (query_id, rank, id, cosine)
+    matches the rest of the ANN family; cosines are EXACT (the
+    approximation only shapes the candidate set).
+
+    Scale shape: codes are a narrow per-row projection of the corpus
+    (no shuffle); the ADC scan is a broadcast of Q queries' LUTs over
+    the codes (no N-side shuffle before the per-query top-refine); the
+    re-rank touches ≤ Q*refine full vectors via an id semi-join."""
+    from pyspark.sql import Window as W
+
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    if books is None:
+        books = pq_codebooks(vectors, id_col, vec_col, m_sub, k_codes)
+    if not books:  # empty corpus
+        return (
+            vectors.select(
+                F.col(id_col).alias("query_id"),
+                F.lit(0).alias("rank"),
+                F.col(id_col).alias("id"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        )
+    m_sub = len(books)
+    codes = pq_encode(vectors, id_col, vec_col, books)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+        F.expr(_pq_lut_expr(vec_col, books)).alias("lut"),
+    )
+    # approx dot = lut[0][code_0] + ... + lut[M-1][code_{M-1}], expanded
+    # left-to-right so the oracle's scalar chain adds in the same order
+    approx = " + ".join(
+        f"element_at(element_at(lut, {m + 1}), "
+        f"element_at(codes, {m + 1}) + 1)"
+        for m in range(m_sub)
+    )
+    scored = (
+        F.broadcast(q.select("query_id", "lut"))
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id", F.expr(approx).alias("approx"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", "id")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(vec_col).alias("vn"),
+    )
+    rerank = (
+        F.broadcast(cand)
+        .join(v, "id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select(
+            "query_id", "id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
+def topk_pq_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    refine: int = 32,
+    dim: int = 64,
+) -> str:
+    """Oracle twin of topk_pq with the deterministic first-k codebooks,
+    recomputed relationally: same encode argmax (score DESC, code ASC),
+    same left-to-right ADC sum, same top-refine candidate cut, same
+    exact re-rank. MATERIALIZED CTEs — the encode chain is referenced
+    once per stage but nests slices of slices and DuckDB's inliner
+    re-expands it."""
+    from sqlserver_pg_cdc_spark.functions.vectors import dot_sql
+
+    sub = dim // m_sub
+    dot_xc = dot_sql(f"list_slice(x.v, cb.m * {sub} + 1, (cb.m + 1) * {sub})", "cb.cv")
+    half = dot_sql("cb.cv", "cb.cv")
+    dot_qc = dot_sql(f"list_slice(q.qv, cb.m * {sub} + 1, (cb.m + 1) * {sub})", "cb.cv")
+    adc = " + ".join(f"l.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(m_sub))
+    final_cos = cosine_sql("q.qv", "v.v")
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    WHERE {vec_col} IS NOT NULL
+),
+cbsrc AS MATERIALIZED (
+    SELECT v, row_number() OVER (ORDER BY id) - 1 AS j
+    FROM (SELECT id, v FROM v ORDER BY id LIMIT {k_codes})
+),
+cb AS MATERIALIZED (
+    SELECT mm.m, s.j,
+           list_slice(s.v, mm.m * {sub} + 1, (mm.m + 1) * {sub}) AS cv
+    FROM cbsrc s CROSS JOIN (SELECT unnest(range({m_sub})) AS m) mm
+),
+enc AS MATERIALIZED (
+    SELECT id, m, code FROM (
+        SELECT x.id, cb.m, cb.j AS code,
+               row_number() OVER (
+                   PARTITION BY x.id, cb.m
+                   ORDER BY ({dot_xc} - 0.5 * {half}) DESC, cb.j
+               ) AS rn
+        FROM v x CROSS JOIN cb
+    ) WHERE rn = 1
+),
+codes AS MATERIALIZED (
+    SELECT id, list(code ORDER BY m) AS codes FROM enc GROUP BY id
+),
+q AS MATERIALIZED (
+    SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table}
+    WHERE ({query_pred}) AND {vec_col} IS NOT NULL
+),
+lutrow AS MATERIALIZED (
+    SELECT q.query_id, cb.m, list({dot_qc} ORDER BY cb.j) AS row
+    FROM q CROSS JOIN cb GROUP BY q.query_id, cb.m
+),
+lut AS MATERIALIZED (
+    SELECT query_id, list(row ORDER BY m) AS lut FROM lutrow GROUP BY query_id
+),
+cand AS MATERIALIZED (
+    SELECT query_id, id FROM (
+        SELECT l.query_id, c.id,
+               row_number() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY ({adc}) DESC, c.id
+               ) AS rn
+        FROM lut l CROSS JOIN codes c WHERE l.query_id <> c.id
+    ) WHERE rn <= {refine}
+)
+SELECT query_id, rank, id, cosine FROM (
+    SELECT q.query_id, v.id, {final_cos} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {final_cos} DESC, v.id) AS rank
+    FROM cand JOIN v ON cand.id = v.id
+    JOIN q ON q.query_id = cand.query_id
+) WHERE rank <= {k}
+"""

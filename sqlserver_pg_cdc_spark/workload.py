@@ -2627,6 +2627,24 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-k (`operators/similarity.topk_pq`) — the
+    100 TB memory path: the corpus is encoded to m_sub-byte PQ codes
+    (32x smaller than the raw vectors) by a pure literal-expression
+    projection, candidates come from an asymmetric-distance scan over
+    the codes (per-query LUT, broadcast — the full vectors never join),
+    and only the top-`refine` per query are exactly re-ranked. Cosines
+    in the output are EXACT; deterministic first-k codebooks make the
+    accept set SQL-reproducible."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_pq(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=10, m_sub=8, k_codes=16, refine=32,
+    )
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level featurization of opaque payload columns (the corrupt/
     dup prefilter that runs before any codec); payloads synthesized from
@@ -5020,6 +5038,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         topk_brute_force_sql,
         topk_ivf_sql,
         topk_lsh_sql,
+        topk_pq_sql,
     )
 
     catalog.update(
@@ -5149,6 +5168,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 topk_lsh_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 20",
                     k=5, n_planes=4,
+                ),
+            ),
+            "ann_topk_pq": QuerySpec(
+                q_ann_topk_pq,
+                topk_pq_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=10, m_sub=8, k_codes=16, refine=32,
                 ),
             ),
         }
@@ -5351,6 +5377,7 @@ _DRIVER_WINDOW_FIRST = [
     "cdc_schema_evolution",  # NEW: additive sink evolution, 2-shape ingest
     "text_dedup_streamed_index",  # NEW: streaming-maintained MinHash index
     "text_dedup_gate",  # NEW: ingest-time dedup gate over the streamed index
+    "ann_topk_pq",  # NEW: product-quantized ADC search + exact re-rank
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5394,8 +5421,9 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 8 of that cohort; checksum_orders
-    # rotated behind the window to make room for text_dedup_gate)
+    # last driver row: round 6 (oldest 7 of that cohort; checksum_orders
+    # and checksum_ordered_orders rotated behind the window to make room
+    # for text_dedup_gate and ann_topk_pq)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
@@ -5403,7 +5431,6 @@ _DRIVER_WINDOW_FIRST = [
     "checksum_events",
     "checksum_incremental_events",
     "checksum_lineitem",
-    "checksum_ordered_orders",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

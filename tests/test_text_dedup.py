@@ -586,3 +586,109 @@ def test_hyperplanes_cache_is_immutable():
     with _pytest.raises(TypeError):
         planes[0][0] = 9.0  # type: ignore[index]
     assert hyperplanes(2, 3, "immutability-test") == planes
+
+
+# --- product quantization -------------------------------------------------
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cw) == 8 for b in books for cw in b)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    rows = codes.collect()
+    assert len(rows) == emb.filter(F.col("embedding").isNotNull()).count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # deterministic: re-encoding yields identical codes
+    again = {r["id"]: r["codes"] for r in pq_encode(
+        emb, "vec_id", "embedding", books).collect()}
+    assert all(again[r["id"]] == r["codes"] for r in rows)
+    # a codebook seed vector encodes to its own codeword in every subspace
+    seed_ids = [r["vec_id"] for r in emb.filter(F.col("embedding").isNotNull())
+                .orderBy("vec_id").limit(16).select("vec_id").collect()]
+    first = {r["id"]: r["codes"] for r in rows}[seed_ids[0]]
+    assert first == [0] * 8
+
+
+def test_topk_pq_equals_bruteforce_when_refine_covers_corpus(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = sorted(tuple(r) for r in
+                   topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect())
+    pq = sorted(tuple(r) for r in
+                topk_pq(emb, q, "vec_id", "embedding", k=5, refine=n).collect())
+    # refine >= corpus: the ADC cut keeps everything, the exact re-rank
+    # must reproduce brute force bit-for-bit
+    assert pq == exact
+
+
+def test_topk_pq_recall_vs_exact(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    pq = topk_pq(emb, q, "vec_id", "embedding", k=5, refine=32).collect()
+    es, ps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["id"])
+    for r in pq:
+        ps.setdefault(r["query_id"], set()).add(r["id"])
+    assert set(ps) == set(es)
+    recalls = [len(es[k] & ps.get(k, set())) / len(es[k]) for k in es]
+    mean = sum(recalls) / len(recalls)
+    # 32 ADC candidates out of 500 unclustered vectors; PQ with
+    # first-k codebooks must still put most true neighbors in the cut
+    assert mean > 0.5, f"pq mean recall {mean}"
+
+
+def test_trained_pq_codebooks_beat_probed_fraction(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        topk_pq,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, "embedding", m_sub=8, k_codes=16, max_iter=5)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    pq = topk_pq(emb, q, "vec_id", "embedding", k=5, refine=32,
+                 books=books).collect()
+    es, ps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["id"])
+    for r in pq:
+        ps.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(es[k] & ps.get(k, set())) / len(es[k]) for k in es]
+    mean = sum(recalls) / len(recalls)
+    assert mean > 0.5, f"trained pq mean recall {mean}"
+
+
+def test_pq_null_vectors_and_bad_dim(spark):
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        pq_codebooks,
+        topk_pq,
+    )
+
+    emb = load(spark, "embeddings")
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    out = topk_pq(with_null, with_null.filter(F.col("vec_id") < 5),
+                  "vec_id", "embedding", k=5).collect()
+    assert all(r["id"] != 3 for r in out)
+    assert {r["query_id"] for r in out} == {0, 1, 2, 4}
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, "vec_id", "embedding", m_sub=7)

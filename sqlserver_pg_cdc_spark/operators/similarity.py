@@ -726,8 +726,33 @@ def topk_pq(
                 F.lit(0.0).alias("cosine"),
             ).limit(0)
         )
-    m_sub = len(books)
     codes = pq_encode(vectors, id_col, vec_col, books)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return topk_pq_encoded(
+        codes, v, queries, id_col, vec_col, books, k=k, refine=refine
+    )
+
+
+def topk_pq_encoded(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list,
+    k: int = 10,
+    refine: int = 32,
+) -> DataFrame:
+    """The probe phase of PQ search against a PREBUILT codes table
+    ``(id, codes)`` plus the raw vectors ``(id, v)`` for the re-rank —
+    the path the one-shot `topk_pq` and the stream-maintained
+    `streaming/ann.PqIndexSink` share."""
+    from pyspark.sql import Window as W
+
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm
+
+    m_sub = len(books)
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -753,10 +778,7 @@ def topk_pq(
         .filter(F.col("rn") <= refine)
         .select("query_id", "id")
     )
-    v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(vec_col).alias("vn"),
-    )
+    v = vectors.select("id", "v", norm(F.col("v")).alias("vn"))
     rerank = (
         F.broadcast(cand)
         .join(v, "id")

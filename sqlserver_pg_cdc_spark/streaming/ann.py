@@ -548,3 +548,193 @@ class IvfIndexSink(PartitionedParquetUpsertSink):
         fresh(st.select(*cols), 0)
         fresh.capture_baseline()
         return fresh
+
+
+class PqIndexSink(PartitionedParquetUpsertSink):
+    """Streaming-maintained PQ index: product-quantized codes kept
+    continuously up to date from an embedding change stream through the
+    same hash-partitioned LSN-guarded upsert discipline as the other
+    index sinks — the MEMORY-path complement to `IvfIndexSink` (codes
+    are m_sub bytes against 4*dim for the raw vector, so the searchable
+    state stays ~32x smaller than the corpus it indexes).
+
+    Codebooks are FIXED PER EPOCH (sha256-recorded in
+    ``__pq_params.json``; reopening with different books/columns fails
+    fast — mixed codebooks would mix incompatible code spaces): per
+    batch each vector is encoded by the same one-expression per-subspace
+    argmax the batch build uses (`operators/similarity._pq_codes_expr`)
+    and (doc, v, codes) upserts by doc, touching only the partitions the
+    batch hits. ``topk(queries)`` probes the streamed codes through
+    `topk_pq_encoded` — identical results to the one-shot `topk_pq` with
+    the same books (pytest-pinned). Raw vectors ride along solely for
+    the exact re-rank; a deployment that keeps them in a separate cold
+    table can drop the column and join at re-rank time instead.
+
+    ``deleted_col`` mirrors the sibling sinks: soft deletes stay in
+    state under the LSN guard but are excluded from ``codes()``/
+    ``vectors()``/``topk()``. Codebook drift follows the IVF policy:
+    recall degrades gracefully within the epoch; retraining opens a new
+    state dir and consumers generation-swap.
+
+    Reference analog: the reference maintains reconciliation state
+    incrementally per change batch (src/reconciliation/incremental/
+    state.py:112-164); here the state is a compressed vector index."""
+
+    _PARAMS_FILE = "__pq_params.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        vec_col: str,
+        books: list,
+        lsn_col: str | None = None,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+        deleted_col: str | None = None,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        from sqlserver_pg_cdc_spark.operators.similarity import _pq_codes_expr
+
+        if not books:
+            raise ValueError("PqIndexSink needs non-empty codebooks")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.src_lsn_col = lsn_col
+        self.deleted_col = deleted_col
+        self._books = [
+            [tuple(float(x) for x in cw) for cw in book] for book in books
+        ]
+        self._codes_expr = _pq_codes_expr(vec_col, self._books)
+
+    @property
+    def books(self) -> list:
+        return self._books
+
+    def _params(self) -> dict:
+        import hashlib
+        import json
+
+        blob = json.dumps(self._books, sort_keys=True).encode()
+        return {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "m_sub": len(self._books),
+            "k_codes": len(self._books[0]),
+            "books_sha256": hashlib.sha256(blob).hexdigest(),
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    k: {"stored": stored.get(k), "sink": v}
+                    for k, v in mine.items()
+                    if stored.get(k) != v
+                }
+                raise ValueError(
+                    f"PQ state at {self.target_dir} was built with a "
+                    f"different codebook epoch than this sink: {diff} — "
+                    "probing it would mix code spaces; reopen with the "
+                    "epoch's books or retrain into a new state dir"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"PQ state at {self.target_dir} holds partitions but no "
+                f"{self._PARAMS_FILE} — its codebook epoch is unknown; "
+                "rebuild the state"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        cols = [
+            F.col(self.id_col).alias("doc"),
+            F.col(self.vec_col).alias("v"),
+            F.when(
+                F.col(self.vec_col).isNotNull(), F.expr(self._codes_expr)
+            ).alias("codes"),
+            lsn.alias("lsn"),
+        ]
+        if self.deleted_col:
+            del_flag = F.coalesce(
+                F.col(self.deleted_col).cast("string") == F.lit("true"),
+                F.lit(False),
+            )
+            kept = batch_df.filter(F.col(self.vec_col).isNotNull() | del_flag)
+            return kept.select(*cols, del_flag.alias("__del"))
+        return batch_df.filter(F.col(self.vec_col).isNotNull()).select(*cols)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
+        super().__call__(self._project(batch_df, batch_id), batch_id)
+
+    # -- query surface ------------------------------------------------------
+
+    def _live_state(self) -> DataFrame | None:
+        self._check_params()
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            # NULL deleted-flag is live (matches CdcPipeline.active_rows)
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        return st
+
+    def codes(self) -> DataFrame | None:
+        """Live streamed (id, codes) — the exact shape `pq_encode`
+        builds one-shot. Soft-deleted docs excluded."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select(F.col("doc").alias("id"), "codes")
+
+    def vectors(self) -> DataFrame | None:
+        """Live raw vectors under the caller's column names (for
+        re-rank or retraining)."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select(
+            F.col("doc").alias(self.id_col), F.col("v").alias(self.vec_col)
+        )
+
+    def topk(
+        self, queries: DataFrame, k: int = 10, refine: int = 32
+    ) -> DataFrame | None:
+        """PQ/ADC top-k against the streamed codes — identical to the
+        one-shot `topk_pq` with this epoch's books."""
+        from sqlserver_pg_cdc_spark.operators.similarity import topk_pq_encoded
+
+        st = self._live_state()
+        if st is None:
+            return None
+        return topk_pq_encoded(
+            st.select(F.col("doc").alias("id"), "codes"),
+            st.select(F.col("doc").alias("id"), "v"),
+            queries, self.id_col, self.vec_col, self._books,
+            k=k, refine=refine,
+        )

@@ -348,3 +348,91 @@ def test_ivf_rotate_epoch_retrains_and_preserves_topk_parity(spark, tmp_path):
     assert key(got) == key(want)
     # new epoch has its own baseline on disk
     assert os.path.exists(os.path.join(fresh.target_dir, fresh._BASELINE_FILE))
+
+
+# --- streaming-maintained PQ index -----------------------------------------
+
+
+def _pq_sink(spark, tmp_path, **kw):
+    from sqlserver_pg_cdc_spark.operators.similarity import pq_codebooks
+    from sqlserver_pg_cdc_spark.streaming.ann import PqIndexSink
+
+    books = kw.pop("books", None)
+    if books is None:
+        books = pq_codebooks(
+            _vecs(spark, range(60)), "vec_id", "embedding", m_sub=4, k_codes=8
+        )
+    kw.setdefault("n_partitions", 8)
+    return PqIndexSink(
+        spark, str(tmp_path / "pq_state"), "vec_id", "embedding", books, **kw
+    )
+
+
+def test_pq_streamed_codes_equal_one_shot(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import pq_encode
+
+    all_v = _vecs(spark, range(60))
+    sink = _pq_sink(spark, tmp_path)
+    for b, pred in enumerate(["vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"]):
+        sink(all_v.filter(pred), b)
+    one_shot = pq_encode(all_v, "vec_id", "embedding", sink.books)
+    got = {(r["id"], tuple(r["codes"])) for r in sink.codes().collect()}
+    want = {(r["id"], tuple(r["codes"])) for r in one_shot.collect()}
+    assert got == want
+
+
+def test_pq_streamed_topk_equals_batch_topk(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
+
+    all_v = _vecs(spark, range(60))
+    sink = _pq_sink(spark, tmp_path)
+    sink(all_v.filter("vec_id % 2 = 0"), 0)
+    sink(all_v.filter("vec_id % 2 = 1"), 1)
+    queries = _vecs(spark, range(5))
+    want = topk_pq(
+        all_v, queries, "vec_id", "embedding", k=5, refine=16, books=sink.books
+    )
+    got = sink.topk(queries, k=5, refine=16)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+
+
+def test_pq_update_reencodes_and_deletes_drop(spark, tmp_path):
+    sink = _pq_sink(spark, tmp_path, deleted_col="__deleted", lsn_col="lsn")
+    base = _vecs(spark, range(20)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn", "'false' AS __deleted"
+    )
+    sink(base, 0)
+    before = {r["id"]: tuple(r["codes"]) for r in sink.codes().collect()}
+    moved = _vecs(spark, [3], bump={3}).selectExpr(
+        "vec_id", "embedding", "CAST(100 AS LONG) AS lsn", "'false' AS __deleted"
+    )
+    sink(moved, 1)
+    after = {r["id"]: tuple(r["codes"]) for r in sink.codes().collect()}
+    assert after[3] != before[3]  # re-encoded atomically
+    assert {k: v for k, v in after.items() if k != 3} == {
+        k: v for k, v in before.items() if k != 3
+    }
+    # CDC delete (NULL vector before-image) drops from the queryable state
+    dels = spark.createDataFrame(
+        [(5, None, 200, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(dels, 2)
+    live = {r["id"] for r in sink.codes().collect()}
+    assert 5 not in live and 3 in live
+    # stale pre-delete replay cannot resurrect
+    sink(base.filter("vec_id = 5"), 3)
+    assert 5 not in {r["id"] for r in sink.codes().collect()}
+
+
+def test_pq_epoch_mismatch_fails_fast(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import pq_codebooks
+
+    sink = _pq_sink(spark, tmp_path)
+    sink(_vecs(spark, range(20)), 0)
+    other_books = pq_codebooks(
+        _vecs(spark, range(100, 140)), "vec_id", "embedding", m_sub=4, k_codes=8
+    )
+    with pytest.raises(ValueError, match="codebook epoch"):
+        _pq_sink(spark, tmp_path, books=other_books).codes()

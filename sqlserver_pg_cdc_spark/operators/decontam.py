@@ -47,12 +47,28 @@ def decontaminate(
     and are reported clean with n_grams = 0."""
     # two-step projections (tokens, then grams-from-attribute): the
     # inlined form re-runs the tokenizer per gram — see shingles_from_tokens
-    eval_grams = (
-        eval_df.select(TX.tokens(text_col).alias("__toks"))
-        .select(F.explode(TX.shingles_from_tokens("__toks", k)).alias("g"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    eval_grams = eval_df.select(TX.tokens(text_col).alias("__toks")).select(
+        F.explode(TX.shingles_from_tokens("__toks", k)).alias("g")
     )
+    return decontaminate_against_grams(
+        corpus, eval_grams, id_col, text_col, k=k, min_hits=min_hits,
+        broadcast_eval=broadcast_eval,
+    )
+
+
+def decontaminate_against_grams(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_hits: int = 1,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """`decontaminate` against an ALREADY-extracted eval gram frame
+    ``(g)`` — the seam the streamed eval index uses: its stored gram
+    arrays explode straight into this join, no eval re-tokenize."""
+    eval_grams = eval_grams.select("g").distinct().withColumn("__hit", F.lit(1))
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     doc_grams = corpus.select(

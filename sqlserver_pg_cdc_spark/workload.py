@@ -2570,6 +2570,64 @@ UNION ALL SELECT doc, dup_of, 'batch' AS kind, 1 AS __batch_id FROM losers1
 """
 
 
+def q_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate (`streaming/decontam`): the eval
+    set is a CHANGE STREAM — one batch registers benchmark docs, a
+    second RETIRES half of them (CDC soft deletes through the
+    LSN-guarded upsert) — and a corpus batch is then gated against the
+    live eval-gram state. Returns the quarantine log with contamination
+    evidence. The oracle recomputes the report relationally against the
+    post-delete eval set, so the delete semantics (retired benchmarks
+    stop contaminating) are value-checked, not just row-counted."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.decontam import (
+        DecontamGate,
+        EvalGramIndexSink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _ann_streamed_workdir(sf_dir)
+    sink = EvalGramIndexSink(
+        spark, _os.path.join(work, "decon_state"), "doc_id", "text",
+        k=3, lsn_col="lsn", deleted_col="__deleted", n_partitions=4,
+    )
+    ev0 = d.filter("doc_id % 17 = 0").select(
+        "doc_id", "text", F.lit(1).alias("lsn"), F.lit("false").alias("__deleted")
+    )
+    ev1 = d.filter("doc_id % 34 = 0").select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("lsn"), F.lit("true").alias("__deleted"),
+    )
+    sink(ev0, 0)
+    sink(ev1, 1)
+    gate = DecontamGate(
+        sink, _os.path.join(work, "decon_acc"), _os.path.join(work, "decon_q")
+    )
+    gate(d.filter("doc_id % 17 <> 0"), 0)
+    log = gate.quarantine_log()
+    if log is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_grams long, n_eval_hits long, contam_frac double"
+        )
+    return log.select("doc_id", "n_grams", "n_eval_hits", "contam_frac")
+
+
+def _decontam_gate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.decontam import decontaminate_sql
+
+    inner = decontaminate_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0",
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 17 = 0 AND doc_id % 34 <> 0",
+        "doc_id", "text", k=3, min_hits=1,
+    )
+    return (
+        "SELECT doc_id, n_grams, n_eval_hits, contam_frac "
+        f"FROM ({inner}) WHERE contaminated"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
     an 8-band x 10-plane banded self-join, exact-cosine verified; no
@@ -5138,6 +5196,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "text_dedup_gate": QuerySpec(
                 q_text_dedup_gate, _text_dedup_gate_sql()
             ),
+            "decontam_gate": QuerySpec(
+                q_decontam_gate, _decontam_gate_sql()
+            ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,
                 DD.embedding_near_dup_lsh_pairs_sql(
@@ -5378,6 +5439,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_dedup_streamed_index",  # NEW: streaming-maintained MinHash index
     "text_dedup_gate",  # NEW: ingest-time dedup gate over the streamed index
     "ann_topk_pq",  # NEW: product-quantized ADC search + exact re-rank
+    "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5421,16 +5483,15 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 7 of that cohort; checksum_orders
-    # and checksum_ordered_orders rotated behind the window to make room
-    # for text_dedup_gate and ann_topk_pq)
+    # last driver row: round 6 (oldest 6 of that cohort; the checksum_
+    # orders/ordered_orders/lineitem trio rotated behind the window to
+    # make room for the three new gate/PQ contracts)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
     "checksum_customer",
     "checksum_events",
     "checksum_incremental_events",
-    "checksum_lineitem",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

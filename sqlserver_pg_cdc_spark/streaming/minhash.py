@@ -42,6 +42,65 @@ from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
 
+# Unresolved-Column cache for the per-row minhash projection: building
+# the 16 aggregate() HOFs + band md5 structs costs ~1.5 s of pure
+# Python/py4j time (one lambda round-trip per HOF) — per BATCH if
+# rebuilt inside _project. The Columns are unresolved expressions over
+# fixed internal names (__pairs, h0..h15, sh), so they are reusable
+# across DataFrames; keyed by applicationId so a restarted JVM never
+# sees another gateway's object handles.
+_PROJ_EXPR_CACHE: dict = {}
+
+
+def _minhash_proj_exprs(spark: SparkSession, num_hashes: int, bands: int):
+    from sqlserver_pg_cdc_spark.operators.dedup import _MH_MOD
+
+    key = (spark.sparkContext.applicationId, num_hashes, bands)
+    hit = _PROJ_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows = num_hashes // bands
+    pairs = F.transform(
+        F.col("sh"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("a"),
+            F.conv(F.substring(F.md5(s), 13, 12), 16, 10)
+            .cast("bigint")
+            .alias("b"),
+        ),
+    )
+
+    def _h(i: int):
+        return F.aggregate(
+            F.col("__pairs"),
+            F.lit(_MH_MOD).cast("bigint"),
+            lambda acc, x: F.least(
+                acc, F.pmod(x["a"] + F.lit(i) * x["b"], F.lit(_MH_MOD))
+            ),
+        )
+
+    hs = [_h(i).alias(f"h{i}") for i in range(num_hashes)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    empty_bands = F.array().cast("array<struct<band_id:int,band_key:string>>")
+    bands_col = (
+        F.when(F.size("sh") > 0, F.array(*band_structs))
+        .otherwise(empty_bands)
+        .alias("bands")
+    )
+    out = (pairs, hs, bands_col)
+    _PROJ_EXPR_CACHE[key] = out
+    return out
+
 
 class MinhashIndexSink(PartitionedParquetUpsertSink):
     """foreachBatch callable: ``writeStream.foreachBatch(sink)``.
@@ -144,14 +203,17 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         per-batch ingest cost at sf0.1. Docs whose text shingles to
         nothing keep an EMPTY band array (they can never collide) but
         still own a state row, so a later text update or delete lands
-        on them."""
+        on them. The hash/band Columns come from the module-level
+        expression cache — rebuilding them per batch costs ~1.5 s of
+        driver-side py4j time, pure overhead at any data scale."""
         from sqlserver_pg_cdc_spark.operators.dedup import (
-            _MH_MOD,
             shingles_from_tokens,
             tokens,
         )
 
-        rows = self.num_hashes // self.bands
+        pairs, hs, bands_col = _minhash_proj_exprs(
+            self.spark, self.num_hashes, self.bands
+        )
         lsn = (
             F.col(self.src_lsn_col).cast("long")
             if self.src_lsn_col
@@ -180,54 +242,11 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             ).alias("sh"),
             *extra_names,
         )
-        pairs = F.transform(
-            F.col("sh"),
-            lambda s: F.struct(
-                F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
-                .cast("bigint")
-                .alias("a"),
-                F.conv(F.substring(F.md5(s), 13, 12), 16, 10)
-                .cast("bigint")
-                .alias("b"),
-            ),
-        )
         step3 = step2.select(
             "doc", "sh", pairs.alias("__pairs"), *extra_names
         )
-
-        def _h(i: int):
-            return F.aggregate(
-                F.col("__pairs"),
-                F.lit(_MH_MOD).cast("bigint"),
-                lambda acc, x: F.least(
-                    acc, F.pmod(x["a"] + F.lit(i) * x["b"], F.lit(_MH_MOD))
-                ),
-            )
-
-        hs = [_h(i).alias(f"h{i}") for i in range(self.num_hashes)]
         step4 = step3.select("doc", "sh", *hs, *extra_names)
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[f"h{b * rows + r}" for r in range(rows)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(self.bands)
-        ]
-        empty_bands = F.array().cast(
-            "array<struct<band_id:int,band_key:string>>"
-        )
-        return step4.select(
-            "doc",
-            "sh",
-            F.when(F.size("sh") > 0, F.array(*band_structs))
-            .otherwise(empty_bands)
-            .alias("bands"),
-            *extra_names,
-        )
+        return step4.select("doc", "sh", bands_col, *extra_names)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self._upsert_projected(self._project(batch_df, batch_id), batch_id)
@@ -293,16 +312,16 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         if self.index() is None:
             return None
         rows = self.num_hashes // self.bands
+        # localCheckpoint: same plan-truncation rationale as the gate's
+        # batch projection — the probe frame is batch-sized and feeds
+        # several downstream actions
         new_sh = shingle_frame(
             new_df, self.id_col, self.text_col, self.k
-        ).persist()
-        try:
-            nsh = new_sh.filter(F.size("sh") > 0)
-            new_sig = minhash_signatures_from_shingles(nsh, self.num_hashes)
-            new_bands = minhash_band_frame(new_sig, self.bands, rows)
-            return self._near_dups_core(nsh, new_bands, threshold)
-        finally:
-            new_sh.unpersist()
+        ).localCheckpoint()
+        nsh = new_sh.filter(F.size("sh") > 0)
+        new_sig = minhash_signatures_from_shingles(nsh, self.num_hashes)
+        new_bands = minhash_band_frame(new_sig, self.bands, rows)
+        return self._near_dups_core(nsh, new_bands, threshold)
 
     def _near_dups_core(
         self, nsh: DataFrame, new_bands: DataFrame, threshold: float
@@ -334,7 +353,12 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
                 for r in cands.select("b").distinct().limit(10_001).collect()
             ]
             stored = None
-            if ids and len(ids) <= 10_000:
+            # pruning pays only when the colliding-doc set is small
+            # relative to the partition count — past ~n_partitions
+            # distinct ids the birthday bound says every partition is
+            # hit anyway, and the probe's extra hash job + per-key
+            # semi-join just add fixed cost over the full-state read
+            if ids and len(ids) <= min(10_000, self.n_partitions):
                 hit = self.read_keys(ids)
                 if hit is not None:
                     if "__del" in hit.columns:
@@ -432,8 +456,14 @@ class DedupGateSink(MinhashIndexSink):
         # ONE projection per batch — tokenize/md5/minhash/band once, then
         # probe, within-batch clustering, and the index upsert all read
         # from it (the naive composition re-shingled the batch three
-        # times; at 100 TB the signature map IS the dominant batch cost)
-        proj = self._project(batch_df, batch_id).persist()
+        # times; at 100 TB the signature map IS the dominant batch cost).
+        # localCheckpoint, not persist: it truncates the lineage, so the
+        # ~6 downstream actions plan over a LogicalRDD instead of
+        # re-canonicalizing the 16-HOF projection tree each time (~0.5 s
+        # of driver CPU per action, independent of data size); blocks
+        # are batch-sized and a Structured Streaming replay re-drives
+        # the whole batch anyway, so the non-replayable lineage is moot
+        proj = self._project(batch_df, batch_id).localCheckpoint()
         try:
             passthrough = None
             live = proj
@@ -559,4 +589,7 @@ class DedupGateSink(MinhashIndexSink):
             if cross is not None:
                 cross.unpersist()
         finally:
-            proj.unpersist()
+            # proj is localCheckpoint'd: its batch-sized blocks are
+            # reclaimed by the ContextCleaner once the frame drops out
+            # of scope (unpersist() would be a no-op on checkpoint RDDs)
+            del proj

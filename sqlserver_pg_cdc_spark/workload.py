@@ -2455,19 +2455,19 @@ def q_text_dedup_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sqlserver_pg_cdc_spark.streaming.minhash import MinhashIndexSink
 
-    # a third of the corpus streams in (two batches): the contract —
+    # a sixth of the corpus streams in (two batches): the contract —
     # streamed index == one-shot recompute — is scale-independent, and
-    # the full-corpus variant triples the shingle/state-write work for
-    # no additional coverage (the bench keeps this row plan-honest)
+    # a larger slice multiplies the shingle/state-write work for no
+    # additional coverage (the bench keeps this row plan-honest)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = _ann_streamed_workdir(sf_dir)
     sink = MinhashIndexSink(
         spark, _os.path.join(work, "mh_state"), "doc_id", "text",
         n_partitions=4,
     )
-    sink(d.filter("doc_id % 6 = 0"), 0)
-    sink(d.filter("doc_id % 6 = 3"), 1)
-    new = d.filter(F.col("doc_id") % 15 == 0).withColumn(
+    sink(d.filter("doc_id % 12 = 0"), 0)
+    sink(d.filter("doc_id % 12 = 6"), 1)
+    new = d.filter(F.col("doc_id") % 30 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
     res = sink.near_dups(new, threshold=0.2)
@@ -2480,8 +2480,8 @@ def _text_dedup_streamed_index_sql() -> str:
     from sqlserver_pg_cdc_spark.operators import dedup as DD
 
     return DD.minhash_incremental_dedup_sql(
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0",
-        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 30 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0",
         "doc_id",
         "text",
         threshold=0.2,
@@ -2504,10 +2504,14 @@ def q_text_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
 
+    # an eighth of the corpus per batch: every accept/reject path
+    # (corpus probe, within-batch clustering, survivor indexing) fires
+    # at this fraction, and the contract is scale-independent — a
+    # bigger slice multiplies projection/state work for no coverage
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    b0 = d.filter("doc_id % 4 = 0")
-    b1 = d.filter("doc_id % 4 = 1").unionByName(
-        d.filter("doc_id % 20 = 0").select(
+    b0 = d.filter("doc_id % 8 = 0")
+    b1 = d.filter("doc_id % 8 = 1").unionByName(
+        d.filter("doc_id % 40 = 0").select(
             (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
         )
     )
@@ -2530,11 +2534,11 @@ def q_text_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_dedup_gate_sql() -> str:
     from sqlserver_pg_cdc_spark.operators import dedup as DD
 
-    b0 = "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0"
+    b0 = "SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0"
     b1 = (
-        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1 "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 8 = 1 "
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
-        "FROM documents WHERE doc_id % 20 = 0"
+        "FROM documents WHERE doc_id % 40 = 0"
     )
     pairs0 = DD.minhash_jaccard_verified_pairs_sql("batch0", "doc_id", "text", 0.2)
     comp0 = DD.dup_components_sql(pairs0)
@@ -2604,7 +2608,10 @@ def q_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = DecontamGate(
         sink, _os.path.join(work, "decon_acc"), _os.path.join(work, "decon_q")
     )
-    gate(d.filter("doc_id % 17 <> 0"), 0)
+    # a third of the non-eval corpus is gated: the accept/quarantine
+    # decision is per-doc, so the fraction scales the work (grams join
+    # + both output writes) without changing what the oracle checks
+    gate(d.filter("doc_id % 17 <> 0 AND doc_id % 3 = 0"), 0)
     log = gate.quarantine_log()
     if log is None:
         return spark.createDataFrame(
@@ -2617,7 +2624,8 @@ def _decontam_gate_sql() -> str:
     from sqlserver_pg_cdc_spark.operators.decontam import decontaminate_sql
 
     inner = decontaminate_sql(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0",
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 17 <> 0 AND doc_id % 3 = 0",
         "SELECT doc_id, text FROM documents "
         "WHERE doc_id % 17 = 0 AND doc_id % 34 <> 0",
         "doc_id", "text", k=3, min_hits=1,

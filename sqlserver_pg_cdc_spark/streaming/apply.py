@@ -697,12 +697,20 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
         self.n_partitions = n_partitions
 
     def _apply(self, batch_df: DataFrame) -> None:
+        # localCheckpoint, not persist: the touched-partition collect,
+        # the merge, and the partitionBy write each re-plan everything
+        # above this point (for the index sinks that is a band/hash
+        # projection with thousands of literals — ~0.5 s of driver CPU
+        # per action at ANY data scale); truncating the lineage makes
+        # them plan over a LogicalRDD. Blocks are batch-sized, and a
+        # Structured Streaming replay re-drives the whole batch, so the
+        # non-replayable lineage changes nothing
         deduped = (
             self._cast_keys_to_stored(
                 latest_per_key(batch_df, self.pk_cols, self.lsn_col)
             )
             .withColumn("__p", self._part_expr())
-            .persist()
+            .localCheckpoint()
         )
         try:
             touched = sorted(
@@ -732,7 +740,9 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
             self._stamp_schema(merged.drop("__p"))
             self._swap_parts(merged, touched)
         finally:
-            deduped.unpersist()
+            # checkpoint blocks are freed by the ContextCleaner when the
+            # frame drops out of scope (unpersist() is a no-op on them)
+            del deduped
 
 
 class TransactionalParquetUpsertSink(ParquetUpsertSink):

@@ -191,6 +191,25 @@ def create_parser() -> argparse.ArgumentParser:
                      help="ivf: top-k per probe vector")
     ann.add_argument("--n-probe", type=int, default=2,
                      help="ivf: cells probed per query")
+    state = sub.add_parser(
+        "state",
+        help="day-2 maintenance on hash-partitioned sink state: "
+             "tombstone purge (retention) and partition-count rescale",
+    )
+    state.add_argument("--state-dir", required=True)
+    state.add_argument("--pk", nargs="+", required=True,
+                       help="primary-key column(s) of the state")
+    state.add_argument("--lsn-col", default="lsn")
+    state.add_argument("--purge-watermark", type=int,
+                       help="drop soft-deleted rows with lsn <= this; "
+                            "the source must no longer be able to "
+                            "replay at or below it (CDC retention)")
+    state.add_argument("--deleted-col",
+                       help="tombstone flag column (default: whichever "
+                            "of __del / __deleted the state carries)")
+    state.add_argument("--rescale", type=int,
+                       help="re-hash the state into this many "
+                            "partitions (quiesce the stream first)")
     return p
 
 
@@ -737,6 +756,46 @@ def _cmd_ann_ivf(spark, args) -> int:
     return 0
 
 
+def cmd_state(args) -> int:
+    """Day-2 maintenance: open the partitioned state with the partition
+    count recorded in its own __layout.json (never guessed from a
+    flag — a wrong count would mis-route every key), then purge and/or
+    rescale."""
+    import os
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    marker = os.path.join(args.state_dir, "__layout.json")
+    if not os.path.exists(marker):
+        raise SystemExit(
+            f"{args.state_dir} has no __layout.json — not a partitioned "
+            "sink state (or the marker was lost; restore it first)"
+        )
+    with open(marker) as f:
+        n_current = json.load(f)["n_partitions"]
+    spark = get_spark("state-cli")
+    sink = PartitionedParquetUpsertSink(
+        spark, args.state_dir, list(args.pk),
+        lsn_col=args.lsn_col, n_partitions=int(n_current),
+    )
+    result = {"state_dir": args.state_dir, "n_partitions": int(n_current)}
+    if args.purge_watermark is not None:
+        result["purge"] = sink.purge_tombstones(
+            args.purge_watermark, deleted_col=args.deleted_col
+        )
+    if args.rescale is not None:
+        sink.rescale(int(args.rescale))
+        result["n_partitions"] = int(args.rescale)
+        result["rescaled"] = True
+    st = sink.read_target()
+    result["rows"] = st.count() if st is not None else 0
+    print(json.dumps(result))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = create_parser().parse_args(argv)
     if args.command == "run":
@@ -757,6 +816,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_sketch(args)
     if args.command == "ann":
         return cmd_ann(args)
+    if args.command == "state":
+        return cmd_state(args)
     return 2
 
 

@@ -764,3 +764,47 @@ def test_cli_ann_ivf_mode(tmp_path):
     cos1 = {q: c for q, rk, i, c in rows if rk == 1}
     assert top1[1001] == 1 and cos1[1001] > 0.9999
     assert top1[1017] == 17 and cos1[1017] > 0.9999
+
+
+def test_cli_state_purge_and_rescale(tmp_path, spark):
+    """`state --purge-watermark --rescale`: tombstones past the horizon
+    drop, the layout re-hashes, and the surviving rows read back
+    through a fresh sink opened with the new count."""
+    import json as _json
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "st"), ["id"], n_partitions=4
+    )
+    rows = spark.createDataFrame(
+        [(i, f"n{i}", "false", 10 + i) for i in range(30)]
+        + [(0, None, "true", 50), (1, None, "true", 90)],
+        "id long, name string, __deleted string, lsn long",
+    )
+    sink(rows, 0)
+    cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "state",
+        "--state-dir", str(tmp_path / "st"),
+        "--pk", "id",
+        "--purge-watermark", "60",
+        "--rescale", "16",
+    ]
+    r = subprocess.run(
+        cmd, cwd="/root/repo", capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["purge"]["purged"] == 1  # lsn 50 <= 60; lsn 90 kept
+    assert out["n_partitions"] == 16 and out["rescaled"]
+    # latest-per-key: ids 0/1 collapse to their tombstones; purge
+    # drops id 0 (lsn 50 <= 60) -> 28 live + the id-1 tombstone
+    assert out["rows"] == 29
+    reopened = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "st"), ["id"], n_partitions=16
+    )
+    st = reopened.read_target()
+    ids = {r2["id"] for r2 in st.collect()}
+    assert 0 not in ids and 1 in ids and len(ids) == 29

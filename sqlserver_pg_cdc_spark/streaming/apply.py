@@ -458,6 +458,210 @@ class HashPartitionedStateMixin:
             with open(marker, "w") as f:
                 json.dump({"n_partitions": self.n_partitions}, f)
 
+    # -- day-2 maintenance ---------------------------------------------------
+
+    def _tombstone_flag(self, df: DataFrame, deleted_col: str | None):
+        """Boolean tombstone predicate over stored state, NULL-safe.
+
+        The index sinks store a boolean ``__del``; the CDC pipeline
+        keeps Debezium's string ``__deleted``. When ``deleted_col`` is
+        None, whichever of the two the state carries is used."""
+        col = deleted_col
+        if col is None:
+            col = (
+                "__del"
+                if "__del" in df.columns
+                else ("__deleted" if "__deleted" in df.columns else None)
+            )
+        if col is None:
+            return None
+        c = F.col(col)
+        flag = c if dict(df.dtypes).get(col) == "boolean" else (
+            F.lower(c.cast("string")) == F.lit("true")
+        )
+        return F.coalesce(flag, F.lit(False))
+
+    def purge_tombstones(
+        self, watermark_lsn, deleted_col: str | None = None
+    ) -> dict:
+        """Physically drop soft-deleted rows whose LSN is at or below
+        ``watermark_lsn``.
+
+        Tombstones must OUTLIVE the source's replay horizon — the LSN
+        guard needs them to stop a stale pre-delete update from
+        resurrecting the row — but past that horizon they are dead
+        weight the state carries forever (at CDC scale, every deleted
+        key ever). The reference bounds the same liability with
+        retention: change events are kept 7 days
+        (docs/development-architecture.md:226) and SQL Server's CDC
+        capture itself truncates at ``@retention``
+        (docs/troubleshooting-part01.md:194-197); this is the
+        state-side twin of that policy. The CALLER owns the watermark
+        contract: pass an LSN the source can no longer replay at or
+        below (e.g. the checkpointed read position minus the retention
+        window). Tombstones ABOVE the watermark are kept and the guard
+        still holds for them.
+
+        One O(state) pass, like any retention compaction: reads every
+        partition once, rewrites only the partitions that actually held
+        purgeable rows (generation swap each — crash-safe, and a reader
+        mid-purge sees whole partitions, never half). Returns
+        ``{"purged": n, "partitions_rewritten": k}``."""
+        self._check_layout()
+        st = self.read_target()
+        if st is None:
+            return {"purged": 0, "partitions_rewritten": 0}
+        flag = self._tombstone_flag(st, deleted_col)
+        if flag is None:
+            return {"purged": 0, "partitions_rewritten": 0}
+        wm = F.lit(watermark_lsn).cast(dict(st.dtypes)[self.lsn_col])
+        dead = flag & (F.col(self.lsn_col) <= wm)
+        routed = st.withColumn("__p", self._part_expr()).withColumn(
+            "__dead", dead
+        ).localCheckpoint()
+        hit = [
+            r["__p"]
+            for r in routed.filter("__dead")
+            .select("__p")
+            .distinct()
+            .collect()
+        ]
+        if not hit:
+            return {"purged": 0, "partitions_rewritten": 0}
+        purged = routed.filter("__dead").count()
+        keep = (
+            routed.filter(F.col("__p").isin(hit) & ~F.col("__dead"))
+            .drop("__dead")
+        )
+        self._swap_parts(keep, sorted(hit))
+        # a partition purged to empty leaves no __p=<p> dir in the batch
+        # tmp, so _swap_parts keeps the OLD dir for it — remove those
+        # explicitly (the whole partition was tombstones past horizon)
+        still = {
+            r["__p"]
+            for r in keep.select("__p").distinct().collect()
+        }
+        for p in hit:
+            if p not in still:
+                pdir = self._part_dir(p)
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir, ignore_errors=True)
+        return {"purged": purged, "partitions_rewritten": len(hit)}
+
+    def rescale(self, n_new: int) -> None:
+        """Re-hash the state into ``n_new`` partitions (grow a layout
+        that was sized for yesterday's corpus, or shrink an oversized
+        one). The partition count is baked into every routing hash, so
+        this is necessarily an O(state) rewrite — ONE shuffle-and-write
+        job into a fresh directory, then an atomic two-rename swing, the
+        maintenance-op analog of re-clustering a Delta/Iceberg table.
+        Run it on a quiesced state (no concurrent batches), like any
+        re-partitioning DDL.
+
+        Crash-safe: the new layout is fully built (marker included)
+        under ``<target>.__rescale_new_*`` before the old dir moves to
+        ``<target>.__rescale_old_*``; a crash between the renames is
+        recovered on the next open by :meth:`_recover_rescale` (the
+        presence of a completed new dir decides which way). The sink's
+        own ``n_partitions`` is updated, so subsequent batches route
+        with the new count."""
+        import json
+
+        if n_new < 1:
+            raise ValueError("n_new must be >= 1")
+        self._recover_rescale()
+        self._check_layout()
+        st = self.read_target()
+        token = uuid.uuid4().hex[:8]
+        new_dir = f"{self.target_dir}.__rescale_new_{token}"
+        marker_meta = {"n_partitions": n_new}
+        old_marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
+        if os.path.exists(old_marker):
+            with open(old_marker) as f:
+                prev_meta = json.load(f)
+            for k in ("schema", "schema_version"):
+                if k in prev_meta:
+                    marker_meta[k] = prev_meta[k]
+        os.makedirs(new_dir, exist_ok=True)
+        if st is not None:
+            routed = st.withColumn(
+                "__p",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in self.pk_cols]),
+                    F.lit(n_new),
+                ).cast("int"),
+            )
+            tmp = os.path.join(new_dir, "__hive")
+            (
+                routed.repartition(n_new, "__p")
+                .write.mode("overwrite")
+                .partitionBy("__p")
+                .parquet(tmp)
+            )
+            for d in os.listdir(tmp):
+                if d.startswith("__p="):
+                    p = int(d.split("=", 1)[1])
+                    os.rename(
+                        os.path.join(tmp, d),
+                        os.path.join(new_dir, f"part_{p:05d}"),
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+        # params/aux marker files (LSH params, IVF baselines, ...) ride
+        # along: they describe the state's content, not its layout
+        if os.path.isdir(self.target_dir):
+            for name in os.listdir(self.target_dir):
+                srcf = os.path.join(self.target_dir, name)
+                if (
+                    os.path.isfile(srcf)
+                    and name.startswith("__")
+                    and name != self._LAYOUT_FILE
+                ):
+                    shutil.copy2(srcf, os.path.join(new_dir, name))
+        with open(os.path.join(new_dir, self._LAYOUT_FILE), "w") as f:
+            json.dump(marker_meta, f)
+        # completion sentinel: _recover_rescale only adopts a new dir
+        # that finished building
+        open(os.path.join(new_dir, "__rescale_complete"), "w").close()
+        old_dir = f"{self.target_dir}.__rescale_old_{token}"
+        if os.path.isdir(self.target_dir):
+            os.rename(self.target_dir, old_dir)
+        os.rename(new_dir, self.target_dir)
+        os.remove(os.path.join(self.target_dir, "__rescale_complete"))
+        shutil.rmtree(old_dir, ignore_errors=True)
+        self.n_partitions = n_new
+
+    def _recover_rescale(self) -> None:
+        """Heal a crash mid-:meth:`rescale`. Cases, by on-disk evidence:
+        target exists -> any leftover __rescale_* siblings are stale
+        (crash after the final rename or before the first): remove
+        incomplete news, remove olds only when the target is live.
+        Target MISSING -> a completed new dir is adopted; else the old
+        dir is restored."""
+        import glob as _glob
+
+        news = sorted(_glob.glob(f"{self.target_dir}.__rescale_new_*"))
+        olds = sorted(_glob.glob(f"{self.target_dir}.__rescale_old_*"))
+        if not news and not olds:
+            return
+        if not os.path.isdir(self.target_dir):
+            done = [
+                d
+                for d in news
+                if os.path.exists(os.path.join(d, "__rescale_complete"))
+            ]
+            if done:
+                os.rename(done[-1], self.target_dir)
+                os.remove(
+                    os.path.join(self.target_dir, "__rescale_complete")
+                )
+                news.remove(done[-1])
+            elif olds:
+                os.rename(olds[-1], self.target_dir)
+                olds.remove(olds[-1])
+        if os.path.isdir(self.target_dir):
+            for d in news + olds:
+                shutil.rmtree(d, ignore_errors=True)
+
     def _stamp_schema(self, df: DataFrame) -> None:
         """Record the ACTIVE (post-evolution) schema in __layout.json so
         operators and humans can see what shape the state is in without
@@ -745,211 +949,6 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
             # checkpoint blocks are freed by the ContextCleaner when the
             # frame drops out of scope (unpersist() is a no-op on them)
             del deduped
-
-    # -- day-2 maintenance ---------------------------------------------------
-
-    def _tombstone_flag(self, df: DataFrame, deleted_col: str | None):
-        """Boolean tombstone predicate over stored state, NULL-safe.
-
-        The index sinks store a boolean ``__del``; the CDC pipeline
-        keeps Debezium's string ``__deleted``. When ``deleted_col`` is
-        None, whichever of the two the state carries is used."""
-        col = deleted_col
-        if col is None:
-            col = (
-                "__del"
-                if "__del" in df.columns
-                else ("__deleted" if "__deleted" in df.columns else None)
-            )
-        if col is None:
-            return None
-        c = F.col(col)
-        flag = c if dict(df.dtypes).get(col) == "boolean" else (
-            F.lower(c.cast("string")) == F.lit("true")
-        )
-        return F.coalesce(flag, F.lit(False))
-
-    def purge_tombstones(
-        self, watermark_lsn, deleted_col: str | None = None
-    ) -> dict:
-        """Physically drop soft-deleted rows whose LSN is at or below
-        ``watermark_lsn``.
-
-        Tombstones must OUTLIVE the source's replay horizon — the LSN
-        guard needs them to stop a stale pre-delete update from
-        resurrecting the row — but past that horizon they are dead
-        weight the state carries forever (at CDC scale, every deleted
-        key ever). The reference bounds the same liability with
-        retention: change events are kept 7 days
-        (docs/development-architecture.md:226) and SQL Server's CDC
-        capture itself truncates at ``@retention``
-        (docs/troubleshooting-part01.md:194-197); this is the
-        state-side twin of that policy. The CALLER owns the watermark
-        contract: pass an LSN the source can no longer replay at or
-        below (e.g. the checkpointed read position minus the retention
-        window). Tombstones ABOVE the watermark are kept and the guard
-        still holds for them.
-
-        One O(state) pass, like any retention compaction: reads every
-        partition once, rewrites only the partitions that actually held
-        purgeable rows (generation swap each — crash-safe, and a reader
-        mid-purge sees whole partitions, never half). Returns
-        ``{"purged": n, "partitions_rewritten": k}``."""
-        self._check_layout()
-        st = self.read_target()
-        if st is None:
-            return {"purged": 0, "partitions_rewritten": 0}
-        flag = self._tombstone_flag(st, deleted_col)
-        if flag is None:
-            return {"purged": 0, "partitions_rewritten": 0}
-        wm = F.lit(watermark_lsn).cast(dict(st.dtypes)[self.lsn_col])
-        dead = flag & (F.col(self.lsn_col) <= wm)
-        routed = st.withColumn("__p", self._part_expr()).withColumn(
-            "__dead", dead
-        ).localCheckpoint()
-        hit = [
-            r["__p"]
-            for r in routed.filter("__dead")
-            .select("__p")
-            .distinct()
-            .collect()
-        ]
-        if not hit:
-            return {"purged": 0, "partitions_rewritten": 0}
-        purged = routed.filter("__dead").count()
-        keep = (
-            routed.filter(F.col("__p").isin(hit) & ~F.col("__dead"))
-            .drop("__dead")
-        )
-        self._swap_parts(keep, sorted(hit))
-        # a partition purged to empty leaves no __p=<p> dir in the batch
-        # tmp, so _swap_parts keeps the OLD dir for it — remove those
-        # explicitly (the whole partition was tombstones past horizon)
-        still = {
-            r["__p"]
-            for r in keep.select("__p").distinct().collect()
-        }
-        for p in hit:
-            if p not in still:
-                pdir = self._part_dir(p)
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir, ignore_errors=True)
-        return {"purged": purged, "partitions_rewritten": len(hit)}
-
-    def rescale(self, n_new: int) -> None:
-        """Re-hash the state into ``n_new`` partitions (grow a layout
-        that was sized for yesterday's corpus, or shrink an oversized
-        one). The partition count is baked into every routing hash, so
-        this is necessarily an O(state) rewrite — ONE shuffle-and-write
-        job into a fresh directory, then an atomic two-rename swing, the
-        maintenance-op analog of re-clustering a Delta/Iceberg table.
-        Run it on a quiesced state (no concurrent batches), like any
-        re-partitioning DDL.
-
-        Crash-safe: the new layout is fully built (marker included)
-        under ``<target>.__rescale_new_*`` before the old dir moves to
-        ``<target>.__rescale_old_*``; a crash between the renames is
-        recovered on the next open by :meth:`_recover_rescale` (the
-        presence of a completed new dir decides which way). The sink's
-        own ``n_partitions`` is updated, so subsequent batches route
-        with the new count."""
-        import json
-
-        if n_new < 1:
-            raise ValueError("n_new must be >= 1")
-        self._recover_rescale()
-        self._check_layout()
-        st = self.read_target()
-        token = uuid.uuid4().hex[:8]
-        new_dir = f"{self.target_dir}.__rescale_new_{token}"
-        marker_meta = {"n_partitions": n_new}
-        old_marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
-        if os.path.exists(old_marker):
-            with open(old_marker) as f:
-                prev_meta = json.load(f)
-            for k in ("schema", "schema_version"):
-                if k in prev_meta:
-                    marker_meta[k] = prev_meta[k]
-        os.makedirs(new_dir, exist_ok=True)
-        if st is not None:
-            routed = st.withColumn(
-                "__p",
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in self.pk_cols]),
-                    F.lit(n_new),
-                ).cast("int"),
-            )
-            tmp = os.path.join(new_dir, "__hive")
-            (
-                routed.repartition(n_new, "__p")
-                .write.mode("overwrite")
-                .partitionBy("__p")
-                .parquet(tmp)
-            )
-            for d in os.listdir(tmp):
-                if d.startswith("__p="):
-                    p = int(d.split("=", 1)[1])
-                    os.rename(
-                        os.path.join(tmp, d),
-                        os.path.join(new_dir, f"part_{p:05d}"),
-                    )
-            shutil.rmtree(tmp, ignore_errors=True)
-        # params/aux marker files (LSH params, IVF baselines, ...) ride
-        # along: they describe the state's content, not its layout
-        if os.path.isdir(self.target_dir):
-            for name in os.listdir(self.target_dir):
-                srcf = os.path.join(self.target_dir, name)
-                if (
-                    os.path.isfile(srcf)
-                    and name.startswith("__")
-                    and name != self._LAYOUT_FILE
-                ):
-                    shutil.copy2(srcf, os.path.join(new_dir, name))
-        with open(os.path.join(new_dir, self._LAYOUT_FILE), "w") as f:
-            json.dump(marker_meta, f)
-        # completion sentinel: _recover_rescale only adopts a new dir
-        # that finished building
-        open(os.path.join(new_dir, "__rescale_complete"), "w").close()
-        old_dir = f"{self.target_dir}.__rescale_old_{token}"
-        if os.path.isdir(self.target_dir):
-            os.rename(self.target_dir, old_dir)
-        os.rename(new_dir, self.target_dir)
-        os.remove(os.path.join(self.target_dir, "__rescale_complete"))
-        shutil.rmtree(old_dir, ignore_errors=True)
-        self.n_partitions = n_new
-
-    def _recover_rescale(self) -> None:
-        """Heal a crash mid-:meth:`rescale`. Cases, by on-disk evidence:
-        target exists -> any leftover __rescale_* siblings are stale
-        (crash after the final rename or before the first): remove
-        incomplete news, remove olds only when the target is live.
-        Target MISSING -> a completed new dir is adopted; else the old
-        dir is restored."""
-        import glob as _glob
-
-        news = sorted(_glob.glob(f"{self.target_dir}.__rescale_new_*"))
-        olds = sorted(_glob.glob(f"{self.target_dir}.__rescale_old_*"))
-        if not news and not olds:
-            return
-        if not os.path.isdir(self.target_dir):
-            done = [
-                d
-                for d in news
-                if os.path.exists(os.path.join(d, "__rescale_complete"))
-            ]
-            if done:
-                os.rename(done[-1], self.target_dir)
-                os.remove(
-                    os.path.join(self.target_dir, "__rescale_complete")
-                )
-                news.remove(done[-1])
-            elif olds:
-                os.rename(olds[-1], self.target_dir)
-                olds.remove(olds[-1])
-        if os.path.isdir(self.target_dir):
-            for d in news + olds:
-                shutil.rmtree(d, ignore_errors=True)
-
 
 class TransactionalParquetUpsertSink(ParquetUpsertSink):
     """St8 sink: ParquetUpsertSink plus source-transaction atomicity.

@@ -27,6 +27,8 @@ recomputation of validity chains for affected keys only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -350,3 +352,64 @@ class PartitionedScd2Sink:
             st._swap_parts(new_slice.withColumn("__p", st._part_expr()), touched)
         finally:
             routed.unpersist()
+
+    # -- day-2 maintenance ---------------------------------------------------
+
+    def prune_history(self, watermark_lsn: int) -> dict:
+        """History retention: physically drop versions whose validity
+        interval ended at or before ``watermark_lsn``.
+
+        An SCD2 history grows without bound by design — every version of
+        every row, forever. Past the audit/compliance horizon the closed
+        versions are dead weight; this drops exactly the rows no
+        retained query can see: ``as_of(lsn)`` filters
+        ``__valid_to_lsn > lsn``, so every time travel at or above the
+        watermark is PROVABLY unchanged (time travel below it is
+        forfeited — that is what retention means). Active versions and
+        versions still open past the watermark (including delete
+        markers, whose (key, LSN) presence keeps replays idempotent) are
+        untouched. The reference bounds the same liability with change-
+        event retention (docs/development-architecture.md:226).
+
+        One O(history) pass; rewrites only partitions that held prunable
+        versions (generation swap each). Returns
+        ``{"pruned": n, "partitions_rewritten": k}``."""
+        st = self._store
+        st._check_layout()
+        h = st.read_target()
+        if h is None:
+            return {"pruned": 0, "partitions_rewritten": 0}
+        dead = F.col("__valid_to_lsn") <= F.lit(int(watermark_lsn))
+        routed = (
+            h.withColumn("__p", st._part_expr())
+            .withColumn("__dead", dead)
+            .localCheckpoint()
+        )
+        hit = [
+            r["__p"]
+            for r in routed.filter("__dead").select("__p").distinct().collect()
+        ]
+        if not hit:
+            return {"pruned": 0, "partitions_rewritten": 0}
+        pruned = routed.filter("__dead").count()
+        keep = routed.filter(F.col("__p").isin(hit) & ~F.col("__dead")).drop(
+            "__dead"
+        )
+        st._swap_parts(keep, sorted(hit))
+        still = {r["__p"] for r in keep.select("__p").distinct().collect()}
+        for p in hit:
+            if p not in still:
+                pdir = st._part_dir(p)
+                if os.path.isdir(pdir):
+                    import shutil
+
+                    shutil.rmtree(pdir, ignore_errors=True)
+        return {"pruned": pruned, "partitions_rewritten": len(hit)}
+
+    def rescale(self, n_new: int) -> None:
+        """Re-hash the history into ``n_new`` partitions (the
+        HashPartitionedStateMixin maintenance op — a key's full version
+        chain moves as a unit because every version hashes on the same
+        PK). Run on a quiesced stream."""
+        self._store.rescale(n_new)
+        self.n_partitions = n_new

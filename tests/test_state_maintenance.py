@@ -247,3 +247,111 @@ def test_rescale_crash_recovery_restores_old_when_new_incomplete(
     assert len(_live(fresh.read_target())) == 20
     assert not os.path.exists(f"{target}.__rescale_old_cafe0000")
     assert not os.path.exists(f"{target}.__rescale_new_cafe0000")
+
+
+# --- SCD2 history retention -------------------------------------------------
+
+
+def _scd2_batch(spark, recs):
+    return spark.createDataFrame(
+        recs, "id long, name string, lsn long, op string"
+    )
+
+
+def test_scd2_prune_history_preserves_retained_time_travel(spark, tmp_path):
+    """Time travel at or above the watermark must be IDENTICAL before
+    and after the prune — the rows dropped are exactly those no
+    retained query can see."""
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=4
+    )
+    sink(
+        _scd2_batch(
+            spark,
+            [(1, "v1", 10, "c"), (2, "w1", 10, "c"), (3, "x1", 10, "c")],
+        ),
+        0,
+    )
+    sink(
+        _scd2_batch(
+            spark,
+            [(1, "v2", 20, "u"), (2, "w2", 20, "u"), (3, None, 20, "d")],
+        ),
+        1,
+    )
+    sink(_scd2_batch(spark, [(1, "v3", 30, "u")]), 2)
+
+    def _asof(lsn):
+        df = sink.as_of(lsn)
+        return {(r["id"], r["name"]) for r in df.collect()}
+
+    before = {lsn: _asof(lsn) for lsn in (20, 25, 30, 35)}
+    n_before = sink.history().count()
+    res = sink.prune_history(20)
+    # versions closed at or before lsn 20: v1 (10->20), w1 (10->20),
+    # x1 (10->20)
+    assert res["pruned"] == 3
+    assert sink.history().count() == n_before - 3
+    for lsn in (20, 25, 30, 35):
+        assert _asof(lsn) == before[lsn], lsn
+    # current view unchanged
+    cur = {(r["id"], r["name"]) for r in sink.current().collect()}
+    assert cur == {(1, "v3"), (2, "w2")}
+    # the delete marker for id 3 (open interval) survives, so a replay
+    # of its (key, LSN) stays idempotent
+    h = sink.history()
+    assert h.filter("id = 3 AND __is_delete").count() == 1
+
+
+def test_scd2_prune_then_new_versions_rebuild_chains(spark, tmp_path):
+    """After a prune, later batches must keep building correct chains
+    on the surviving history."""
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=4
+    )
+    sink(_scd2_batch(spark, [(1, "a", 10, "c")]), 0)
+    sink(_scd2_batch(spark, [(1, "b", 20, "u")]), 1)
+    sink.prune_history(20)  # drops the (a, 10->20) version
+    sink(_scd2_batch(spark, [(1, "c", 30, "u")]), 2)
+    h = sink.history().orderBy("__valid_from_lsn").collect()
+    assert [(r["name"], r["__valid_from_lsn"], r["__valid_to_lsn"]) for r in h] == [
+        ("b", 20, 30),
+        ("c", 30, sink.history().agg({"__valid_to_lsn": "max"}).collect()[0][0]),
+    ]
+    assert {(r["id"], r["name"]) for r in sink.current().collect()} == {(1, "c")}
+
+
+def test_scd2_rescale_preserves_history_and_point_lookups(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=2
+    )
+    sink(
+        _scd2_batch(spark, [(i, f"v{i}", 10 + i, "c") for i in range(30)]), 0
+    )
+    sink(
+        _scd2_batch(spark, [(i, f"u{i}", 100 + i, "u") for i in range(0, 30, 3)]),
+        1,
+    )
+    before = {
+        (r["id"], r["name"], r["__valid_from_lsn"], r["__valid_to_lsn"])
+        for r in sink.history().collect()
+    }
+    sink.rescale(8)
+    after = {
+        (r["id"], r["name"], r["__valid_from_lsn"], r["__valid_to_lsn"])
+        for r in sink.history().collect()
+    }
+    assert after == before
+    # a key's full version chain still lives in one partition
+    trail = sink.history_for_keys([3]).orderBy("__valid_from_lsn").collect()
+    assert [r["name"] for r in trail] == ["v3", "u3"]
+    # further batches apply into the new layout
+    sink(_scd2_batch(spark, [(3, "w3", 500, "u")]), 2)
+    trail2 = sink.history_for_keys([3]).orderBy("__valid_from_lsn").collect()
+    assert [r["name"] for r in trail2] == ["v3", "u3", "w3"]

@@ -2711,6 +2711,39 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k against the STREAMING-maintained code index
+    (`streaming/ann.PqIndexSink`): the corpus arrives as two ingest
+    batches through the hash-partitioned LSN-guarded upsert (each
+    vector encoded to m_sub-byte codes by the epoch's fixed books at
+    ingest), then the probe set runs the same ADC scan + exact re-rank
+    over the streamed codes. The oracle is the from-scratch batch
+    recompute with the same deterministic first-k codebooks — streamed
+    codes == one-shot encode is the sink's pytest-pinned contract, and
+    this query keeps it oracle-green (the IVF/LSH/MinHash streamed
+    indexes each have the same guarantee in the catalog)."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.operators.similarity import pq_codebooks
+    from sqlserver_pg_cdc_spark.streaming.ann import PqIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_codes=16)
+    work = _ann_streamed_workdir(sf_dir)
+    sink = PqIndexSink(
+        spark, _os.path.join(work, "pq_state"), "vec_id", "embedding",
+        books, n_partitions=4,
+    )
+    sink(emb.filter("vec_id % 2 = 0"), 0)
+    sink(emb.filter("vec_id % 2 = 1"), 1)
+    res = sink.topk(emb.filter(F.col("vec_id") < 5), k=10, refine=32)
+    if res is None:  # empty corpus: no batch ever reached the sink
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
+    return res
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level featurization of opaque payload columns (the corrupt/
     dup prefilter that runs before any codec); payloads synthesized from
@@ -5246,6 +5279,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                     k=10, m_sub=8, k_codes=16, refine=32,
                 ),
             ),
+            "ann_topk_pq_streamed": QuerySpec(
+                q_ann_topk_pq_streamed,
+                topk_pq_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=10, m_sub=8, k_codes=16, refine=32,
+                ),
+            ),
         }
     )
 
@@ -5447,6 +5487,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_dedup_streamed_index",  # NEW: streaming-maintained MinHash index
     "text_dedup_gate",  # NEW: ingest-time dedup gate over the streamed index
     "ann_topk_pq",  # NEW: product-quantized ADC search + exact re-rank
+    "ann_topk_pq_streamed",  # NEW: same contract over the streamed PQ index
     "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
@@ -5491,15 +5532,15 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 6 of that cohort; the checksum_
-    # orders/ordered_orders/lineitem trio rotated behind the window to
-    # make room for the three new gate/PQ contracts)
+    # last driver row: round 6 (oldest 5 of that cohort; the checksum_
+    # orders/ordered_orders/lineitem trio plus checksum_incremental_
+    # events rotated behind the window to make room for the four new
+    # gate/PQ contracts)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
     "checksum_customer",
     "checksum_events",
-    "checksum_incremental_events",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

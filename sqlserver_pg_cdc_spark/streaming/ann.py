@@ -175,11 +175,17 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+
+    def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
+        """Upsert rows ALREADY in the stored (doc, v, nv, bands, lsn[,
+        __del]) shape — the seam :class:`AnnGateSink` uses to index its
+        survivors without re-projecting the batch."""
         import os
 
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        super().__call__(proj_df, batch_id)
 
     # -- query surface ------------------------------------------------------
 
@@ -738,3 +744,227 @@ class PqIndexSink(PartitionedParquetUpsertSink):
             queries, self.id_col, self.vec_col, self._books,
             k=k, refine=refine,
         )
+
+
+class AnnGateSink(AnnIndexSink):
+    """Ingest-time EMBEDDING near-dup gate — the vector twin of
+    `streaming/minhash.DedupGateSink`, and the at-ingest shape of
+    SemDeDup-style semantic dedup: each micro-batch is probed BEFORE
+    indexing —
+
+    1. cross-corpus: batch vectors whose cosine against an
+       already-indexed vector reaches the threshold are routed to the
+       dup log (best match by max cosine, tie -> smallest indexed id),
+       not indexed;
+    2. within-batch: the remaining vectors are clustered among
+       themselves (banded hyperplane LSH candidates + exact-cosine
+       verify + connected components) and only each cluster's CANONICAL
+       member — its minimum id — survives;
+    3. survivors upsert into the band index through the partitioned
+       LSN-guarded path, becoming the corpus the NEXT batch probes.
+
+    The dup log is one parquet generation PER BATCH ID
+    (``dups_dir/batch_<id>/``, overwrite) — a Structured Streaming
+    replay of a crashed batch rewrites its own generation, so
+    ``dup_log()`` is exactly-once without read-side dedup. Rows:
+    (doc, dup_of, cosine, kind 'corpus'|'batch', __batch_id); cosine is
+    NULL for within-batch members linked only transitively.
+
+    CDC deletes (``deleted_col``) bypass the gate: a delete must reach
+    the index even though its row carries no vector to probe.
+
+    Reference analog: the reference applies each change batch against
+    persisted incremental state before accepting it
+    (src/reconciliation/incremental/state.py:112-164); here the state
+    is the embedding band index and "apply" includes the accept/reject
+    decision."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        dups_dir: str,
+        id_col: str,
+        vec_col: str,
+        threshold: float = 0.95,
+        **kw,
+    ):
+        super().__init__(spark, state_dir, id_col, vec_col, **kw)
+        self.dups_dir = dups_dir
+        self.threshold = threshold
+
+    def _dup_batch_dir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
+
+    def dup_log(self) -> DataFrame | None:
+        """Every rejected vector with what it duplicated: (doc, dup_of,
+        cosine, kind, __batch_id)."""
+        import glob
+        import os
+
+        gens = sorted(glob.glob(os.path.join(self.dups_dir, "batch_*")))
+        if not gens:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*gens)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.functions.vectors import dot
+        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+
+        # ONE projection per batch — hyperplane band keys + norms are
+        # computed once, then the probe, the within-batch clustering,
+        # and the index upsert all read from it; localCheckpoint'd so
+        # the ~6 downstream actions plan over a LogicalRDD instead of
+        # re-canonicalizing the literal-heavy banding tree
+        proj = self._project(batch_df, batch_id).localCheckpoint()
+        passthrough = None
+        live = proj
+        if self.deleted_col:
+            passthrough = proj.filter(F.col("__del"))
+            live = proj.filter(~F.col("__del"))
+        live_bands = live.select("doc", F.explode("bands").alias("bb")).select(
+            "doc", "bb.band", "bb.bkt"
+        )
+        a_vec = live.select(
+            F.col("doc").alias("a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+        )
+        cosine = (F.col("__dot") / (F.col("na") * F.col("nb"))).alias("cosine")
+        # 1) cross-corpus rejects: best match per doc
+        idx = self.index()
+        cross = None
+        dup_frames = []
+        if idx is not None:
+            cands = (
+                live_bands.join(idx, ["band", "bkt"])
+                .select(live_bands.doc.alias("a"), idx.doc.alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .persist()
+            )
+            st = self._live_state()
+            b_vec = (
+                st.join(
+                    cands.select(F.col("b").alias("doc")).distinct(),
+                    "doc",
+                    "left_semi",
+                )
+                .select(
+                    F.col("doc").alias("b"), F.col("v").alias("vb"),
+                    F.col("nv").alias("nb"),
+                )
+            )
+            cross = (
+                cands.join(a_vec, "a")
+                .join(b_vec, "b")
+                .select(
+                    "a", "b", "na", "nb",
+                    dot(F.col("va"), F.col("vb")).alias("__dot"),
+                )
+                .select("a", "b", cosine)
+                .filter(F.col("cosine") >= self.threshold)
+                .persist()
+            )
+            cross.count()
+            cands.unpersist()
+            best = cross.groupBy("a").agg(
+                F.max_by(
+                    F.struct("cosine", (-F.col("b")).alias("nb2"), "b"),
+                    F.struct("cosine", (-F.col("b")).alias("nb2")),
+                ).alias("__m")
+            )
+            dup_frames.append(
+                best.select(
+                    F.col("a").alias("doc"),
+                    F.col("__m.b").alias("dup_of"),
+                    F.col("__m.cosine").alias("cosine"),
+                    F.lit("corpus").alias("kind"),
+                )
+            )
+        corpus_dup_docs = dup_frames[0].select("doc") if dup_frames else None
+        remaining = live
+        rem_bands, rem_vec = live_bands, a_vec
+        if corpus_dup_docs is not None:
+            remaining = live.join(corpus_dup_docs, "doc", "left_anti")
+            rem_bands = live_bands.join(corpus_dup_docs, "doc", "left_anti")
+            rem_vec = a_vec.join(
+                corpus_dup_docs.select(F.col("doc").alias("a")), "a",
+                "left_anti",
+            )
+        # 2) within-batch rejects: LSH candidates from the SHARED band
+        # frame, exact cosine from the shared vectors, connected
+        # components, keep each cluster's minimum id
+        cands2 = (
+            rem_bands.select(F.col("doc").alias("a"), "band", "bkt")
+            .join(
+                rem_bands.select(F.col("doc").alias("b"), "band", "bkt"),
+                ["band", "bkt"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = (
+            cands2.join(rem_vec, "a")
+            .join(
+                rem_vec.select(
+                    F.col("a").alias("b"), F.col("va").alias("vb"),
+                    F.col("na").alias("nb"),
+                ),
+                "b",
+            )
+            .select(
+                "a", "b", "na", "nb",
+                dot(F.col("va"), F.col("vb")).alias("__dot"),
+            )
+            .select("a", "b", cosine)
+            .filter(F.col("cosine") >= self.threshold)
+            .persist()
+        )
+        pairs.count()
+        comps = dup_components(pairs)
+        losers = comps.filter(~F.col("keep")).select(
+            F.col("doc"), F.col("component").alias("dup_of")
+        )
+        pj = pairs.select(
+            F.col("a").alias("doc"), F.col("b").alias("__pb"), "cosine"
+        ).unionByName(
+            pairs.select(
+                F.col("b").alias("doc"), F.col("a").alias("__pb"), "cosine"
+            )
+        )
+        batch_dups = losers.join(
+            pj,
+            (losers["doc"] == pj["doc"]) & (losers["dup_of"] == pj["__pb"]),
+            "left",
+        ).select(
+            losers.doc, losers.dup_of,
+            F.col("cosine"),  # NULL when linked transitively
+            F.lit("batch").alias("kind"),
+        )
+        dup_frames.append(batch_dups)
+        dups = dup_frames[0]
+        for f in dup_frames[1:]:
+            dups = dups.unionByName(f)
+        # pin the log's id dtype to the STORED key dtype, so a batch
+        # arriving with a narrower id type cannot fork the log schema
+        t = (self._stored_pk_types() or {}).get("doc")
+        if t:
+            dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
+                "dup_of", F.col("dup_of").cast(t)
+            )
+        (
+            dups.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .parquet(self._dup_batch_dir(batch_id))
+        )
+        # 3) index the survivors (plus CDC deletes, which bypass)
+        survivors = remaining.join(losers.select("doc"), "doc", "left_anti")
+        if passthrough is not None:
+            survivors = survivors.unionByName(passthrough)
+        self._upsert_projected(survivors, batch_id)
+        pairs.unpersist()
+        if cross is not None:
+            cross.unpersist()

@@ -2636,6 +2636,107 @@ def _decontam_gate_sql() -> str:
     )
 
 
+def q_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EMBEDDING near-dup gate (`streaming/ann.AnnGateSink`)
+    — SemDeDup-at-ingest: two vector batches stream through the gate;
+    each batch is probed against the standing streamed index (near-dups
+    rejected as kind='corpus', best match by max cosine / min id), the
+    remainder clustered within the batch (banded LSH + exact-cosine
+    verify + connected components; non-canonicals rejected as
+    kind='batch'), and only survivors are indexed — becoming the corpus
+    the next batch probes. Returns the full dup log; the oracle
+    recomputes the whole two-batch gating relationally, so every
+    accept/reject decision is value-checked."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnGateSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter("vec_id % 4 = 0")
+    b1 = (
+        emb.filter("vec_id % 4 = 1")
+        # exact copies of batch-0 members: reject cross-corpus
+        .unionByName(
+            emb.filter("vec_id % 20 = 0").select(
+                (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        # exact copies of batch-1 members: reject within-batch
+        .unionByName(
+            emb.filter("vec_id % 20 = 1").select(
+                (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    )
+    work = _ann_streamed_workdir(sf_dir)
+    gate = AnnGateSink(
+        spark, _os.path.join(work, "eg_state"),
+        _os.path.join(work, "eg_dups"),
+        "vec_id", "embedding", threshold=0.92,
+        bands=4, planes_per_band=8, n_partitions=4,
+    )
+    gate(b0, 0)
+    gate(b1, 1)
+    log = gate.dup_log()
+    if log is None:
+        return spark.createDataFrame(
+            [], "doc long, dup_of long, kind string, __batch_id int"
+        )
+    return log.select("doc", "dup_of", "kind", "__batch_id")
+
+
+def _embedding_gate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    b0 = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0"
+    b1 = (
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1 "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id % 20 = 0 "
+        "UNION ALL SELECT vec_id + 2000000 AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id % 20 = 1"
+    )
+    kw = dict(threshold=0.92, bands=4, planes_per_band=8)
+    pairs0 = DD.embedding_near_dup_lsh_pairs_sql(
+        "batch0", "vec_id", "embedding", **kw
+    )
+    comp0 = DD.dup_components_sql(pairs0)
+    cross = DD.embedding_incremental_near_dup_sql(
+        "SELECT * FROM batch1", "SELECT * FROM surv0",
+        "vec_id", "embedding", **kw,
+    )
+    pairs1 = DD.embedding_near_dup_lsh_pairs_sql(
+        "rem1", "vec_id", "embedding", **kw
+    )
+    comp1 = DD.dup_components_sql(pairs1)
+    # MATERIALIZED is load-bearing: the stages nest recursive component
+    # CTEs and reference their upstreams several times — plain inlining
+    # re-expands the whole hyperplane chain per reference
+    return f"""
+WITH batch0 AS MATERIALIZED ({b0}),
+batch1 AS MATERIALIZED ({b1}),
+comp0 AS MATERIALIZED ({comp0}),
+losers0 AS MATERIALIZED (SELECT doc, component AS dup_of FROM comp0 WHERE NOT keep),
+surv0 AS MATERIALIZED (SELECT * FROM batch0 WHERE vec_id NOT IN (SELECT doc FROM losers0)),
+crossdups AS MATERIALIZED ({cross}),
+best AS MATERIALIZED (
+    SELECT a AS doc, b AS dup_of FROM (
+        SELECT a, b, row_number() OVER (
+            PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn
+        FROM crossdups
+    ) WHERE rn = 1
+),
+rem1 AS MATERIALIZED (SELECT * FROM batch1 WHERE vec_id NOT IN (SELECT doc FROM best)),
+comp1 AS MATERIALIZED ({comp1}),
+losers1 AS MATERIALIZED (SELECT doc, component AS dup_of FROM comp1 WHERE NOT keep)
+SELECT doc, dup_of, 'batch' AS kind, 0 AS __batch_id FROM losers0
+UNION ALL SELECT doc, dup_of, 'corpus' AS kind, 1 AS __batch_id FROM best
+UNION ALL SELECT doc, dup_of, 'batch' AS kind, 1 AS __batch_id FROM losers1
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH blocking (the 100-TB path) — candidates from
     an 8-band x 10-plane banded self-join, exact-cosine verified; no
@@ -5240,6 +5341,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             "decontam_gate": QuerySpec(
                 q_decontam_gate, _decontam_gate_sql()
             ),
+            "embedding_gate": QuerySpec(
+                q_embedding_gate, _embedding_gate_sql()
+            ),
             "embedding_near_dup": QuerySpec(
                 q_embedding_near_dup,
                 DD.embedding_near_dup_lsh_pairs_sql(
@@ -5489,6 +5593,7 @@ _DRIVER_WINDOW_FIRST = [
     "ann_topk_pq",  # NEW: product-quantized ADC search + exact re-rank
     "ann_topk_pq_streamed",  # NEW: same contract over the streamed PQ index
     "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
+    "embedding_gate",  # NEW: ingest-time embedding near-dup gate
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5532,15 +5637,14 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 5 of that cohort; the checksum_
+    # last driver row: round 6 (oldest 4 of that cohort; the checksum_
     # orders/ordered_orders/lineitem trio plus checksum_incremental_
-    # events rotated behind the window to make room for the four new
-    # gate/PQ contracts)
+    # events and checksum_events rotated behind the window to make
+    # room for the five new gate/PQ contracts)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
     "checksum_customer",
-    "checksum_events",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

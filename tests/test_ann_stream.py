@@ -436,3 +436,129 @@ def test_pq_epoch_mismatch_fails_fast(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="codebook epoch"):
         _pq_sink(spark, tmp_path, books=other_books).codes()
+
+
+# --- AnnGateSink: ingest-time embedding near-dup gate ------------------------
+
+
+def _gate(spark, tmp_path, **kw):
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnGateSink
+
+    kw.setdefault("bands", 4)
+    kw.setdefault("planes_per_band", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("n_partitions", 8)
+    kw.setdefault("threshold", 0.99)
+    return AnnGateSink(
+        spark, str(tmp_path / "eg_state"), str(tmp_path / "eg_dups"),
+        "vec_id", "embedding", **kw
+    )
+
+
+def _dup_map(gate):
+    log = gate.dup_log()
+    return {
+        r["doc"]: (r["dup_of"], r["kind"], r["__batch_id"])
+        for r in log.collect()
+    }
+
+
+def test_ann_gate_cross_and_within_batch_rejection(spark, tmp_path):
+    gate = _gate(spark, tmp_path)
+    # the _vecs pattern has period 13 in the id, so 0..12 are distinct
+    b0 = _vecs(spark, range(0, 13))
+    gate(b0, 0)
+    assert _dup_map(gate) == {}  # distinct vectors: all indexed
+    # batch 1: copy of indexed vec 3 (re-keyed 103), plus a same-batch
+    # pair (copies of vec 200's pattern at ids 200/201... use identical
+    # vectors via bump trick): build explicitly
+    rows = [
+        (103, [float((3 * 31 + j * 7) % 13) - 6.0 for j in range(8)]),  # = vec 3
+        (200, [1.0] * 8),
+        (201, [1.0] * 8),  # within-batch exact copy of 200
+        (300, [9.0, -3.0, 2.0, 7.0, -1.0, 0.5, 4.0, -8.0]),  # unique
+    ]
+    b1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gate(b1, 1)
+    dups = _dup_map(gate)
+    assert dups[103] == (3, "corpus", 1)
+    assert dups[201] == (200, "batch", 1)
+    assert 200 not in dups and 300 not in dups
+    # survivors (and only survivors) are indexed
+    indexed = {r["vec_id"] for r in gate.vectors().collect()}
+    assert 200 in indexed and 300 in indexed
+    assert 103 not in indexed and 201 not in indexed
+    # the next batch probes against the grown corpus: a copy of 300
+    b2 = spark.createDataFrame(
+        [(400, [9.0, -3.0, 2.0, 7.0, -1.0, 0.5, 4.0, -8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    gate(b2, 2)
+    assert _dup_map(gate)[400] == (300, "corpus", 2)
+
+
+def test_ann_gate_best_match_max_cosine_min_id(spark, tmp_path):
+    """dup_of picks the highest cosine; exact ties break to the
+    smallest indexed id."""
+    gate = _gate(spark, tmp_path, threshold=0.5)
+    b0 = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # tie with 1
+            (5, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # cos ~0.707
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # NOTE ids 1 and 2 are identical so batch-0 clustering rejects 2;
+    # index = {1, 5}
+    gate(b0, 0)
+    assert _dup_map(gate)[2] == (1, "batch", 0)
+    probe = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    gate(probe, 1)
+    assert _dup_map(gate)[9] == (1, "corpus", 1)  # cos 1.0 beats 0.707
+
+
+def test_ann_gate_replay_rewrites_generation(spark, tmp_path):
+    gate = _gate(spark, tmp_path)
+    gate(_vecs(spark, range(10)), 0)
+    b1 = spark.createDataFrame(
+        [(100, [float((1 * 31 + j * 7) % 13) - 6.0 for j in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    gate(b1, 1)
+    n1 = gate.dup_log().count()
+    gate(b1, 1)  # Structured Streaming replay: same batch id
+    assert gate.dup_log().count() == n1  # overwritten, not appended
+    assert _dup_map(gate)[100] == (1, "corpus", 1)
+
+
+def test_ann_gate_cdc_deletes_bypass_probe(spark, tmp_path):
+    gate = _gate(spark, tmp_path, deleted_col="__deleted", lsn_col="lsn")
+    b0 = _vecs(spark, range(10)).select(
+        "vec_id", "embedding",
+        F.lit(1).alias("lsn"), F.lit("false").alias("__deleted"),
+    )
+    gate(b0, 0)
+    # delete vec 1 (no vector payload) + a copy of vec 1 in the same
+    # batch: the delete must reach the index; the copy no longer has a
+    # live corpus twin BUT the delete rides the same batch — gate order
+    # probes first against the PRIOR state, so the copy still rejects
+    delete = spark.createDataFrame(
+        [(1, None, 2, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    gate(delete, 1)
+    live = {r["vec_id"] for r in gate.vectors().collect()}
+    assert 1 not in live and 0 in live
+    # a fresh copy of the DELETED vector now indexes cleanly (nothing
+    # live to collide with)
+    copy = spark.createDataFrame(
+        [(500, [float((1 * 31 + j * 7) % 13) - 6.0 for j in range(8)], 3, "false")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    gate(copy, 2)
+    assert 500 in {r["vec_id"] for r in gate.vectors().collect()}
+    assert 500 not in _dup_map(gate)

@@ -2830,6 +2830,10 @@ def q_ann_topk_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_codes=16)
+    if not books:  # empty corpus: nothing to encode, nothing to rank
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
     work = _ann_streamed_workdir(sf_dir)
     sink = PqIndexSink(
         spark, _os.path.join(work, "pq_state"), "vec_id", "embedding",

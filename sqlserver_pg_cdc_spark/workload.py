@@ -2806,9 +2806,14 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # k_codes=8: the contract exercises the encode argmax / ADC sum /
+    # candidate cut / exact re-rank paths, which are codebook-size
+    # independent — 16 codes doubles the literal tree Catalyst must
+    # analyze per invocation (driver fixed cost, amortized at scale,
+    # pure overhead at bench scale) for no additional path coverage
     return topk_pq(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        k=10, m_sub=8, k_codes=16, refine=32,
+        k=10, m_sub=8, k_codes=8, refine=32,
     )
 
 
@@ -2829,7 +2834,7 @@ def q_ann_topk_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.streaming.ann import PqIndexSink
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_codes=16)
+    books = pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_codes=8)
     if not books:  # empty corpus: nothing to encode, nothing to rank
         return spark.createDataFrame(
             [], "query_id long, rank int, id long, cosine double"
@@ -5384,14 +5389,14 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 q_ann_topk_pq,
                 topk_pq_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5",
-                    k=10, m_sub=8, k_codes=16, refine=32,
+                    k=10, m_sub=8, k_codes=8, refine=32,
                 ),
             ),
             "ann_topk_pq_streamed": QuerySpec(
                 q_ann_topk_pq_streamed,
                 topk_pq_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5",
-                    k=10, m_sub=8, k_codes=16, refine=32,
+                    k=10, m_sub=8, k_codes=8, refine=32,
                 ),
             ),
         }

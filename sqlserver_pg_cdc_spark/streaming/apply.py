@@ -280,24 +280,46 @@ def merge_upsert(
     EVOLVED in place (:func:`align_evolved_sides` — the reference's
     ``auto.evolve``); a type change raises and the sink DLQs the batch.
 
-    PK contract: key columns are assumed NOT NULL (SQL primary keys are;
-    Debezium keys are) — the name-list joins here use null-unsafe
-    equality, so a NULL-key row would never match its stored version.
-    The SCD2 apply (streaming/scd2.py), whose key column comes from
-    arbitrary data, does its own null-safe matching."""
+    Key matching is NULL-SAFE (``eqNullSafe``), consistent with
+    ``latest_per_key`` (whose window partitioning groups NULLs), the
+    partitioned layout's ``read_keys``, and the SCD2 apply: real SQL
+    primary keys are NOT NULL, but replication keys configured over
+    arbitrary columns can carry NULLs, and a null-unsafe join would
+    silently duplicate such a row on every batch instead of upserting
+    it. Null-safe equality is still a hash-joinable key, so the plan
+    stays one PK shuffle."""
     deduped = changes if assume_deduped else latest_per_key(changes, pk_cols, lsn_col)
     if target is None:
         return deduped
     target, deduped = align_evolved_sides(target, deduped)
+
+    def _ns_left(left: DataFrame, right: DataFrame) -> DataFrame:
+        # the probe side's key columns are renamed to __k_* BEFORE the
+        # join: both sides often share lineage (merge chains, self-
+        # derived batches), where attribute references turn ambiguous —
+        # with disjoint names, plain F.col resolves unambiguously and
+        # the null-safe condition stays a hash-joinable equi-key
+        renamed = right.select(
+            *[F.col(c).alias(f"__k_{c}") for c in pk_cols],
+            *[c for c in right.columns if c not in pk_cols],
+        )
+        cond = None
+        for c in pk_cols:
+            term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = term if cond is None else (cond & term)
+        return left.join(renamed, cond, "left").drop(
+            *[f"__k_{c}" for c in pk_cols]
+        )
+
     stale_keys = deduped.select(*pk_cols, F.col(lsn_col).alias("__new_lsn"))
     kept = (
-        target.join(stale_keys, pk_cols, "left")
+        _ns_left(target, stale_keys)
         .filter(F.col("__new_lsn").isNull() | (F.col(lsn_col) > F.col("__new_lsn")))
         .drop("__new_lsn")
     )
     newer_target = target.select(*pk_cols, F.col(lsn_col).alias("__old_lsn"))
     applied = (
-        deduped.join(newer_target, pk_cols, "left")
+        _ns_left(deduped, newer_target)
         .filter(F.col("__old_lsn").isNull() | (F.col(lsn_col) >= F.col("__old_lsn")))
         .drop("__old_lsn")
     )

@@ -180,6 +180,28 @@ def test_merge_upsert_is_batch_idempotent(spark):
     assert {r["name"] for r in once.collect()} == {"a2", "b"}
 
 
+def test_merge_upsert_null_key_is_null_safe(spark):
+    """A NULL-keyed row must UPSERT (one row, latest LSN wins) instead
+    of silently duplicating every batch — latest_per_key's window
+    already groups NULLs, read_keys and the SCD2 apply match null-safe,
+    and the DuckDB oracles' row_number() partitions NULLs together, so
+    a null-unsafe merge diverged from all of them (found by the
+    NULL-injection sweep on cdc_schema_evolution)."""
+    b1 = spark.createDataFrame(
+        [(None, "n1", 5), (1, "a", 5)], "id long, name string, lsn long"
+    )
+    b2 = spark.createDataFrame(
+        [(None, "n2", 9), (2, "b", 6)], "id long, name string, lsn long"
+    )
+    state = merge_upsert(merge_upsert(None, b1, ["id"]), b2, ["id"])
+    rows = {r["id"]: (r["name"], r["lsn"]) for r in state.collect()}
+    assert rows == {None: ("n2", 9), 1: ("a", 5), 2: ("b", 6)}
+    # stale replay of the NULL key cannot regress it
+    state2 = merge_upsert(state, b1, ["id"])
+    rows2 = {r["id"]: (r["name"], r["lsn"]) for r in state2.collect()}
+    assert rows2 == rows
+
+
 def test_latest_per_key_composite(spark):
     df = spark.createDataFrame(
         [(1, 10, 1, "x"), (1, 10, 3, "y"), (1, 11, 2, "z")],

@@ -191,6 +191,31 @@ def create_parser() -> argparse.ArgumentParser:
                      help="ivf: top-k per probe vector")
     ann.add_argument("--n-probe", type=int, default=2,
                      help="ivf: cells probed per query")
+    gate = sub.add_parser(
+        "gate",
+        help="ingest-time dedup gate: probe a batch against the standing "
+             "streamed index, cluster the remainder within the batch, "
+             "index only survivors (text MinHash or embedding LSH)",
+    )
+    gate.add_argument("--mode", choices=("text", "embedding"), default="text")
+    gate.add_argument("--state-dir", required=True,
+                      help="standing index (created on first batch)")
+    gate.add_argument("--dups-dir", required=True,
+                      help="dup-log root (one generation per batch id)")
+    gate.add_argument("--ingest", required=True,
+                      help="parquet batch to gate and (partially) index")
+    gate.add_argument("--id-col", default=None,
+                      help="default: doc_id (text) / vec_id (embedding)")
+    gate.add_argument("--content-col", default=None,
+                      help="default: text (text) / embedding (embedding)")
+    gate.add_argument("--threshold", type=float, default=None,
+                      help="default: 0.5 jaccard (text) / 0.95 cosine "
+                           "(embedding)")
+    gate.add_argument("--batch-id", type=int, default=None,
+                      help="batch id / LSN stamp (default: one past the "
+                           "number of existing dup-log generations)")
+    gate.add_argument("--partitions", type=int, default=32)
+
     state = sub.add_parser(
         "state",
         help="day-2 maintenance on hash-partitioned sink state: "
@@ -756,6 +781,59 @@ def _cmd_ann_ivf(spark, args) -> int:
     return 0
 
 
+def cmd_gate(args) -> int:
+    """One gate invocation = one micro-batch through the ingest-time
+    dedup gate: probe against the standing index, cluster within the
+    batch, index the survivors, log the rejects under this batch id.
+    Re-running with the SAME --batch-id is a replay (the dup-log
+    generation is overwritten, the LSN-guarded upsert converges)."""
+    import glob
+    import os
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = get_spark("gate-cli")
+    if args.mode == "text":
+        from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+        gate = DedupGateSink(
+            spark, args.state_dir, args.dups_dir,
+            args.id_col or "doc_id", args.content_col or "text",
+            threshold=args.threshold if args.threshold is not None else 0.5,
+            n_partitions=args.partitions,
+        )
+    else:
+        from sqlserver_pg_cdc_spark.streaming.ann import AnnGateSink
+
+        gate = AnnGateSink(
+            spark, args.state_dir, args.dups_dir,
+            args.id_col or "vec_id", args.content_col or "embedding",
+            threshold=args.threshold if args.threshold is not None else 0.95,
+            n_partitions=args.partitions,
+        )
+    from pyspark.sql import functions as F
+
+    batch_id = args.batch_id
+    if batch_id is None:
+        batch_id = len(glob.glob(os.path.join(args.dups_dir, "batch_*")))
+    gate(spark.read.parquet(args.ingest), int(batch_id))
+    log = gate.dup_log()
+    this_batch = (
+        0
+        if log is None
+        else log.filter(F.col("__batch_id") == int(batch_id)).count()
+    )
+    surface = gate.shingles() if args.mode == "text" else gate.vectors()
+    result = {
+        "state_dir": args.state_dir,
+        "batch_id": int(batch_id),
+        "rejected_this_batch": this_batch,
+        "indexed_total": surface.count() if surface is not None else 0,
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_state(args) -> int:
     """Day-2 maintenance: open the partitioned state with the partition
     count recorded in its own __layout.json (never guessed from a
@@ -816,6 +894,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_sketch(args)
     if args.command == "ann":
         return cmd_ann(args)
+    if args.command == "gate":
+        return cmd_gate(args)
     if args.command == "state":
         return cmd_state(args)
     return 2

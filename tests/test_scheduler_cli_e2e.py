@@ -808,3 +808,55 @@ def test_cli_state_purge_and_rescale(tmp_path, spark):
     st = reopened.read_target()
     ids = {r2["id"] for r2 in st.collect()}
     assert 0 not in ids and 1 in ids and len(ids) == 29
+
+
+def test_cli_gate_text_two_batches(tmp_path, spark):
+    """`gate --mode text`: batch 0 indexes, batch 1's near-copy of an
+    indexed doc rejects as kind='corpus'; the auto batch id counts the
+    existing dup-log generations."""
+    import json as _json
+
+    docs0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about database replication"),
+        ],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "another novel document with fresh content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    docs0.write.parquet(str(tmp_path / "b0"))
+    docs1.write.parquet(str(tmp_path / "b1"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "text",
+        "--state-dir", str(tmp_path / "gstate"),
+        "--dups-dir", str(tmp_path / "gdups"),
+        "--threshold", "0.3", "--partitions", "4",
+    ]
+    r0 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b0")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    out0 = _json.loads(r0.stdout.strip().splitlines()[-1])
+    assert out0 == {
+        "state_dir": str(tmp_path / "gstate"),
+        "batch_id": 0,
+        "rejected_this_batch": 0,
+        "indexed_total": 2,
+    }
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b1")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["batch_id"] == 1  # auto: one existing generation
+    assert out1["rejected_this_batch"] == 1  # doc 10 duplicates doc 1
+    assert out1["indexed_total"] == 3  # doc 11 accepted

@@ -537,20 +537,37 @@ class HashPartitionedStateMixin:
         if flag is None:
             return {"purged": 0, "partitions_rewritten": 0}
         wm = F.lit(watermark_lsn).cast(dict(st.dtypes)[self.lsn_col])
-        dead = flag & (F.col(self.lsn_col) <= wm)
+        # coalesce: a NULL lsn makes the comparison NULL, which the keep
+        # filter and the stats pass would then classify differently —
+        # pin it to "not purgeable" everywhere
+        dead = F.coalesce(flag & (F.col(self.lsn_col) <= wm), F.lit(False))
+        # deliberately NOT cached/checkpointed: the frame is STATE-sized
+        # (pinning it in executor storage is exactly the liability this
+        # op exists to shrink) and its plan is a plain parquet scan, so
+        # the three passes below just re-read the partition files
         routed = st.withColumn("__p", self._part_expr()).withColumn(
             "__dead", dead
-        ).localCheckpoint()
-        hit = [
-            r["__p"]
-            for r in routed.filter("__dead")
-            .select("__p")
-            .distinct()
+        )
+        stats = (
+            routed.groupBy("__p")
+            .agg(
+                F.sum(F.col("__dead").cast("long")).alias("__dead_n"),
+                F.count(F.lit(1)).alias("__tot"),
+            )
             .collect()
-        ]
+        )
+        hit = sorted(r["__p"] for r in stats if r["__dead_n"] > 0)
         if not hit:
             return {"purged": 0, "partitions_rewritten": 0}
-        purged = routed.filter("__dead").count()
+        purged = sum(r["__dead_n"] for r in stats)
+        # partitions left with no live rows after the purge: their old
+        # dir must go entirely (computed from the SAME pre-swap pass —
+        # post-swap the original files are gone)
+        emptied = {
+            r["__p"]
+            for r in stats
+            if r["__dead_n"] > 0 and r["__tot"] == r["__dead_n"]
+        }
         keep = (
             routed.filter(F.col("__p").isin(hit) & ~F.col("__dead"))
             .drop("__dead")
@@ -559,15 +576,10 @@ class HashPartitionedStateMixin:
         # a partition purged to empty leaves no __p=<p> dir in the batch
         # tmp, so _swap_parts keeps the OLD dir for it — remove those
         # explicitly (the whole partition was tombstones past horizon)
-        still = {
-            r["__p"]
-            for r in keep.select("__p").distinct().collect()
-        }
-        for p in hit:
-            if p not in still:
-                pdir = self._part_dir(p)
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir, ignore_errors=True)
+        for p in emptied:
+            pdir = self._part_dir(p)
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir, ignore_errors=True)
         return {"purged": purged, "partitions_rewritten": len(hit)}
 
     def rescale(self, n_new: int) -> None:

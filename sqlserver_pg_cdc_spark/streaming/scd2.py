@@ -379,31 +379,45 @@ class PartitionedScd2Sink:
         h = st.read_target()
         if h is None:
             return {"pruned": 0, "partitions_rewritten": 0}
-        dead = F.col("__valid_to_lsn") <= F.lit(int(watermark_lsn))
-        routed = (
-            h.withColumn("__p", st._part_expr())
-            .withColumn("__dead", dead)
-            .localCheckpoint()
+        dead = F.coalesce(
+            F.col("__valid_to_lsn") <= F.lit(int(watermark_lsn)),
+            F.lit(False),
         )
-        hit = [
-            r["__p"]
-            for r in routed.filter("__dead").select("__p").distinct().collect()
-        ]
+        # NOT cached/checkpointed: the frame is HISTORY-sized (pinning
+        # it in executor storage is the liability this op shrinks) and
+        # its plan is a plain parquet scan — the two passes re-read the
+        # partition files; partition fates come from the SAME pre-swap
+        # stats pass (post-swap the original files are gone)
+        routed = h.withColumn("__p", st._part_expr()).withColumn(
+            "__dead", dead
+        )
+        stats = (
+            routed.groupBy("__p")
+            .agg(
+                F.sum(F.col("__dead").cast("long")).alias("__dead_n"),
+                F.count(F.lit(1)).alias("__tot"),
+            )
+            .collect()
+        )
+        hit = sorted(r["__p"] for r in stats if r["__dead_n"] > 0)
         if not hit:
             return {"pruned": 0, "partitions_rewritten": 0}
-        pruned = routed.filter("__dead").count()
+        pruned = sum(r["__dead_n"] for r in stats)
+        emptied = {
+            r["__p"]
+            for r in stats
+            if r["__dead_n"] > 0 and r["__tot"] == r["__dead_n"]
+        }
         keep = routed.filter(F.col("__p").isin(hit) & ~F.col("__dead")).drop(
             "__dead"
         )
         st._swap_parts(keep, sorted(hit))
-        still = {r["__p"] for r in keep.select("__p").distinct().collect()}
-        for p in hit:
-            if p not in still:
-                pdir = st._part_dir(p)
-                if os.path.isdir(pdir):
-                    import shutil
+        for p in emptied:
+            pdir = st._part_dir(p)
+            if os.path.isdir(pdir):
+                import shutil
 
-                    shutil.rmtree(pdir, ignore_errors=True)
+                shutil.rmtree(pdir, ignore_errors=True)
         return {"pruned": pruned, "partitions_rewritten": len(hit)}
 
     def rescale(self, n_new: int) -> None:

@@ -235,6 +235,11 @@ def create_parser() -> argparse.ArgumentParser:
     state.add_argument("--rescale", type=int,
                        help="re-hash the state into this many "
                             "partitions (quiesce the stream first)")
+    state.add_argument("--scd2-prune-watermark", type=int,
+                       help="treat the state as SCD2 HISTORY and drop "
+                            "versions whose validity ended at or below "
+                            "this LSN (time travel at/above it is "
+                            "unchanged)")
     return p
 
 
@@ -855,11 +860,27 @@ def cmd_state(args) -> int:
     with open(marker) as f:
         n_current = json.load(f)["n_partitions"]
     spark = get_spark("state-cli")
+    result = {"state_dir": args.state_dir, "n_partitions": int(n_current)}
+    if args.scd2_prune_watermark is not None:
+        from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+        hist = PartitionedScd2Sink(
+            spark, args.state_dir, list(args.pk),
+            lsn_col=args.lsn_col, n_partitions=int(n_current),
+        )
+        result["prune"] = hist.prune_history(args.scd2_prune_watermark)
+        if args.rescale is not None:
+            hist.rescale(int(args.rescale))
+            result["n_partitions"] = int(args.rescale)
+            result["rescaled"] = True
+        h = hist.history()
+        result["rows"] = h.count() if h is not None else 0
+        print(json.dumps(result))
+        return 0
     sink = PartitionedParquetUpsertSink(
         spark, args.state_dir, list(args.pk),
         lsn_col=args.lsn_col, n_partitions=int(n_current),
     )
-    result = {"state_dir": args.state_dir, "n_partitions": int(n_current)}
     if args.purge_watermark is not None:
         result["purge"] = sink.purge_tombstones(
             args.purge_watermark, deleted_col=args.deleted_col

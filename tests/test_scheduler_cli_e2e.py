@@ -860,3 +860,38 @@ def test_cli_gate_text_two_batches(tmp_path, spark):
     assert out1["batch_id"] == 1  # auto: one existing generation
     assert out1["rejected_this_batch"] == 1  # doc 10 duplicates doc 1
     assert out1["indexed_total"] == 3  # doc 11 accepted
+
+
+def test_cli_state_scd2_prune(tmp_path, spark):
+    """`state --scd2-prune-watermark`: closed versions past the horizon
+    drop; time travel above the watermark is unchanged."""
+    import json as _json
+
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=4
+    )
+    b = spark.createDataFrame(
+        [(1, "v1", 10, "c"), (1, "v2", 20, "u"), (2, "w1", 10, "c")],
+        "id long, name string, lsn long, op string",
+    )
+    sink(b, 0)
+    before = {(r["id"], r["name"]) for r in sink.as_of(25).collect()}
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "state",
+            "--state-dir", str(tmp_path / "hist"),
+            "--pk", "id",
+            "--scd2-prune-watermark", "20",
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["prune"]["pruned"] == 1  # v1 (10->20)
+    assert out["rows"] == 2
+    reopened = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=4
+    )
+    assert {(r2["id"], r2["name"]) for r2 in reopened.as_of(25).collect()} == before

@@ -562,3 +562,43 @@ def test_ann_gate_cdc_deletes_bypass_probe(spark, tmp_path):
     gate(copy, 2)
     assert 500 in {r["vec_id"] for r in gate.vectors().collect()}
     assert 500 not in _dup_map(gate)
+
+
+def test_ann_gate_writestream_e2e(spark, tmp_path):
+    """Real Structured Streaming drive of the embedding gate: one file
+    per micro-batch through foreachBatch; the second file's copy of a
+    first-file vector rejects cross-corpus, and the indexed corpus
+    equals accepted survivors only."""
+    import json as _json
+    import os
+
+    gate = _gate(spark, tmp_path, threshold=0.99)
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    base = _vecs(spark, range(0, 13)).collect()
+    with open(spool / "a.json", "w") as f:
+        for r in base:
+            f.write(_json.dumps(
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+            ) + "\n")
+    with open(spool / "b.json", "w") as f:
+        # 100 copies vec 2's pattern (reject); 300 is novel (accept)
+        f.write(_json.dumps(
+            {"vec_id": 100,
+             "embedding": [float((2 * 31 + j * 7) % 13) - 6.0 for j in range(8)]}
+        ) + "\n")
+        f.write(_json.dumps({"vec_id": 300, "embedding": [5.0] * 8}) + "\n")
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dups = _dup_map(gate)
+    assert dups[100][:2] == (2, "corpus")
+    indexed = {r["vec_id"] for r in gate.vectors().collect()}
+    assert 300 in indexed and 100 not in indexed and len(indexed) == 14

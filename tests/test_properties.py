@@ -887,3 +887,95 @@ def test_scd2_apply_invariants(spark, n_keys, n_events, n_batches, seed):
     # batch-split independence: one-shot apply gives the identical history
     one = scd2_apply(None, spark.createDataFrame(events, schema), ["id"])
     assert {tuple(r) for r in one.collect()} == {tuple(r) for r in rows}
+
+
+# --- day-2 maintenance invariants -------------------------------------------
+
+maint_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),            # id
+        st.integers(min_value=1, max_value=20),           # lsn
+        st.booleans(),                                    # deleted?
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(changes=maint_changes, wm=st.integers(min_value=0, max_value=21))
+def test_purge_preserves_live_view_and_guarded_tombstones(
+    spark, tmp_path, changes, wm
+):
+    """For ANY batch of keyed changes and ANY watermark: the live view
+    is untouched, tombstones at/below the watermark vanish, tombstones
+    above it stay, and a second purge is a no-op."""
+    import uuid as _uuid
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / f"st_{_uuid.uuid4().hex[:8]}"), ["id"],
+        n_partitions=4,
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}_{l}", "true" if d else "false", l)
+             for i, l, d in changes],
+            "id long, name string, __deleted string, lsn long",
+        ),
+        0,
+    )
+    # expected state: latest lsn per id
+    latest = {}
+    for i, l, d in changes:
+        if i not in latest or l > latest[i][0]:
+            latest[i] = (l, d)
+    res = sink.purge_tombstones(wm)
+    expect_purged = sum(1 for l, d in latest.values() if d and l <= wm)
+    assert res["purged"] == expect_purged
+    st_rows = {r["id"]: (r["lsn"], r["__deleted"])
+               for r in sink.read_target().collect()}
+    for i, (l, d) in latest.items():
+        if d and l <= wm:
+            assert i not in st_rows          # past-horizon tombstone gone
+        elif d:
+            assert st_rows[i] == (l, "true")  # guarded tombstone stays
+        else:
+            assert st_rows[i] == (l, "false")  # live row untouched
+    assert sink.purge_tombstones(wm)["purged"] == 0  # idempotent
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(changes=maint_changes, n_new=st.integers(min_value=1, max_value=16))
+def test_rescale_preserves_state_and_lookup(spark, tmp_path, changes, n_new):
+    """For ANY state and ANY new partition count: the row multiset is
+    identical after the re-hash and point lookups still find every key."""
+    import uuid as _uuid
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / f"st_{_uuid.uuid4().hex[:8]}"), ["id"],
+        n_partitions=3,
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}_{l}", l) for i, l, _ in changes],
+            "id long, name string, lsn long",
+        ),
+        0,
+    )
+    before = sorted(map(tuple, sink.read_target().collect()))
+    sink.rescale(n_new)
+    assert sorted(map(tuple, sink.read_target().collect())) == before
+    ids = sorted({i for i, _, _ in changes})
+    got = sink.read_keys(ids)
+    assert sorted(r["id"] for r in got.collect()) == ids

@@ -979,3 +979,51 @@ def test_rescale_preserves_state_and_lookup(spark, tmp_path, changes, n_new):
     ids = sorted({i for i, _, _ in changes})
     got = sink.read_keys(ids)
     assert sorted(r["id"] for r in got.collect()) == ids
+
+
+scd2_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # id
+        st.integers(min_value=1, max_value=20),           # lsn
+        st.sampled_from(["c", "u", "d"]),                 # op
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(changes=scd2_changes, wm=st.integers(min_value=0, max_value=21))
+def test_scd2_prune_time_travel_invariant(spark, tmp_path, changes, wm):
+    """For ANY version history and ANY watermark: every time travel at
+    or above the watermark returns exactly what it returned before the
+    prune, and the prune is idempotent."""
+    import uuid as _uuid
+
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / f"h_{_uuid.uuid4().hex[:8]}"), ["id"],
+        n_partitions=3,
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}_{l}", l, op) for i, l, op in changes],
+            "id long, name string, lsn long, op string",
+        ),
+        0,
+    )
+    probes = sorted({wm, wm + 1, 20} | {l for _, l, _ in changes if l >= wm})
+
+    def snap(l):
+        return sorted(
+            (r["id"], r["name"]) for r in sink.as_of(l).collect()
+        )
+
+    before = {l: snap(l) for l in probes}
+    sink.prune_history(wm)
+    for l in probes:
+        assert snap(l) == before[l], l
+    assert sink.prune_history(wm)["pruned"] == 0  # idempotent

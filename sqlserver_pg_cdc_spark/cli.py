@@ -215,6 +215,21 @@ def create_parser() -> argparse.ArgumentParser:
                       help="batch id / LSN stamp (default: one past the "
                            "number of existing dup-log generations)")
     gate.add_argument("--partitions", type=int, default=32)
+    gate.add_argument("--lsn-col", default=None,
+                      help="ordering column carried by the batch (CDC "
+                           "streams); default: stamp rows with batch id")
+    gate.add_argument("--deleted-col", default=None,
+                      help="soft-delete flag column: deletes bypass the "
+                           "probe and retire the doc from the index")
+    gate.add_argument("--gate-bands", type=int, default=None,
+                      help="LSH bands (default: 4 text / 8 embedding)")
+    gate.add_argument("--gate-planes", type=int, default=None,
+                      help="embedding mode: hyperplanes per band "
+                           "(default 10)")
+    gate.add_argument("--gate-dim", type=int, default=None,
+                      help="embedding mode: vector dimension (default 64; "
+                           "MUST match the data — it sizes the "
+                           "hyperplanes baked into the stored band keys)")
 
     state = sub.add_parser(
         "state",
@@ -798,6 +813,13 @@ def cmd_gate(args) -> int:
     from sqlserver_pg_cdc_spark.session import get_spark
 
     spark = get_spark("gate-cli")
+    common = dict(
+        n_partitions=args.partitions,
+        lsn_col=args.lsn_col,
+        deleted_col=args.deleted_col,
+    )
+    if args.gate_bands is not None:
+        common["bands"] = args.gate_bands
     if args.mode == "text":
         from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
 
@@ -805,16 +827,20 @@ def cmd_gate(args) -> int:
             spark, args.state_dir, args.dups_dir,
             args.id_col or "doc_id", args.content_col or "text",
             threshold=args.threshold if args.threshold is not None else 0.5,
-            n_partitions=args.partitions,
+            **common,
         )
     else:
         from sqlserver_pg_cdc_spark.streaming.ann import AnnGateSink
 
+        if args.gate_planes is not None:
+            common["planes_per_band"] = args.gate_planes
+        if args.gate_dim is not None:
+            common["dim"] = args.gate_dim
         gate = AnnGateSink(
             spark, args.state_dir, args.dups_dir,
             args.id_col or "vec_id", args.content_col or "embedding",
             threshold=args.threshold if args.threshold is not None else 0.95,
-            n_partitions=args.partitions,
+            **common,
         )
     from pyspark.sql import functions as F
 

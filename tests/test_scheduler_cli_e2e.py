@@ -895,3 +895,49 @@ def test_cli_state_scd2_prune(tmp_path, spark):
         spark, str(tmp_path / "hist"), ["id"], n_partitions=4
     )
     assert {(r2["id"], r2["name"]) for r2 in reopened.as_of(25).collect()} == before
+
+
+def test_cli_gate_embedding_with_cdc_delete(tmp_path, spark):
+    """`gate --mode embedding` with --deleted-col: batch 0 indexes,
+    batch 1 retires a vector via soft delete (bypasses the probe), and
+    a batch-2 copy of the RETIRED vector indexes cleanly."""
+    import json as _json
+
+    def vec(i):
+        return [float((i * 31 + j * 7) % 13) - 6.0 for j in range(8)]
+
+    spark.createDataFrame(
+        [(i, vec(i), 1, "false") for i in range(5)],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "b0"))
+    spark.createDataFrame(
+        [(1, None, 2, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(
+        [(500, vec(1), 3, "false")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "b2"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "embedding",
+        "--state-dir", str(tmp_path / "egstate"),
+        "--dups-dir", str(tmp_path / "egdups"),
+        "--threshold", "0.99", "--partitions", "4",
+        "--lsn-col", "lsn", "--deleted-col", "__deleted",
+        "--gate-dim", "8",
+    ]
+    outs = []
+    for b in ("b0", "b1", "b2"):
+        r = subprocess.run(
+            base + ["--ingest", str(tmp_path / b)],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(_json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[0]["rejected_this_batch"] == 0
+    assert outs[0]["indexed_total"] == 5
+    assert outs[1]["rejected_this_batch"] == 0  # delete bypasses probe
+    assert outs[1]["indexed_total"] == 4        # vec 1 retired
+    assert outs[2]["rejected_this_batch"] == 0  # twin was retired
+    assert outs[2]["indexed_total"] == 5        # 500 indexed

@@ -104,19 +104,41 @@ def create_parser() -> argparse.ArgumentParser:
         "decontam",
         help="flag training docs sharing k-grams with an eval/benchmark set",
     )
-    decontam.add_argument("--input", required=True, help="corpus parquet")
-    decontam.add_argument("--eval-set", required=True,
-                          help="benchmark/eval parquet (same text column)")
+    decontam.add_argument("--input", required=True,
+                          help="corpus parquet (or, streaming with "
+                               "--eval-ingest, an eval change batch)")
+    decontam.add_argument("--eval-set",
+                          help="batch mode: benchmark/eval parquet "
+                               "(same text column)")
     decontam.add_argument("--id-col", default="doc_id")
     decontam.add_argument("--text-col", default="text")
     decontam.add_argument("--k", type=int, default=8,
                           help="k-gram size (8-13 typical for decontamination)")
     decontam.add_argument("--min-hits", type=int, default=1)
-    decontam.add_argument("--output", required=True,
-                          help="write the CLEAN-docs parquet here")
+    decontam.add_argument("--output",
+                          help="CLEAN/accepted docs parquet (batch: one "
+                               "table; streaming: per-batch generations)")
     decontam.add_argument("--report-out",
                           help="write the per-doc contamination report parquet here")
     decontam.add_argument("--stats-out", help="write run stats JSON here")
+    decontam.add_argument("--eval-state-dir",
+                          help="STREAMING mode: maintain the eval-gram "
+                               "index here; with --eval-ingest the input "
+                               "is an EVAL change batch (may carry "
+                               "--lsn-col/--deleted-col to update/retire "
+                               "benchmarks), otherwise --input is a "
+                               "CORPUS batch gated against the index's "
+                               "CURRENT state")
+    decontam.add_argument("--eval-ingest", action="store_true",
+                          help="streaming mode: treat --input as an eval "
+                               "change batch (requires --eval-state-dir)")
+    decontam.add_argument("--quarantine-out",
+                          help="streaming mode: quarantine-log root "
+                               "(one generation per batch id)")
+    decontam.add_argument("--lsn-col", default=None)
+    decontam.add_argument("--deleted-col", default=None)
+    decontam.add_argument("--batch-id", type=int, default=None)
+    decontam.add_argument("--partitions", type=int, default=32)
 
     rollup = sub.add_parser(
         "rollup",
@@ -591,15 +613,75 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def _cmd_decontam_streaming(args) -> int:
+    """Streaming decontamination gate: the eval set is a CHANGE STREAM.
+    --eval-ingest upserts an eval batch into the gram index (updates
+    replace a benchmark's grams atomically; --deleted-col retires it);
+    otherwise --input is a CORPUS batch gated against the index's
+    CURRENT state — accepted docs to --output, quarantined (with
+    contamination evidence) to --quarantine-out, both exactly-once per
+    batch id."""
+    import glob
+    import os
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming.decontam import (
+        DecontamGate,
+        EvalGramIndexSink,
+    )
+
+    spark = get_spark("decontam-cli")
+    sink = EvalGramIndexSink(
+        spark, args.eval_state_dir, args.id_col, args.text_col,
+        k=args.k, lsn_col=args.lsn_col, deleted_col=args.deleted_col,
+        n_partitions=args.partitions,
+    )
+    batch = spark.read.parquet(args.input)
+    if args.eval_ingest:
+        bid = args.batch_id if args.batch_id is not None else 0
+        sink(batch, bid)
+        g = sink.grams()
+        print(json.dumps({
+            "eval_state_dir": args.eval_state_dir,
+            "live_eval_grams": g.count() if g is not None else 0,
+        }))
+        return 0
+    if not args.quarantine_out:
+        raise SystemExit("corpus gating requires --quarantine-out")
+    gate = DecontamGate(
+        sink, args.output, args.quarantine_out, min_hits=args.min_hits
+    )
+    bid = args.batch_id
+    if bid is None:
+        bid = len(glob.glob(os.path.join(args.output, "batch_*")))
+    gate(batch, int(bid))
+    acc = gate.accepted()
+    qlog = gate.quarantine_log()
+    print(json.dumps({
+        "batch_id": int(bid),
+        "accepted_total": acc.count() if acc is not None else 0,
+        "quarantined_total": qlog.count() if qlog is not None else 0,
+    }))
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Benchmark-decontamination flow: flag corpus docs sharing k-grams
     with the eval set, write the clean subset (and optionally the full
-    per-doc report). Distributed end to end; only stats hit the driver."""
+    per-doc report). Distributed end to end; only stats hit the driver.
+    With --eval-state-dir, runs the STREAMING gate instead (the eval set
+    as a change stream)."""
     from pyspark.sql import functions as F
 
     from sqlserver_pg_cdc_spark.operators.decontam import decontaminate
     from sqlserver_pg_cdc_spark.session import get_spark
 
+    if args.eval_state_dir:
+        if not args.eval_ingest and not args.output:
+            raise SystemExit("corpus gating requires --output")
+        return _cmd_decontam_streaming(args)
+    if not args.eval_set or not args.output:
+        raise SystemExit("batch mode requires --eval-set and --output")
     spark = get_spark("decontam-cli")
     corpus = spark.read.parquet(args.input)
     eval_df = spark.read.parquet(args.eval_set)

@@ -941,3 +941,60 @@ def test_cli_gate_embedding_with_cdc_delete(tmp_path, spark):
     assert outs[1]["indexed_total"] == 4        # vec 1 retired
     assert outs[2]["rejected_this_batch"] == 0  # twin was retired
     assert outs[2]["indexed_total"] == 5        # 500 indexed
+
+
+def test_cli_decontam_streaming_gate(tmp_path, spark):
+    """`decontam --eval-state-dir`: register benchmarks, retire one via
+    CDC delete, then gate a corpus batch against the LIVE eval grams —
+    docs overlapping only the RETIRED benchmark pass."""
+    import json as _json
+
+    spark.createDataFrame(
+        [
+            (1, "the secret benchmark question about spark", 1, "false"),
+            (2, "another held out evaluation prompt entirely", 1, "false"),
+        ],
+        "doc_id long, text string, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "ev0"))
+    spark.createDataFrame(
+        [(2, None, 2, "true")],
+        "doc_id long, text string, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "ev1"))
+    spark.createDataFrame(
+        [
+            (100, "the secret benchmark question about spark leaked"),
+            (101, "another held out evaluation prompt entirely copied"),
+            (102, "totally clean training document with fresh words"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "corpus"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+        "--eval-state-dir", str(tmp_path / "evstate"),
+        "--k", "3", "--partitions", "4",
+        "--lsn-col", "lsn", "--deleted-col", "__deleted",
+    ]
+    for i, ev in enumerate(("ev0", "ev1")):
+        r = subprocess.run(
+            base + ["--input", str(tmp_path / ev), "--eval-ingest",
+                    "--batch-id", str(i)],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+            "--eval-state-dir", str(tmp_path / "evstate"),
+            "--k", "3", "--partitions", "4",
+            "--input", str(tmp_path / "corpus"),
+            "--output", str(tmp_path / "acc"),
+            "--quarantine-out", str(tmp_path / "quar"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"batch_id": 0, "accepted_total": 2, "quarantined_total": 1}
+    quar = {r2["doc_id"] for r2 in spark.read.parquet(
+        str(tmp_path / "quar" / "batch_0")).collect()}
+    assert quar == {100}  # 101 overlaps only the RETIRED benchmark

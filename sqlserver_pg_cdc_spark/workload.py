@@ -1306,6 +1306,36 @@ FROM (
 """
 
 
+def q_scd2_time_travel_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the hash-PARTITIONED SCD2 history sink
+    (`streaming/scd2.PartitionedScd2Sink`) — the 100 TB shape of the
+    versioned target, previously pytest/bench-verified only: the event
+    change stream applies in two batches through the O(batch + touched
+    partitions) sink (state on disk, per-partition swaps, cross-batch
+    validity-chain closure over partition-pruned reads), then
+    ``as_of(mid)`` reconstructs the table at the stream's midpoint LSN
+    from the partitioned state. The oracle is the same relational
+    snapshot the flat `scd2_time_travel` query checks — partitioned
+    history == flat history is now driver-hash-checked, not just
+    pytest-pinned."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    work = _ann_streamed_workdir(sf_dir)
+    sink = PartitionedScd2Sink(
+        spark, _os.path.join(work, "scd2_hist"), ["user_id"], n_partitions=4
+    )
+    sink(ev.filter(F.col("lsn") % 2 == 0), 0)
+    sink(ev.filter(F.col("lsn") % 2 == 1), 1)
+    mid = ev.agg((F.max("lsn") / 2).cast("long")).collect()[0][0] or 0
+    snap = sink.as_of(int(mid))
+    if snap is None:
+        return spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    return snap.select("user_id", "ts", "value")
+
+
 def q_checksum_ordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: order-sensitive SHA-256 digest, hierarchical form — per
     PK-range-bucket ordered folds (distributed, bounded collects) then a
@@ -5212,6 +5242,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             q_cdc_schema_evolution, _Q_CDC_EVOLUTION_SQL
         ),
         "scd2_time_travel": QuerySpec(q_scd2_time_travel, _Q_SCD2_TIME_TRAVEL_SQL),
+        "scd2_time_travel_partitioned": QuerySpec(
+            q_scd2_time_travel_partitioned, _Q_SCD2_TIME_TRAVEL_SQL
+        ),
         "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
         "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, _PII_UDF_SQL),
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
@@ -5603,6 +5636,7 @@ _DRIVER_WINDOW_FIRST = [
     "ann_topk_pq_streamed",  # NEW: same contract over the streamed PQ index
     "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
     "embedding_gate",  # NEW: ingest-time embedding near-dup gate
+    "scd2_time_travel_partitioned",  # NEW: partitioned SCD2 history contract
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5646,14 +5680,12 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 4 of that cohort; the checksum_
-    # orders/ordered_orders/lineitem trio plus checksum_incremental_
-    # events and checksum_events rotated behind the window to make
-    # room for the five new gate/PQ contracts)
+    # last driver row: round 6 (oldest 3 of that cohort; the checksum
+    # family rotated behind the window to make room for the six new
+    # gate/PQ/partitioned-SCD2 contracts)
     "ann_topk_cosine",
     "asof_latest_order",
     "cdc_active_rows",
-    "checksum_customer",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

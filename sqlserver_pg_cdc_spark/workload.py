@@ -2811,6 +2811,45 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against the STREAMING-maintained cell index
+    (`streaming/ann.IvfIndexSink`): the corpus arrives as two ingest
+    batches through the hash-partitioned LSN-guarded upsert (each
+    vector assigned to its max-cosine cell by the epoch's fixed
+    centroids at ingest), then the probe set runs the same cell-probed
+    exact ranking over the streamed assignments. The oracle is the
+    from-scratch batch recompute with the same deterministic first-k
+    centroids — streamed assignments == one-shot with_ivf_cell is the
+    sink's pytest-pinned contract, and this query keeps it oracle-green
+    (completing the set: every streamed index family — LSH, IVF, PQ,
+    MinHash — now has a driver-hash-checked contract query)."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nonnull = emb.filter(F.col("embedding").isNotNull())
+    if nonnull.limit(1).count() == 0:  # empty corpus: no cells to train
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
+    _, cents = with_ivf_cell(emb, "vec_id", "embedding", n_cells=16)
+    work = _ann_streamed_workdir(sf_dir)
+    sink = IvfIndexSink(
+        spark, _os.path.join(work, "ivf_state"), "vec_id", "embedding",
+        cents, n_partitions=4,
+    )
+    sink(emb.filter("vec_id % 2 = 0"), 0)
+    sink(emb.filter("vec_id % 2 = 1"), 1)
+    res = sink.topk(emb.filter(F.col("vec_id") < 5), k=10, n_probe=4)
+    if res is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
+    return res
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed top-k (single-bucket, no multiprobe —
     the SQL-reproducible form): candidates limited to the query's sign
@@ -5411,6 +5450,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                     k=10, n_cells=16, n_probe=4,
                 ),
             ),
+            "ann_topk_ivf_streamed": QuerySpec(
+                q_ann_topk_ivf_streamed,
+                topk_ivf_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=10, n_cells=16, n_probe=4,
+                ),
+            ),
             "ann_topk_lsh": QuerySpec(
                 q_ann_topk_lsh,
                 topk_lsh_sql(
@@ -5637,6 +5683,7 @@ _DRIVER_WINDOW_FIRST = [
     "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
     "embedding_gate",  # NEW: ingest-time embedding near-dup gate
     "scd2_time_travel_partitioned",  # NEW: partitioned SCD2 history contract
+    "ann_topk_ivf_streamed",  # NEW: streamed IVF contract (last of the four)
     # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
     "cheapest_supplier_per_part",
     "supplier_part_variety",
@@ -5680,12 +5727,11 @@ _DRIVER_WINDOW_FIRST = [
     "top_supplier_revenue",
     "training_order",
     "vocab_topk",
-    # last driver row: round 6 (oldest 3 of that cohort; the checksum
-    # family rotated behind the window to make room for the six new
-    # gate/PQ/partitioned-SCD2 contracts)
+    # last driver row: round 6 (oldest 2 of that cohort; the checksum
+    # family rotated behind the window to make room for the seven new
+    # gate/PQ/IVF/partitioned-SCD2 contracts)
     "ann_topk_cosine",
     "asof_latest_order",
-    "cdc_active_rows",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -256,7 +256,9 @@ def create_parser() -> argparse.ArgumentParser:
     state = sub.add_parser(
         "state",
         help="day-2 maintenance on hash-partitioned sink state: "
-             "tombstone purge (retention) and partition-count rescale",
+             "tombstone purge (retention) and partition-count rescale. "
+             "ALL state ops require a quiesced state (stop concurrent "
+             "streams first) — they are single-writer passes",
     )
     state.add_argument("--state-dir", required=True)
     state.add_argument("--pk", nargs="+", required=True,

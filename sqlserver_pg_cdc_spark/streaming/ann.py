@@ -26,7 +26,7 @@ same discipline applied to a vector index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
@@ -819,46 +819,109 @@ class AnnGateSink(AnnIndexSink):
         # the ~6 downstream actions plan over a LogicalRDD instead of
         # re-canonicalizing the literal-heavy banding tree
         proj = self._project(batch_df, batch_id).localCheckpoint()
-        passthrough = None
-        live = proj
-        if self.deleted_col:
-            passthrough = proj.filter(F.col("__del"))
-            live = proj.filter(~F.col("__del"))
-        live_bands = live.select("doc", F.explode("bands").alias("bb")).select(
-            "doc", "bb.band", "bb.bkt"
-        )
-        a_vec = live.select(
-            F.col("doc").alias("a"), F.col("v").alias("va"),
-            F.col("nv").alias("na"),
-        )
-        cosine = (F.col("__dot") / (F.col("na") * F.col("nb"))).alias("cosine")
-        # 1) cross-corpus rejects: best match per doc
-        idx = self.index()
-        cross = None
-        dup_frames = []
-        if idx is not None:
-            cands = (
-                live_bands.join(idx, ["band", "bkt"])
-                .select(live_bands.doc.alias("a"), idx.doc.alias("b"))
-                .filter(F.col("a") != F.col("b"))
+        cands = cross = pairs = None
+        try:
+            passthrough = None
+            live = proj
+            if self.deleted_col:
+                passthrough = proj.filter(F.col("__del"))
+                live = proj.filter(~F.col("__del"))
+            live_bands = live.select("doc", F.explode("bands").alias("bb")).select(
+                "doc", "bb.band", "bb.bkt"
+            )
+            a_vec = live.select(
+                F.col("doc").alias("a"), F.col("v").alias("va"),
+                F.col("nv").alias("na"),
+            )
+            cosine = (F.col("__dot") / (F.col("na") * F.col("nb"))).alias("cosine")
+            # 1) cross-corpus rejects: best match per doc
+            idx = self.index()
+            cross = None
+            dup_frames = []
+            if idx is not None:
+                cands = (
+                    live_bands.join(idx, ["band", "bkt"])
+                    .select(live_bands.doc.alias("a"), idx.doc.alias("b"))
+                    .filter(F.col("a") != F.col("b"))
+                    .distinct()
+                    .persist()
+                )
+                st = self._live_state()
+                b_vec = (
+                    st.join(
+                        cands.select(F.col("b").alias("doc")).distinct(),
+                        "doc",
+                        "left_semi",
+                    )
+                    .select(
+                        F.col("doc").alias("b"), F.col("v").alias("vb"),
+                        F.col("nv").alias("nb"),
+                    )
+                )
+                cross = (
+                    cands.join(a_vec, "a")
+                    .join(b_vec, "b")
+                    .select(
+                        "a", "b", "na", "nb",
+                        dot(F.col("va"), F.col("vb")).alias("__dot"),
+                    )
+                    .select("a", "b", cosine)
+                    .filter(F.col("cosine") >= self.threshold)
+                    .persist()
+                )
+                cross.count()
+                cands.unpersist()
+                # row_number over (cosine DESC, b ASC), not a negated-id
+                # max_by: id_col may be a string; unary minus would cast it
+                # to double and break deterministic dup_of on ties (see the
+                # same fix in minhash.DedupGateSink)
+                w = Window.partitionBy("a").orderBy(
+                    F.col("cosine").desc(), F.col("b").asc()
+                )
+                best = (
+                    cross.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                )
+                dup_frames.append(
+                    best.select(
+                        F.col("a").alias("doc"),
+                        F.col("b").alias("dup_of"),
+                        "cosine",
+                        F.lit("corpus").alias("kind"),
+                    )
+                )
+            corpus_dup_docs = dup_frames[0].select("doc") if dup_frames else None
+            remaining = live
+            rem_bands, rem_vec = live_bands, a_vec
+            if corpus_dup_docs is not None:
+                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
+                rem_bands = live_bands.join(corpus_dup_docs, "doc", "left_anti")
+                rem_vec = a_vec.join(
+                    corpus_dup_docs.select(F.col("doc").alias("a")), "a",
+                    "left_anti",
+                )
+            # 2) within-batch rejects: LSH candidates from the SHARED band
+            # frame, exact cosine from the shared vectors, connected
+            # components, keep each cluster's minimum id
+            cands2 = (
+                rem_bands.select(F.col("doc").alias("a"), "band", "bkt")
+                .join(
+                    rem_bands.select(F.col("doc").alias("b"), "band", "bkt"),
+                    ["band", "bkt"],
+                )
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
                 .distinct()
-                .persist()
             )
-            st = self._live_state()
-            b_vec = (
-                st.join(
-                    cands.select(F.col("b").alias("doc")).distinct(),
-                    "doc",
-                    "left_semi",
+            pairs = (
+                cands2.join(rem_vec, "a")
+                .join(
+                    rem_vec.select(
+                        F.col("a").alias("b"), F.col("va").alias("vb"),
+                        F.col("na").alias("nb"),
+                    ),
+                    "b",
                 )
-                .select(
-                    F.col("doc").alias("b"), F.col("v").alias("vb"),
-                    F.col("nv").alias("nb"),
-                )
-            )
-            cross = (
-                cands.join(a_vec, "a")
-                .join(b_vec, "b")
                 .select(
                     "a", "b", "na", "nb",
                     dot(F.col("va"), F.col("vb")).alias("__dot"),
@@ -867,104 +930,52 @@ class AnnGateSink(AnnIndexSink):
                 .filter(F.col("cosine") >= self.threshold)
                 .persist()
             )
-            cross.count()
-            cands.unpersist()
-            best = cross.groupBy("a").agg(
-                F.max_by(
-                    F.struct("cosine", (-F.col("b")).alias("nb2"), "b"),
-                    F.struct("cosine", (-F.col("b")).alias("nb2")),
-                ).alias("__m")
+            pairs.count()
+            comps = dup_components(pairs)
+            losers = comps.filter(~F.col("keep")).select(
+                F.col("doc"), F.col("component").alias("dup_of")
             )
-            dup_frames.append(
-                best.select(
-                    F.col("a").alias("doc"),
-                    F.col("__m.b").alias("dup_of"),
-                    F.col("__m.cosine").alias("cosine"),
-                    F.lit("corpus").alias("kind"),
+            pj = pairs.select(
+                F.col("a").alias("doc"), F.col("b").alias("__pb"), "cosine"
+            ).unionByName(
+                pairs.select(
+                    F.col("b").alias("doc"), F.col("a").alias("__pb"), "cosine"
                 )
             )
-        corpus_dup_docs = dup_frames[0].select("doc") if dup_frames else None
-        remaining = live
-        rem_bands, rem_vec = live_bands, a_vec
-        if corpus_dup_docs is not None:
-            remaining = live.join(corpus_dup_docs, "doc", "left_anti")
-            rem_bands = live_bands.join(corpus_dup_docs, "doc", "left_anti")
-            rem_vec = a_vec.join(
-                corpus_dup_docs.select(F.col("doc").alias("a")), "a",
-                "left_anti",
+            batch_dups = losers.join(
+                pj,
+                (losers["doc"] == pj["doc"]) & (losers["dup_of"] == pj["__pb"]),
+                "left",
+            ).select(
+                losers.doc, losers.dup_of,
+                F.col("cosine"),  # NULL when linked transitively
+                F.lit("batch").alias("kind"),
             )
-        # 2) within-batch rejects: LSH candidates from the SHARED band
-        # frame, exact cosine from the shared vectors, connected
-        # components, keep each cluster's minimum id
-        cands2 = (
-            rem_bands.select(F.col("doc").alias("a"), "band", "bkt")
-            .join(
-                rem_bands.select(F.col("doc").alias("b"), "band", "bkt"),
-                ["band", "bkt"],
+            dup_frames.append(batch_dups)
+            dups = dup_frames[0]
+            for f in dup_frames[1:]:
+                dups = dups.unionByName(f)
+            # pin the log's id dtype to the STORED key dtype, so a batch
+            # arriving with a narrower id type cannot fork the log schema
+            t = (self._stored_pk_types() or {}).get("doc")
+            if t:
+                dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
+                    "dup_of", F.col("dup_of").cast(t)
+                )
+            (
+                dups.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .parquet(self._dup_batch_dir(batch_id))
             )
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
-        )
-        pairs = (
-            cands2.join(rem_vec, "a")
-            .join(
-                rem_vec.select(
-                    F.col("a").alias("b"), F.col("va").alias("vb"),
-                    F.col("na").alias("nb"),
-                ),
-                "b",
-            )
-            .select(
-                "a", "b", "na", "nb",
-                dot(F.col("va"), F.col("vb")).alias("__dot"),
-            )
-            .select("a", "b", cosine)
-            .filter(F.col("cosine") >= self.threshold)
-            .persist()
-        )
-        pairs.count()
-        comps = dup_components(pairs)
-        losers = comps.filter(~F.col("keep")).select(
-            F.col("doc"), F.col("component").alias("dup_of")
-        )
-        pj = pairs.select(
-            F.col("a").alias("doc"), F.col("b").alias("__pb"), "cosine"
-        ).unionByName(
-            pairs.select(
-                F.col("b").alias("doc"), F.col("a").alias("__pb"), "cosine"
-            )
-        )
-        batch_dups = losers.join(
-            pj,
-            (losers["doc"] == pj["doc"]) & (losers["dup_of"] == pj["__pb"]),
-            "left",
-        ).select(
-            losers.doc, losers.dup_of,
-            F.col("cosine"),  # NULL when linked transitively
-            F.lit("batch").alias("kind"),
-        )
-        dup_frames.append(batch_dups)
-        dups = dup_frames[0]
-        for f in dup_frames[1:]:
-            dups = dups.unionByName(f)
-        # pin the log's id dtype to the STORED key dtype, so a batch
-        # arriving with a narrower id type cannot fork the log schema
-        t = (self._stored_pk_types() or {}).get("doc")
-        if t:
-            dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
-                "dup_of", F.col("dup_of").cast(t)
-            )
-        (
-            dups.withColumn("__batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .parquet(self._dup_batch_dir(batch_id))
-        )
-        # 3) index the survivors (plus CDC deletes, which bypass)
-        survivors = remaining.join(losers.select("doc"), "doc", "left_anti")
-        if passthrough is not None:
-            survivors = survivors.unionByName(passthrough)
-        self._upsert_projected(survivors, batch_id)
-        pairs.unpersist()
-        if cross is not None:
-            cross.unpersist()
+            # 3) index the survivors (plus CDC deletes, which bypass)
+            survivors = remaining.join(losers.select("doc"), "doc", "left_anti")
+            if passthrough is not None:
+                survivors = survivors.unionByName(passthrough)
+            self._upsert_projected(survivors, batch_id)
+        finally:
+            # unpersist EVERY persisted block even when the batch
+            # fails mid-gate (e.g. a DLQ'd write) — otherwise the
+            # blocks leak in executor storage (r8 ADVICE)
+            for blk in (cands, cross, pairs):
+                if blk is not None:
+                    blk.unpersist()

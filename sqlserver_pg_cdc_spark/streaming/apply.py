@@ -528,7 +528,23 @@ class HashPartitionedStateMixin:
         partition once, rewrites only the partitions that actually held
         purgeable rows (generation swap each — crash-safe, and a reader
         mid-purge sees whole partitions, never half). Returns
-        ``{"purged": n, "partitions_rewritten": k}``."""
+        ``{"purged": n, "partitions_rewritten": k}``.
+
+        Post-full-purge contract: a state that was ENTIRELY
+        past-horizon tombstones ends with zero ``part_*`` directories
+        (the layout marker stays); ``read_target()`` then returns
+        ``None``, indistinguishable from a never-written state, and the
+        next upsert bootstraps it cleanly. Callers of ``read_target()``
+        after a purge must handle ``None``.
+
+        Concurrency: run on a QUIESCED state (no concurrent upsert
+        batches), like :meth:`rescale`. The stats pass and the rewrite
+        pass deliberately re-read the partition files (the frame is
+        state-sized, so pinning it in executor storage is exactly the
+        liability this op exists to shrink); a concurrent foreachBatch
+        swapping a partition between the two passes would be silently
+        overwritten with this op's stale snapshot. Single writer only —
+        same rule the ``state`` CLI documents."""
         self._check_layout()
         st = self.read_target()
         if st is None:
@@ -829,7 +845,9 @@ class HashPartitionedStateMixin:
         by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
         return {c: by_name[c] for c in self.pk_cols if c in by_name}
 
-    def _cast_keys_to_stored(self, df: DataFrame) -> DataFrame:
+    def _cast_keys_to_stored(
+        self, df: DataFrame, probe: bool = False
+    ) -> DataFrame:
         """Cast pk columns to the STORED key types before hashing.
 
         ``xxhash64`` is type-sensitive: hash(1 AS INT) != hash(1 AS
@@ -838,14 +856,60 @@ class HashPartitionedStateMixin:
         uncast keys computes the WRONG partition id and the lookup
         silently returns nothing — every probe (and the write path, when
         a batch's key dtype drifts from the stored one) must hash the
-        stored dtype."""
+        stored dtype.
+
+        Down-cast GUARD (r8 ADVICE): when the batch key type is strictly
+        WIDER than the stored type, a non-ANSI down-cast of an
+        out-of-range value (e.g. a bigint id > 2^31 against an
+        int-keyed state) silently wraps, hashing onto — and merging
+        with — an UNRELATED key. The hazard is per-VALUE, not per-type
+        (Python ints always arrive as bigint), so the guard is
+        value-level: a roundtrip-through-the-stored-type comparison.
+        Probes (``probe=True``) FILTER out-of-range keys — a key that
+        cannot be represented in the stored type provably isn't in the
+        state, so no-match is the correct answer. Writes RAISE: an
+        out-of-range key in a change batch means the source re-keyed
+        wider than this state's layout — rebuild deliberately."""
         types = self._stored_pk_types()
         if not types:
             return df
         out = df
+        have = dict(out.dtypes)
+        ints = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+        fracs = {"float": 0, "double": 1}
         for c in self.pk_cols:
             t = types.get(c)
-            if t is not None and dict(out.dtypes).get(c) != t:
+            b = have.get(c)
+            if t is None or b is None or b == t:
+                continue
+            wider = (
+                (b in ints and t in ints and ints[b] > ints[t])
+                or (b in fracs and t in fracs and fracs[b] > fracs[t])
+                or (b in fracs and t in ints)
+            )
+            if wider:
+                # try_cast: NULL on overflow under ANSI and non-ANSI
+                # alike, so the roundtrip comparison detects the
+                # out-of-range value instead of wrapping (non-ANSI) or
+                # crashing the whole probe job (ANSI CAST_OVERFLOW)
+                safe = (
+                    F.col(c).try_cast(t).cast(b).eqNullSafe(F.col(c))
+                )
+                if probe:
+                    out = out.filter(safe)
+                elif out.filter(~safe).limit(1).count() > 0:
+                    raise ValueError(
+                        f"batch key column {c!r} ({b}) holds values out of "
+                        f"range of the stored key type {t} at "
+                        f"{self.target_dir} — a down-cast would wrap them "
+                        "onto unrelated keys; rebuild the state with the "
+                        "wider key type"
+                    )
+                # remaining values are verified in-range: try_cast here
+                # only because ANSI evaluates casts before the filter is
+                # guaranteed to have pruned (expression reordering)
+                out = out.withColumn(c, F.col(c).try_cast(t))
+            else:
                 out = out.withColumn(c, F.col(c).cast(t))
         return out
 
@@ -859,7 +923,7 @@ class HashPartitionedStateMixin:
         if not key_rows:
             return []
         df = self._cast_keys_to_stored(
-            self.spark.createDataFrame(key_rows, self.pk_cols)
+            self.spark.createDataFrame(key_rows, self.pk_cols), probe=True
         )
         return sorted(
             r["__p"]
@@ -872,6 +936,10 @@ class HashPartitionedStateMixin:
         filter to exactly those keys. This is the partitioned layout's
         read payoff — a k-key lookup opens at most k partition
         directories of the whole state. NULL-safe key match."""
+        # heal a crash between rescale's two renames BEFORE probing:
+        # without this, a point lookup during the momentarily-absent
+        # target dir silently reads as empty state (r8 ADVICE)
+        self._recover_rescale()
         if key_rows and not isinstance(key_rows[0], (tuple, list)):
             key_rows = [(k,) for k in key_rows]
         key_rows = [tuple(k) for k in key_rows]

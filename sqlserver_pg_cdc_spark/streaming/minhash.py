@@ -37,7 +37,7 @@ index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
@@ -464,6 +464,7 @@ class DedupGateSink(MinhashIndexSink):
         # are batch-sized and a Structured Streaming replay re-drives
         # the whole batch anyway, so the non-replayable lineage is moot
         proj = self._project(batch_df, batch_id).localCheckpoint()
+        cross = pairs = None
         try:
             passthrough = None
             live = proj
@@ -479,17 +480,24 @@ class DedupGateSink(MinhashIndexSink):
             cross = self._near_dups_core(nsh, live_bands, self.threshold)
             dup_frames = []
             if cross is not None:
-                best = cross.groupBy("a").agg(
-                    F.max_by(
-                        F.struct("jaccard", (-F.col("b")).alias("nb"), "b"),
-                        F.struct("jaccard", (-F.col("b")).alias("nb")),
-                    ).alias("__m")
+                # row_number over (jaccard DESC, b ASC), not a negated-id
+                # max_by: id_col is caller-chosen and may be a string —
+                # unary minus would cast it to double (NULL or a raise
+                # under ANSI), breaking the deterministic dup_of
+                # contract on ties. The window shuffles on `a`, the same
+                # partitioning the groupBy had.
+                w = Window.partitionBy("a").orderBy(
+                    F.col("jaccard").desc(), F.col("b").asc()
+                )
+                best = (
+                    cross.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
                 )
                 dup_frames.append(
                     best.select(
                         F.col("a").alias("doc"),
-                        F.col("__m.b").alias("dup_of"),
-                        F.col("__m.jaccard").alias("jaccard"),
+                        F.col("b").alias("dup_of"),
+                        "jaccard",
                         F.lit("corpus").alias("kind"),
                     )
                 )
@@ -585,10 +593,13 @@ class DedupGateSink(MinhashIndexSink):
             if passthrough is not None:
                 survivors = survivors.unionByName(passthrough)
             self._upsert_projected(survivors, batch_id)
-            pairs.unpersist()
-            if cross is not None:
-                cross.unpersist()
         finally:
+            # unpersist EVERY persisted block even when the batch fails
+            # mid-gate (e.g. a DLQ'd write) — otherwise the blocks leak
+            # in executor storage (r8 ADVICE)
+            for blk in (cross, pairs):
+                if blk is not None:
+                    blk.unpersist()
             # proj is localCheckpoint'd: its batch-sized blocks are
             # reclaimed by the ContextCleaner once the frame drops out
             # of scope (unpersist() would be a no-op on checkpoint RDDs)

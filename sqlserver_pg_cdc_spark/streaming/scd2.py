@@ -373,7 +373,13 @@ class PartitionedScd2Sink:
 
         One O(history) pass; rewrites only partitions that held prunable
         versions (generation swap each). Returns
-        ``{"pruned": n, "partitions_rewritten": k}``."""
+        ``{"pruned": n, "partitions_rewritten": k}``.
+
+        Concurrency: run on a QUIESCED history (no concurrent apply
+        batches), like :meth:`rescale` — the stats pass and the rewrite
+        pass re-read the partition files, so a concurrent writer
+        swapping a partition between the passes would be silently
+        overwritten with this op's stale snapshot. Single writer only."""
         st = self._store
         st._check_layout()
         h = st.read_target()

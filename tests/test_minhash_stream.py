@@ -287,3 +287,39 @@ def test_gate_deletes_bypass_probe(spark, tmp_path):
     # the delete was not logged as a dup
     log = gate.dup_log()
     assert log is None or log.filter("doc = 4").count() == 0
+
+
+def test_gate_string_ids_deterministic_dup_of_on_tie(spark, tmp_path):
+    """Regression (r8 ADVICE): the best-match tie-break used a negated
+    id inside max_by — with STRING doc ids (id_col is caller-chosen)
+    unary minus casts to double and yields NULL, making dup_of
+    nondeterministic on jaccard ties. Plant an exact tie: probe shares
+    the same 8-shingle core with two indexed docs, each carrying 3
+    extra shingles, so jaccard(P,A) == jaccard(P,B) == 8/11 while
+    A-vs-B (8/14) stays under the threshold. dup_of must be the
+    lexicographically smallest id, every run."""
+    from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+    core = " ".join(f"c{i}" for i in range(10))  # 8 shingles at k=3
+    gate = DedupGateSink(
+        spark, str(tmp_path / "sgate_state"), str(tmp_path / "sgate_dups"),
+        "doc_id", "text", threshold=0.6, n_partitions=4,
+    )
+    b0 = spark.createDataFrame(
+        [("z9", core + " pa1 pa2 pa3"), ("z10", core + " pb1 pb2 pb3")],
+        "doc_id string, text string",
+    )
+    gate(b0, 0)
+    idx = {r["doc"] for r in gate.index().select("doc").distinct().collect()}
+    assert idx == {"z9", "z10"}  # 8/14 < 0.6: not dups of each other
+    gate(
+        spark.createDataFrame([("probe", core)], "doc_id string, text string"),
+        1,
+    )
+    log = gate.dup_log().filter("__batch_id = 1").collect()
+    assert len(log) == 1
+    # string ordering: "z10" < "z9" — the tie-break is on the id's own
+    # type, not a numeric cast
+    assert (log[0]["doc"], log[0]["dup_of"], log[0]["kind"]) == (
+        "probe", "z10", "corpus",
+    )

@@ -938,8 +938,16 @@ def test_purge_preserves_live_view_and_guarded_tombstones(
     res = sink.purge_tombstones(wm)
     expect_purged = sum(1 for l, d in latest.values() if d and l <= wm)
     assert res["purged"] == expect_purged
-    st_rows = {r["id"]: (r["lsn"], r["__deleted"])
-               for r in sink.read_target().collect()}
+    # Post-full-purge contract (purge_tombstones docstring): a state
+    # that was 100% past-horizon tombstones ends with zero part_* dirs
+    # and read_target() returns None — same as never-written.
+    after = sink.read_target()
+    if after is None:
+        assert expect_purged == len(latest)
+        st_rows = {}
+    else:
+        st_rows = {r["id"]: (r["lsn"], r["__deleted"])
+                   for r in after.collect()}
     for i, (l, d) in latest.items():
         if d and l <= wm:
             assert i not in st_rows          # past-horizon tombstone gone

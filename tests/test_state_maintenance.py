@@ -116,6 +116,62 @@ def test_purge_removes_fully_dead_partition_dirs(spark, tmp_path):
     assert _live(sink.read_target()) == {2: ("live", 5)}
 
 
+def test_key_downcast_guard_is_value_level(spark, tmp_path):
+    """r8 ADVICE: a bigint batch key against an int-keyed state must not
+    silently wrap out-of-range values onto unrelated keys. In-range
+    down-casts keep working (Python ints always arrive as bigint);
+    out-of-range PROBE keys filter to no-match (they provably aren't in
+    the state); out-of-range WRITE keys raise."""
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "w"), ["id"], n_partitions=4
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 1)], "id int, name string, lsn long"
+        ),
+        0,
+    )
+    # in-range bigint batch: down-cast is safe, merge proceeds
+    sink(
+        spark.createDataFrame(
+            [(2, "b", 2)], "id long, name string, lsn long"
+        ),
+        1,
+    )
+    assert {r["id"] for r in sink.read_target().collect()} == {1, 2}
+    big = 2**31 + 1  # wraps to -2147483647 under a non-ANSI int cast
+    got = sink.read_keys([1, big])
+    assert {r["id"] for r in got.collect()} == {1}  # no wrapped match
+    with pytest.raises(ValueError, match="out of range"):
+        sink(
+            spark.createDataFrame(
+                [(big, "x", 3)], "id long, name string, lsn long"
+            ),
+            2,
+        )
+    # state untouched by the refused batch
+    assert {r["id"] for r in sink.read_target().collect()} == {1, 2}
+
+
+def test_purge_all_tombstone_state_empties_cleanly(spark, tmp_path):
+    """Regression for the r8 Hypothesis example ``changes=[(0,1,True)],
+    wm=1``: a state that is 100% past-horizon tombstones purges every
+    partition. The contract (purge_tombstones docstring): zero part_*
+    dirs remain, read_target() returns None (same as never-written),
+    a second purge is a no-op, and the next upsert bootstraps cleanly."""
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, [(0, None, "true", 1)]), 0)
+    res = sink.purge_tombstones(1)
+    assert res == {"purged": 1, "partitions_rewritten": 1}
+    assert sink._existing_parts() == []
+    assert sink.read_target() is None
+    # idempotent on the emptied state
+    assert sink.purge_tombstones(1) == {"purged": 0, "partitions_rewritten": 0}
+    # layout marker survived: the next batch bootstraps into the same dir
+    sink(_rows(spark, [(7, "back", "false", 5)]), 1)
+    assert _live(sink.read_target()) == {7: ("back", 5)}
+
+
 def test_purge_boolean_del_flag_on_index_sink(spark, tmp_path):
     """The index sinks store a boolean __del — purge must handle it and
     the probe surface must behave identically after the purge."""

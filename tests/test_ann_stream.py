@@ -438,6 +438,76 @@ def test_pq_epoch_mismatch_fails_fast(spark, tmp_path):
         _pq_sink(spark, tmp_path, books=other_books).codes()
 
 
+def test_pq_drift_probe_detects_distribution_shift(spark, tmp_path):
+    """A drifted ingest stream (vectors far off the codebooks' training
+    distribution reconstruct poorly) must trip the drift probe; a
+    same-distribution stream must not."""
+    sink = _pq_sink(spark, tmp_path, lsn_col="lsn")
+    base = _vecs(spark, range(30)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn"
+    )
+    sink(base, 0)
+    assert sink.capture_baseline() is not None
+    more = _vecs(spark, range(30, 45)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn"
+    )
+    sink(more, 1)
+    assert sink.drift(tolerance=0.05)["drifted"] is False
+    drifted = spark.createDataFrame(
+        [(1000 + i, [200.0 + 13.0 * i * j for j in range(8)], 2000 + i)
+         for i in range(60)],
+        "vec_id long, embedding array<double>, lsn long",
+    )
+    sink(drifted, 2)
+    rep = sink.drift(tolerance=0.05)
+    assert rep["drifted"] is True and rep["mean_cos"] < rep["baseline_mean_cos"]
+
+
+def test_pq_drift_requires_baseline(spark, tmp_path):
+    sink = _pq_sink(spark, tmp_path)
+    sink(_vecs(spark, range(10)), 0)
+    with pytest.raises(ValueError, match="capture_baseline"):
+        sink.drift()
+
+
+def test_pq_rotate_epoch_retrains_and_preserves_topk_parity(spark, tmp_path):
+    """rotate_epoch: retrain books on streamed vectors, bulk-load state
+    into a NEW epoch dir (LSNs preserved so the guard still holds), and
+    the new epoch's topk equals the batch path with the retrained books.
+    Soft-deleted docs stay deleted across the rotation."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_pq
+
+    sink = _pq_sink(spark, tmp_path, lsn_col="lsn", deleted_col="__deleted")
+    base = _vecs(spark, range(40)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id + 10 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(base, 0)
+    sink.capture_baseline()
+    gone = spark.createDataFrame(
+        [(5, None, 500, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(gone, 1)
+    fresh = sink.rotate_epoch(str(tmp_path / "epoch2"), m_sub=4, k_codes=8)
+    live = {r["id"] for r in fresh.codes().collect()}
+    assert live == set(range(40)) - {5}
+    # LSN guard carried over: stale pre-delete replay cannot resurrect
+    fresh(base.filter("vec_id = 5"), 99)
+    assert 5 not in {r["id"] for r in fresh.codes().collect()}
+    # topk parity with the batch path under the retrained books
+    queries = _vecs(spark, range(3))
+    want = topk_pq(
+        _vecs(spark, range(40)).filter("vec_id <> 5"), queries,
+        "vec_id", "embedding", k=5, refine=16, books=fresh.books,
+    )
+    got = fresh.topk(queries, k=5, refine=16)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+    # new epoch has its own baseline on disk
+    assert os.path.exists(os.path.join(fresh.target_dir, fresh._BASELINE_FILE))
+
+
 # --- AnnGateSink: ingest-time embedding near-dup gate ------------------------
 
 

@@ -952,14 +952,21 @@ class AnnGateSink(AnnIndexSink):
 
     def dup_log(self) -> DataFrame | None:
         """Every rejected vector with what it duplicated: (doc, dup_of,
-        cosine, kind, __batch_id)."""
-        import glob
-        import os
+        cosine, kind, __batch_id) — the compacted generation plus every
+        per-batch generation above the compaction watermark."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
 
-        gens = sorted(glob.glob(os.path.join(self.dups_dir, "batch_*")))
-        if not gens:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*gens)
+        return read_batch_log(self.spark, self.dups_dir)
+
+    def compact_dup_log(self, watermark_batch_id: int) -> dict:
+        """Day-2 retention for the dup log — same contract as
+        `DedupGateSink.compact_dup_log` (see `streaming/batchlog.py`).
+        Run quiesced."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.functions.vectors import dot

@@ -259,12 +259,29 @@ class DecontamGate:
         )
 
     def _read_gens(self, base: str) -> DataFrame | None:
-        import glob
+        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
 
-        gens = sorted(glob.glob(f"{base}/batch_*"))
-        if not gens:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*gens)
+        return read_batch_log(self.spark, base)
+
+    def compact_logs(self, watermark_batch_id: int) -> dict:
+        """Day-2 retention for BOTH gate logs: fold every closed
+        ``batch_<id>`` generation at or below the watermark into one
+        compacted generation per log (accepted grows one dir per
+        micro-batch — the dominant growth — quarantine one per batch
+        that caught anything). Same watermark contract as
+        `DedupGateSink.compact_dup_log`; run quiesced."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        return {
+            "accepted": compact_batch_log(
+                self.spark, self.accepted_dir, watermark_batch_id
+            ),
+            "quarantine": compact_batch_log(
+                self.spark, self.quarantine_dir, watermark_batch_id
+            ),
+        }
 
     def accepted(self) -> DataFrame | None:
         return self._read_gens(self.accepted_dir)

@@ -441,14 +441,25 @@ class DedupGateSink(MinhashIndexSink):
 
     def dup_log(self) -> DataFrame | None:
         """Every rejected doc with what it duplicated: (doc, dup_of,
-        jaccard, kind, __batch_id)."""
-        import glob
-        import os
+        jaccard, kind, __batch_id) — the compacted generation plus every
+        per-batch generation above the compaction watermark."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
 
-        gens = sorted(glob.glob(os.path.join(self.dups_dir, "batch_*")))
-        if not gens:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*gens)
+        return read_batch_log(self.spark, self.dups_dir)
+
+    def compact_dup_log(self, watermark_batch_id: int) -> dict:
+        """Day-2 retention for the dup log: fold every closed
+        ``batch_<id>`` generation at or below the watermark into one
+        compacted parquet generation (one dir per micro-batch otherwise
+        grows forever — ~170k dirs/day at 500 ms triggers). Pass a batch
+        id the stream can no longer replay at or below; replays ABOVE it
+        keep their exactly-once overwrite property. Run quiesced. See
+        `streaming/batchlog.py` for the crash-safety contract."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.operators.dedup import dup_components

@@ -1,0 +1,182 @@
+"""Retention compaction for the gates' per-batch-id parquet logs
+(`streaming/batchlog.py`): the r8 verdict's missing #2 — one dir per
+micro-batch otherwise grows forever. The contract under test: rows are
+identical before/after compaction, a replay of a compacted batch id
+cannot double rows, watermarks only move forward, and the dir count is
+bounded by (batches above the watermark) + one compacted generation."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.streaming.batchlog import (
+    compact_batch_log,
+    read_batch_log,
+)
+
+
+def _write_batch(spark, log_dir, batch_id, rows):
+    df = spark.createDataFrame(
+        [(r, f"v{r}") for r in rows], "id long, val string"
+    ).withColumn("__batch_id", F.lit(int(batch_id)))
+    df.write.mode("overwrite").parquet(
+        os.path.join(log_dir, f"batch_{int(batch_id)}")
+    )
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"], r["__batch_id"]) for r in df.collect())
+
+
+def _ndirs(log_dir):
+    return len(glob.glob(os.path.join(log_dir, "batch_*"))) + len(
+        glob.glob(os.path.join(log_dir, "gen_*"))
+    )
+
+
+def test_compact_preserves_rows_and_bounds_dirs(spark, tmp_path):
+    log = str(tmp_path / "log")
+    for b in range(5):
+        _write_batch(spark, log, b, range(b * 10, b * 10 + 3))
+    before = _rows(read_batch_log(spark, log))
+    assert _ndirs(log) == 5
+    res = compact_batch_log(spark, log, 2)
+    assert res["compacted_batches"] == 3 and res["rows"] == 9
+    # dirs: batches 3,4 + ONE compacted generation
+    assert _ndirs(log) == 3
+    assert _rows(read_batch_log(spark, log)) == before
+
+
+def test_replay_of_compacted_batch_cannot_double_rows(spark, tmp_path):
+    log = str(tmp_path / "log")
+    for b in range(4):
+        _write_batch(spark, log, b, range(b * 10, b * 10 + 2))
+    compact_batch_log(spark, log, 3)
+    before = _rows(read_batch_log(spark, log))
+    # a late replay re-drives batch 1: its dir reappears, but readers
+    # ignore batch dirs at/below the watermark — rows stay single
+    _write_batch(spark, log, 1, range(10, 12))
+    assert _rows(read_batch_log(spark, log)) == before
+    # the next compaction sweeps the stale leftover without re-merging
+    res = compact_batch_log(spark, log, 3)
+    assert res["compacted_batches"] == 0
+    assert glob.glob(os.path.join(log, "batch_*")) == []
+    assert _rows(read_batch_log(spark, log)) == before
+
+
+def test_second_compaction_folds_incrementally(spark, tmp_path):
+    log = str(tmp_path / "log")
+    for b in range(3):
+        _write_batch(spark, log, b, [b])
+    compact_batch_log(spark, log, 1)
+    for b in range(3, 6):
+        _write_batch(spark, log, b, [b])
+    all_rows = _rows(read_batch_log(spark, log))
+    res = compact_batch_log(spark, log, 4)
+    assert res["compacted_batches"] == 3  # batches 2,3,4
+    assert _rows(read_batch_log(spark, log)) == all_rows
+    assert len(glob.glob(os.path.join(log, "batch_*"))) == 1  # batch_5
+    assert len(glob.glob(os.path.join(log, "gen_*"))) == 1
+
+
+def test_watermark_only_moves_forward(spark, tmp_path):
+    log = str(tmp_path / "log")
+    for b in range(3):
+        _write_batch(spark, log, b, [b])
+    compact_batch_log(spark, log, 2)
+    with pytest.raises(ValueError, match="only move forward"):
+        compact_batch_log(spark, log, 1)
+
+
+def test_forward_watermark_with_nothing_to_fold_still_advances(spark, tmp_path):
+    """Advancing the watermark past batches that never existed must
+    still record it, so a late replay in the skipped range is ignored."""
+    log = str(tmp_path / "log")
+    _write_batch(spark, log, 0, [0])
+    compact_batch_log(spark, log, 0)
+    res = compact_batch_log(spark, log, 10)  # nothing in (0, 10]
+    assert res["compacted_batches"] == 0
+    before = _rows(read_batch_log(spark, log))
+    _write_batch(spark, log, 7, [99])  # late replay inside skipped range
+    assert _rows(read_batch_log(spark, log)) == before
+
+
+def test_gate_dup_log_compaction_end_to_end(spark, tmp_path):
+    """DedupGateSink.compact_dup_log: the log reads identically before
+    and after, and a replay of a compacted batch converges instead of
+    doubling."""
+    from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+    gate = DedupGateSink(
+        spark, str(tmp_path / "st"), str(tmp_path / "dups"),
+        "doc_id", "text", threshold=0.5, n_partitions=4,
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    gate(docs, 0)
+    dup_b1 = docs.filter("doc_id = 2").withColumn("doc_id", F.lit(100))
+    dup_b2 = docs.filter("doc_id = 3").withColumn("doc_id", F.lit(200))
+    gate(dup_b1, 1)
+    gate(dup_b2, 2)
+    before = sorted(
+        (r["doc"], r["dup_of"], r["__batch_id"])
+        for r in gate.dup_log().collect()
+    )
+    res = gate.compact_dup_log(1)
+    assert res["compacted_batches"] >= 1
+    after = sorted(
+        (r["doc"], r["dup_of"], r["__batch_id"])
+        for r in gate.dup_log().collect()
+    )
+    assert after == before
+    gate(dup_b1, 1)  # replay of the compacted batch id
+    assert sorted(
+        (r["doc"], r["dup_of"], r["__batch_id"])
+        for r in gate.dup_log().collect()
+    ) == before
+
+
+def test_decontam_gate_compacts_both_logs(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.decontam import (
+        DecontamGate,
+        EvalGramIndexSink,
+    )
+
+    idx = EvalGramIndexSink(
+        spark, str(tmp_path / "eval"), "doc_id", "text", k=3, n_partitions=4
+    )
+    idx(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    gate = DecontamGate(
+        idx, str(tmp_path / "acc"), str(tmp_path / "quar"), min_hits=1
+    )
+    clean = spark.createDataFrame(
+        [(10, "completely unrelated words nowhere near the benchmark")],
+        "doc_id long, text string",
+    )
+    dirty = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog verbatim")],
+        "doc_id long, text string",
+    )
+    gate(clean, 0)
+    gate(dirty, 1)
+    gate(clean.withColumn("doc_id", F.lit(12).cast("long")), 2)
+    acc_before = sorted(r["doc_id"] for r in gate.accepted().collect())
+    quar_before = sorted(r["doc_id"] for r in gate.quarantine_log().collect())
+    res = gate.compact_logs(1)
+    assert res["accepted"]["compacted_batches"] == 2
+    assert res["quarantine"]["compacted_batches"] == 1
+    assert sorted(r["doc_id"] for r in gate.accepted().collect()) == acc_before
+    assert (
+        sorted(r["doc_id"] for r in gate.quarantine_log().collect())
+        == quar_before
+    )

@@ -302,14 +302,33 @@ def main() -> None:
             "healthy": py_single < 0.8 and jvm_parallel < 1.5,
         }
 
+    # r8 verdict #7: the two gate contracts anchor the top of the bench
+    # table — publish their per-phase wall decomposition as structured
+    # fields so a future regression names its phase without a profiling
+    # session. The gates record phases on every batch (streaming/phases);
+    # the snapshot kept is the one from the FASTEST run of each query.
+    from sqlserver_pg_cdc_spark.streaming import phases as _phases
+
+    _GATE_CLS = {"text_dedup_gate": "DedupGateSink",
+                 "embedding_gate": "AnnGateSink"}
+    gate_phase_best: dict[str, tuple[float, dict]] = {}
+
     def _run_one(name, spec) -> float:
+        gcls = _GATE_CLS.get(name)
+        if gcls:
+            _phases.reset(gcls)
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         if name in _COLLECT:
             df.collect()
         else:
             df.count()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        if gcls:
+            cur = gate_phase_best.get(name)
+            if cur is None or dt < cur[0]:
+                gate_phase_best[name] = (dt, _phases.snapshot(gcls))
+        return dt
 
     probe_before = _probe()
     # Per query: best-of-2 back-to-back, cache cleared between DIFFERENT
@@ -472,12 +491,32 @@ def main() -> None:
     # the r7 1.33/3.08 s spread was a host-throttle window plus
     # first-invocation codegen warmup, not plan nondeterminism. This
     # triple makes each round's stability visible in the record.
+    # r8 item #5 tightened the bar to <=1.3x spread: (a) one UNTIMED
+    # warmup immediately before the triple (the timed loop's runs are
+    # ~100 queries back — their JIT/codegen state has been evicted by
+    # everything in between), and (b) per-run Spark JOB COUNTS recorded
+    # via job groups, proving the three runs execute identical work so
+    # any residual spread is attributable to the host, not the plan.
     tri: list[float] = []
+    tri_jobs: list[int] = []
     spec = catalog.get("dedup_incremental")
     if spec is not None:
-        for _ in range(3):
+        spark.catalog.clearCache()
+        try:
+            _run_one("dedup_incremental", spec)  # untimed warmup
+        except Exception:
+            pass
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        for i in range(3):
             spark.catalog.clearCache()
-            tri.append(_run_one("dedup_incremental", spec))
+            group = f"dedup_tri_{i}"
+            sc.setJobGroup(group, "dedup_incremental stability triple")
+            try:
+                tri.append(_run_one("dedup_incremental", spec))
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            tri_jobs.append(len(tracker.getJobIdsForGroup(group)))
 
     out = {
         "metric": "workload_total_wall",
@@ -493,6 +532,11 @@ def main() -> None:
         "cdc_state_verified": True,  # _assert_state_matches raised otherwise
         "remeasured": remeasured,
         "dedup_incremental_triple": tri,
+        "dedup_incremental_triple_jobs": tri_jobs,
+        "gate_phase_s": {
+            name: dict(t_best, total_s=total)
+            for name, (total, t_best) in sorted(gate_phase_best.items())
+        },
         "first_pass_total": round(sum(first_pass.values()), 3),
         "host_probe_before": probe_before,
         "host_probe_after": probe_after,

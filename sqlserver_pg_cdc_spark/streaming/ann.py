@@ -977,7 +977,11 @@ class AnnGateSink(AnnIndexSink):
         # and the index upsert all read from it; localCheckpoint'd so
         # the ~6 downstream actions plan over a LogicalRDD instead of
         # re-canonicalizing the literal-heavy banding tree
+        from sqlserver_pg_cdc_spark.streaming import phases as _phases
+
+        rec = _phases.PhaseRecorder()
         proj = self._project(batch_df, batch_id).localCheckpoint()
+        rec.mark("projection")
         cands = cross = pairs = None
         try:
             passthrough = None
@@ -1049,6 +1053,7 @@ class AnnGateSink(AnnIndexSink):
                         F.lit("corpus").alias("kind"),
                     )
                 )
+            rec.mark("probe")
             corpus_dup_docs = dup_frames[0].select("doc") if dup_frames else None
             remaining = live
             rem_bands, rem_vec = live_bands, a_vec
@@ -1091,6 +1096,7 @@ class AnnGateSink(AnnIndexSink):
             )
             pairs.count()
             comps = dup_components(pairs)
+            rec.mark("cluster")
             losers = comps.filter(~F.col("keep")).select(
                 F.col("doc"), F.col("component").alias("dup_of")
             )
@@ -1126,12 +1132,15 @@ class AnnGateSink(AnnIndexSink):
                 .write.mode("overwrite")
                 .parquet(self._dup_batch_dir(batch_id))
             )
+            rec.mark("log")
             # 3) index the survivors (plus CDC deletes, which bypass)
             survivors = remaining.join(losers.select("doc"), "doc", "left_anti")
             if passthrough is not None:
                 survivors = survivors.unionByName(passthrough)
             self._upsert_projected(survivors, batch_id)
+            rec.mark("upsert")
         finally:
+            _phases.record("AnnGateSink", rec.ph)
             # unpersist EVERY persisted block even when the batch
             # fails mid-gate (e.g. a DLQ'd write) — otherwise the
             # blocks leak in executor storage (r8 ADVICE)

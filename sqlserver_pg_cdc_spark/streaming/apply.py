@@ -448,6 +448,23 @@ class HashPartitionedStateMixin:
                     f"this sink uses {self.n_partitions} — reopening with a "
                     "different partition count would mis-assign keys"
                 )
+            # schema-stamp integrity (r8 verdict #8): a marker carrying a
+            # schema whose sha256 does not cover it was hand-edited or
+            # corrupted — refuse adoption instead of letting operators
+            # trust a stamp that no write produced. Markers stamped
+            # before the hash existed (no schema_sha256 field) pass and
+            # are upgraded by the next write's _stamp_schema.
+            if "schema_sha256" in meta and meta["schema_sha256"] != (
+                self._schema_sha(
+                    meta.get("schema", {}), meta.get("schema_version", 0)
+                )
+            ):
+                raise ValueError(
+                    f"layout marker at {self.target_dir} carries a schema "
+                    "stamp whose hash does not match its contents — the "
+                    "marker was tampered with or corrupted; restore it "
+                    "from the part footers (mergeSchema read) or rebuild"
+                )
             return
         loose = [
             n
@@ -629,7 +646,7 @@ class HashPartitionedStateMixin:
         if os.path.exists(old_marker):
             with open(old_marker) as f:
                 prev_meta = json.load(f)
-            for k in ("schema", "schema_version"):
+            for k in ("schema", "schema_version", "schema_sha256"):
                 if k in prev_meta:
                     marker_meta[k] = prev_meta[k]
         os.makedirs(new_dir, exist_ok=True)
@@ -712,12 +729,27 @@ class HashPartitionedStateMixin:
             for d in news + olds:
                 shutil.rmtree(d, ignore_errors=True)
 
+    @staticmethod
+    def _schema_sha(ddl: dict, version: int) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps(
+            {"schema": ddl, "schema_version": int(version)}, sort_keys=True
+        ).encode()
+        return hashlib.sha256(blob).hexdigest()
+
     def _stamp_schema(self, df: DataFrame) -> None:
-        """Record the ACTIVE (post-evolution) schema in __layout.json so
-        operators and humans can see what shape the state is in without
-        opening parquet footers; updated whenever a batch evolves it.
-        The part footers stay authoritative for reads (mergeSchema) —
-        the stamp is observability + a version trail, not a gate."""
+        """Record the ACTIVE (post-evolution) schema in __layout.json —
+        stamped on create and re-stamped on every evolution event, with
+        a version counter and a sha256 over (schema, version). The part
+        footers stay authoritative for reads (mergeSchema); the stamp
+        gives operators the state's shape without opening footers, AND
+        is a guarded identity: ``_check_layout`` refuses a marker whose
+        hash does not match its recorded schema (a tampered or
+        hand-edited stamp fails fast instead of misleading whoever
+        trusts it) — the same params-guard discipline the index sinks
+        apply to their LSH/centroid/codebook files."""
         import json
 
         marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
@@ -726,10 +758,11 @@ class HashPartitionedStateMixin:
         ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("schema") == ddl:
+        if meta.get("schema") == ddl and "schema_sha256" in meta:
             return
         meta["schema"] = ddl
         meta["schema_version"] = int(meta.get("schema_version", 0)) + 1
+        meta["schema_sha256"] = self._schema_sha(ddl, meta["schema_version"])
         tmp = f"{marker}.tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(meta, f)

@@ -291,3 +291,125 @@ class DecontamGate:
         original columns + (n_grams, n_eval_hits, contam_frac,
         __batch_id)."""
         return self._read_gens(self.quarantine_dir)
+
+
+class SemanticDecontamGate:
+    """foreachBatch callable gating a corpus EMBEDDING stream against a
+    live eval-set embedding index — the streaming shape of the batch
+    ``semantic_decontam`` query (n-gram overlap misses paraphrases; this
+    catches anything whose cosine to a live eval vector clears the
+    threshold).
+
+    Composition of existing pieces, per the gate discipline: the eval
+    set is an `streaming/ann.AnnIndexSink` maintained from a CDC stream
+    (registrations upsert, retirements ride soft deletes under the LSN
+    guard — a retired benchmark stops contaminating, value-checked by
+    the ``semantic_decontam_gate`` catalog oracle); each corpus batch is
+    probed through ``eval_index.near_dups`` (banded hyperplane LSH
+    candidates + exact-cosine verify on collisions only — work ∝ batch +
+    collisions, never batch × eval). Contaminated docs land in
+    ``quarantine_dir/batch_<id>`` WITH evidence (n_eval_hits,
+    max_cosine), clean docs in ``accepted_dir/batch_<id>`` —
+    overwrite-by-batch-id keeps both sides exactly-once under replay,
+    and ``compact_logs`` applies the standard retention fold.
+
+    The corpus stream must carry the same id/vector column names the
+    eval index was built with (one CDC pipeline feeding both is the
+    normal deployment). Rows with a NULL vector cannot be contaminated
+    and pass straight to accepted. An empty eval index accepts
+    everything — nothing to be contaminated BY.
+
+    Reference analog: the reference applies each change batch against
+    persisted incremental state before accepting it
+    (src/reconciliation/incremental/state.py:112-164)."""
+
+    def __init__(
+        self,
+        eval_index,
+        accepted_dir: str,
+        quarantine_dir: str,
+        threshold: float = 0.9,
+    ):
+        self.eval_index = eval_index
+        self.accepted_dir = accepted_dir
+        self.quarantine_dir = quarantine_dir
+        self.threshold = threshold
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.eval_index.spark
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        id_col = self.eval_index.id_col
+        pairs = self.eval_index.near_dups(batch_df, self.threshold)
+        if pairs is None:
+            accepted = batch_df
+        else:
+            report = (
+                pairs.groupBy(F.col("a").alias(id_col))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+                    F.max("cosine").alias("max_cosine"),
+                )
+                .persist()
+            )
+            try:
+                quarantined = batch_df.join(report, id_col)
+                accepted = batch_df.join(
+                    report.select(id_col), id_col, "left_anti"
+                )
+                os.makedirs(self.quarantine_dir, exist_ok=True)
+                (
+                    quarantined.withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(
+                        self.quarantine_dir, f"batch_{int(batch_id)}"
+                    ))
+                )
+                os.makedirs(self.accepted_dir, exist_ok=True)
+                (
+                    accepted.withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(
+                        self.accepted_dir, f"batch_{int(batch_id)}"
+                    ))
+                )
+            finally:
+                report.unpersist()
+            return
+        os.makedirs(self.accepted_dir, exist_ok=True)
+        (
+            accepted.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.accepted_dir, f"batch_{int(batch_id)}"))
+        )
+
+    def _read_gens(self, base: str) -> DataFrame | None:
+        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+        return read_batch_log(self.spark, base)
+
+    def accepted(self) -> DataFrame | None:
+        return self._read_gens(self.accepted_dir)
+
+    def quarantine_log(self) -> DataFrame | None:
+        """Every quarantined doc with its evidence: original columns +
+        (n_eval_hits, max_cosine, __batch_id)."""
+        return self._read_gens(self.quarantine_dir)
+
+    def compact_logs(self, watermark_batch_id: int) -> dict:
+        """Same retention contract as `DecontamGate.compact_logs`."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        return {
+            "accepted": compact_batch_log(
+                self.spark, self.accepted_dir, watermark_batch_id
+            ),
+            "quarantine": compact_batch_log(
+                self.spark, self.quarantine_dir, watermark_batch_id
+            ),
+        }

@@ -474,7 +474,11 @@ class DedupGateSink(MinhashIndexSink):
         # of driver CPU per action, independent of data size); blocks
         # are batch-sized and a Structured Streaming replay re-drives
         # the whole batch anyway, so the non-replayable lineage is moot
+        from sqlserver_pg_cdc_spark.streaming import phases as _phases
+
+        rec = _phases.PhaseRecorder()
         proj = self._project(batch_df, batch_id).localCheckpoint()
+        rec.mark("projection")
         cross = pairs = None
         try:
             passthrough = None
@@ -489,6 +493,7 @@ class DedupGateSink(MinhashIndexSink):
             # 1) cross-corpus rejects: best match per doc (max jaccard,
             # tie -> smallest indexed id) — deterministic dup_of
             cross = self._near_dups_core(nsh, live_bands, self.threshold)
+            rec.mark("probe")
             dup_frames = []
             if cross is not None:
                 # row_number over (jaccard DESC, b ASC), not a negated-id
@@ -556,6 +561,7 @@ class DedupGateSink(MinhashIndexSink):
             )
             pairs.count()
             comps = dup_components(pairs)
+            rec.mark("cluster")
             losers = comps.filter(~F.col("keep")).select(
                 F.col("doc"), F.col("component").alias("dup_of")
             )
@@ -596,6 +602,7 @@ class DedupGateSink(MinhashIndexSink):
                 .write.mode("overwrite")
                 .parquet(self._dup_batch_dir(batch_id))
             )
+            rec.mark("log")
             # 3) index the survivors (plus CDC deletes, which bypass) —
             # rows are already in the stored shape; no re-projection
             survivors = remaining.join(
@@ -604,7 +611,9 @@ class DedupGateSink(MinhashIndexSink):
             if passthrough is not None:
                 survivors = survivors.unionByName(passthrough)
             self._upsert_projected(survivors, batch_id)
+            rec.mark("upsert")
         finally:
+            _phases.record("DedupGateSink", rec.ph)
             # unpersist EVERY persisted block even when the batch fails
             # mid-gate (e.g. a DLQ'd write) — otherwise the blocks leak
             # in executor storage (r8 ADVICE)

@@ -3778,6 +3778,84 @@ GROUP BY a
 """
 
 
+def q_semantic_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic decontamination
+    (`streaming/decontam.SemanticDecontamGate`): the eval set is a
+    CHANGE STREAM of embeddings — one batch registers benchmark vectors,
+    a second RETIRES half of them (CDC soft deletes through the
+    LSN-guarded `AnnIndexSink`) — and a corpus embedding batch is gated
+    against the LIVE eval index (banded hyperplane LSH + exact-cosine
+    verify on collisions only). Planted leaks: copies of BOTH live and
+    retired eval vectors hide in the corpus under fresh ids — the oracle
+    recomputes the report relationally against the post-delete eval set,
+    so retirement semantics (retired benchmarks stop contaminating) are
+    value-checked, not just row-counted."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+    from sqlserver_pg_cdc_spark.streaming.decontam import SemanticDecontamGate
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = _ann_streamed_workdir(sf_dir)
+    idx = AnnIndexSink(
+        spark, _os.path.join(work, "sem_eval"), "vec_id", "embedding",
+        lsn_col="lsn", n_partitions=4, deleted_col="__deleted",
+    )
+    ev0 = emb.filter("vec_id % 20 = 0").select(
+        "vec_id", "embedding",
+        F.lit(1).cast("long").alias("lsn"), F.lit("false").alias("__deleted"),
+    )
+    ev1 = emb.filter("vec_id % 40 = 0").select(
+        "vec_id",
+        # NULL before-image in the STORED element type (array<float>) —
+        # a double-typed NULL would read as a type evolution at the sink
+        F.lit(None).cast(dict(emb.dtypes)["embedding"]).alias("embedding"),
+        F.lit(2).cast("long").alias("lsn"), F.lit("true").alias("__deleted"),
+    )
+    idx(ev0, 0)
+    idx(ev1, 1)
+    gate = SemanticDecontamGate(
+        idx, _os.path.join(work, "sem_acc"), _os.path.join(work, "sem_quar"),
+        threshold=0.9,
+    )
+    leaked = emb.filter("vec_id % 20 = 0 AND vec_id < 400").select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter("vec_id % 20 <> 0 AND vec_id % 3 = 0").unionByName(
+        leaked
+    )
+    gate(corpus, 0)
+    log = gate.quarantine_log()
+    if log is None:
+        return spark.createDataFrame(
+            [], "vec_id long, n_eval_hits long, max_cosine double"
+        )
+    return log.select("vec_id", "n_eval_hits", "max_cosine")
+
+
+def _semantic_decontam_gate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    pairs = DD.embedding_incremental_near_dup_sql(
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 20 <> 0 AND vec_id % 3 = 0 "
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings "
+        "WHERE vec_id % 20 = 0 AND vec_id < 400",
+        # the POST-DELETE eval set: registered minus retired
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 20 = 0 AND vec_id % 40 <> 0",
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+    )
+    return f"""
+SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cosine) AS max_cosine
+FROM ({pairs})
+GROUP BY a
+"""
+
+
 def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant entity matching between two systems: the target
     copy of customer has every 23rd name corrupted by one substitution;
@@ -5593,6 +5671,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["semantic_decontam"] = QuerySpec(
         q_semantic_decontam, _semantic_decontam_sql()
     )
+    catalog["semantic_decontam_gate"] = QuerySpec(
+        q_semantic_decontam_gate, _semantic_decontam_gate_sql()
+    )
     catalog["order_lines_array"] = QuerySpec(
         q_order_lines_array, _Q_ORDER_LINES_ARRAY_SQL
     )
@@ -5666,72 +5747,69 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 
 
 # The driver's correctness gate evaluates only the FIRST 50 catalog entries.
-# Round-8 ordering (longest-unsampled-first rotation): new/changed contracts
-# lead (3 new queries + the 4 partsupp rewrites + the 2 dedup queries whose
-# implementation changed), then ALL queries whose last driver row is round 5
-# (the oldest evidence — fixtures regenerate per round), then the oldest 8
-# of the round-6 cohort. Everything behind the window stays locally verified
-# by scripts/verify_local.py, which runs ALL entries with the driver-faithful
+# Round-9 ordering (longest-unsampled-first rotation): new/changed contracts
+# lead (the new streaming semantic-decontamination gate, plus the five
+# queries whose implementation changed this round: deterministic gate
+# tie-breaks, the compacted batch-log read path, and the key down-cast
+# guard in the partitioned upsert write path), then the ENTIRE round-6
+# cohort — 44 queries whose last driver row would otherwise be three
+# rounds old. Everything behind the window stays locally verified by
+# scripts/verify_local.py, which runs ALL entries with the driver-faithful
 # comparator.
 _DRIVER_WINDOW_FIRST = [
-    # NEW contracts this round
-    "cdc_schema_evolution",  # NEW: additive sink evolution, 2-shape ingest
-    "text_dedup_streamed_index",  # NEW: streaming-maintained MinHash index
-    "text_dedup_gate",  # NEW: ingest-time dedup gate over the streamed index
-    "ann_topk_pq",  # NEW: product-quantized ADC search + exact re-rank
-    "ann_topk_pq_streamed",  # NEW: same contract over the streamed PQ index
-    "decontam_gate",  # NEW: streaming decontamination gate, CDC eval set
-    "embedding_gate",  # NEW: ingest-time embedding near-dup gate
-    "scd2_time_travel_partitioned",  # NEW: partitioned SCD2 history contract
-    "ann_topk_ivf_streamed",  # NEW: streamed IVF contract (last of the four)
-    # behavior CHANGED this round: faithful partsupp relation (Q2/Q11/Q16/Q20)
-    "cheapest_supplier_per_part",
-    "supplier_part_variety",
-    "promo_part_suppliers",
-    "important_part_value",
-    # implementation CHANGED: driver fast path in the incremental fold +
-    # corpus-shingle sharing in the incremental probe
-    "dedup_components_incremental",
-    "dedup_incremental",
-    # last driver row: round 5 (the oldest cohort — all remaining 33)
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "corpus_boilerplate",
-    "corpus_repetition",
-    "customer_order_distribution",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_select_canonical",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunks",
-    "dominant_part_suppliers",
-    "event_attribution",
-    "event_funnel",
-    "heavy_hitter_tokens",
-    "latest_per_key_skewed",
-    "nation_market_share",
-    "order_lines_array",
-    "pack_sequences",
-    "pack_stats",
-    "part_pair_cooccurrence",
-    "pii_scan_segments",
-    "price_histogram",
-    "product_type_profit",
-    "returned_item_revenue",
-    "sample_weighted_docs",
-    "segment_dedup",
-    "text_analysis",
-    "top_supplier_revenue",
-    "training_order",
-    "vocab_topk",
-    # last driver row: round 6 (oldest 2 of that cohort; the checksum
-    # family rotated behind the window to make room for the seven new
-    # gate/PQ/IVF/partitioned-SCD2 contracts)
-    "ann_topk_cosine",
-    "asof_latest_order",
+    # NEW contract this round
+    "semantic_decontam_gate",  # NEW: streaming semantic decontamination
+    # implementation CHANGED this round
+    "text_dedup_gate",  # tie-break row_number + compacted dup-log read
+    "embedding_gate",  # same two changes on the vector gate
+    "decontam_gate",  # batch-log read path now compaction-aware
+    "text_dedup_streamed_index",  # probe path: rescale-heal + key guard
+    "cdc_schema_evolution",  # upsert write path: value-level key guard
+    # last driver row: round 6 (the ENTIRE cohort — oldest evidence)
+    "cdc_active_rows",
+    "checksum_customer",
+    "checksum_events",
+    "checksum_incremental_events",
+    "checksum_lineitem",
+    "checksum_ordered_orders",
+    "checksum_orders",
+    "corpus_mix",
+    "corpus_mix_rate",
+    "corpus_select",
+    "customer_order_outer",
+    "customer_order_ranks",
+    "decontaminate",
+    "diff_orders",
+    "diff_summary_severity",
+    "duplicate_spans",
+    "embedding_incremental",
+    "embedding_near_dup",
+    "events_daily_revenue",
+    "events_sliding",
+    "events_windowed",
+    "forecast_revenue_change",
+    "local_supplier_volume",
+    "multimodal_adpcm_frames",
+    "multimodal_audio_frames",
+    "multimodal_binary_features",
+    "multimodal_flac_frames",
+    "multimodal_gif_decode",
+    "multimodal_image_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "pricing_pivot",
+    "pricing_rollup",
+    "pricing_summary",
+    "profile_customer",
+    "quality_checks",
+    "rich_inactive_customers",
+    "sample_events",
+    "sample_stratified_orders",
+    "scalar_function_showcase",
+    "scd2_time_travel",
+    "shipping_priority",
+    "small_quantity_revenue",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

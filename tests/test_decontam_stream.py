@@ -108,3 +108,135 @@ def test_param_mismatch_fails_fast(spark, tmp_path):
     sink(_docs(spark, [(1, " ".join(WORDS))]), 0)
     with pytest.raises(ValueError, match="gram width"):
         _eval_sink(spark, tmp_path, k=5).grams()
+
+
+# --- SemanticDecontamGate ----------------------------------------------------
+
+
+def _svecs(spark, ids, dim=8):
+    rows = [
+        (i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(dim)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _sem_setup(spark, tmp_path, threshold=0.999):
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+    from sqlserver_pg_cdc_spark.streaming.decontam import SemanticDecontamGate
+
+    idx = AnnIndexSink(
+        spark, str(tmp_path / "sem_eval"), "vec_id", "embedding",
+        lsn_col="lsn", bands=4, planes_per_band=8, dim=8,
+        n_partitions=4, deleted_col="__deleted",
+    )
+    gate = SemanticDecontamGate(
+        idx, str(tmp_path / "sem_acc"), str(tmp_path / "sem_quar"),
+        threshold=threshold,
+    )
+    return idx, gate
+
+
+def _batch_semantic(spark, corpus, eval_live, threshold):
+    """Independent batch-path recomputation: index built from the raw
+    eval frame, probe through the batch operators."""
+    from sqlserver_pg_cdc_spark.operators import dedup as DD
+
+    index = DD.embedding_band_index(
+        eval_live, "vec_id", "embedding", bands=4, planes_per_band=8, dim=8
+    )
+    pairs = DD.embedding_incremental_near_dup(
+        corpus, eval_live, index, "vec_id", "embedding",
+        threshold=threshold, bands=4, planes_per_band=8, dim=8,
+    )
+    return {r["a"] for r in pairs.select("a").distinct().collect()}
+
+
+def test_semantic_gate_streamed_equals_batch(spark, tmp_path):
+    """The streamed gate's quarantine set equals the batch semantic
+    decontamination recomputed against the same eval set."""
+    idx, gate = _sem_setup(spark, tmp_path)
+    ev = _svecs(spark, range(10)).selectExpr(
+        "vec_id", "embedding", "CAST(1 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    idx(ev, 0)
+    leaked = _svecs(spark, range(5)).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    corpus = leaked.unionByName(_svecs(spark, range(100, 110)))
+    gate(corpus, 0)
+    want = _batch_semantic(spark, corpus, _svecs(spark, range(10)), 0.999)
+    quar = gate.quarantine_log()
+    got = set() if quar is None else {r["vec_id"] for r in quar.collect()}
+    assert got == want
+    assert {1000 + i for i in range(5)} <= got  # the planted leaks
+    # accepted + quarantined partition the batch exactly
+    acc = {r["vec_id"] for r in gate.accepted().collect()}
+    assert acc | got == {r["vec_id"] for r in corpus.collect()}
+    assert acc & got == set()
+    # evidence columns present
+    if quar is not None:
+        row = quar.filter("vec_id = 1000").collect()[0]
+        assert row["n_eval_hits"] >= 1 and row["max_cosine"] >= 0.999
+
+
+def test_semantic_gate_eval_retirement_stops_contaminating(spark, tmp_path):
+    """A retired (CDC soft-deleted) eval vector stops quarantining its
+    copies — parity with the batch path on the post-delete eval set."""
+    idx, gate = _sem_setup(spark, tmp_path)
+    ev = _svecs(spark, range(10)).selectExpr(
+        "vec_id", "embedding", "CAST(1 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    idx(ev, 0)
+    dels = spark.createDataFrame(
+        [(i, None, 2, "true") for i in range(3)],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    idx(dels, 1)
+    copies = _svecs(spark, range(5)).withColumn(
+        "vec_id", F.col("vec_id") + 2000
+    )
+    gate(copies, 0)
+    want = _batch_semantic(
+        spark, copies, _svecs(spark, range(3, 10)), 0.999
+    )
+    quar = gate.quarantine_log()
+    got = set() if quar is None else {r["vec_id"] for r in quar.collect()}
+    assert got == want
+    assert {2003, 2004} <= got          # copies of LIVE eval vectors
+    assert not ({2000, 2001, 2002} & got)  # copies of RETIRED ones pass
+
+
+def test_semantic_gate_replay_and_compaction(spark, tmp_path):
+    idx, gate = _sem_setup(spark, tmp_path)
+    ev = _svecs(spark, range(6)).selectExpr(
+        "vec_id", "embedding", "CAST(1 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    idx(ev, 0)
+    b0 = _svecs(spark, [0]).withColumn("vec_id", F.lit(500).cast("long"))
+    b1 = _svecs(spark, [1]).withColumn("vec_id", F.lit(600).cast("long"))
+    gate(b0, 0)
+    gate(b1, 1)
+    before = sorted(
+        (r["vec_id"], r["__batch_id"]) for r in gate.quarantine_log().collect()
+    )
+    gate(b0, 0)  # replay rewrites its own generation
+    assert sorted(
+        (r["vec_id"], r["__batch_id"]) for r in gate.quarantine_log().collect()
+    ) == before
+    res = gate.compact_logs(0)
+    assert res["quarantine"]["compacted_batches"] == 1
+    assert sorted(
+        (r["vec_id"], r["__batch_id"]) for r in gate.quarantine_log().collect()
+    ) == before
+
+
+def test_semantic_gate_empty_eval_accepts_everything(spark, tmp_path):
+    idx, gate = _sem_setup(spark, tmp_path)
+    corpus = _svecs(spark, range(5))
+    gate(corpus, 0)
+    assert gate.quarantine_log() is None
+    assert {r["vec_id"] for r in gate.accepted().collect()} == set(range(5))

@@ -89,6 +89,49 @@ def test_partitioned_upsert_additive_evolution(spark, tmp_path):
     assert meta["schema_version"] >= 1
 
 
+def test_schema_stamp_hash_guard(spark, tmp_path):
+    """r8 verdict #8: the layout marker's schema stamp is a guarded
+    identity — every stamp carries a sha256 over (schema, version); an
+    evolved state reopened by a fresh sink validates, and a tampered
+    marker fails fast at open."""
+    import json
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "g"), ["id"], n_partitions=4
+    )
+    sink(_b(spark, [(i, f"n{i}", 1) for i in range(10)], OLD), 0)
+    sink(_b(spark, [(3, "n3e", "e3@x.com", 2)], NEW), 1)  # evolution event
+    marker = str(tmp_path / "g" / "__layout.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    assert meta["schema_sha256"] == PartitionedParquetUpsertSink._schema_sha(
+        meta["schema"], meta["schema_version"]
+    )
+    # a fresh sink adopting the evolved state validates cleanly
+    fresh = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "g"), ["id"], n_partitions=4
+    )
+    assert fresh.read_target().count() == 10
+    # rescale carries the stamp (and its hash) into the new layout
+    fresh.rescale(8)
+    with open(marker) as f:
+        meta2 = json.load(f)
+    assert meta2["schema_sha256"] == meta["schema_sha256"]
+    assert fresh.read_target().count() == 10
+    # tampering the schema without re-hashing fails fast at open
+    meta2["schema"]["email"] = "int"
+    with open(marker, "w") as f:
+        json.dump(meta2, f)
+    with pytest.raises(ValueError, match="tampered"):
+        PartitionedParquetUpsertSink(
+            spark, str(tmp_path / "g"), ["id"], n_partitions=8
+        ).read_target()
+
+
 def test_partitioned_upsert_type_change_goes_to_dlq(spark, tmp_path):
     from sqlserver_pg_cdc_spark.streaming.apply import (
         PartitionedParquetUpsertSink,

@@ -201,18 +201,41 @@ def create_parser() -> argparse.ArgumentParser:
     ann.add_argument("--bands", type=int, default=8)
     ann.add_argument("--planes-per-band", type=int, default=10)
     ann.add_argument("--dim", type=int, default=64)
-    ann.add_argument("--mode", choices=("lsh", "ivf"), default="lsh",
+    ann.add_argument("--mode", choices=("lsh", "ivf", "pq"), default="lsh",
                      help="lsh: banded near-dup index (default); ivf: "
                           "cell-probed top-k index with per-epoch "
-                          "centroids stored in the state dir")
+                          "centroids stored in the state dir; pq: "
+                          "product-quantized ADC top-k with per-epoch "
+                          "codebooks stored in the state dir")
     ann.add_argument("--train-cells", type=int,
                      help="ivf first run: train this many k-means cells "
                           "on the --ingest batch and store them as the "
                           "state dir's epoch")
     ann.add_argument("--k", type=int, default=10,
-                     help="ivf: top-k per probe vector")
+                     help="ivf/pq: top-k per probe vector")
     ann.add_argument("--n-probe", type=int, default=2,
                      help="ivf: cells probed per query")
+    ann.add_argument("--train-codes", type=int,
+                     help="pq first run: train this many codewords per "
+                          "subspace on the --ingest batch and store the "
+                          "books as the state dir's epoch")
+    ann.add_argument("--m-sub", type=int, default=8,
+                     help="pq: subspaces (must divide --dim)")
+    ann.add_argument("--refine", type=int, default=32,
+                     help="pq: ADC candidates exact-re-ranked per query")
+    ann.add_argument("--capture-baseline", action="store_true",
+                     help="ivf/pq: record the current index-quality "
+                          "scalar as the epoch's training-time baseline "
+                          "(run once after the bootstrap ingest)")
+    ann.add_argument("--drift", type=float, nargs="?", const=0.05,
+                     default=None, metavar="TOL",
+                     help="ivf/pq: probe staleness vs the captured "
+                          "baseline; drifted when the mean fell by more "
+                          "than TOL (default 0.05)")
+    ann.add_argument("--rotate-to", metavar="NEW_DIR",
+                     help="ivf/pq: retrain on the streamed vectors and "
+                          "bulk-load state into a NEW epoch dir (LSNs "
+                          "preserved); consumers generation-swap")
     gate = sub.add_parser(
         "gate",
         help="ingest-time dedup gate: probe a batch against the standing "
@@ -224,8 +247,9 @@ def create_parser() -> argparse.ArgumentParser:
                       help="standing index (created on first batch)")
     gate.add_argument("--dups-dir", required=True,
                       help="dup-log root (one generation per batch id)")
-    gate.add_argument("--ingest", required=True,
-                      help="parquet batch to gate and (partially) index")
+    gate.add_argument("--ingest",
+                      help="parquet batch to gate and (partially) index "
+                           "(required unless --compact-dups)")
     gate.add_argument("--id-col", default=None,
                       help="default: doc_id (text) / vec_id (embedding)")
     gate.add_argument("--content-col", default=None,
@@ -252,6 +276,11 @@ def create_parser() -> argparse.ArgumentParser:
                       help="embedding mode: vector dimension (default 64; "
                            "MUST match the data — it sizes the "
                            "hyperplanes baked into the stored band keys)")
+    gate.add_argument("--compact-dups", type=int, default=None, metavar="WM",
+                      help="instead of gating a batch: fold dup-log "
+                           "generations with batch id <= WM into one "
+                           "compacted generation (WM must be past the "
+                           "stream's replay horizon; run quiesced)")
 
     state = sub.add_parser(
         "state",
@@ -792,6 +821,8 @@ def cmd_ann(args) -> int:
     spark = get_spark("ann-cli")
     if args.mode == "ivf":
         return _cmd_ann_ivf(spark, args)
+    if args.mode == "pq":
+        return _cmd_ann_pq(spark, args)
     sink = AnnIndexSink(
         spark, args.state_dir, args.id_col, args.vec_col,
         bands=args.bands, planes_per_band=args.planes_per_band,
@@ -871,11 +902,107 @@ def _cmd_ann_ivf(spark, args) -> int:
         "indexed_vectors": a.count() if a is not None else 0,
         "n_cells": cents.count(),
     }
+    if args.capture_baseline:
+        result["baseline_mean_cos"] = sink.capture_baseline()
+    if args.drift is not None:
+        result["drift"] = sink.drift(tolerance=args.drift)
+    if args.rotate_to:
+        fresh = sink.rotate_epoch(args.rotate_to)
+        # persist the new epoch's centroids beside its state so a later
+        # `ann --mode ivf --state-dir NEW_DIR` reopen reloads the same
+        # cells the epoch guard was stamped with (doubles roundtrip
+        # parquet exactly)
+        fresh.centroids().write.mode("overwrite").parquet(
+            os.path.join(args.rotate_to, "__centroids.parquet")
+        )
+        fa = fresh.assigned()
+        result["rotated_to"] = args.rotate_to
+        result["new_epoch_vectors"] = fa.count() if fa is not None else 0
     if args.query:
         if not args.output:
             raise SystemExit("--query requires --output")
         topk = sink.topk(
             spark.read.parquet(args.query), k=args.k, n_probe=args.n_probe
+        )
+        if topk is None:
+            raise SystemExit("index is empty: ingest before querying")
+        topk.write.mode("overwrite").parquet(args.output)
+        result["topk_rows"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
+    return 0
+
+
+def _cmd_ann_pq(spark, args) -> int:
+    """PQ mode: codebooks live with the state as its epoch — trained
+    per-subspace from the first ingest (--train-codes) and reloaded on
+    every later open, so the PqIndexSink epoch guard always sees the
+    same books (json float roundtrip is repr-exact). Queries write
+    ADC top-k with exact re-rank; --capture-baseline/--drift/--rotate-to
+    run the codebook staleness discipline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.operators.similarity import train_pq_codebooks
+    from sqlserver_pg_cdc_spark.streaming.ann import PqIndexSink
+
+    bpath = os.path.join(args.state_dir, "__codebooks.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            books = json.load(f)
+    elif args.ingest and args.train_codes:
+        books = train_pq_codebooks(
+            spark.read.parquet(args.ingest), args.vec_col,
+            m_sub=args.m_sub, k_codes=args.train_codes,
+        )
+        if not books:
+            raise SystemExit("--ingest holds no non-NULL vectors to train on")
+        os.makedirs(args.state_dir, exist_ok=True)
+        with open(bpath, "w") as f:
+            json.dump([[list(cw) for cw in book] for book in books], f)
+        with open(bpath) as f:
+            books = json.load(f)  # reload: the floats the guard will see
+    else:
+        raise SystemExit(
+            "pq mode needs an existing epoch (state dir with "
+            "__codebooks.json) or --ingest with --train-codes"
+        )
+    sink = PqIndexSink(
+        spark, args.state_dir, args.id_col, args.vec_col, books,
+        n_partitions=args.partitions,
+    )
+    if args.ingest:
+        lsn = args.lsn
+        if lsn is None:
+            st = sink.read_target()
+            lsn = 0 if st is None else (
+                (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+            )
+        sink(spark.read.parquet(args.ingest), int(lsn))
+    codes = sink.codes()
+    result = {
+        "state_dir": args.state_dir,
+        "mode": "pq",
+        "indexed_vectors": codes.count() if codes is not None else 0,
+        "m_sub": len(books),
+        "k_codes": len(books[0]),
+    }
+    if args.capture_baseline:
+        result["baseline_mean_cos"] = sink.capture_baseline()
+    if args.drift is not None:
+        result["drift"] = sink.drift(tolerance=args.drift)
+    if args.rotate_to:
+        fresh = sink.rotate_epoch(args.rotate_to)
+        with open(os.path.join(args.rotate_to, "__codebooks.json"), "w") as f:
+            json.dump([[list(cw) for cw in book] for book in fresh.books], f)
+        fc = fresh.codes()
+        result["rotated_to"] = args.rotate_to
+        result["new_epoch_vectors"] = fc.count() if fc is not None else 0
+    if args.query:
+        if not args.output:
+            raise SystemExit("--query requires --output")
+        topk = sink.topk(
+            spark.read.parquet(args.query), k=args.k, refine=args.refine
         )
         if topk is None:
             raise SystemExit("index is empty: ingest before querying")
@@ -897,6 +1024,18 @@ def cmd_gate(args) -> int:
     from sqlserver_pg_cdc_spark.session import get_spark
 
     spark = get_spark("gate-cli")
+    if args.compact_dups is not None:
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        res = compact_batch_log(spark, args.dups_dir, args.compact_dups)
+        print(json.dumps({"dups_dir": args.dups_dir, **res}))
+        return 0
+    if not args.ingest:
+        print("gate: --ingest is required unless --compact-dups",
+              file=sys.stderr)
+        return 2
     common = dict(
         n_partitions=args.partitions,
         lsn_col=args.lsn_col,
@@ -930,7 +1069,23 @@ def cmd_gate(args) -> int:
 
     batch_id = args.batch_id
     if batch_id is None:
-        batch_id = len(glob.glob(os.path.join(args.dups_dir, "batch_*")))
+        # next UNUSED id, accounting for compaction: counting batch_*
+        # dirs alone would re-issue an id the compactor folded away,
+        # and readers ignore ids at/below the recorded watermark — the
+        # new batch's log rows would silently vanish
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            _batch_dirs,
+            _read_meta,
+        )
+
+        ids = []
+        wm = -1
+        if os.path.isdir(args.dups_dir):
+            ids = [b for b, _ in _batch_dirs(args.dups_dir)]
+            meta = _read_meta(args.dups_dir)
+            if meta is not None:
+                wm = int(meta["watermark_batch_id"])
+        batch_id = max(ids + [wm]) + 1 if (ids or wm >= 0) else 0
     gate(spark.read.parquet(args.ingest), int(batch_id))
     log = gate.dup_log()
     this_batch = (

@@ -766,6 +766,80 @@ def test_cli_ann_ivf_mode(tmp_path):
     assert top1[1017] == 17 and cos1[1017] > 0.9999
 
 
+def test_cli_ann_pq_mode_with_drift_and_rotation(tmp_path):
+    """`ann --mode pq`: first run trains the epoch's codebooks and
+    captures the baseline; a drift probe on the same distribution reads
+    healthy; `--rotate-to` retrains into a new epoch dir that reopens
+    cleanly (epoch guard sees the persisted books) and answers top-k."""
+    import json as _json
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def write_vecs(path, id_pairs):
+        vals = ", ".join(
+            f"({sid}, [{', '.join(str(float((src * 31 + j * 7) % 97) - 48.0) for j in range(8))}])"
+            for sid, src in id_pairs
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) AS t(vec_id, embedding)) "
+            f"TO '{path}' (FORMAT PARQUET)"
+        )
+
+    write_vecs(tmp_path / "a.parquet", [(i, i) for i in range(0, 24)])
+    write_vecs(tmp_path / "probe.parquet", [(1001, 1)])
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+        "--mode", "pq", "--state-dir", str(tmp_path / "pqstate"),
+        "--partitions", "8", "--m-sub", "4", "--k", "3", "--refine", "8",
+    ]
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "a.parquet"),
+                "--train-codes", "8", "--capture-baseline"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["indexed_vectors"] == 24
+    assert out1["m_sub"] == 4 and out1["k_codes"] == 8
+    assert out1["baseline_mean_cos"] is not None
+    # same-distribution reopen: epoch guard passes, drift healthy,
+    # top-k of an exact copy ranks its source first
+    r2 = subprocess.run(
+        base + ["--drift", "--query", str(tmp_path / "probe.parquet"),
+                "--output", str(tmp_path / "pqtopk")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["drift"]["drifted"] is False
+    rows = con.execute(
+        f"SELECT query_id, rank, id, cosine FROM '{tmp_path}/pqtopk/*.parquet'"
+    ).fetchall()
+    top1 = {q: (i, c) for q, rk, i, c in rows if rk == 1}
+    assert top1[1001][0] == 1 and top1[1001][1] > 0.9999
+    # rotation: new epoch dir reopens standalone and still answers
+    r3 = subprocess.run(
+        base + ["--rotate-to", str(tmp_path / "pqstate2")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    out3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert out3["new_epoch_vectors"] == 24
+    r4 = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+            "--mode", "pq", "--state-dir", str(tmp_path / "pqstate2"),
+            "--partitions", "8", "--k", "3", "--refine", "8",
+            "--query", str(tmp_path / "probe.parquet"),
+            "--output", str(tmp_path / "pqtopk2"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    rows2 = con.execute(
+        f"SELECT query_id, rank, id FROM '{tmp_path}/pqtopk2/*.parquet'"
+    ).fetchall()
+    assert {i for q, rk, i in rows2 if rk == 1} == {1}
+
+
 def test_cli_state_purge_and_rescale(tmp_path, spark):
     """`state --purge-watermark --rescale`: tombstones past the horizon
     drop, the layout re-hashes, and the surviving rows read back
@@ -860,6 +934,58 @@ def test_cli_gate_text_two_batches(tmp_path, spark):
     assert out1["batch_id"] == 1  # auto: one existing generation
     assert out1["rejected_this_batch"] == 1  # doc 10 duplicates doc 1
     assert out1["indexed_total"] == 3  # doc 11 accepted
+
+
+def test_cli_gate_compact_dups_and_batch_id_survives(tmp_path, spark):
+    """`gate --compact-dups WM` folds closed dup-log generations; the
+    next auto batch id must come from the recorded watermark, not the
+    (now removed) batch_* dir count — otherwise a compacted id gets
+    reused and its log rows are invisible to readers."""
+    import json as _json
+
+    dup_text = "the quick brown fox jumps over the lazy dog today"
+    docs0 = spark.createDataFrame(
+        [(1, dup_text), (2, "unrelated words about database replication")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(10, dup_text)], "doc_id long, text string"
+    )
+    docs2 = spark.createDataFrame(
+        [(20, dup_text)], "doc_id long, text string"
+    )
+    for i, d in enumerate((docs0, docs1, docs2)):
+        d.write.parquet(str(tmp_path / f"cb{i}"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "text",
+        "--state-dir", str(tmp_path / "cstate"),
+        "--dups-dir", str(tmp_path / "cdups"),
+        "--threshold", "0.3", "--partitions", "4",
+    ]
+    for p in ("cb0", "cb1"):
+        r = subprocess.run(
+            base + ["--ingest", str(tmp_path / p)],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    rc = subprocess.run(
+        base + ["--compact-dups", "1"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    outc = _json.loads(rc.stdout.strip().splitlines()[-1])
+    assert outc["compacted_batches"] == 2 and outc["watermark_batch_id"] == 1
+    # next batch: auto id resumes PAST the watermark and its reject is
+    # visible in the compacted-aware log
+    r2 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "cb2")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["batch_id"] == 2
+    assert out2["rejected_this_batch"] == 1  # doc 20 duplicates doc 1
 
 
 def test_cli_state_scd2_prune(tmp_path, spark):

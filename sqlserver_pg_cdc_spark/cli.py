@@ -139,6 +139,22 @@ def create_parser() -> argparse.ArgumentParser:
     decontam.add_argument("--deleted-col", default=None)
     decontam.add_argument("--batch-id", type=int, default=None)
     decontam.add_argument("--partitions", type=int, default=32)
+    decontam.add_argument("--semantic", action="store_true",
+                          help="streaming mode: gate EMBEDDINGS against a "
+                               "streamed eval embedding index (LSH + exact "
+                               "cosine — catches paraphrases n-grams miss); "
+                               "--text-col names the vector column")
+    decontam.add_argument("--threshold", type=float, default=0.9,
+                          help="semantic mode: cosine threshold")
+    decontam.add_argument("--dim", type=int, default=64,
+                          help="semantic mode: vector dimension (sizes the "
+                               "hyperplanes baked into stored band keys)")
+    decontam.add_argument("--compact-logs", type=int, default=None,
+                          metavar="WM",
+                          help="streaming mode: instead of gating, fold "
+                               "accepted/quarantine generations with batch "
+                               "id <= WM into one compacted generation each "
+                               "(run quiesced)")
 
     rollup = sub.add_parser(
         "rollup",
@@ -662,29 +678,88 @@ def _cmd_decontam_streaming(args) -> int:
     )
 
     spark = get_spark("decontam-cli")
-    sink = EvalGramIndexSink(
-        spark, args.eval_state_dir, args.id_col, args.text_col,
-        k=args.k, lsn_col=args.lsn_col, deleted_col=args.deleted_col,
-        n_partitions=args.partitions,
-    )
+    if args.compact_logs is not None:
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        if not args.output or not args.quarantine_out:
+            raise SystemExit(
+                "--compact-logs needs --output and --quarantine-out"
+            )
+        print(json.dumps({
+            "accepted": compact_batch_log(
+                spark, args.output, args.compact_logs
+            ),
+            "quarantine": compact_batch_log(
+                spark, args.quarantine_out, args.compact_logs
+            ),
+        }))
+        return 0
+    if args.semantic:
+        from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+
+        sink = AnnIndexSink(
+            spark, args.eval_state_dir, args.id_col, args.text_col,
+            lsn_col=args.lsn_col, deleted_col=args.deleted_col,
+            dim=args.dim, n_partitions=args.partitions,
+        )
+    else:
+        sink = EvalGramIndexSink(
+            spark, args.eval_state_dir, args.id_col, args.text_col,
+            k=args.k, lsn_col=args.lsn_col, deleted_col=args.deleted_col,
+            n_partitions=args.partitions,
+        )
     batch = spark.read.parquet(args.input)
     if args.eval_ingest:
         bid = args.batch_id if args.batch_id is not None else 0
         sink(batch, bid)
-        g = sink.grams()
-        print(json.dumps({
-            "eval_state_dir": args.eval_state_dir,
-            "live_eval_grams": g.count() if g is not None else 0,
-        }))
+        if args.semantic:
+            v = sink.vectors()
+            n = v.count() if v is not None else 0
+            print(json.dumps({
+                "eval_state_dir": args.eval_state_dir,
+                "live_eval_vectors": n,
+            }))
+        else:
+            g = sink.grams()
+            print(json.dumps({
+                "eval_state_dir": args.eval_state_dir,
+                "live_eval_grams": g.count() if g is not None else 0,
+            }))
         return 0
     if not args.quarantine_out:
         raise SystemExit("corpus gating requires --quarantine-out")
-    gate = DecontamGate(
-        sink, args.output, args.quarantine_out, min_hits=args.min_hits
-    )
+    if args.semantic:
+        from sqlserver_pg_cdc_spark.streaming.decontam import (
+            SemanticDecontamGate,
+        )
+
+        gate = SemanticDecontamGate(
+            sink, args.output, args.quarantine_out,
+            threshold=args.threshold,
+        )
+    else:
+        gate = DecontamGate(
+            sink, args.output, args.quarantine_out, min_hits=args.min_hits
+        )
     bid = args.batch_id
     if bid is None:
-        bid = len(glob.glob(os.path.join(args.output, "batch_*")))
+        # next UNUSED id past any compaction watermark (counting batch_*
+        # dirs alone would reuse a folded id, whose rows readers ignore)
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            _batch_dirs,
+            _read_meta,
+        )
+
+        ids = []
+        wm = -1
+        if os.path.isdir(args.output):
+            ids = [b for b, _ in _batch_dirs(args.output)]
+            meta = _read_meta(args.output)
+            if meta is not None:
+                wm = int(meta["watermark_batch_id"])
+        bid = max(ids + [wm]) + 1 if (ids or wm >= 0) else 0
     gate(batch, int(bid))
     acc = gate.accepted()
     qlog = gate.quarantine_log()

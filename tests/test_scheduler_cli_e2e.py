@@ -1124,3 +1124,84 @@ def test_cli_decontam_streaming_gate(tmp_path, spark):
     quar = {r2["doc_id"] for r2 in spark.read.parquet(
         str(tmp_path / "quar" / "batch_0")).collect()}
     assert quar == {100}  # 101 overlaps only the RETIRED benchmark
+
+
+def test_cli_decontam_semantic_gate_and_compaction(tmp_path, spark):
+    """`decontam --semantic`: register eval EMBEDDINGS (one retired via
+    CDC delete), gate a corpus vector batch — copies of the live eval
+    vector quarantine, copies of the retired one pass; then
+    --compact-logs folds the per-batch generations."""
+    import json as _json
+
+    def vec(i, dim=8):
+        return [float((i * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+
+    spark.createDataFrame(
+        [(1, vec(1), 1, "false"), (2, vec(2), 1, "false")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "sev0"))
+    spark.createDataFrame(
+        [(2, None, 2, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ).write.parquet(str(tmp_path / "sev1"))
+    spark.createDataFrame(
+        [(100, vec(1)), (101, vec(2)), (102, vec(50))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(str(tmp_path / "scorpus"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+        "--semantic", "--eval-state-dir", str(tmp_path / "sevstate"),
+        "--id-col", "vec_id", "--text-col", "embedding", "--dim", "8",
+        "--partitions", "4", "--lsn-col", "lsn", "--deleted-col",
+        "__deleted", "--threshold", "0.999",
+    ]
+    for i, ev in enumerate(("sev0", "sev1")):
+        r = subprocess.run(
+            base + ["--input", str(tmp_path / ev), "--eval-ingest",
+                    "--batch-id", str(i)],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    gate_cmd = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+        "--semantic", "--eval-state-dir", str(tmp_path / "sevstate"),
+        "--id-col", "vec_id", "--text-col", "embedding", "--dim", "8",
+        "--partitions", "4", "--threshold", "0.999",
+        "--input", str(tmp_path / "scorpus"),
+        "--output", str(tmp_path / "sacc"),
+        "--quarantine-out", str(tmp_path / "squar"),
+    ]
+    r = subprocess.run(gate_cmd, cwd="/root/repo", capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"batch_id": 0, "accepted_total": 2, "quarantined_total": 1}
+    quar = {r2["vec_id"] for r2 in spark.read.parquet(
+        str(tmp_path / "squar" / "batch_0")).collect()}
+    assert quar == {100}  # 101 matches only the RETIRED eval vector
+    # compaction folds the generations; the log reads identically
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+            "--semantic", "--eval-state-dir", str(tmp_path / "sevstate"),
+            "--output", str(tmp_path / "sacc"),
+            "--quarantine-out", str(tmp_path / "squar"),
+            "--compact-logs", "0",
+            "--input", str(tmp_path / "scorpus"),  # unused in compaction
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    outc = _json.loads(rc.stdout.strip().splitlines()[-1])
+    assert outc["accepted"]["compacted_batches"] == 1
+    assert outc["quarantine"]["compacted_batches"] == 1
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    assert {r2["vec_id"] for r2 in read_batch_log(
+        spark, str(tmp_path / "squar")).collect()} == {100}
+    # next auto batch id resumes past the watermark
+    r2 = subprocess.run(gate_cmd, cwd="/root/repo", capture_output=True,
+                        text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["batch_id"] == 1

@@ -1243,6 +1243,59 @@ WHERE __deleted IS NULL OR __deleted = 'false'
 """
 
 
+def q_cdc_purge_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 TOMBSTONE RETENTION as an oracle-checked contract
+    (`purge_tombstones` — previously pytest-only): two CDC batches
+    stream through the hash-partitioned LSN-guarded sink (deletes ride
+    as soft tombstones under the guard), then the purge physically
+    drops tombstones at or below the replay watermark (max lsn / 2 —
+    scale-independent) while keeping newer tombstones AND every live
+    row. Returns the ENTIRE post-purge state, so the oracle
+    value-checks all three fates: purged, guarded, untouched."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    rows = ev.select(
+        "user_id", "lsn", "op", "value",
+        F.when(F.col("op") == "d", "true").otherwise("false").alias(
+            "__deleted"
+        ),
+    )
+    work = _ann_streamed_workdir(sf_dir)
+    sink = PartitionedParquetUpsertSink(
+        spark, _os.path.join(work, "purge_state"), ["user_id"],
+        n_partitions=4,
+    )
+    sink(rows.filter("lsn % 2 = 0"), 0)
+    sink(rows.filter("lsn % 2 = 1"), 1)
+    wm = int(ev.agg(F.max("lsn")).collect()[0][0] or 0) // 2
+    sink.purge_tombstones(wm)
+    st = sink.read_target()
+    if st is None:
+        return spark.createDataFrame(
+            [], "user_id long, lsn long, op string, value double, "
+                "__deleted string"
+        )
+    return st.select("user_id", "lsn", "op", "value", "__deleted")
+
+
+_Q_CDC_PURGE_SQL = f"""
+SELECT user_id, lsn, op, value,
+       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ({_CDC_EVENTS_SQL})
+) WHERE rn = 1
+  AND NOT (op = 'd'
+           AND lsn <= (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT)
+                       FROM events))
+"""
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink-level ADDITIVE schema evolution (reference auto.evolve=true,
     docker/configs/kafka-connect/postgresql-sink.json:29): two ingest
@@ -5674,6 +5727,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["semantic_decontam_gate"] = QuerySpec(
         q_semantic_decontam_gate, _semantic_decontam_gate_sql()
     )
+    catalog["cdc_purge_retention"] = QuerySpec(
+        q_cdc_purge_retention, _Q_CDC_PURGE_SQL
+    )
     catalog["order_lines_array"] = QuerySpec(
         q_order_lines_array, _Q_ORDER_LINES_ARRAY_SQL
     )
@@ -5757,13 +5813,15 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 # scripts/verify_local.py, which runs ALL entries with the driver-faithful
 # comparator.
 _DRIVER_WINDOW_FIRST = [
-    # NEW contract this round
+    # NEW contracts this round
     "semantic_decontam_gate",  # NEW: streaming semantic decontamination
-    # implementation CHANGED this round
+    "cdc_purge_retention",  # NEW: day-2 tombstone purge, oracle-checked
+    # implementation CHANGED this round (text_dedup_streamed_index also
+    # changed — probe-path rescale-heal — but stays behind the window,
+    # r8-green and locally verified, to keep the ENTIRE r6 cohort in)
     "text_dedup_gate",  # tie-break row_number + compacted dup-log read
     "embedding_gate",  # same two changes on the vector gate
     "decontam_gate",  # batch-log read path now compaction-aware
-    "text_dedup_streamed_index",  # probe path: rescale-heal + key guard
     "cdc_schema_evolution",  # upsert write path: value-level key guard
     # last driver row: round 6 (the ENTIRE cohort — oldest evidence)
     "cdc_active_rows",

@@ -1389,6 +1389,37 @@ def q_scd2_time_travel_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
     return snap.select("user_id", "ts", "value")
 
 
+def q_scd2_prune_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 SCD2 HISTORY RETENTION as an oracle-checked contract
+    (`prune_history` — previously pytest-only): the partitioned history
+    is built from two CDC batches, then versions whose validity ended
+    at or below max lsn / 4 are physically pruned, then ``as_of`` at
+    the midpoint (ABOVE the prune watermark) reconstructs the table.
+    The oracle is the plain relational snapshot with NO knowledge of
+    the prune — value-hash equality IS the retention guarantee ("time
+    travel at/above the watermark provably unchanged")."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    ev = _cdc_events(load_table(spark, sf_dir, "events"))
+    work = _ann_streamed_workdir(sf_dir)
+    sink = PartitionedScd2Sink(
+        spark, _os.path.join(work, "scd2_prune_hist"), ["user_id"],
+        n_partitions=4,
+    )
+    sink(ev.filter(F.col("lsn") % 2 == 0), 0)
+    sink(ev.filter(F.col("lsn") % 2 == 1), 1)
+    mx = int(ev.agg(F.max("lsn")).collect()[0][0] or 0)
+    sink.prune_history(mx // 4)
+    snap = sink.as_of(mx // 2)
+    if snap is None:
+        return spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+    return snap.select("user_id", "ts", "value")
+
+
 def q_checksum_ordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: order-sensitive SHA-256 digest, hierarchical form — per
     PK-range-bucket ordered folds (distributed, bounded collects) then a
@@ -5415,6 +5446,13 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
         "scd2_time_travel_partitioned": QuerySpec(
             q_scd2_time_travel_partitioned, _Q_SCD2_TIME_TRAVEL_SQL
         ),
+        # the prune-retention contract: the SAME relational snapshot
+        # oracle, with the history pruned below the as-of point — hash
+        # equality IS the "time travel above the watermark unchanged"
+        # guarantee
+        "scd2_prune_time_travel": QuerySpec(
+            q_scd2_prune_time_travel, _Q_SCD2_TIME_TRAVEL_SQL
+        ),
         "events_sessions": QuerySpec(q_events_sessions, _Q_SESSIONS_SQL),
         "pii_mask_udf_fields": QuerySpec(q_pii_mask_udf_fields, _PII_UDF_SQL),
         "pii_mask_customer": QuerySpec(q_pii_mask_customer, _pii_mask_customer_sql()),
@@ -5816,12 +5854,14 @@ _DRIVER_WINDOW_FIRST = [
     # NEW contracts this round
     "semantic_decontam_gate",  # NEW: streaming semantic decontamination
     "cdc_purge_retention",  # NEW: day-2 tombstone purge, oracle-checked
-    # implementation CHANGED this round (text_dedup_streamed_index also
-    # changed — probe-path rescale-heal — but stays behind the window,
-    # r8-green and locally verified, to keep the ENTIRE r6 cohort in)
+    "scd2_prune_time_travel",  # NEW: day-2 history prune, oracle-checked
+    # implementation CHANGED this round (text_dedup_streamed_index —
+    # probe-path rescale-heal — and decontam_gate — compaction-aware log
+    # read, the same code path text_dedup_gate exercises — stay behind
+    # the window, r8-green and locally verified, to keep the ENTIRE r6
+    # cohort in)
     "text_dedup_gate",  # tie-break row_number + compacted dup-log read
     "embedding_gate",  # same two changes on the vector gate
-    "decontam_gate",  # batch-log read path now compaction-aware
     "cdc_schema_evolution",  # upsert write path: value-level key guard
     # last driver row: round 6 (the ENTIRE cohort — oldest evidence)
     "cdc_active_rows",

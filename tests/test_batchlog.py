@@ -103,6 +103,37 @@ def test_forward_watermark_with_nothing_to_fold_still_advances(spark, tmp_path):
     assert _rows(read_batch_log(spark, log)) == before
 
 
+def test_compaction_preserves_log_under_any_watermark_sequence(spark, tmp_path):
+    """Property (deterministically enumerated): for ANY set of batch ids
+    and ANY forward watermark sequence, the log reads identically after
+    every compaction and the batch-dir count is exactly the ids above
+    the latest watermark."""
+    import os as _os
+
+    cases = [
+        # (batch ids, watermark sequence)
+        ([0, 1, 2, 3, 4], [0, 2, 4]),
+        ([5, 7, 11], [6, 6, 12]),      # repeat watermark is a no-op
+        ([0], [0]),                     # everything folds
+        ([2, 4, 9], [1]),               # watermark below every id
+        ([0, 3], [10]),                 # watermark above every id
+    ]
+    for n, (ids, wms) in enumerate(cases):
+        log = str(tmp_path / f"prop{n}")
+        expected = []
+        for b in ids:
+            _write_batch(spark, log, b, [b * 100, b * 100 + 1])
+            expected += [(b * 100, f"v{b * 100}", b),
+                         (b * 100 + 1, f"v{b * 100 + 1}", b)]
+        expected.sort()
+        for wm in wms:
+            compact_batch_log(spark, log, wm)
+            assert _rows(read_batch_log(spark, log)) == expected, (ids, wms, wm)
+            n_dirs = len(glob.glob(_os.path.join(log, "batch_*")))
+            assert n_dirs == sum(1 for b in ids if b > wm), (ids, wms, wm)
+            assert len(glob.glob(_os.path.join(log, "gen_*"))) <= 1
+
+
 def test_gate_dup_log_compaction_end_to_end(spark, tmp_path):
     """DedupGateSink.compact_dup_log: the log reads identically before
     and after, and a replay of a compacted batch converges instead of
@@ -174,7 +205,9 @@ def test_decontam_gate_compacts_both_logs(spark, tmp_path):
     quar_before = sorted(r["doc_id"] for r in gate.quarantine_log().collect())
     res = gate.compact_logs(1)
     assert res["accepted"]["compacted_batches"] == 2
-    assert res["quarantine"]["compacted_batches"] == 1
+    # the gate writes a quarantine generation every batch (empty when
+    # nothing was caught), so batches 0 and 1 both fold
+    assert res["quarantine"]["compacted_batches"] == 2
     assert sorted(r["doc_id"] for r in gate.accepted().collect()) == acc_before
     assert (
         sorted(r["doc_id"] for r in gate.quarantine_log().collect())

@@ -1241,6 +1241,16 @@ def encode_gif(
         prefix = bytes([px])
     if prefix:
         emit(table[prefix])
+        # the decoder's table LAGS the encoder's by one entry and
+        # catches up on the final data code (it appends the entry for
+        # the encoder's previous emit, which the encoder's final flush
+        # never paired with an add). If that catch-up lands exactly on
+        # 2^width, a conforming decoder widens BEFORE reading EOI —
+        # mirror it, or the EOI is emitted one bit short and the stream
+        # ends mid-code (Hypothesis example: 3x5, 3 colors, 15 px whose
+        # final emit left next_code == 16 at width 4)
+        if next_code == (1 << state["width"]) and state["width"] < 12:
+            state["width"] += 1
     emit(eoi)
     if state["nbits"]:
         packed.append(state["acc"] & 0xFF)

@@ -589,6 +589,12 @@ def train_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # normalize the element type: parquet written elsewhere may carry
+    # float or decimal arrays, and array_to_vector up-casts only from
+    # double — train on the same double space the encode expressions use
+    vectors = vectors.withColumn(
+        vec_col, F.col(vec_col).cast("array<double>")
+    )
     first = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.size(vec_col).alias("d")
     ).limit(1).collect()

@@ -310,7 +310,8 @@ def main() -> None:
     from sqlserver_pg_cdc_spark.streaming import phases as _phases
 
     _GATE_CLS = {"text_dedup_gate": "DedupGateSink",
-                 "embedding_gate": "AnnGateSink"}
+                 "embedding_gate": "AnnGateSink",
+                 "semantic_decontam_gate": "SemanticDecontamGate"}
     gate_phase_best: dict[str, tuple[float, dict]] = {}
 
     def _run_one(name, spec) -> float:

@@ -342,6 +342,9 @@ class SemanticDecontamGate:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming import phases as _phases
+
+        rec = _phases.PhaseRecorder()
         id_col = self.eval_index.id_col
         pairs = self.eval_index.near_dups(batch_df, self.threshold)
         if pairs is None:
@@ -368,6 +371,7 @@ class SemanticDecontamGate:
                         self.quarantine_dir, f"batch_{int(batch_id)}"
                     ))
                 )
+                rec.mark("probe_quarantine")
                 os.makedirs(self.accepted_dir, exist_ok=True)
                 (
                     accepted.withColumn("__batch_id", F.lit(int(batch_id)))
@@ -376,8 +380,10 @@ class SemanticDecontamGate:
                         self.accepted_dir, f"batch_{int(batch_id)}"
                     ))
                 )
+                rec.mark("accept")
             finally:
                 report.unpersist()
+                _phases.record("SemanticDecontamGate", rec.ph)
             return
         os.makedirs(self.accepted_dir, exist_ok=True)
         (
@@ -385,6 +391,8 @@ class SemanticDecontamGate:
             .write.mode("overwrite")
             .parquet(os.path.join(self.accepted_dir, f"batch_{int(batch_id)}"))
         )
+        rec.mark("accept")
+        _phases.record("SemanticDecontamGate", rec.ph)
 
     def _read_gens(self, base: str) -> DataFrame | None:
         from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log

@@ -134,6 +134,54 @@ def test_compaction_preserves_log_under_any_watermark_sequence(spark, tmp_path):
             assert len(glob.glob(_os.path.join(log, "gen_*"))) <= 1
 
 
+def test_crash_before_meta_commit_leaves_log_intact(spark, tmp_path):
+    """A compaction that crashed AFTER writing its gen_* directory but
+    BEFORE the atomic meta rename changes nothing: readers never
+    reference the stranded generation, and the next successful
+    compaction sweeps it."""
+    import os as _os
+
+    log = str(tmp_path / "log")
+    for b in range(3):
+        _write_batch(spark, log, b, [b])
+    before = _rows(read_batch_log(spark, log))
+    # simulate the crash: a fully-written generation, no meta
+    stranded = _os.path.join(log, "gen_deadbeefcafe")
+    spark.createDataFrame(
+        [(999, "ghost")], "id long, val string"
+    ).withColumn("__batch_id", F.lit(0)).write.parquet(stranded)
+    assert _rows(read_batch_log(spark, log)) == before  # ghost invisible
+    res = compact_batch_log(spark, log, 1)
+    assert res["compacted_batches"] == 2
+    assert not _os.path.isdir(stranded)  # stranded generation swept
+    assert _rows(read_batch_log(spark, log)) == before
+
+
+def test_crash_between_meta_and_sweep_never_doubles(spark, tmp_path):
+    """A compaction that committed its meta but crashed BEFORE sweeping
+    the merged batch dirs: readers ignore the leftovers (ids at/below
+    the watermark), and the next compaction removes them."""
+    import os as _os
+    import shutil as _sh
+
+    log = str(tmp_path / "log")
+    for b in range(3):
+        _write_batch(spark, log, b, [b])
+    compact_batch_log(spark, log, 1)
+    before = _rows(read_batch_log(spark, log))
+    # simulate the pre-sweep crash state: restore merged batch dirs
+    _write_batch(spark, log, 0, [0])
+    _write_batch(spark, log, 1, [1])
+    assert _rows(read_batch_log(spark, log)) == before  # no doubles
+    compact_batch_log(spark, log, 1)  # no-op fold, sweeps stale dirs
+    assert sorted(
+        _os.path.basename(d)
+        for d in __import__("glob").glob(_os.path.join(log, "batch_*"))
+    ) == ["batch_2"]
+    assert _rows(read_batch_log(spark, log)) == before
+    _sh.rmtree(log, ignore_errors=True)
+
+
 def test_gate_dup_log_compaction_end_to_end(spark, tmp_path):
     """DedupGateSink.compact_dup_log: the log reads identically before
     and after, and a replay of a compacted batch converges instead of

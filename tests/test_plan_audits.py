@@ -340,3 +340,17 @@ def test_quantile_buckets_orders_no_window_no_sort(spark):
     assert "Sort" not in plan, plan
     m = _metrics(spark, "quantile_buckets_orders")
     assert m.python_evals == 0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["semantic_decontam_gate", "cdc_purge_retention", "scd2_prune_time_travel"],
+)
+def test_round9_contracts_no_cartesian_no_python(spark, qname):
+    """Round-9 additions: the streaming semantic-decontam probe must
+    stay a banded equi-join + exact-cosine verify (no cartesian), and
+    both day-2 retention contracts read back pure JVM-side state scans
+    — no Python anywhere in any of the three."""
+    m = _metrics(spark, qname)
+    assert not m.has_cartesian, m.joins
+    assert m.python_evals == 0

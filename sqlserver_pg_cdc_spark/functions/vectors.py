@@ -46,3 +46,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def vsub(a: Column | str, b: Column | str) -> Column:
+    """Element-wise a - b in double (IVF-PQ residuals). IEEE subtraction
+    is exact-reproducible, so the DuckDB twin recomputes bit-identical
+    residuals."""
+    return F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def vsub_sql(a: str, b: str) -> str:
+    return (
+        f"list_transform(list_zip({a}, {b}), "
+        "p -> p[1]::DOUBLE - p[2]::DOUBLE)"
+    )

@@ -883,3 +883,278 @@ SELECT query_id, rank, id, cosine FROM (
     JOIN q ON q.query_id = cand.query_id
 ) WHERE rank <= {k}
 """
+
+
+def topk_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    refine: int = 32,
+    centroids: DataFrame | None = None,
+    books: list | None = None,
+) -> DataFrame:
+    """IVF-PQ composite top-k — the billion-scale ANN shape (coarse
+    inverted cells + product-quantized RESIDUALS, the FAISS IVFPQ
+    layout): every vector is assigned to its max-cosine cell and its
+    residual ``v - centroid`` is PQ-encoded; a query ranks the
+    centroids, builds one ADC lookup table per PROBED CELL over its own
+    residual ``q - centroid`` (residual space is cell-relative — a
+    single query-level LUT would score against the wrong origin),
+    ADC-scans ONLY the probed cells' codes, keeps the top ``refine``
+    candidates, and exact-cosine re-ranks just those. Output
+    (query_id, rank, id, cosine) matches the ANN family; cosines are
+    EXACT (the quantization only shapes the candidate set).
+
+    Scale shape: the cell scan touches n_probe/n_cells of the corpus
+    and reads CODES (m_sub bytes/vector), not vectors — memory traffic
+    is compressed 32x AND localized; the LUT table is Q*n_probe rows
+    broadcast over the probed codes; the re-rank semi-joins
+    <= Q*refine raw vectors. Defaults are test-scale; production wants
+    `train_ivf_centroids` cells + `train_pq_codebooks` books (pass
+    both), sqrt(N)-ish n_cells, and the codes table written partitioned
+    by cell_id so a probe is a partition-pruned scan.
+
+    Deterministic (oracle) form without trained inputs: centroids =
+    first ``n_cells`` vectors by id (`with_ivf_cell`), books =
+    per-subspace slices of the first ``k_codes`` RESIDUALS by id —
+    recomputed relationally by :func:`topk_ivfpq_sql`."""
+    from pyspark.sql import Window as W
+
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm, vsub
+
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    assigned, cents = with_ivf_cell(
+        vectors, id_col, vec_col, n_cells, centroids
+    )
+    cvt = cents.select("cell_id", F.col("cv").alias("__cv"))
+    # corr = dot(c, v), stored exact per vector at build: the
+    # inner-product decomposition dot(q,v) = dot(q-c, v-c) + dot(q,c)
+    # + dot(c,v) - |c|^2 means ranking by the residual ADC alone
+    # misorders candidates whose dot(c,v) differ — the per-candidate
+    # correction restores plain-PQ ranking quality inside the probed
+    # cells (|c|^2 and dot(q,c) ride the query-cell row)
+    resid = assigned.join(F.broadcast(cvt), "cell_id").select(
+        "cell_id", "id", "v",
+        vsub("v", "__cv").alias("r"),
+        dot(F.col("__cv"), F.col("v")).alias("corr"),
+    )
+    if books is None:
+        books = pq_codebooks(resid, "id", "r", m_sub, k_codes)
+    if not books:  # empty corpus
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(0).alias("rank"),
+            F.col(id_col).alias("id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    codes = resid.select(
+        "cell_id", "id", "corr",
+        F.expr(_pq_codes_expr("r", books)).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "qn", "cell_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cc"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("cc").desc(), F.col("cell_id")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    qlut = (
+        probes.join(F.broadcast(cvt), "cell_id")
+        .withColumn("__qr", vsub("qv", "__cv"))
+        .select(
+            "query_id", "cell_id",
+            (dot(F.col("qv"), F.col("__cv"))
+             - dot(F.col("__cv"), F.col("__cv"))).alias("qc"),
+            F.expr(_pq_lut_expr("__qr", books)).alias("lut"),
+        )
+    )
+    lut_sum = " + ".join(
+        f"element_at(element_at(lut, {m + 1}), "
+        f"element_at(codes, {m + 1}) + 1)"
+        for m in range(len(books))
+    )
+    # approx dot(q, v): qc (= dot(q,c) - |c|^2, per query-cell) + corr
+    # (= dot(c,v), per candidate) + residual ADC — added left-to-right,
+    # mirrored verbatim by the oracle's scalar chain
+    scored = (
+        F.broadcast(qlut)
+        .join(codes, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id", "id",
+            F.expr(f"qc + corr + {lut_sum}").alias("approx"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", "id")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    rerank = (
+        F.broadcast(cand)
+        .join(v, "id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select(
+            "query_id", "id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
+def topk_ivfpq_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    refine: int = 32,
+    dim: int = 64,
+) -> str:
+    """Oracle twin of topk_ivfpq with the deterministic centroids and
+    residual codebooks, recomputed relationally: same max-cosine cell
+    assignment, same exact residual subtraction (IEEE — bit-identical
+    across engines), same encode argmax (score DESC, code ASC), same
+    per-(query, probed-cell) residual LUTs, same left-to-right ADC sum
+    and candidate cut, same exact re-rank."""
+    from sqlserver_pg_cdc_spark.functions.vectors import (
+        cosine_sql,
+        dot_sql,
+        vsub_sql,
+    )
+
+    sub = dim // m_sub
+    cell_cos = cosine_sql("x.v", "c.cv")
+    q_cos = cosine_sql("q.qv", "c.cv")
+    dot_xc = dot_sql(
+        f"list_slice(x.r, cb.m * {sub} + 1, (cb.m + 1) * {sub})", "cb.cv"
+    )
+    half = dot_sql("cb.cv", "cb.cv")
+    dot_qc = dot_sql(
+        f"list_slice(p.qr, cb.m * {sub} + 1, (cb.m + 1) * {sub})", "cb.cv"
+    )
+    adc = " + ".join(
+        f"l.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(m_sub)
+    )
+    final_cos = cosine_sql("q.qv", "v.v")
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    WHERE {vec_col} IS NOT NULL
+),
+cent AS MATERIALIZED (
+    SELECT id AS cell_id, v AS cv FROM v ORDER BY id LIMIT {n_cells}
+),
+assigned AS MATERIALIZED (
+    SELECT id, v, cell_id FROM (
+        SELECT x.id, x.v, c.cell_id,
+               row_number() OVER (PARTITION BY x.id
+                                  ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+        FROM v x, cent c
+    ) WHERE rn = 1
+),
+resid AS MATERIALIZED (
+    SELECT a.cell_id, a.id, {vsub_sql('a.v', 'c.cv')} AS r,
+           {dot_sql('c.cv', 'a.v')} AS corr
+    FROM assigned a JOIN cent c ON a.cell_id = c.cell_id
+),
+cbsrc AS MATERIALIZED (
+    SELECT r, row_number() OVER (ORDER BY id) - 1 AS j
+    FROM (SELECT id, r FROM resid ORDER BY id LIMIT {k_codes})
+),
+cb AS MATERIALIZED (
+    SELECT mm.m, s.j,
+           list_slice(s.r, mm.m * {sub} + 1, (mm.m + 1) * {sub}) AS cv
+    FROM cbsrc s CROSS JOIN (SELECT unnest(range({m_sub})) AS m) mm
+),
+enc AS MATERIALIZED (
+    SELECT cell_id, id, m, code FROM (
+        SELECT x.cell_id, x.id, cb.m, cb.j AS code,
+               row_number() OVER (
+                   PARTITION BY x.id, cb.m
+                   ORDER BY ({dot_xc} - 0.5 * {half}) DESC, cb.j
+               ) AS rn
+        FROM resid x CROSS JOIN cb
+    ) WHERE rn = 1
+),
+codes AS MATERIALIZED (
+    SELECT e.cell_id, e.id, r.corr, list(e.code ORDER BY e.m) AS codes
+    FROM enc e JOIN resid r ON e.id = r.id
+    GROUP BY e.cell_id, e.id, r.corr
+),
+q AS MATERIALIZED (
+    SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table}
+    WHERE ({query_pred}) AND {vec_col} IS NOT NULL
+),
+probes AS MATERIALIZED (
+    SELECT query_id, qv, cell_id, {vsub_sql('qv', 'cv')} AS qr,
+           ({dot_sql('qv', 'cv')} - {dot_sql('cv', 'cv')}) AS qc
+    FROM (
+        SELECT q.query_id, q.qv, c.cell_id, c.cv,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {q_cos} DESC, c.cell_id) AS rn
+        FROM q, cent c
+    ) WHERE rn <= {n_probe}
+),
+lutrow AS MATERIALIZED (
+    SELECT p.query_id, p.cell_id, p.qc, cb.m,
+           list({dot_qc} ORDER BY cb.j) AS row
+    FROM probes p CROSS JOIN cb GROUP BY p.query_id, p.cell_id, p.qc, cb.m
+),
+lut AS MATERIALIZED (
+    SELECT query_id, cell_id, qc, list(row ORDER BY m) AS lut
+    FROM lutrow GROUP BY query_id, cell_id, qc
+),
+cand AS MATERIALIZED (
+    SELECT query_id, id FROM (
+        SELECT l.query_id, c.id,
+               row_number() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY (l.qc + c.corr + {adc}) DESC, c.id
+               ) AS rn
+        FROM lut l JOIN codes c ON l.cell_id = c.cell_id
+        WHERE l.query_id <> c.id
+    ) WHERE rn <= {refine}
+)
+SELECT query_id, rank, id, cosine FROM (
+    SELECT q.query_id, v.id, {final_cos} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {final_cos} DESC, v.id) AS rank
+    FROM cand JOIN v ON cand.id = v.id
+    JOIN q ON q.query_id = cand.query_id
+) WHERE rank <= {k}
+"""

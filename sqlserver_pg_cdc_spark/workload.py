@@ -2970,6 +2970,28 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite top-k (`operators/similarity.topk_ivfpq`) — the
+    FAISS-style billion-scale layout: coarse inverted cells (probe
+    n_probe of n_cells) over product-quantized RESIDUAL codes, with the
+    inner-product decomposition corrections (dot(q,c) - |c|^2 per
+    query-cell, dot(c,v) per candidate, stored exact at build) so the
+    per-cell ADC ranks by an approximation of dot(q, v), not of the
+    cell-relative residual dot. Candidates are exact-cosine re-ranked;
+    deterministic first-k cells and residual codebooks make every stage
+    SQL-reproducible (the oracle recomputes assignment, residuals,
+    encode, LUTs, the corrected ADC ordering, and the re-rank)."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # m_sub=4 / k_codes=8 keep the literal trees small (the driver-cost
+    # lever, see q_ann_topk_pq); all five stages run regardless
+    return topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=2, m_sub=4, k_codes=8, refine=32,
+    )
+
+
 def q_ann_topk_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-k against the STREAMING-maintained code index
     (`streaming/ann.PqIndexSink`): the corpus arrives as two ingest
@@ -5487,6 +5509,7 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     from sqlserver_pg_cdc_spark.operators.similarity import (
         topk_brute_force_sql,
         topk_ivf_sql,
+        topk_ivfpq_sql,
         topk_lsh_sql,
         topk_pq_sql,
     )
@@ -5645,6 +5668,14 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
                 topk_pq_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5",
                     k=10, m_sub=8, k_codes=8, refine=32,
+                ),
+            ),
+            "ann_topk_ivfpq": QuerySpec(
+                q_ann_topk_ivfpq,
+                topk_ivfpq_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=5, n_cells=8, n_probe=2, m_sub=4, k_codes=8,
+                    refine=32,
                 ),
             ),
         }

@@ -354,3 +354,15 @@ def test_round9_contracts_no_cartesian_no_python(spark, qname):
     m = _metrics(spark, qname)
     assert not m.has_cartesian, m.joins
     assert m.python_evals == 0
+
+
+def test_ivfpq_probe_scans_codes_not_vectors(spark):
+    """IVF-PQ's candidate stage must join the probed cells' CODES (no
+    cartesian on data — the only crossJoin is queries x k centroids,
+    both tiny) and stay JVM-side end to end."""
+    m = _metrics(spark, "ann_topk_ivfpq")
+    assert m.python_evals == 0
+    fn = workload.build_catalog(spark)["ann_topk_ivfpq"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    # the ADC join keys on cell_id (hash or broadcast join, by size)
+    assert "cell_id" in plan

@@ -692,3 +692,104 @@ def test_pq_null_vectors_and_bad_dim(spark):
     assert {r["query_id"] for r in out} == {0, 1, 2, 4}
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(emb, "vec_id", "embedding", m_sub=7)
+
+
+# --- IVF-PQ composite (coarse cells + residual quantization) -----------------
+
+
+def test_topk_ivfpq_equals_bruteforce_when_everything_probed(spark):
+    """n_probe = n_cells and refine >= corpus degrade IVF-PQ to brute
+    force: every cell probed, the ADC cut keeps everything, the exact
+    re-rank must reproduce brute force bit-for-bit."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivfpq
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = sorted(tuple(r) for r in
+                   topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect())
+    got = sorted(tuple(r) for r in topk_ivfpq(
+        emb, q, "vec_id", "embedding", k=5,
+        n_cells=8, n_probe=8, m_sub=4, k_codes=8, refine=n,
+    ).collect())
+    assert got == exact
+
+
+def test_topk_ivfpq_recall_vs_exact_and_vs_ivf_flat(spark):
+    """Same probe budget as the IVF-flat recall test (4/8 cells): the
+    residual-ADC candidate cut must not destroy what cell probing kept
+    (recall within 0.15 of IVF-flat, and clearly above the probed
+    fraction); cosines of the hits are EXACT (re-ranked). The synthetic
+    embeddings are unclustered — the hardest case for cell probing."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivf, topk_ivfpq
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()
+    got = topk_ivfpq(
+        emb, q, "vec_id", "embedding", k=5,
+        n_cells=8, n_probe=4, m_sub=4, k_codes=8, refine=64,
+    ).collect()
+    flat = topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=4,
+    ).collect()
+    es, gs, fs = {}, {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], {})[r["id"]] = r["cosine"]
+    for r in got:
+        gs.setdefault(r["query_id"], {})[r["id"]] = r["cosine"]
+    for r in flat:
+        fs.setdefault(r["query_id"], set()).add(r["id"])
+    rec = lambda hits: sum(
+        len(set(es[k]) & set(hits.get(k, set()))) / len(es[k]) for k in es
+    ) / len(es)
+    mean, mean_flat = rec(gs), rec(fs)
+    assert mean > 0.35, f"ivfpq mean recall {mean}"
+    assert mean >= mean_flat - 0.15, (mean, mean_flat)
+    # exact cosines for every overlapping hit
+    for k in es:
+        for i in set(es[k]) & set(gs.get(k, {})):
+            assert abs(es[k][i] - gs[k][i]) < 1e-12
+
+
+def test_topk_ivfpq_trained_inputs_and_degenerates(spark):
+    """Trained centroids + trained residual books flow through the same
+    probe; empty corpus and NULL vectors behave like the PQ/IVF paths."""
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from sqlserver_pg_cdc_spark.functions.vectors import vsub
+
+    emb = load(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(emb.select("embedding"), "embedding", n_cells=8)
+    got = topk_ivfpq(
+        emb, q, "vec_id", "embedding", k=5,
+        n_cells=8, n_probe=3, m_sub=4, k_codes=8, refine=48,
+        centroids=cents,
+    ).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+    assert all(len([x for x in got if x["query_id"] == i]) == 5
+               for i in range(5))
+    # empty corpus -> empty result frame with the family schema
+    empty = emb.filter("vec_id < 0")
+    z = topk_ivfpq(empty, q, "vec_id", "embedding", k=5, n_cells=4,
+                   m_sub=4, k_codes=4)
+    assert z.count() == 0
+    assert z.columns == ["query_id", "rank", "id", "cosine"]
+    # NULL vectors excluded on both sides
+    base = emb.select("vec_id", "embedding")
+    withnull = base.unionByName(spark.createDataFrame(
+        [(99991, None)], "vec_id long, embedding array<float>"
+    ).select(
+        "vec_id",
+        F.col("embedding").cast(dict(base.dtypes)["embedding"]).alias(
+            "embedding"
+        ),
+    ))
+    g2 = topk_ivfpq(withnull, withnull.filter("vec_id IN (1, 99991)"),
+                    "vec_id", "embedding", k=3, n_cells=8, n_probe=2,
+                    m_sub=4, k_codes=8)
+    assert {r["query_id"] for r in g2.collect()} == {1}

@@ -958,12 +958,44 @@ def topk_ivfpq(
         "cell_id", "id", "corr",
         F.expr(_pq_codes_expr("r", books)).alias("codes"),
     )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    return topk_ivfpq_encoded(
+        codes, v, cents, queries, id_col, vec_col, books,
+        k=k, n_probe=n_probe, refine=refine,
+    )
+
+
+def topk_ivfpq_encoded(
+    codes: DataFrame,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list,
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 32,
+) -> DataFrame:
+    """The probe phase of IVF-PQ search against a PREBUILT
+    ``(cell_id, id, corr, codes)`` table plus the raw vectors
+    ``(id, v)`` for the re-rank — the path the one-shot
+    :func:`topk_ivfpq` and the stream-maintained
+    `streaming/ann.IvfPqIndexSink` share."""
+    from pyspark.sql import Window as W
+
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, norm, vsub
+
+    cvt = centroids.select("cell_id", F.col("cv").alias("__cv"))
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
     )
-    qs = q.crossJoin(F.broadcast(cents)).select(
+    qs = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qv", "qn", "cell_id",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
             "cc"
@@ -1010,9 +1042,7 @@ def topk_ivfpq(
         .filter(F.col("rn") <= refine)
         .select("query_id", "id")
     )
-    v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    v = vectors.select("id", "v").withColumn("vn", norm(F.col("v")))
     rerank = (
         F.broadcast(cand)
         .join(v, "id")

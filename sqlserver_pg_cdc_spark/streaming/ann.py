@@ -1147,3 +1147,421 @@ class AnnGateSink(AnnIndexSink):
             for blk in (cands, cross, pairs):
                 if blk is not None:
                     blk.unpersist()
+
+
+class IvfPqIndexSink(PartitionedParquetUpsertSink):
+    """Streaming-maintained IVF-PQ index: coarse cell assignments AND
+    product-quantized residual codes kept continuously up to date from
+    an embedding change stream — the streamed twin of
+    `operators/similarity.topk_ivfpq`, completing the streamed-index
+    family (LSH / IVF / PQ / IVF-PQ all share the hash-partitioned
+    LSN-guarded upsert discipline).
+
+    Both the centroids and the codebooks are FIXED PER EPOCH
+    (sha256-recorded in ``__ivfpq_params.json``; reopening with either
+    changed fails fast — mixed epochs would mix cell AND code spaces):
+    per batch each vector is assigned to its max-cosine cell (literal
+    argmax), its residual ``v - centroid`` is PQ-encoded (literal
+    argmax over the epoch's books), and the exact inner-product
+    correction ``corr = dot(centroid, v)`` is stored beside the codes —
+    one (doc, v, cell_id, corr, codes) row per vector upserts by doc.
+    ``topk(queries)`` probes the streamed rows through
+    `topk_ivfpq_encoded` — identical results to the one-shot
+    `topk_ivfpq` with the same epoch (pytest-pinned).
+
+    Drift is MEASURED with one scalar covering both epoch inputs:
+    ``mean_recon_cos()`` is the mean cosine between stored vectors and
+    their FULL reconstruction ``centroid + decode(codes)`` — it falls
+    when the stream drifts off the cells (wrong coarse origin) or off
+    the books (bad residual quantization). ``capture_baseline`` /
+    ``drift`` / ``rotate_epoch`` follow the IVF/PQ discipline; rotation
+    retrains BOTH the cells and the residual books on the streamed live
+    vectors and bulk-loads the new epoch with LSNs preserved.
+
+    Reference analog: the reference maintains reconciliation state
+    incrementally per change batch
+    (src/reconciliation/incremental/state.py:112-164)."""
+
+    _PARAMS_FILE = "__ivfpq_params.json"
+    _BASELINE_FILE = "__ivfpq_baseline.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        vec_col: str,
+        centroids,
+        books: list,
+        lsn_col: str | None = None,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+        deleted_col: str | None = None,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            _cell_argmax_expr,
+        )
+
+        if not books:
+            raise ValueError("IvfPqIndexSink needs non-empty codebooks")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.src_lsn_col = lsn_col
+        self.deleted_col = deleted_col
+        if isinstance(centroids, DataFrame):
+            cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+            self._cents = [
+                (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cn"]))
+                for r in cents
+            ]
+        else:  # pre-collected [(cell_id, cv, cn), ...] (params reload)
+            self._cents = sorted(
+                (int(c), [float(x) for x in v], float(n))
+                for c, v, n in centroids
+            )
+        if not self._cents:
+            raise ValueError("IvfPqIndexSink needs at least one centroid")
+        self._books = [
+            [tuple(float(x) for x in cw) for cw in book] for book in books
+        ]
+        self._argmax = _cell_argmax_expr(
+            [{"cell_id": c, "cv": v, "cn": n} for c, v, n in self._cents]
+        )
+
+    def _params(self) -> dict:
+        import hashlib
+        import json
+
+        cblob = json.dumps(self._cents, sort_keys=True).encode()
+        bblob = json.dumps(self._books, sort_keys=True).encode()
+        return {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "n_cells": len(self._cents),
+            "m_sub": len(self._books),
+            "k_codes": len(self._books[0]),
+            "centroids_sha256": hashlib.sha256(cblob).hexdigest(),
+            "books_sha256": hashlib.sha256(bblob).hexdigest(),
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    k: {"stored": stored.get(k), "sink": v}
+                    for k, v in mine.items()
+                    if stored.get(k) != v
+                }
+                raise ValueError(
+                    f"IVF-PQ state at {self.target_dir} was built with a "
+                    f"different epoch than this sink: {diff} — probing it "
+                    "would mix cell/code spaces; reopen with the epoch's "
+                    "centroids+books or retrain into a new state dir"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"IVF-PQ state at {self.target_dir} holds partitions but "
+                f"no {self._PARAMS_FILE} — its epoch is unknown; rebuild "
+                "the state"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
+    def _cvt(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(c, v) for c, v, _ in self._cents],
+            "cell_id int, __cv array<double>",
+        )
+
+    def centroids(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(c, v, n) for c, v, n in self._cents],
+            "cell_id int, cv array<double>, cn double",
+        )
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        from sqlserver_pg_cdc_spark.functions.vectors import dot, norm, vsub
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            _pq_codes_expr,
+        )
+
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        if self.deleted_col:
+            del_flag = F.coalesce(
+                F.col(self.deleted_col).cast("string") == F.lit("true"),
+                F.lit(False),
+            )
+            kept = batch_df.filter(F.col(self.vec_col).isNotNull() | del_flag)
+            pre = kept.select(
+                F.col(self.id_col).alias("doc"),
+                F.col(self.vec_col).alias("v"),
+                F.col(self.vec_col).alias("__v"),
+                norm(self.vec_col).alias("__vn"),
+                lsn.alias("lsn"),
+                del_flag.alias("__del"),
+            )
+        else:
+            pre = batch_df.filter(F.col(self.vec_col).isNotNull()).select(
+                F.col(self.id_col).alias("doc"),
+                F.col(self.vec_col).alias("v"),
+                F.col(self.vec_col).alias("__v"),
+                norm(self.vec_col).alias("__vn"),
+                lsn.alias("lsn"),
+            )
+        # cell for live rows; deletes carry a NULL vector -> NULL cell,
+        # kept through the LEFT join (their codes are never read)
+        pre = (
+            pre.withColumn("cell_id", F.expr(self._argmax))
+            .drop("__v", "__vn")
+        )
+        joined = pre.join(F.broadcast(self._cvt()), ["cell_id"], "left")
+        out_cols = [
+            "doc", "v", "cell_id",
+            dot(F.col("__cv"), F.col("v")).alias("corr"),
+        ]
+        enc = joined.withColumn("__r", vsub("v", "__cv"))
+        out_cols.append(
+            F.when(
+                F.col("__r").isNotNull(),
+                F.expr(_pq_codes_expr("__r", self._books)),
+            ).alias("codes")
+        )
+        out_cols.append(F.col("lsn"))
+        if self.deleted_col:
+            out_cols.append(F.col("__del"))
+        return enc.select(*out_cols)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
+        super().__call__(self._project(batch_df, batch_id), batch_id)
+
+    # -- query surface --------------------------------------------------------
+
+    def _live_state(self) -> DataFrame | None:
+        self._check_params()
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        return st
+
+    def codes(self) -> DataFrame | None:
+        """Live streamed (cell_id, id, corr, codes) — the exact shape
+        the one-shot build feeds `topk_ivfpq_encoded`."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select("cell_id", F.col("doc").alias("id"), "corr", "codes")
+
+    def vectors(self) -> DataFrame | None:
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select(
+            F.col("doc").alias(self.id_col), F.col("v").alias(self.vec_col)
+        )
+
+    def topk(
+        self, queries: DataFrame, k: int = 10, n_probe: int = 2,
+        refine: int = 32,
+    ) -> DataFrame | None:
+        """IVF-PQ top-k against the streamed rows — identical to the
+        one-shot `topk_ivfpq` with this epoch's cells and books."""
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            topk_ivfpq_encoded,
+        )
+
+        st = self._live_state()
+        if st is None:
+            return None
+        return topk_ivfpq_encoded(
+            st.select("cell_id", F.col("doc").alias("id"), "corr", "codes"),
+            st.select(F.col("doc").alias("id"), "v"),
+            self.centroids(),
+            queries, self.id_col, self.vec_col, self._books,
+            k=k, n_probe=n_probe, refine=refine,
+        )
+
+    # -- epoch drift ------------------------------------------------------------
+
+    def _recon_expr(self) -> str:
+        """Full reconstruction: centroid + decode(codes), as one literal
+        expression over (cell_id, codes). Falls out of date with EITHER
+        epoch input: a drifted cell origin or drifted residual books
+        both widen the gap to the stored vector."""
+        cent_arrs = ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+            for _, v, _ in self._cents
+        )
+        # position of cell_id in the SORTED cell list = index into the
+        # literal array (cell ids need not be contiguous)
+        id_arr = "array(" + ", ".join(str(c) for c, _, _ in self._cents) + ")"
+        cent = (
+            f"element_at(array({cent_arrs}), "
+            f"CAST(array_position({id_arr}, cell_id) AS INT))"
+        )
+        parts = []
+        for m, book in enumerate(self._books):
+            arrs = ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cw) + ")"
+                for cw in book
+            )
+            parts.append(f"element_at(array({arrs}), codes[{m}] + 1)")
+        resid = f"concat({', '.join(parts)})"
+        return f"zip_with({cent}, {resid}, (x, y) -> x + y)"
+
+    def mean_recon_cos(self) -> float | None:
+        from sqlserver_pg_cdc_spark.functions.vectors import cosine
+
+        st = self._live_state()
+        if st is None:
+            return None
+        row = (
+            st.filter(F.col("codes").isNotNull())
+            .select(cosine(F.col("v"), F.expr(self._recon_expr())).alias("c"))
+            .agg(F.avg("c").alias("m"))
+            .collect()[0]
+        )
+        return None if row["m"] is None else float(row["m"])
+
+    def capture_baseline(self) -> float | None:
+        import json
+        import os
+
+        m = self.mean_recon_cos()
+        if m is None:
+            return None
+        with open(os.path.join(self.target_dir, self._BASELINE_FILE), "w") as f:
+            json.dump({"mean_recon_cos": m}, f)
+        return m
+
+    def drift(self, tolerance: float = 0.05) -> dict:
+        import json
+        import os
+
+        bf = os.path.join(self.target_dir, self._BASELINE_FILE)
+        if not os.path.exists(bf):
+            raise ValueError(
+                f"no {self._BASELINE_FILE} at {self.target_dir} — call "
+                "capture_baseline() after the bootstrap batch so drift "
+                "has a training-time reference"
+            )
+        with open(bf) as f:
+            baseline = float(json.load(f)["mean_recon_cos"])
+        current = self.mean_recon_cos()
+        drop = None if current is None else baseline - current
+        return {
+            "baseline_mean_cos": baseline,
+            "mean_cos": current,
+            "drop": drop,
+            "drifted": drop is not None and drop > tolerance,
+        }
+
+    def rotate_epoch(
+        self,
+        new_state_dir: str,
+        n_cells: int | None = None,
+        m_sub: int | None = None,
+        k_codes: int | None = None,
+        max_iter: int = 20,
+        seed: int = 42,
+    ) -> "IvfPqIndexSink":
+        """Open a NEW epoch: retrain BOTH the coarse cells (spherical
+        k-means on the streamed live vectors) and the residual books
+        (per-subspace k-means on the NEW residuals), build a fresh sink
+        at ``new_state_dir``, bulk-load the current state (original
+        LSNs; codes re-derived from raw vectors), capture a baseline."""
+        from sqlserver_pg_cdc_spark.functions.vectors import vsub
+        from sqlserver_pg_cdc_spark.operators.similarity import (
+            _cell_argmax_expr,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        st = self.read_target()
+        if st is None:
+            raise ValueError("cannot rotate an empty IVF-PQ state")
+        live = st
+        if "__del" in st.columns:
+            live = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        cents = train_ivf_centroids(
+            live.select(F.col("v").alias(self.vec_col)),
+            self.vec_col,
+            n_cells=n_cells or len(self._cents),
+            max_iter=max_iter,
+            seed=seed,
+        )
+        crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+        argmax = _cell_argmax_expr(
+            [{"cell_id": int(r["cell_id"]),
+              "cv": [float(x) for x in r["cv"]],
+              "cn": float(r["cn"])} for r in crows]
+        )
+        cvt = self.spark.createDataFrame(
+            [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in crows],
+            "cell_id int, __cv array<double>",
+        )
+        # train the residual books on the NEW epoch's residuals
+        from sqlserver_pg_cdc_spark.functions.vectors import norm as _norm
+
+        resid_vec = (
+            live.select(
+                F.col("v"), F.col("v").alias("__v"),
+                _norm(F.col("v")).alias("__vn"),
+            )
+            .withColumn("cell_id", F.expr(argmax))
+            .join(F.broadcast(cvt), "cell_id")
+            .select(vsub("v", "__cv").alias("r"))
+        )
+        books = train_pq_codebooks(
+            resid_vec, "r",
+            m_sub=m_sub or len(self._books),
+            k_codes=k_codes or len(self._books[0]),
+            max_iter=max_iter, seed=seed,
+        )
+        if not books:
+            raise ValueError("cannot rotate: no live vectors to train on")
+        has_del = "__del" in st.columns
+        fresh = IvfPqIndexSink(
+            self.spark, new_state_dir, self.id_col, self.vec_col,
+            cents, books, lsn_col="lsn", dlq_dir=self.dlq_dir,
+            n_partitions=self.n_partitions,
+            deleted_col=(self.deleted_col or "__rotated_del") if has_del else None,
+        )
+        cols = [
+            F.col("doc").alias(self.id_col),
+            F.col("v").alias(self.vec_col),
+            F.col("lsn"),
+        ]
+        if has_del:
+            cols.append(
+                F.when(
+                    F.coalesce(F.col("__del"), F.lit(False)), F.lit("true")
+                ).otherwise(F.lit("false")).alias(fresh.deleted_col)
+            )
+        fresh(st.select(*cols), 0)
+        fresh.capture_baseline()
+        return fresh

@@ -3029,6 +3029,53 @@ def q_ann_topk_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ann_topk_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k against the STREAMING-maintained composite index
+    (`streaming/ann.IvfPqIndexSink`): the corpus arrives as two ingest
+    batches through the hash-partitioned LSN-guarded upsert (each
+    vector cell-assigned, residual-encoded, and correction-stamped by
+    the epoch's fixed cells+books at ingest), then the probe set runs
+    the same corrected-ADC scan + exact re-rank over the streamed rows.
+    The oracle is the from-scratch batch recompute with the same
+    deterministic cells and residual books — streamed rows == one-shot
+    build is the sink's pytest-pinned contract."""
+    import os as _os
+
+    from sqlserver_pg_cdc_spark.functions.vectors import vsub
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        pq_codebooks,
+        with_ivf_cell,
+    )
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfPqIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = with_ivf_cell(emb, "vec_id", "embedding", 8)
+    cvt = cents.select("cell_id", F.col("cv").alias("__cv"))
+    resid = assigned.join(F.broadcast(cvt), "cell_id").select(
+        "id", vsub("v", "__cv").alias("r")
+    )
+    books = pq_codebooks(resid, "id", "r", m_sub=4, k_codes=8)
+    if not books:  # empty corpus
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
+    work = _ann_streamed_workdir(sf_dir)
+    sink = IvfPqIndexSink(
+        spark, _os.path.join(work, "ivfpq_state"), "vec_id", "embedding",
+        cents, books, n_partitions=4,
+    )
+    sink(emb.filter("vec_id % 2 = 0"), 0)
+    sink(emb.filter("vec_id % 2 = 1"), 1)
+    res = sink.topk(
+        emb.filter(F.col("vec_id") < 5), k=5, n_probe=2, refine=32
+    )
+    if res is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, id long, cosine double"
+        )
+    return res
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level featurization of opaque payload columns (the corrupt/
     dup prefilter that runs before any codec); payloads synthesized from
@@ -5672,6 +5719,14 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
             ),
             "ann_topk_ivfpq": QuerySpec(
                 q_ann_topk_ivfpq,
+                topk_ivfpq_sql(
+                    "embeddings", "vec_id", "embedding", "vec_id < 5",
+                    k=5, n_cells=8, n_probe=2, m_sub=4, k_codes=8,
+                    refine=32,
+                ),
+            ),
+            "ann_topk_ivfpq_streamed": QuerySpec(
+                q_ann_topk_ivfpq_streamed,
                 topk_ivfpq_sql(
                     "embeddings", "vec_id", "embedding", "vec_id < 5",
                     k=5, n_cells=8, n_probe=2, m_sub=4, k_codes=8,

@@ -672,3 +672,150 @@ def test_ann_gate_writestream_e2e(spark, tmp_path):
     assert dups[100][:2] == (2, "corpus")
     indexed = {r["vec_id"] for r in gate.vectors().collect()}
     assert 300 in indexed and 100 not in indexed and len(indexed) == 14
+
+
+# --- streaming-maintained IVF-PQ index ---------------------------------------
+
+
+def _ivfpq_inputs(spark, ids, n_cells=4, m_sub=4, k_codes=8):
+    """Deterministic (cells, books) the test shares between the sink and
+    the one-shot batch path."""
+    from sqlserver_pg_cdc_spark.functions.vectors import dot, vsub
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        pq_codebooks,
+        with_ivf_cell,
+    )
+
+    vecs = _vecs(spark, ids)
+    assigned, cents = with_ivf_cell(vecs, "vec_id", "embedding", n_cells)
+    cvt = cents.select("cell_id", F.col("cv").alias("__cv"))
+    resid = assigned.join(F.broadcast(cvt), "cell_id").select(
+        "id", vsub("v", "__cv").alias("r")
+    )
+    books = pq_codebooks(resid, "id", "r", m_sub, k_codes)
+    return vecs, cents, books
+
+
+def _ivfpq_sink(spark, tmp_path, cents, books, name="ivfpq_state", **kw):
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfPqIndexSink
+
+    kw.setdefault("n_partitions", 8)
+    return IvfPqIndexSink(
+        spark, str(tmp_path / name), "vec_id", "embedding", cents, books, **kw
+    )
+
+
+def test_ivfpq_streamed_topk_equals_batch(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivfpq
+
+    all_v, cents, books = _ivfpq_inputs(spark, range(60))
+    sink = _ivfpq_sink(spark, tmp_path, cents, books)
+    for b, pred in enumerate(
+        ["vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"]
+    ):
+        sink(all_v.filter(pred), b)
+    queries = _vecs(spark, range(5))
+    want = topk_ivfpq(
+        all_v, queries, "vec_id", "embedding", k=5, n_cells=4, n_probe=2,
+        m_sub=4, k_codes=8, refine=16, centroids=cents, books=books,
+    )
+    got = sink.topk(queries, k=5, n_probe=2, refine=16)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+
+
+def test_ivfpq_update_delete_and_epoch_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    all_v, cents, books = _ivfpq_inputs(spark, range(20))
+    sink = _ivfpq_sink(
+        spark, tmp_path, cents, books,
+        lsn_col="lsn", deleted_col="__deleted",
+    )
+    base = all_v.selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(base, 0)
+    before = {r["id"]: (r["cell_id"], tuple(r["codes"]))
+              for r in sink.codes().collect()}
+    moved = _vecs(spark, [3], bump={3}).selectExpr(
+        "vec_id", "embedding", "CAST(100 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(moved, 1)
+    after = {r["id"]: (r["cell_id"], tuple(r["codes"]))
+             for r in sink.codes().collect()}
+    assert after[3] != before[3]  # re-assigned + re-encoded atomically
+    assert {k: v for k, v in after.items() if k != 3} == {
+        k: v for k, v in before.items() if k != 3
+    }
+    dels = spark.createDataFrame(
+        [(5, None, 200, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(dels, 2)
+    assert 5 not in {r["id"] for r in sink.codes().collect()}
+    sink(base.filter("vec_id = 5"), 3)  # stale replay: guarded out
+    assert 5 not in {r["id"] for r in sink.codes().collect()}
+    # epoch guard: different books fail fast
+    _, cents2, books2 = _ivfpq_inputs(spark, range(100, 140))
+    with _pytest.raises(ValueError, match="different epoch"):
+        _ivfpq_sink(spark, tmp_path, cents, books2,
+                    lsn_col="lsn", deleted_col="__deleted").codes()
+
+
+def test_ivfpq_drift_and_rotation(spark, tmp_path):
+    """Full drift discipline on the composite index: same-distribution
+    ingest reads healthy, a shifted stream trips the probe, rotation
+    retrains BOTH cells and books and preserves live/deleted state under
+    the LSN guard with topk parity against the new-epoch batch path."""
+    from sqlserver_pg_cdc_spark.operators.similarity import topk_ivfpq
+
+    all_v, cents, books = _ivfpq_inputs(spark, range(40))
+    sink = _ivfpq_sink(spark, tmp_path, cents, books, lsn_col="lsn",
+                       deleted_col="__deleted")
+    base = all_v.selectExpr(
+        "vec_id", "embedding", "CAST(vec_id + 10 AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(base, 0)
+    assert sink.capture_baseline() is not None
+    more = _vecs(spark, range(40, 55)).selectExpr(
+        "vec_id", "embedding", "CAST(vec_id AS LONG) AS lsn",
+        "'false' AS __deleted",
+    )
+    sink(more, 1)
+    assert sink.drift(tolerance=0.05)["drifted"] is False
+    drifted = spark.createDataFrame(
+        [(1000 + i, [200.0 + 13.0 * i * j for j in range(8)], 2000 + i,
+          "false") for i in range(60)],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    )
+    sink(drifted, 2)
+    rep = sink.drift(tolerance=0.05)
+    assert rep["drifted"] is True and rep["mean_cos"] < rep["baseline_mean_cos"]
+    # retire one doc, then rotate
+    sink(spark.createDataFrame(
+        [(5, None, 5000, "true")],
+        "vec_id long, embedding array<double>, lsn long, __deleted string",
+    ), 3)
+    fresh = sink.rotate_epoch(
+        str(tmp_path / "epoch2"), n_cells=4, m_sub=4, k_codes=8,
+    )
+    live = {r["id"] for r in fresh.codes().collect()}
+    assert 5 not in live and 3 in live and 1000 in live
+    # LSN guard carried: stale pre-delete replay cannot resurrect
+    fresh(base.filter("vec_id = 5"), 99)
+    assert 5 not in {r["id"] for r in fresh.codes().collect()}
+    # topk parity with the batch path under the NEW epoch
+    queries = _vecs(spark, range(3))
+    survivors = fresh.vectors()
+    want = topk_ivfpq(
+        survivors, queries, "vec_id", "embedding", k=5, n_probe=2,
+        refine=16, centroids=fresh.centroids(), books=fresh._books,
+    )
+    got = fresh.topk(queries, k=5, n_probe=2, refine=16)
+    key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
+    assert key(got) == key(want)
+    assert os.path.exists(os.path.join(fresh.target_dir, fresh._BASELINE_FILE))

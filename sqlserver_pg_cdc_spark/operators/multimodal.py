@@ -4,16 +4,20 @@ Convention: a modality is an opaque ``binary`` payload column plus a typed
 metadata struct (``mime``, byte length, modality-specific fields). The
 Spark-side machinery — schemas, partition-sized Arrow batches through
 ``mapInPandas``, byte-level featurization — is real and tested, and so
-are five pure-Python codecs that need no image/audio library: 24-bpp
-BMP, 8-bit RGB/RGBA PNG (stdlib zlib + per-spec unfiltering), baseline
-JFIF JPEG (canonical-Huffman entropy decode + IDCT), MJPEG
-frame sampling (elementary stream AND the AVI/RIFF container, demuxed
-by chunk walk), and 16-bit PCM WAV. Formats that genuinely require a
-codec library remain explicit stubs:
+are the pure-Python codec families that need no image/audio library:
+24-bpp BMP, 8-bit RGB/RGBA PNG (stdlib zlib + per-spec unfiltering),
+baseline JFIF JPEG (canonical-Huffman entropy decode + IDCT), GIF
+(LZW), MJPEG frame sampling (elementary stream AND the AVI/RIFF
+container, demuxed by chunk walk), 16-bit PCM WAV, IMA ADPCM, FLAC
+(Rice-coded lossless), and the LOSSY psychoacoustic subband family
+(576-line MDCT + Layer-II-style quantization — the MP3 toolchain,
+``encode_subband``/``decode_subband``). Formats that genuinely require
+a codec library remain explicit stubs:
 
 - with ``decoder="strict"`` the decode raises NotImplementedError,
-  exactly where torchaudio/ffmpeg would be called (MP3, compressed
-  inter-frame video codecs);
+  exactly where torchaudio/ffmpeg would be called (bit-interoperable
+  MP3 — its Huffman/window binary tables — and compressed inter-frame
+  video codecs);
 - with ``decoder="fake"`` (default for tests) a deterministic fake
   derives plausible dimensions/duration from the payload hash, so the
   downstream plumbing (schema, batching, joins) can be exercised
@@ -2232,7 +2236,12 @@ def sample_audio_frames(
     the reconstructed PCM16 samples.
     ``decoder="flac"``: REAL decode of mono 16-bit FLAC
     (Rice-coded lossless, :func:`decode_flac`) — same contract; decode
-    failures (CRC/MD5/truncation) skip the document."""
+    failures (CRC/MD5/truncation) skip the document.
+    ``decoder="subband"``: REAL decode of the LOSSY psychoacoustic
+    subband format (:func:`decode_subband` — 576-line MDCT +
+    Layer-II-style quantization; the MP3 toolchain family) — same
+    contract over the reconstructed PCM16 samples; structural damage
+    (magic/CRC/truncation) skips the document."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2246,13 +2255,15 @@ def sample_audio_frames(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if decoder in ("wav", "adpcm", "flac"):
+                if decoder in ("wav", "adpcm", "flac", "subband"):
                     parsed = (
                         decode_wav_pcm16(b)
                         if decoder == "wav"
                         else decode_wav_adpcm(b)
                         if decoder == "adpcm"
                         else decode_flac(b)
+                        if decoder == "flac"
+                        else decode_subband(b)
                     )
                     if parsed is None:
                         continue
@@ -2403,3 +2414,372 @@ def resize_images_stub(
         ]
     )
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Psychoacoustic subband audio codec (ninth from-scratch compression
+# family, the LOSSY perceptual one). This is the MP3 toolchain built
+# pure-numpy: a 576-line MDCT (Layer III's long-block geometry — sine
+# window, exact TDAC perfect reconstruction), 32 scalefactor bands of
+# 18 spectral lines, a psychoacoustic model (Terhardt absolute
+# threshold in quiet + two-slope inter-band spreading -> per-band
+# SMR), greedy minimum-MNR bit allocation against an exact
+# MPEG-style bitrate budget, and ISO 11172-3 Layer-II quantization
+# discipline (cube-root-of-two scalefactor lattice, midtread
+# quantizer classes 3..65535 with grouped 3/5/9-level triplet
+# codewords, scalefactor sharing flags). Two deliberate, documented
+# deviations keep it self-contained rather than bit-interoperable
+# with ISO decoders — the parts of the spec that are binary TABLES,
+# not algorithms (11172-3 Annex 3-B Huffman/window tables):
+#   - entropy stage is fixed-width grouped codewords (Layer II
+#     discipline) rather than Layer III's 34 tabulated Huffman tables;
+#   - framing is a private magic + CRC-16 per frame instead of the
+#     MPEG syncword/bitrate-index header.
+# Reference parity note: the reference treats compressed audio as an
+# opaque payload (no codec anywhere in sqlserver-pg-cdc); this family
+# exists for the LLM-pipeline plane (BASELINE.json), closing the
+# "psychoacoustic subband coding" seam that `decoder="strict"`
+# documented through round 8.
+# ---------------------------------------------------------------------------
+
+_SB_MAGIC = b"SBC2"
+_SB_LINES = 576          # MDCT spectral lines per block (Layer III long block)
+_SB_WIN = 2 * _SB_LINES  # 1152-sample sine window
+_SB_NBANDS = 32          # scalefactor bands, 18 lines each
+_SB_BANDW = _SB_LINES // _SB_NBANDS
+_SB_FRAME_BLOCKS = 2     # 1152 new samples per frame
+_SB_FRAME_SAMPLES = _SB_FRAME_BLOCKS * _SB_LINES
+_SB_BAND_VALS = _SB_FRAME_BLOCKS * _SB_BANDW  # 36 values/band/frame
+# allocation index -> quantizer levels (Layer II Table B.2 shape:
+# 3/5/9 are the grouped classes)
+_SB_NLEVELS = (
+    0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 16383, 65535,
+)
+_SB_GROUP_BITS = {3: 5, 5: 7, 9: 10}  # triplet -> one codeword
+_SB_CODE_BITS = {
+    7: 3, 15: 4, 31: 5, 63: 6, 127: 7, 255: 8, 511: 9, 1023: 10,
+    2047: 11, 4095: 12, 16383: 14, 65535: 16,
+}
+# scalefactor table: 4.0 * 2^(-i/3), the 11172-3 cube-root-of-two
+# lattice. The spec's table starts at 2.0 for its polyphase domain;
+# MDCT coefficients of full-scale input can exceed 2.0, so this table
+# starts one octave higher (64 entries — the 6-bit index is fully
+# used).
+_SB_SCF = tuple(4.0 * 2.0 ** (-(i) / 3.0) for i in range(64))
+
+
+def _sb_matrices() -> "tuple[np.ndarray, np.ndarray]":
+    """(sine window, 576x1152 modulation matrix), built once."""
+    global _SB_MAT
+    try:
+        return _SB_MAT
+    except NameError:
+        pass
+    n = np.arange(_SB_WIN, dtype=np.float64)
+    k = np.arange(_SB_LINES, dtype=np.float64)
+    w = np.sin(np.pi / _SB_WIN * (n + 0.5))
+    m = np.cos(
+        np.pi / _SB_LINES
+        * (n[None, :] + 0.5 + _SB_LINES / 2.0)
+        * (k[:, None] + 0.5)
+    )
+    _SB_MAT = (w, m)
+    return _SB_MAT
+
+
+def _sb_analysis(x_norm: "np.ndarray") -> "np.ndarray":
+    """Normalized samples -> (n_blocks, 576) MDCT line matrix, padded
+    so every input sample sits in the fully-overlapped region and the
+    block count is a whole number of frames."""
+    w, m = _sb_matrices()
+    n = len(x_norm)
+    blocks = -(-(n + _SB_LINES) // _SB_LINES)  # ceil
+    blocks = -(-blocks // _SB_FRAME_BLOCKS) * _SB_FRAME_BLOCKS
+    padded = np.zeros((blocks + 1) * _SB_LINES, dtype=np.float64)
+    padded[_SB_LINES : _SB_LINES + n] = x_norm
+    idx = np.arange(blocks)[:, None] * _SB_LINES + np.arange(_SB_WIN)[None, :]
+    # 2/LINES folded into the forward side so a full-scale tone's
+    # dominant line sits near its time-domain amplitude
+    return (padded[idx] * w[None, :]) @ m.T * (2.0 / _SB_LINES)
+
+
+def _sb_synthesis(coef: "np.ndarray", n_total: int) -> "np.ndarray":
+    """(n_blocks, 576) line matrix -> n_total normalized samples via
+    windowed IMDCT overlap-add (exact TDAC reconstruction)."""
+    w, m = _sb_matrices()
+    blocks = coef.shape[0]
+    slabs = (coef @ m) * w[None, :]  # (blocks, 1152)
+    out = np.zeros((blocks + 1) * _SB_LINES, dtype=np.float64)
+    out[: blocks * _SB_LINES] += slabs[:, : _SB_LINES].reshape(-1)
+    out[_SB_LINES:] += slabs[:, _SB_LINES :].reshape(-1)
+    return out[_SB_LINES : _SB_LINES + n_total]
+
+
+def _sb_smr(frame_coef: "np.ndarray", sample_rate: int) -> "np.ndarray":
+    """Per-scalefactor-band signal-to-mask ratio for one (2, 576)
+    frame.
+
+    Psychoacoustics, closed-form and public: Terhardt's absolute
+    threshold in quiet (J. Acoust. Soc. Am. 55, 1979 — the formula
+    every perceptual-codec paper reprints) mapped under a 96 dB SPL
+    playback assumption, and a two-slope inter-band spreading
+    function (-27 dB/band toward higher-frequency maskees, -12
+    dB/band toward lower — the triangle MPEG psychoacoustic model 1
+    linearizes)."""
+    e = frame_coef * frame_coef
+    energy = e.reshape(-1, _SB_NBANDS, _SB_BANDW).sum(axis=(0, 2)) / (
+        _SB_BAND_VALS
+    )
+    level = 10.0 * np.log10(energy + 1e-12)  # dBFS-ish
+    b = np.arange(_SB_NBANDS, dtype=np.float64)
+    dist = b[None, :] - b[:, None]  # maskee - masker
+    slope = np.where(dist >= 0.0, 12.0, 27.0)
+    spread = level[:, None] - 15.5 - slope * np.abs(dist)
+    mask = spread.max(axis=0)
+    f_khz = (
+        np.maximum((b * _SB_BANDW + _SB_BANDW / 2.0)
+                   * sample_rate / (2.0 * _SB_LINES), 20.0)
+        / 1000.0
+    )
+    quiet = (
+        3.64 * f_khz**-0.8
+        - 6.5 * np.exp(-0.6 * (f_khz - 3.3) ** 2)
+        + 1e-3 * f_khz**4
+    ) - 96.0
+    return level - np.maximum(mask, quiet)
+
+
+def _sb_step_cost(a: int) -> int:
+    """Bits to raise one band from allocation index a to a+1 (samples
+    delta + worst-case scalefactor/share-flag cost on the 0->1 step)."""
+    n_new = _SB_NLEVELS[a + 1]
+    new = (
+        12 * _SB_GROUP_BITS[n_new]
+        if n_new in _SB_GROUP_BITS
+        else _SB_BAND_VALS * _SB_CODE_BITS[n_new]
+    )
+    n_old = _SB_NLEVELS[a]
+    old = 0
+    if n_old:
+        old = (
+            12 * _SB_GROUP_BITS[n_old]
+            if n_old in _SB_GROUP_BITS
+            else _SB_BAND_VALS * _SB_CODE_BITS[n_old]
+        )
+    return new - old + (1 + 12 if a == 0 else 0)  # share flag + 2 scfs
+
+
+def _sb_allocate(smr: "np.ndarray", budget_bits: int) -> "np.ndarray":
+    """Layer-II-style greedy allocation: repeatedly raise the band
+    with the worst mask-to-noise ratio one allocation step while the
+    step still fits the frame's bit budget."""
+    alloc = np.zeros(_SB_NBANDS, dtype=np.int64)
+    spent = 0
+    # quantizer SNR ~ 20 log10(levels), 0 dB for an uncoded band
+    # (11172-3 allocation semantics); MNR = SNR - SMR
+    snr = np.zeros(_SB_NBANDS)
+    while True:
+        order = np.argsort(snr - smr, kind="stable")
+        for bi in order:
+            bi = int(bi)
+            if alloc[bi] >= len(_SB_NLEVELS) - 1:
+                continue
+            c = _sb_step_cost(int(alloc[bi]))
+            if spent + c > budget_bits:
+                continue
+            alloc[bi] += 1
+            spent += c
+            snr[bi] = 20.0 * math.log10(_SB_NLEVELS[alloc[bi]])
+            break
+        else:
+            return alloc
+
+
+def _sb_scf_index(max_abs: float) -> int:
+    """Tightest scalefactor covering max_abs (table is decreasing)."""
+    lo, hi = 0, len(_SB_SCF)  # binary-search first index with scf < max_abs
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _SB_SCF[mid] >= max_abs:
+            lo = mid + 1
+        else:
+            hi = mid
+    return max(0, lo - 1)
+
+
+def encode_subband(
+    sample_rate: int,
+    samples: "np.ndarray | list[int]",
+    kbps: int = 192,
+) -> bytes:
+    """Mono 16-bit psychoacoustic subband encode (see the section
+    comment above). ``kbps`` sets the per-frame bit budget exactly as
+    the MPEG bitrate field does: ``kbps*1000*1152/sample_rate`` bits
+    per 1152-sample frame."""
+    x = np.asarray(samples, dtype=np.int16).astype(np.float64) / 32768.0
+    n_total = len(x)
+    coef = _sb_analysis(x)
+    n_frames = coef.shape[0] // _SB_FRAME_BLOCKS
+    head = _MsbWriter()
+    for bch in _SB_MAGIC:
+        head.write(bch, 8)
+    head.write(1, 8)  # version
+    head.write(sample_rate, 32)
+    head.write(n_total, 40)
+    head.write(kbps, 16)
+    head.write(n_frames, 32)
+    head_bytes = bytes(head.out)
+    out = bytearray(head_bytes)
+    out += _crc16(head_bytes[4:]).to_bytes(2, "big")
+    frame_budget = max(0, int(kbps * 1000 * _SB_FRAME_SAMPLES / sample_rate))
+    for fi in range(n_frames):
+        fc = coef[fi * _SB_FRAME_BLOCKS : (fi + 1) * _SB_FRAME_BLOCKS]
+        smr = _sb_smr(fc, sample_rate)
+        overhead = _SB_NBANDS * 4 + 16  # allocation field + frame CRC
+        alloc = _sb_allocate(smr, max(0, frame_budget - overhead))
+        wtr = _MsbWriter()
+        for bnd in range(_SB_NBANDS):
+            wtr.write(int(alloc[bnd]), 4)
+        # per band: one scalefactor per block, shared when equal
+        # (SCFSI discipline collapsed to the 2-block frame)
+        sub = np.abs(fc).reshape(_SB_FRAME_BLOCKS, _SB_NBANDS, _SB_BANDW)
+        mx = sub.max(axis=2)  # (2, 32)
+        scf_idx = np.zeros((_SB_FRAME_BLOCKS, _SB_NBANDS), dtype=np.int64)
+        for blk in range(_SB_FRAME_BLOCKS):
+            for bnd in range(_SB_NBANDS):
+                scf_idx[blk, bnd] = _sb_scf_index(float(mx[blk, bnd]))
+        for bnd in range(_SB_NBANDS):
+            if not alloc[bnd]:
+                continue
+            i0, i1 = int(scf_idx[0, bnd]), int(scf_idx[1, bnd])
+            if i0 == i1:
+                wtr.write(1, 1)
+                wtr.write(i0, 6)
+            else:
+                wtr.write(0, 1)
+                wtr.write(i0, 6)
+                wtr.write(i1, 6)
+        # spectral values: block-major per band, triplet codewords for
+        # the grouped classes (12 triplets per band per frame)
+        for bnd in range(_SB_NBANDS):
+            nlev = _SB_NLEVELS[int(alloc[bnd])]
+            if not nlev:
+                continue
+            half = (nlev - 1) // 2
+            vals = np.concatenate(
+                [
+                    fc[blk, bnd * _SB_BANDW : (bnd + 1) * _SB_BANDW]
+                    / _SB_SCF[int(scf_idx[blk, bnd])]
+                    for blk in range(_SB_FRAME_BLOCKS)
+                ]
+            )
+            q = (
+                np.clip(np.rint(vals * half), -half, half).astype(np.int64)
+                + half
+            )
+            if nlev in _SB_GROUP_BITS:
+                gb = _SB_GROUP_BITS[nlev]
+                tri = q.reshape(-1, 3)
+                for c0, c1, c2 in tri:
+                    wtr.write(
+                        int(c0 + nlev * c1 + nlev * nlev * c2), gb
+                    )
+            else:
+                nb = _SB_CODE_BITS[nlev]
+                for c in q:
+                    wtr.write(int(c), nb)
+        wtr.align()
+        body = bytes(wtr.out)
+        out += len(body).to_bytes(3, "big") + body
+        out += _crc16(body).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
+    """Inverse of :func:`encode_subband`; None on any structural
+    damage (magic, header/frame CRC, truncation — every bit read is
+    bounds-checked, and a stream with fewer frames than the declared
+    sample count needs fails rather than returning a short signal)."""
+    if len(payload) < 22 or payload[:4] != _SB_MAGIC:
+        return None
+    try:
+        r = _MsbReader(payload, start=4)
+        if r.read(8) != 1:
+            return None
+        sample_rate = r.read(32)
+        n_total = r.read(40)
+        r.read(16)  # kbps: informational
+        n_frames = r.read(32)
+        if _crc16(payload[4:20]) != r.read(16):
+            return None
+        if sample_rate <= 0 or n_frames > (n_total // _SB_FRAME_SAMPLES) + 2:
+            return None
+        coef = np.zeros(
+            (n_frames * _SB_FRAME_BLOCKS, _SB_LINES), dtype=np.float64
+        )
+        pos = r.byte_pos()
+        for fi in range(n_frames):
+            if pos + 3 > len(payload):
+                return None
+            blen = int.from_bytes(payload[pos : pos + 3], "big")
+            body = payload[pos + 3 : pos + 3 + blen]
+            if len(body) != blen or pos + 3 + blen + 2 > len(payload):
+                return None
+            if (
+                int.from_bytes(
+                    payload[pos + 3 + blen : pos + 5 + blen], "big"
+                )
+                != _crc16(body)
+            ):
+                return None
+            pos += 5 + blen
+            fr = _MsbReader(body)
+            alloc = [fr.read(4) for _ in range(_SB_NBANDS)]
+            scf = np.ones(
+                (_SB_FRAME_BLOCKS, _SB_NBANDS), dtype=np.float64
+            )
+            for bnd in range(_SB_NBANDS):
+                if not alloc[bnd]:
+                    continue
+                if fr.read(1):
+                    i0 = i1 = fr.read(6)
+                else:
+                    i0, i1 = fr.read(6), fr.read(6)
+                scf[0, bnd], scf[1, bnd] = _SB_SCF[i0], _SB_SCF[i1]
+            base = fi * _SB_FRAME_BLOCKS
+            for bnd in range(_SB_NBANDS):
+                nlev = _SB_NLEVELS[alloc[bnd]]
+                if not nlev:
+                    continue
+                half = (nlev - 1) // 2
+                if nlev in _SB_GROUP_BITS:
+                    gb = _SB_GROUP_BITS[nlev]
+                    codes = []
+                    for _ in range(_SB_BAND_VALS // 3):
+                        c = fr.read(gb)
+                        if c >= nlev * nlev * nlev:
+                            return None
+                        codes.extend(
+                            (c % nlev, (c // nlev) % nlev, c // (nlev * nlev))
+                        )
+                else:
+                    nb = _SB_CODE_BITS[nlev]
+                    codes = [fr.read(nb) for _ in range(_SB_BAND_VALS)]
+                    if any(c >= nlev for c in codes):
+                        return None
+                qv = np.asarray(codes, dtype=np.float64) - half
+                for blk in range(_SB_FRAME_BLOCKS):
+                    coef[
+                        base + blk,
+                        bnd * _SB_BANDW : (bnd + 1) * _SB_BANDW,
+                    ] = (
+                        qv[blk * _SB_BANDW : (blk + 1) * _SB_BANDW]
+                        * (scf[blk, bnd] / half)
+                    )
+        if n_frames * _SB_FRAME_SAMPLES < n_total:
+            return None
+        y = _sb_synthesis(coef, n_total)
+        pcm = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+        return sample_rate, pcm
+    except EOFError:
+        return None

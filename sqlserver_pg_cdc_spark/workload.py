@@ -3706,6 +3706,82 @@ GROUP BY doc_id, j // 1000
 """
 
 
+def q_multimodal_subband_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a LOSSY PSYCHOACOUSTIC subband format (the ninth
+    from-scratch compression family, and the perceptual one): each
+    document renders a deterministic DC signal as the MP3-toolchain
+    codec — 576-line MDCT, Terhardt-threshold/spreading SMR, greedy
+    minimum-MNR bit allocation, Layer-II grouped quantization, CRC-16
+    frames (`operators/multimodal.py encode_subband`) — and the frame
+    sampler windows the reconstructed PCM. Lossy codecs cannot promise
+    bit-exact rms, so the contract quantizes honestly: integer frame
+    geometry is exact, and `rms_ok` asserts the reconstruction sits
+    within +/-2 LSB of the closed-form amplitude — a bound the
+    allocated 16-bit quantizers beat by orders of magnitude at this
+    bitrate, so the boolean is decode-deterministic. The corrupt
+    classes (doc_id%13 in 5,9 — truncation, destroyed magic) fail
+    decode structurally (bounds-checked reads + per-frame CRC-16;
+    the declared-sample-count check rejects whole-frame loss), so
+    corrupt docs drop from both engines."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_subband,
+        sample_audio_frames,
+    )
+
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                c = ((k * 97) % 256 - 128) * 100
+                n = 500 * (1 + k % 4)
+                key = (c, n)
+                p = cache.get(key)
+                if p is None:
+                    p = encode_subband(
+                        1000, np.full(n, c, dtype=np.int16), kbps=192
+                    )
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    frames = sample_audio_frames(
+        enc, "doc_id", "payload", frame_ms=1000, decoder="subband"
+    )
+    expected = F.abs(
+        ((F.col("doc_id") * 97) % 256 - 128).cast("double") * 100.0
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset_ms",
+        (F.abs(F.col("rms") - expected) < 2.0).alias("rms_ok"),
+    )
+
+
+_MM_SUBBAND_FRAMES_SQL = """
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * 1000 AS BIGINT) AS frame_offset_ms,
+       TRUE AS rms_ok
+FROM documents d
+JOIN generate_series(0, 1) AS t(i)
+  ON t.i * 1000 < 500 * (1 + d.doc_id % 4)
+WHERE d.doc_id % 13 NOT IN (5, 9)
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -5821,6 +5897,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_flac_frames"] = QuerySpec(
         q_multimodal_flac_frames, _MM_FLAC_FRAMES_SQL
+    )
+    catalog["multimodal_subband_frames"] = QuerySpec(
+        q_multimodal_subband_frames, _MM_SUBBAND_FRAMES_SQL
     )
     catalog["multimodal_resize"] = QuerySpec(
         q_multimodal_resize, _MM_RESIZE_SQL

@@ -1,0 +1,185 @@
+"""Psychoacoustic subband codec (encode_subband/decode_subband): the
+lossy perceptual family. Contracts: exact TDAC filterbank (perfect
+reconstruction before quantization), SNR that scales with the MPEG-
+style bitrate budget, psychoacoustic allocation (masked bands get
+fewer bits than isolated ones), grouped-quantizer laws, strict
+structural validation (magic/CRC/truncation -> None), and the Spark
+frame-sampler path."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sqlserver_pg_cdc_spark.operators.multimodal import (
+    _SB_GROUP_BITS,
+    _SB_NLEVELS,
+    _SB_SCF,
+    _sb_allocate,
+    _sb_analysis,
+    _sb_scf_index,
+    _sb_smr,
+    _sb_synthesis,
+    decode_subband,
+    encode_subband,
+    sample_audio_frames,
+)
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    err = out.astype(np.float64) - ref.astype(np.float64)
+    return 10.0 * math.log10(
+        float((ref.astype(np.float64) ** 2).mean()) / float((err**2).mean())
+    )
+
+
+def test_filterbank_perfect_reconstruction():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(5000) * 0.5
+    coef = _sb_analysis(x)
+    y = _sb_synthesis(coef, len(x))
+    assert np.abs(y - x).max() < 1e-10  # exact TDAC, quantizer off
+
+
+def test_dc_near_exact_at_high_bitrate():
+    x = np.full(2500, 9200, dtype=np.int16)
+    rate, y = decode_subband(encode_subband(1000, x, kbps=192))
+    assert rate == 1000 and len(y) == 2500
+    assert np.abs(y.astype(int) - x.astype(int)).max() <= 1
+
+
+def test_snr_scales_with_bitrate_and_compresses():
+    t = np.arange(48000)
+    sig = (12000 * np.sin(2 * np.pi * 440 * t / 48000)).astype(np.int16)
+    snrs, sizes = [], []
+    for kbps in (64, 128, 192):
+        p = encode_subband(48000, sig, kbps=kbps)
+        _, y = decode_subband(p)
+        snrs.append(_snr_db(sig, y))
+        sizes.append(len(p))
+    assert snrs[0] > 25 and snrs[1] > 40 and snrs[2] > 55
+    assert snrs[0] < snrs[1] < snrs[2]
+    # real compression at every rate (vs 16-bit PCM)
+    assert sizes[2] < 2 * len(sig) / 3
+    assert sizes[0] < sizes[1] < sizes[2]
+    # bitrate budget is honored as a ceiling (MPEG semantics), with
+    # header+frame overhead the only excess; frame count follows the
+    # encoder's pad-to-whole-frames block math
+    blocks = -(-(len(sig) + 576) // 576)
+    frames = (blocks + 1) // 2
+    assert sizes[0] <= 64_000 * 1152 / 48000 / 8 * frames + 22 + 5 * frames
+
+
+def test_psychoacoustic_allocation_masks_quiet_neighbor():
+    """A -40 dB tone adjacent to a loud masker gets NO bits, while the
+    same tone isolated in an otherwise-quiet signal gets coded: the
+    spreading-function SMR is doing the allocating."""
+    t = np.arange(1152)
+    f_loud = (0 * 18 + 9) / 1152  # center of band 0 (normalized)
+    f_quiet = (1 * 18 + 9) / 1152  # center of band 1, adjacent
+    loud = np.sin(2 * np.pi * f_loud * t)
+    quiet = 0.01 * np.sin(2 * np.pi * f_quiet * t)
+    budget = 1500
+
+    masked = _sb_analysis(loud + quiet)[:2]
+    a_masked = _sb_allocate(_sb_smr(masked, 48000), budget)
+    alone = _sb_analysis(quiet)[:2]
+    a_alone = _sb_allocate(_sb_smr(alone, 48000), budget)
+    assert a_alone[1] > 0  # isolated: audible above threshold in quiet
+    # masked: the loud band dominates allocation; its band gets
+    # strictly more levels than the masked neighbor
+    assert a_masked[0] > a_masked[1]
+
+
+def test_grouped_codeword_law_and_scf_table():
+    # grouped classes pack 3 values into ceil(log2(n^3)) bits — the
+    # 11172-3 Layer II widths (5/7/10 for 3/5/9 levels)
+    for nlev, bits in _SB_GROUP_BITS.items():
+        assert bits == math.ceil(math.log2(nlev**3))
+        assert nlev in _SB_NLEVELS
+    # scalefactor lattice: every third index halves the value
+    for i in range(len(_SB_SCF) - 3):
+        assert _SB_SCF[i + 3] == pytest.approx(_SB_SCF[i] / 2)
+    # tightest-cover property of the index search
+    for v in (3.9, 1.0, 0.1, 1e-6, 0.0):
+        i = _sb_scf_index(v)
+        assert _SB_SCF[i] >= v or i == 0
+        if i + 1 < len(_SB_SCF) and v > 0:
+            assert _SB_SCF[i + 1] < v or _SB_SCF[i] >= v
+
+
+def test_structural_damage_returns_none():
+    t = np.arange(4000)
+    sig = (9000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    p = encode_subband(8000, sig, kbps=96)
+    assert decode_subband(p) is not None
+    # catalog corruption classes: 60% truncation, destroyed magic
+    assert decode_subband(p[: len(p) * 3 // 5]) is None
+    assert decode_subband(b"\x00\x00" + p) is None
+    # flipped byte inside a frame body: CRC-16 catches it
+    bad = bytearray(p)
+    bad[len(p) // 2] ^= 0xFF
+    assert decode_subband(bytes(bad)) is None
+    # header field damage: header CRC catches it
+    bad2 = bytearray(p)
+    bad2[9] ^= 0x01  # sample-rate byte
+    assert decode_subband(bytes(bad2)) is None
+    assert decode_subband(b"") is None
+    assert decode_subband(p[:10]) is None
+
+
+def test_fewer_frames_than_declared_is_rejected():
+    x = np.full(3000, 5000, dtype=np.int16)
+    p = encode_subband(1000, x, kbps=192)
+    # chop the last whole frame (length-prefixed): stream must fail,
+    # not return a short signal
+    pos = 22
+    spans = []
+    while pos + 3 <= len(p):
+        blen = int.from_bytes(p[pos : pos + 3], "big")
+        spans.append((pos, pos + 5 + blen))
+        pos += 5 + blen
+    assert len(spans) >= 3
+    assert decode_subband(p[: spans[-1][0]]) is None
+
+
+def test_sample_audio_frames_subband_through_spark(spark):
+    import pandas as pd
+
+    docs = []
+    for doc_id in range(6):
+        c = 2000 + 1500 * doc_id
+        x = np.full(2500, c, dtype=np.int16)
+        p = encode_subband(1000, x, kbps=192)
+        if doc_id == 4:
+            p = p[: len(p) * 3 // 5]  # corrupt: dropped entirely
+        docs.append((doc_id, p))
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = sample_audio_frames(
+        df, "doc_id", "payload", frame_ms=1000, decoder="subband"
+    ).toPandas()
+    assert set(out.doc_id) == {0, 1, 2, 3, 5}
+    # 2500 samples @1000 Hz, 1000 ms frames -> 3 frames per doc
+    assert (
+        out.groupby("doc_id").frame_idx.count() == 3
+    ).all()
+    for _, r in out.iterrows():
+        expected = 2000 + 1500 * r.doc_id
+        assert abs(r.rms - expected) < 2.0
+    assert (out.frame_offset_ms == out.frame_idx * 1000).all()
+
+
+def test_strict_seam_still_raises(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, b"x")], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        sample_audio_frames(
+            df, "doc_id", "payload", decoder="strict"
+        ).collect()

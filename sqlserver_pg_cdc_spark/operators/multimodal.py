@@ -424,13 +424,26 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
+_CRC16_TABLE = None
+
+
 def _crc16(data: bytes) -> int:
-    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames."""
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames.
+    Table-driven (256-entry, built once): the bit-at-a-time loop was
+    the hot spot of every CRC-framed codec decode at bench scale."""
+    global _CRC16_TABLE
+    if _CRC16_TABLE is None:
+        tbl = []
+        for b in range(256):
+            crc = b << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            tbl.append(crc)
+        _CRC16_TABLE = tbl
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[((crc >> 8) ^ b) & 0xFF]
     return crc
 
 
@@ -2569,30 +2582,46 @@ def _sb_step_cost(a: int) -> int:
     return new - old + (1 + 12 if a == 0 else 0)  # share flag + 2 scfs
 
 
+_SB_STEP_COST = tuple(
+    _sb_step_cost(a) for a in range(len(_SB_NLEVELS) - 1)
+)
+_SB_STEP_SNR = (0.0,) + tuple(
+    20.0 * math.log10(n) for n in _SB_NLEVELS[1:]
+)
+
+
 def _sb_allocate(smr: "np.ndarray", budget_bits: int) -> "np.ndarray":
     """Layer-II-style greedy allocation: repeatedly raise the band
     with the worst mask-to-noise ratio one allocation step while the
-    step still fits the frame's bit budget."""
+    step still fits the frame's bit budget. A band whose next step no
+    longer fits is retired permanently — the budget only shrinks, so
+    an unaffordable step stays unaffordable (argmin over a live mask
+    replaces the original full argsort per step)."""
     alloc = np.zeros(_SB_NBANDS, dtype=np.int64)
     spent = 0
     # quantizer SNR ~ 20 log10(levels), 0 dB for an uncoded band
     # (11172-3 allocation semantics); MNR = SNR - SMR
-    snr = np.zeros(_SB_NBANDS)
-    while True:
-        order = np.argsort(snr - smr, kind="stable")
-        for bi in order:
-            bi = int(bi)
-            if alloc[bi] >= len(_SB_NLEVELS) - 1:
-                continue
-            c = _sb_step_cost(int(alloc[bi]))
-            if spent + c > budget_bits:
-                continue
-            alloc[bi] += 1
-            spent += c
-            snr[bi] = 20.0 * math.log10(_SB_NLEVELS[alloc[bi]])
-            break
-        else:
-            return alloc
+    max_a = len(_SB_NLEVELS) - 1
+    if budget_bits >= _SB_NBANDS * sum(_SB_STEP_COST):
+        # budget saturates every band (high-bitrate/near-lossless
+        # profile): skip the greedy entirely
+        return np.full(_SB_NBANDS, max_a, dtype=np.int64)
+    mnr = -smr.astype(np.float64)
+    live = np.ones(_SB_NBANDS, dtype=bool)
+    while live.any():
+        masked = np.where(live, mnr, np.inf)
+        bi = int(np.argmin(masked))
+        a = int(alloc[bi])
+        c = _SB_STEP_COST[a]
+        if spent + c > budget_bits:
+            live[bi] = False
+            continue
+        alloc[bi] = a + 1
+        spent += c
+        mnr[bi] = _SB_STEP_SNR[a + 1] - smr[bi]
+        if a + 1 >= max_a:
+            live[bi] = False
+    return alloc
 
 
 def _sb_scf_index(max_abs: float) -> int:
@@ -2680,14 +2709,15 @@ def encode_subband(
             if nlev in _SB_GROUP_BITS:
                 gb = _SB_GROUP_BITS[nlev]
                 tri = q.reshape(-1, 3)
-                for c0, c1, c2 in tri:
-                    wtr.write(
-                        int(c0 + nlev * c1 + nlev * nlev * c2), gb
-                    )
+                codes = tri[:, 0] + nlev * tri[:, 1] + nlev * nlev * tri[:, 2]
+                width = gb
             else:
-                nb = _SB_CODE_BITS[nlev]
-                for c in q:
-                    wtr.write(int(c), nb)
+                codes = q
+                width = _SB_CODE_BITS[nlev]
+            # bulk MSB-first bit expansion, one write_bit_array call
+            shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+            bits = ((codes[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+            wtr.write_bit_array(bits.reshape(-1))
         wtr.align()
         body = bytes(wtr.out)
         out += len(body).to_bytes(3, "big") + body
@@ -2747,27 +2777,40 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
                     i0, i1 = fr.read(6), fr.read(6)
                 scf[0, bnd], scf[1, bnd] = _SB_SCF[i0], _SB_SCF[i1]
             base = fi * _SB_FRAME_BLOCKS
+            # bulk fixed-width field extraction over the body's bit
+            # view (one unpackbits per frame; the per-code read() loop
+            # was the decode hot spot at bench scale)
+            bits, _ = fr.bit_view()
+            bpos = fr.pos
             for bnd in range(_SB_NBANDS):
                 nlev = _SB_NLEVELS[alloc[bnd]]
                 if not nlev:
                     continue
                 half = (nlev - 1) // 2
                 if nlev in _SB_GROUP_BITS:
-                    gb = _SB_GROUP_BITS[nlev]
-                    codes = []
-                    for _ in range(_SB_BAND_VALS // 3):
-                        c = fr.read(gb)
-                        if c >= nlev * nlev * nlev:
-                            return None
-                        codes.extend(
-                            (c % nlev, (c // nlev) % nlev, c // (nlev * nlev))
-                        )
+                    width = _SB_GROUP_BITS[nlev]
+                    count = _SB_BAND_VALS // 3
                 else:
-                    nb = _SB_CODE_BITS[nlev]
-                    codes = [fr.read(nb) for _ in range(_SB_BAND_VALS)]
-                    if any(c >= nlev for c in codes):
+                    width = _SB_CODE_BITS[nlev]
+                    count = _SB_BAND_VALS
+                if bpos + count * width > len(bits):
+                    raise EOFError
+                w8 = (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+                field = bits[bpos : bpos + count * width].reshape(count, width)
+                codes = field.astype(np.int64) @ w8
+                bpos += count * width
+                if nlev in _SB_GROUP_BITS:
+                    if (codes >= nlev * nlev * nlev).any():
                         return None
-                qv = np.asarray(codes, dtype=np.float64) - half
+                    qv = np.empty(_SB_BAND_VALS, dtype=np.float64)
+                    qv[0::3] = codes % nlev
+                    qv[1::3] = (codes // nlev) % nlev
+                    qv[2::3] = codes // (nlev * nlev)
+                    qv -= half
+                else:
+                    if (codes >= nlev).any():
+                        return None
+                    qv = codes.astype(np.float64) - half
                 for blk in range(_SB_FRAME_BLOCKS):
                     coef[
                         base + blk,
@@ -2776,6 +2819,7 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
                         qv[blk * _SB_BANDW : (blk + 1) * _SB_BANDW]
                         * (scf[blk, bnd] / half)
                     )
+            fr.pos = bpos
         if n_frames * _SB_FRAME_SAMPLES < n_total:
             return None
         y = _sb_synthesis(coef, n_total)

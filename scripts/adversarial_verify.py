@@ -186,6 +186,7 @@ SWEEP_QUERIES = {
         "multimodal_video_frames",
         "multimodal_flac_frames",
         "multimodal_subband_frames",
+        "multimodal_mcv_frames",
         "multimodal_image_decode",
         "multimodal_png_decode",
         "multimodal_audio_frames",

@@ -2100,9 +2100,14 @@ def sample_video_frames(
     carry dims + exact-sum mean_pixel, NULL fields for a corrupt frame.
     ``decoder="avi"``: REAL CONTAINERIZED decode — the payload is an
     AVI (RIFF) file; frames come from a chunk walk of the 'movi' list
-    (:func:`split_avi_mjpeg`), then the same JPEG path. Compressed
-    inter-frame codecs (H.264/VP9) stay behind ``decoder="strict"``
-    (ffmpeg-class work, library absent here)."""
+    (:func:`split_avi_mjpeg`), then the same JPEG path.
+    ``decoder="mcv"``: REAL INTER-FRAME decode — motion-compensated
+    DCT video (:func:`decode_mcv`: P-frames reconstruct from motion
+    vectors + coded residuals against the previous reconstruction);
+    sampling decodes the needed prefix, the remainder is CRC-walked,
+    and structural damage skips the document. Bit-interoperable
+    H.264/VP9 stay behind ``decoder="strict"`` (their binary
+    CAVLC/CABAC context tables; library absent here)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2117,6 +2122,24 @@ def sample_video_frames(
                 if payload is None:
                     continue
                 b = bytes(payload)
+                if decoder == "mcv":
+                    need = (max(1, stride)) * max_frames
+                    got = decode_mcv(b, max_frames=need)
+                    if got is None:
+                        continue
+                    vw, vh, vfps, fr = got
+                    for n, rgb in enumerate(
+                        fr[:: max(1, stride)][:max_frames]
+                    ):
+                        src_idx = n * max(1, stride)
+                        ts_ms = src_idx * 1000 // max(1, vfps)
+                        px_sum = int(rgb.astype(np.int64).sum())
+                        n_px = vw * vh * 3
+                        rows.append(
+                            (doc_id, src_idx, ts_ms, vw, vh,
+                             px_sum / (n_px * 255))
+                        )
+                    continue
                 spans = split_fn(b)
                 for n, (s, e) in enumerate(spans[:: max(1, stride)][:max_frames]):
                     src_idx = n * max(1, stride)
@@ -2825,5 +2848,608 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
         y = _sb_synthesis(coef, n_total)
         pcm = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
         return sample_rate, pcm
+    except EOFError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Motion-compensated DCT video codec (tenth from-scratch compression
+# family, the INTER-FRAME one). This is the H.26x/MPEG hybrid-coding
+# toolchain built pure-numpy: 4:2:0 YCbCr planes, 16x16 macroblocks,
+# closed-loop prediction from the RECONSTRUCTED reference (no encoder/
+# decoder drift), five-step logarithmic motion search (+/-31 full-pel),
+# mode decision per macroblock (skip / inter+MV / intra), 8x8
+# orthonormal DCT over prediction residuals, uniform quantization
+# (DC step 2, AC step qscale), zigzag + sparse (position, level)
+# coefficient coding, DEFLATE entropy stage, CRC-16 framed payloads.
+# One deliberate, documented deviation keeps it self-contained rather
+# than bit-interoperable: the entropy stage is zlib DEFLATE instead of
+# H.264's CAVLC/CABAC — the part of that spec that is binary context
+# TABLES, not algorithms. Reference parity note: the reference treats
+# video as an opaque payload (no codec in sqlserver-pg-cdc); this
+# family exists for the LLM-pipeline plane (BASELINE.json), closing
+# the "H.264-class inter-frame video" seam that `decoder="strict"`
+# documented through round 8.
+# ---------------------------------------------------------------------------
+
+_MCV_MAGIC = b"MCV1"
+
+
+def _mcv_dct_matrix() -> "np.ndarray":
+    """Orthonormal 8x8 DCT-II matrix (D @ B @ D.T forward), cached."""
+    global _MCV_D
+    try:
+        return _MCV_D
+    except NameError:
+        pass
+    j = np.arange(8)
+    d = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 16) * 0.5
+    d[0] /= math.sqrt(2.0)
+    _MCV_D = d
+    return _MCV_D
+
+
+def _mcv_zigzag() -> "np.ndarray":
+    """Zigzag scan order for an 8x8 block (flat indices), cached."""
+    global _MCV_ZZ
+    try:
+        return _MCV_ZZ
+    except NameError:
+        pass
+    order = sorted(
+        ((i, j) for i in range(8) for j in range(8)),
+        key=lambda ij: (
+            ij[0] + ij[1],
+            ij[0] if (ij[0] + ij[1]) % 2 else ij[1],
+        ),
+    )
+    _MCV_ZZ = np.array([i * 8 + j for i, j in order], dtype=np.int64)
+    return _MCV_ZZ
+
+
+def _mcv_blocks(plane: "np.ndarray") -> "np.ndarray":
+    """(H, W) -> (H//8 * W//8, 8, 8) raster-order block stack."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _mcv_unblocks(blocks: "np.ndarray", h: int, w: int) -> "np.ndarray":
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _mcv_quant_block(block: "np.ndarray", qscale: int) -> "np.ndarray":
+    """Forward DCT + uniform quantization -> int32 coefficient block.
+    DC step is 2 (a flat even-valued block reconstructs EXACTLY — the
+    analytic-oracle anchor), AC step is qscale."""
+    d = _mcv_dct_matrix()
+    c = d @ block @ d.T
+    q = np.full((8, 8), float(qscale))
+    q[0, 0] = 2.0
+    return np.rint(c / q).astype(np.int32)
+
+
+def _mcv_dequant_block(coeffs: "np.ndarray", qscale: int) -> "np.ndarray":
+    d = _mcv_dct_matrix()
+    q = np.full((8, 8), float(qscale))
+    q[0, 0] = 2.0
+    return d.T @ (coeffs.astype(np.float64) * q) @ d
+
+
+def _mcv_write_block(out: bytearray, coeffs: "np.ndarray") -> None:
+    zz = _mcv_zigzag()
+    flat = coeffs.reshape(-1)[zz]
+    nz = np.flatnonzero(flat)
+    out.append(len(nz))
+    for p in nz:
+        lvl = int(flat[p])
+        out.append(int(p))
+        out += int(lvl & 0xFFFF).to_bytes(2, "big")
+
+
+def _mcv_read_block(buf: bytes, pos: int) -> "tuple[np.ndarray, int] | None":
+    if pos >= len(buf):
+        return None
+    n = buf[pos]
+    pos += 1
+    if n > 64 or pos + 3 * n > len(buf):
+        return None
+    zz = _mcv_zigzag()
+    flat = np.zeros(64, dtype=np.int32)
+    for _ in range(n):
+        p = buf[pos]
+        if p > 63:
+            return None
+        lvl = int.from_bytes(buf[pos + 1 : pos + 3], "big")
+        if lvl >= 0x8000:
+            lvl -= 0x10000
+        flat[zz[p]] = lvl
+        pos += 3
+    return flat.reshape(8, 8), pos
+
+
+def _rgb_to_ycbcr420(
+    rgb: "np.ndarray",
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """JPEG-convention color transform + 2x2-mean chroma subsample.
+    Gray input (R=G=B) maps to Y=R, Cb=Cr=128 exactly."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = y.shape
+    sub = lambda p: p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    rint8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)
+    return rint8(y), rint8(sub(cb)), rint8(sub(cr))
+
+
+def _ycbcr420_to_rgb(
+    y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray"
+) -> "np.ndarray":
+    yf = y.astype(np.float64)
+    cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1).astype(np.float64)
+    crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1).astype(np.float64)
+    r = yf + 1.402 * (crf - 128.0)
+    g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b = yf + 1.772 * (cbf - 128.0)
+    rint8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)
+    return np.stack([rint8(r), rint8(g), rint8(b)], axis=2)
+
+
+def _mcv_motion_search(
+    ref: "np.ndarray", cur: "np.ndarray", my: int, mx: int
+) -> "tuple[int, int, int]":
+    """Hybrid motion search (+/-31 full-pel) for the 16x16 block at
+    (my, mx) against the RECONSTRUCTED reference: coarse logarithmic
+    steps (16, 8) for large motion, then an exhaustive +/-4 window
+    around the better of (coarse best, origin) — the NTSS insight that
+    a pure logarithmic walk strands in local minima when a flat
+    predictor locally beats misaligned texture. Candidates outside the
+    frame are skipped; returns (dy, dx, sad)."""
+    h, w = ref.shape
+    blk = cur[my : my + 16, mx : mx + 16].astype(np.int64)
+
+    def sad_at(ny: int, nx: int) -> "int | None":
+        sy, sx = my + ny, mx + nx
+        if sy < 0 or sx < 0 or sy + 16 > h or sx + 16 > w:
+            return None
+        return int(
+            np.abs(
+                ref[sy : sy + 16, sx : sx + 16].astype(np.int64) - blk
+            ).sum()
+        )
+
+    zero_sad = sad_at(0, 0)
+    best_dy = best_dx = 0
+    best = zero_sad if zero_sad is not None else 1 << 60
+    if best == 0:
+        return 0, 0, 0
+    for step in (16, 8):
+        improved = True
+        while improved:
+            improved = False
+            for dy, dx in (
+                (-step, 0), (step, 0), (0, -step), (0, step),
+                (-step, -step), (-step, step), (step, -step), (step, step),
+            ):
+                ny, nx = best_dy + dy, best_dx + dx
+                if abs(ny) > 27 or abs(nx) > 27:
+                    continue  # leave room for the +/-4 refinement
+                sad = sad_at(ny, nx)
+                if sad is not None and sad < best:
+                    best, best_dy, best_dx = sad, ny, nx
+                    improved = True
+    centers = {(best_dy, best_dx), (0, 0)}
+    for cy, cx in centers:
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
+                ny, nx = cy + dy, cx + dx
+                if abs(ny) > 31 or abs(nx) > 31:
+                    continue
+                sad = sad_at(ny, nx)
+                if sad is not None and sad < best:
+                    best, best_dy, best_dx = sad, ny, nx
+                if best == 0:
+                    return best_dy, best_dx, 0
+    return best_dy, best_dx, best
+
+
+def _mcv_code_plane_intra(
+    out: bytearray, plane: "np.ndarray", qscale: int
+) -> "np.ndarray":
+    """Intra-code a whole plane (level-shifted JPEG-style); returns the
+    reconstruction."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    blocks = _mcv_blocks(shifted)
+    rec = np.empty_like(blocks)
+    for i in range(blocks.shape[0]):
+        qb = _mcv_quant_block(blocks[i], qscale)
+        _mcv_write_block(out, qb)
+        rec[i] = _mcv_dequant_block(qb, qscale)
+    return np.clip(
+        np.rint(_mcv_unblocks(rec, h, w) + 128.0), 0, 255
+    ).astype(np.uint8)
+
+
+def _mcv_decode_plane_intra(
+    buf: bytes, pos: int, h: int, w: int, qscale: int
+) -> "tuple[np.ndarray, int] | None":
+    n_blocks = (h // 8) * (w // 8)
+    rec = np.empty((n_blocks, 8, 8), dtype=np.float64)
+    for i in range(n_blocks):
+        got = _mcv_read_block(buf, pos)
+        if got is None:
+            return None
+        qb, pos = got
+        rec[i] = _mcv_dequant_block(qb, qscale)
+    return (
+        np.clip(np.rint(_mcv_unblocks(rec, h, w) + 128.0), 0, 255).astype(
+            np.uint8
+        ),
+        pos,
+    )
+
+
+def encode_mcv(
+    frames: "list[np.ndarray]",
+    fps: int = 25,
+    gop: int = 8,
+    qscale: int = 4,
+) -> bytes:
+    """Motion-compensated video encode: frames are (H, W, 3) uint8 RGB
+    with H, W multiples of 16. Every ``gop``-th frame is intra (I);
+    the rest are predicted (P) per 16x16 macroblock — skip (zero MV,
+    zero residual), inter (searched MV + coded residual), or intra
+    fallback when prediction is worse than the block's own variation.
+    Prediction always runs against the reconstructed reference, so
+    decode is drift-free by construction."""
+    assert frames, "at least one frame"
+    h, w, _ = frames[0].shape
+    assert h % 16 == 0 and w % 16 == 0, "dims must be multiples of 16"
+    head = _MsbWriter()
+    for bch in _MCV_MAGIC:
+        head.write(bch, 8)
+    head.write(1, 8)
+    head.write(w, 16)
+    head.write(h, 16)
+    head.write(fps, 8)
+    head.write(gop, 8)
+    head.write(qscale, 8)
+    head.write(len(frames), 32)
+    head_bytes = bytes(head.out)
+    out = bytearray(head_bytes)
+    out += _crc16(head_bytes[4:]).to_bytes(2, "big")
+    ref: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None
+    for fi, rgb in enumerate(frames):
+        y, cb, cr = _rgb_to_ycbcr420(rgb)
+        body = bytearray()
+        if fi % gop == 0 or ref is None:
+            ftype = 0
+            ry = _mcv_code_plane_intra(body, y, qscale)
+            rcb = _mcv_code_plane_intra(body, cb, qscale)
+            rcr = _mcv_code_plane_intra(body, cr, qscale)
+        else:
+            ftype = 1
+            ry = np.empty_like(y)
+            rcb = np.empty_like(cb)
+            rcr = np.empty_like(cr)
+            py, pcb, pcr = ref
+            for my in range(0, h, 16):
+                for mx in range(0, w, 16):
+                    cur = y[my : my + 16, mx : mx + 16]
+                    dy, dx, sad = _mcv_motion_search(py, y, my, mx)
+                    intra_cost = int(
+                        np.abs(
+                            cur.astype(np.int64)
+                            - int(np.rint(cur.mean()))
+                        ).sum()
+                    )
+                    cy, cx = my // 2, mx // 2
+                    if sad > intra_cost:
+                        body.append(2)  # intra macroblock
+                        ry[my : my + 16, mx : mx + 16] = (
+                            _mcv_code_plane_intra(body, cur, qscale)
+                        )
+                        rcb[cy : cy + 8, cx : cx + 8] = (
+                            _mcv_code_plane_intra(
+                                body, cb[cy : cy + 8, cx : cx + 8], qscale
+                            )
+                        )
+                        rcr[cy : cy + 8, cx : cx + 8] = (
+                            _mcv_code_plane_intra(
+                                body, cr[cy : cy + 8, cx : cx + 8], qscale
+                            )
+                        )
+                        continue
+                    pred_y = py[my + dy : my + dy + 16, mx + dx : mx + dx + 16]
+                    pred_cb = pcb[
+                        cy + dy // 2 : cy + dy // 2 + 8,
+                        cx + dx // 2 : cx + dx // 2 + 8,
+                    ]
+                    pred_cr = pcr[
+                        cy + dy // 2 : cy + dy // 2 + 8,
+                        cx + dx // 2 : cx + dx // 2 + 8,
+                    ]
+                    res_blocks = []
+                    all_zero = True
+                    for sy in (0, 8):
+                        for sx in (0, 8):
+                            res = (
+                                cur[sy : sy + 8, sx : sx + 8].astype(
+                                    np.float64
+                                )
+                                - pred_y[sy : sy + 8, sx : sx + 8]
+                            )
+                            qb = _mcv_quant_block(res, qscale)
+                            res_blocks.append(qb)
+                            all_zero = all_zero and not qb.any()
+                    qcb = _mcv_quant_block(
+                        cb[cy : cy + 8, cx : cx + 8].astype(np.float64)
+                        - pred_cb,
+                        qscale,
+                    )
+                    qcr = _mcv_quant_block(
+                        cr[cy : cy + 8, cx : cx + 8].astype(np.float64)
+                        - pred_cr,
+                        qscale,
+                    )
+                    all_zero = all_zero and not qcb.any() and not qcr.any()
+                    if all_zero and dy == 0 and dx == 0:
+                        body.append(0)  # skip
+                        ry[my : my + 16, mx : mx + 16] = pred_y
+                        rcb[cy : cy + 8, cx : cx + 8] = pred_cb
+                        rcr[cy : cy + 8, cx : cx + 8] = pred_cr
+                        continue
+                    body.append(1)  # inter
+                    body.append(dy & 0xFF)
+                    body.append(dx & 0xFF)
+                    bi = 0
+                    for sy in (0, 8):
+                        for sx in (0, 8):
+                            qb = res_blocks[bi]
+                            bi += 1
+                            _mcv_write_block(body, qb)
+                            ry[
+                                my + sy : my + sy + 8,
+                                mx + sx : mx + sx + 8,
+                            ] = np.clip(
+                                np.rint(
+                                    pred_y[sy : sy + 8, sx : sx + 8]
+                                    + _mcv_dequant_block(qb, qscale)
+                                ),
+                                0,
+                                255,
+                            ).astype(np.uint8)
+                    _mcv_write_block(body, qcb)
+                    _mcv_write_block(body, qcr)
+                    rcb[cy : cy + 8, cx : cx + 8] = np.clip(
+                        np.rint(
+                            pred_cb.astype(np.float64)
+                            + _mcv_dequant_block(qcb, qscale)
+                        ),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    rcr[cy : cy + 8, cx : cx + 8] = np.clip(
+                        np.rint(
+                            pred_cr.astype(np.float64)
+                            + _mcv_dequant_block(qcr, qscale)
+                        ),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+        comp = zlib.compress(bytes(body), 6)
+        out.append(ftype)
+        out += len(comp).to_bytes(3, "big")
+        out += comp
+        out += _crc16(comp).to_bytes(2, "big")
+        ref = (ry, rcb, rcr)
+    return bytes(out)
+
+
+def decode_mcv(
+    payload: bytes, max_frames: "int | None" = None
+) -> "tuple[int, int, int, list[np.ndarray]] | None":
+    """Inverse of :func:`encode_mcv` -> (width, height, fps, RGB
+    frames), or None on structural damage (magic/CRC/truncation; a
+    stream with fewer frames than the header declares fails).
+    ``max_frames`` bounds reconstruction work for samplers that only
+    need a prefix — remaining frames are still CRC/length-walked so
+    truncation never passes silently."""
+    if len(payload) < 24 or payload[:4] != _MCV_MAGIC:
+        return None
+    try:
+        r = _MsbReader(payload, start=4)
+        if r.read(8) != 1:
+            return None
+        w = r.read(16)
+        h = r.read(16)
+        fps = r.read(8)
+        gop = r.read(8)
+        qs = r.read(8)
+        n_frames = r.read(32)
+        if _crc16(payload[4:16]) != r.read(16):
+            return None
+        if (
+            w == 0 or h == 0 or w % 16 or h % 16
+            or fps == 0 or gop == 0 or qs == 0
+        ):
+            return None
+        pos = r.byte_pos()
+        frames: "list[np.ndarray]" = []
+        ref = None
+        for fi in range(n_frames):
+            if pos + 4 > len(payload):
+                return None
+            ftype = payload[pos]
+            clen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            comp = payload[pos + 4 : pos + 4 + clen]
+            if len(comp) != clen or pos + 4 + clen + 2 > len(payload):
+                return None
+            if (
+                int.from_bytes(
+                    payload[pos + 4 + clen : pos + 6 + clen], "big"
+                )
+                != _crc16(comp)
+            ):
+                return None
+            pos += 6 + clen
+            if max_frames is not None and len(frames) >= max_frames:
+                continue  # CRC/length walk only
+            body = zlib.decompress(comp)
+            if ftype == 0:
+                got = _mcv_decode_plane_intra(body, 0, h, w, qs)
+                if got is None:
+                    return None
+                y, bp = got
+                got = _mcv_decode_plane_intra(body, bp, h // 2, w // 2, qs)
+                if got is None:
+                    return None
+                cb, bp = got
+                got = _mcv_decode_plane_intra(body, bp, h // 2, w // 2, qs)
+                if got is None:
+                    return None
+                cr, bp = got
+                if bp != len(body):
+                    return None
+            elif ftype == 1 and ref is not None:
+                py, pcb, pcr = ref
+                y = np.empty((h, w), dtype=np.uint8)
+                cb = np.empty((h // 2, w // 2), dtype=np.uint8)
+                cr = np.empty((h // 2, w // 2), dtype=np.uint8)
+                bp = 0
+                for my in range(0, h, 16):
+                    for mx in range(0, w, 16):
+                        if bp >= len(body):
+                            return None
+                        mode = body[bp]
+                        bp += 1
+                        cy, cx = my // 2, mx // 2
+                        if mode == 0:  # skip
+                            y[my : my + 16, mx : mx + 16] = py[
+                                my : my + 16, mx : mx + 16
+                            ]
+                            cb[cy : cy + 8, cx : cx + 8] = pcb[
+                                cy : cy + 8, cx : cx + 8
+                            ]
+                            cr[cy : cy + 8, cx : cx + 8] = pcr[
+                                cy : cy + 8, cx : cx + 8
+                            ]
+                            continue
+                        if mode == 2:  # intra macroblock
+                            got = _mcv_decode_plane_intra(
+                                body[bp:], 0, 16, 16, qs
+                            )
+                            if got is None:
+                                return None
+                            blk, used = got
+                            y[my : my + 16, mx : mx + 16] = blk
+                            bp += used
+                            got = _mcv_decode_plane_intra(
+                                body[bp:], 0, 8, 8, qs
+                            )
+                            if got is None:
+                                return None
+                            blk, used = got
+                            cb[cy : cy + 8, cx : cx + 8] = blk
+                            bp += used
+                            got = _mcv_decode_plane_intra(
+                                body[bp:], 0, 8, 8, qs
+                            )
+                            if got is None:
+                                return None
+                            blk, used = got
+                            cr[cy : cy + 8, cx : cx + 8] = blk
+                            bp += used
+                            continue
+                        if mode != 1 or bp + 2 > len(body):
+                            return None
+                        dy = body[bp]
+                        dx = body[bp + 1]
+                        bp += 2
+                        if dy >= 128:
+                            dy -= 256
+                        if dx >= 128:
+                            dx -= 256
+                        sy0, sx0 = my + dy, mx + dx
+                        if (
+                            sy0 < 0 or sx0 < 0
+                            or sy0 + 16 > h or sx0 + 16 > w
+                            or dy % 2 or dx % 2
+                        ):
+                            return None
+                        pred_y = py[sy0 : sy0 + 16, sx0 : sx0 + 16]
+                        pred_cb = pcb[
+                            cy + dy // 2 : cy + dy // 2 + 8,
+                            cx + dx // 2 : cx + dx // 2 + 8,
+                        ]
+                        pred_cr = pcr[
+                            cy + dy // 2 : cy + dy // 2 + 8,
+                            cx + dx // 2 : cx + dx // 2 + 8,
+                        ]
+                        for sy in (0, 8):
+                            for sx in (0, 8):
+                                got = _mcv_read_block(body, bp)
+                                if got is None:
+                                    return None
+                                qb, bp = got
+                                y[
+                                    my + sy : my + sy + 8,
+                                    mx + sx : mx + sx + 8,
+                                ] = np.clip(
+                                    np.rint(
+                                        pred_y[
+                                            sy : sy + 8, sx : sx + 8
+                                        ].astype(np.float64)
+                                        + _mcv_dequant_block(qb, qs)
+                                    ),
+                                    0,
+                                    255,
+                                ).astype(np.uint8)
+                        got = _mcv_read_block(body, bp)
+                        if got is None:
+                            return None
+                        qb, bp = got
+                        cb[cy : cy + 8, cx : cx + 8] = np.clip(
+                            np.rint(
+                                pred_cb.astype(np.float64)
+                                + _mcv_dequant_block(qb, qs)
+                            ),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        got = _mcv_read_block(body, bp)
+                        if got is None:
+                            return None
+                        qb, bp = got
+                        cr[cy : cy + 8, cx : cx + 8] = np.clip(
+                            np.rint(
+                                pred_cr.astype(np.float64)
+                                + _mcv_dequant_block(qb, qs)
+                            ),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                if bp != len(body):
+                    return None
+            else:
+                return None
+            frames.append(_ycbcr420_to_rgb(y, cb, cr))
+            ref = (y, cb, cr)
+        if len(frames) < min(
+            n_frames, max_frames if max_frames is not None else n_frames
+        ):
+            return None
+        return w, h, fps, frames
     except EOFError:
         return None

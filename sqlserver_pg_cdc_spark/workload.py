@@ -3782,6 +3782,81 @@ WHERE d.doc_id % 13 NOT IN (5, 9)
 """
 
 
+def q_multimodal_mcv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a MOTION-COMPENSATED INTER-FRAME video format
+    (the tenth from-scratch compression family, and the H.26x-class
+    one): each document renders a short clip — a 16x16 block-aligned
+    rectangle stepping across a flat background — as the hybrid-coding
+    toolchain (`operators/multimodal.py encode_mcv`: 4:2:0 planes,
+    16x16 macroblocks, NTSS-style motion search, skip/inter/intra mode
+    decision, residual DCT + uniform quantization, DEFLATE entropy
+    stage, CRC-16 frames), and the video sampler decodes every second
+    frame. Block-aligned flat content reconstructs EXACTLY (flat
+    blocks quantize losslessly at DC step 2; found motion vectors make
+    the moved blocks' residuals zero), so the oracle recomputes
+    mean_pixel in closed form — the same bit-exact discipline as the
+    MJPEG family, but through P-frame reconstruction. The corrupt
+    classes (doc_id%13 in 5,9 — truncation, destroyed magic) fail
+    decode structurally (per-frame length+CRC-16 walk covers the WHOLE
+    stream even when sampling stops early), so corrupt docs drop from
+    both engines."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_mcv,
+        sample_video_frames,
+    )
+
+    # documents is a single parquet split at bench scale, which would
+    # serialize the whole mapInPandas codec stage on one task; the
+    # repartition shuffles only a long column and buys 32-way decode
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                bg = 32 + (k % 5) * 8
+                n_frames = 4 + (k % 4) * 2
+                key = (bg, n_frames)
+                p = cache.get(key)
+                if p is None:
+                    frames = []
+                    for f in range(n_frames):
+                        img = np.full((48, 64, 3), bg, dtype=np.uint8)
+                        x = 16 * (f % 3)
+                        img[16:32, x : x + 16] = 200
+                        frames.append(img)
+                    p = encode_mcv(frames, fps=25, gop=4, qscale=4)
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_video_frames(
+        enc, "doc_id", "payload", stride=2, max_frames=8, decoder="mcv"
+    )
+
+
+_MM_MCV_FRAMES_SQL = """
+SELECT d.doc_id,
+       CAST(t.i * 2 AS INT) AS frame_idx,
+       CAST((t.i * 2) * 1000 // 25 AS BIGINT) AS frame_offset_ms,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       CAST(3 * (256 * 200 + 2816 * (32 + (d.doc_id % 5) * 8)) AS DOUBLE)
+           / (9216 * 255) AS mean_pixel
+FROM documents d
+JOIN generate_series(0, 4) AS t(i)
+  ON t.i * 2 < 4 + (d.doc_id % 4) * 2
+WHERE d.doc_id % 13 NOT IN (5, 9)
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -5900,6 +5975,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_subband_frames"] = QuerySpec(
         q_multimodal_subband_frames, _MM_SUBBAND_FRAMES_SQL
+    )
+    catalog["multimodal_mcv_frames"] = QuerySpec(
+        q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL
     )
     catalog["multimodal_resize"] = QuerySpec(
         q_multimodal_resize, _MM_RESIZE_SQL

@@ -1,0 +1,172 @@
+"""Motion-compensated DCT video codec (encode_mcv/decode_mcv): the
+inter-frame family. Contracts: exact reconstruction of block-aligned
+flat content (the analytic-oracle anchor), real motion compensation
+(P-frames track a moving textured block at a fraction of intra cost),
+closed-loop drift-freedom, macroblock mode decision, strict structural
+validation, and the Spark video-sampler path."""
+
+import numpy as np
+import pytest
+
+from sqlserver_pg_cdc_spark.operators.multimodal import (
+    _mcv_dct_matrix,
+    _mcv_zigzag,
+    decode_mcv,
+    encode_mcv,
+    sample_video_frames,
+)
+
+
+def _rect_frame(
+    f: int, bg: int = 32, fg: int = 200, h: int = 48, w: int = 64
+) -> np.ndarray:
+    img = np.full((h, w, 3), bg, dtype=np.uint8)
+    x = 16 * (f % 3)
+    img[16:32, x : x + 16] = fg
+    return img
+
+
+def test_dct_matrix_is_orthonormal_and_zigzag_is_permutation():
+    d = _mcv_dct_matrix()
+    assert np.abs(d @ d.T - np.eye(8)).max() < 1e-12
+    zz = _mcv_zigzag()
+    assert sorted(zz.tolist()) == list(range(64))
+    # spec spot-pins: start of the classic zigzag walk
+    assert zz[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_block_aligned_flat_content_reconstructs_exactly():
+    frames = [_rect_frame(f) for f in range(8)]
+    p = encode_mcv(frames, fps=25, gop=4, qscale=4)
+    got = decode_mcv(p)
+    assert got is not None
+    w, h, fps, out = got
+    assert (w, h, fps, len(out)) == (64, 48, 25, 8)
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    # inter coding pays off: >100x under raw RGB
+    assert len(p) * 100 < 8 * 48 * 64 * 3
+
+
+def test_motion_compensation_tracks_texture():
+    """A textured 16x16 block moving 4 px/frame: P-frames must land
+    near-transparent AND an order of magnitude under the I-frame cost
+    — only a found motion vector can do both."""
+    rng = np.random.default_rng(3)
+    tex = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    frames = []
+    for f in range(6):
+        img = np.full((48, 64, 3), 100, dtype=np.uint8)
+        x = 16 + 4 * f  # stays clear of the frame edge: trackable
+        img[16:32, x : x + 16] = tex[:, :, None]
+        frames.append(img)
+    p = encode_mcv(frames, gop=6, qscale=4)
+    got = decode_mcv(p)
+    assert got is not None
+    _, _, _, out = got
+    for a, b in zip(frames, out):
+        err = a.astype(np.float64) - b.astype(np.float64)
+        snr = 10 * np.log10(
+            (a.astype(np.float64) ** 2).mean() / max((err**2).mean(), 1e-12)
+        )
+        assert snr > 40
+    # motion compensation pays: the inter stream must be far under the
+    # same frames coded all-intra (only found MVs can deliver that on
+    # moving texture)
+    p_intra = encode_mcv(frames, gop=1, qscale=4)
+    assert len(p) * 3 < len(p_intra)
+
+
+def test_no_drift_across_long_gop():
+    """Closed-loop prediction: frame 15 of a static noisy scene must
+    reconstruct exactly as well as frame 1 (encoder predicts from its
+    own reconstruction, so error cannot accumulate)."""
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    base = np.stack([g, g, g], axis=2)  # gray: survives 4:2:0 exactly
+    frames = [base.copy() for _ in range(16)]
+    p = encode_mcv(frames, gop=16, qscale=4)
+    _, _, _, out = decode_mcv(p)
+
+    def err(i):
+        return np.abs(
+            out[i].astype(np.int64) - base.astype(np.int64)
+        ).max()
+
+    assert err(15) <= err(1) + 1  # static scene: all-skip after frame 0
+
+
+def test_intra_fallback_on_scene_cut():
+    """A hard scene cut mid-GOP: prediction is useless, macroblocks
+    flip to intra mode, and quality holds anyway."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    a = np.stack([g, g, g], axis=2)  # gray: survives 4:2:0
+    b = 255 - a
+    frames = [a, a, b, b]
+    p = encode_mcv(frames, gop=4, qscale=4)
+    got = decode_mcv(p)
+    assert got is not None
+    _, _, _, out = got
+    for ref, dec in zip(frames, out):
+        err = ref.astype(np.float64) - dec.astype(np.float64)
+        snr = 10 * np.log10(
+            (ref.astype(np.float64) ** 2).mean()
+            / max((err**2).mean(), 1e-12)
+        )
+        assert snr > 35
+
+
+def test_structural_damage_returns_none():
+    p = encode_mcv([_rect_frame(f) for f in range(4)], gop=2)
+    assert decode_mcv(p) is not None
+    assert decode_mcv(p[: len(p) * 3 // 5]) is None  # truncation
+    assert decode_mcv(b"\x00\x00" + p) is None  # destroyed magic
+    bad = bytearray(p)
+    bad[-3] ^= 0xFF  # inside the last frame's payload
+    assert decode_mcv(bytes(bad)) is None  # frame CRC
+    bad2 = bytearray(p)
+    bad2[6] ^= 0x01  # width byte
+    assert decode_mcv(bytes(bad2)) is None  # header CRC
+    assert decode_mcv(b"") is None
+    assert decode_mcv(p[:12]) is None
+
+
+def test_max_frames_prefix_still_validates_tail():
+    frames = [_rect_frame(f) for f in range(8)]
+    p = encode_mcv(frames, gop=4)
+    got = decode_mcv(p, max_frames=3)
+    assert got is not None and len(got[3]) == 3
+    assert np.array_equal(got[3][2], frames[2])
+    # truncating the TAIL (beyond the decoded prefix) must still fail:
+    # the walk validates every frame's length + CRC
+    assert decode_mcv(p[:-4], max_frames=3) is None
+
+
+def test_sample_video_frames_mcv_through_spark(spark):
+    import pandas as pd
+
+    docs = []
+    for doc_id in range(5):
+        bg = 32 + 8 * (doc_id % 5)
+        frames = [_rect_frame(f, bg=bg) for f in range(6)]
+        p = encode_mcv(frames, fps=25, gop=4, qscale=4)
+        if doc_id == 3:
+            p = p[: len(p) * 3 // 5]
+        docs.append((doc_id, p))
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = sample_video_frames(
+        df, "doc_id", "payload", stride=2, max_frames=3, decoder="mcv"
+    ).toPandas()
+    assert set(out.doc_id) == {0, 1, 2, 4}
+    assert (out.groupby("doc_id").frame_idx.count() == 3).all()
+    assert sorted(out.frame_idx.unique()) == [0, 2, 4]
+    for _, r in out.iterrows():
+        bg = 32 + 8 * (r.doc_id % 5)
+        expected = (256 * 200 + (48 * 64 - 256) * bg) / (48 * 64 * 255)
+        assert r.mean_pixel == pytest.approx(expected, abs=1e-12)
+        assert (r.width, r.height) == (64, 48)
+        assert r.frame_offset_ms == r.frame_idx * 1000 // 25

@@ -366,3 +366,20 @@ def test_ivfpq_probe_scans_codes_not_vectors(spark):
     plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
     # the ADC join keys on cell_id (hash or broadcast join, by size)
     assert "cell_id" in plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["multimodal_subband_frames", "multimodal_mcv_frames"]
+)
+def test_round9_codec_queries_plan_shape(spark, qname):
+    """The two round-9 codec contracts (psychoacoustic subband audio,
+    motion-compensated video): no cartesian, exactly the two deliberate
+    Python stages (encode harness + decode operator), and the
+    mapInPandas chain fanned out behind the 32-way repartition."""
+    m = _metrics(spark, qname)
+    assert not m.has_cartesian, m.joins
+    assert m.python_evals <= 2
+    fn = workload.build_catalog(spark)[qname].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert plan.find("Exchange RoundRobinPartitioning(32") != -1, qname
+    assert plan.find("MapInPandas") != -1, qname

@@ -1039,3 +1039,108 @@ def test_scd2_prune_time_travel_invariant(spark, tmp_path, changes, wm):
     for l in probes:
         assert snap(l) == before[l], l
     assert sink.prune_history(wm)["pruned"] == 0  # idempotent
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 5000),
+    kind=st.integers(0, 3),
+    amp=st.integers(0, 32767),
+    period=st.floats(4.0, 500.0),
+    kbps=st.sampled_from([64, 128, 192, 320]),
+    rate=st.sampled_from([1000, 8000, 48000]),
+    seed=st.integers(0, 10**9),
+)
+def test_subband_roundtrip_invariants(n, kind, amp, period, kbps, rate, seed):
+    """The subband codec is LOSSY, so the property is structural, not
+    bit-exact: decode(encode(x)) always succeeds, preserves rate and
+    sample count, and at the near-lossless budget the error stays
+    inside the quantizer bound for every signal family (constant,
+    ramp, sine, white noise), every length — including the empty and
+    sub-frame edges."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_subband,
+        encode_subband,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        sig = np.full(n, ((seed % 65536) - 32768), dtype=np.int16)
+    elif kind == 1:
+        sig = (np.arange(n) * (1 + seed % 7) % 65536 - 32768).astype(np.int16)
+    elif kind == 2:
+        sig = np.clip(
+            amp * np.sin(np.arange(n) / period), -32768, 32767
+        ).astype(np.int16)
+    else:
+        sig = rng.integers(-32768, 32768, n).astype(np.int16)
+    r = decode_subband(encode_subband(rate, sig, kbps=kbps))
+    assert r is not None
+    got_rate, out = r
+    assert got_rate == rate and len(out) == n
+    if n and kbps == 320 and rate == 1000:
+        # 320 kbps at 1 kHz saturates every quantizer to 16 bits:
+        # error bounded by the scalefactor lattice step, far under
+        # 1% of full scale even on white noise
+        err = np.abs(out.astype(np.int64) - sig.astype(np.int64)).max()
+        assert err <= 330, err
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400), seed=st.integers(0, 10**6))
+def test_codec_decoders_never_raise_on_arbitrary_bytes(data, seed):
+    """Fuzz the strict-validation contract: arbitrary byte strings —
+    including ones that START with each codec's real magic — must
+    come back as None or a well-formed result, never an exception.
+    At corpus scale every decoder sees adversarial payloads."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _MCV_MAGIC,
+        _SB_MAGIC,
+        decode_mcv,
+        decode_subband,
+    )
+
+    for payload in (data, _SB_MAGIC + data, _MCV_MAGIC + data):
+        r = decode_subband(payload)
+        assert r is None or len(r) == 2
+        v = decode_mcv(payload)
+        assert v is None or len(v) == 4
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w_mb=st.integers(1, 3),
+    h_mb=st.integers(1, 3),
+    n_frames=st.integers(1, 6),
+    gop=st.integers(1, 6),
+    qscale=st.sampled_from([2, 4, 8]),
+    seed=st.integers(0, 10**9),
+)
+def test_mcv_roundtrip_invariants(w_mb, h_mb, n_frames, gop, qscale, seed):
+    """Any gray clip, any GOP structure, any quantizer: the decode
+    succeeds, preserves geometry and frame count, and reconstruction
+    error stays bounded by the quantizer scale (closed-loop prediction
+    means the bound holds for EVERY frame, not just the first GOP)."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_mcv,
+        encode_mcv,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = 16 * h_mb, 16 * w_mb
+    frames = []
+    base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    for f in range(n_frames):
+        g = np.roll(base, 2 * f, axis=1)  # gentle motion
+        frames.append(np.stack([g, g, g], axis=2))
+    got = decode_mcv(encode_mcv(frames, fps=10, gop=gop, qscale=qscale))
+    assert got is not None
+    gw, gh, gfps, out = got
+    assert (gw, gh, gfps, len(out)) == (w, h, 10, n_frames)
+    for a, b in zip(frames, out):
+        err = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+        assert err <= 4 * qscale + 8, err

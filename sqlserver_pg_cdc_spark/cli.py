@@ -298,6 +298,36 @@ def create_parser() -> argparse.ArgumentParser:
                            "compacted generation (WM must be past the "
                            "stream's replay horizon; run quiesced)")
 
+    media = sub.add_parser(
+        "media",
+        help="multimodal payload plane: byte-level features, image "
+             "decode, audio frame sampling, video frame sampling over "
+             "a parquet of (id, binary payload) rows — all ten "
+             "pure-python codec families, Arrow-batched",
+    )
+    media.add_argument("--input", required=True,
+                       help="parquet with the payload column")
+    media.add_argument("--id-col", default="doc_id")
+    media.add_argument("--payload-col", default="payload")
+    media.add_argument("--mode", required=True,
+                       choices=["features", "image", "audio", "video"])
+    media.add_argument("--decoder", default="auto",
+                       help="image: bmp/png/jpeg/gif/auto; audio: "
+                            "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
+    media.add_argument("--frame-ms", type=int, default=1000,
+                       help="audio sampling window")
+    media.add_argument("--stride", type=int, default=1,
+                       help="video: keep every Nth frame")
+    media.add_argument("--max-frames", type=int, default=8)
+    media.add_argument("--fps", type=int, default=25,
+                       help="video: elementary-stream timestamp base "
+                            "(containerized formats carry their own)")
+    media.add_argument("--partitions", type=int, default=0,
+                       help="repartition before the codec stage (0 = "
+                            "leave the scan's split count; set to the "
+                            "core count when the input is few files)")
+    media.add_argument("--output", required=True)
+
     state = sub.add_parser(
         "state",
         help="day-2 maintenance on hash-partitioned sink state: "
@@ -1179,6 +1209,48 @@ def cmd_gate(args) -> int:
     return 0
 
 
+def cmd_media(args) -> int:
+    """Run one multimodal pass: the decode work happens in Arrow
+    batches on the executors (mapInPandas); only row counts reach the
+    driver. Corrupt payloads follow each codec's NULL-on-corrupt /
+    drop convention rather than failing the job — at corpus scale
+    damaged payloads are data, not errors."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        binary_features,
+        decode_images,
+        sample_audio_frames,
+        sample_video_frames,
+    )
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = get_spark("media-cli")
+    df = spark.read.parquet(args.input)
+    if args.partitions:
+        df = df.repartition(args.partitions)
+    if args.mode == "features":
+        out = binary_features(df, args.id_col, args.payload_col)
+    elif args.mode == "image":
+        out = decode_images(
+            df, args.id_col, args.payload_col, decoder=args.decoder
+        )
+    elif args.mode == "audio":
+        out = sample_audio_frames(
+            df, args.id_col, args.payload_col,
+            frame_ms=args.frame_ms, max_frames=args.max_frames,
+            decoder=args.decoder if args.decoder != "auto" else "wav",
+        )
+    else:
+        out = sample_video_frames(
+            df, args.id_col, args.payload_col,
+            fps=args.fps, stride=args.stride, max_frames=args.max_frames,
+            decoder=args.decoder if args.decoder != "auto" else "mjpeg",
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"mode": args.mode, "rows": n, "output": args.output}))
+    return 0
+
+
 def cmd_state(args) -> int:
     """Day-2 maintenance: open the partitioned state with the partition
     count recorded in its own __layout.json (never guessed from a
@@ -1259,6 +1331,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_gate(args)
     if args.command == "state":
         return cmd_state(args)
+    if args.command == "media":
+        return cmd_media(args)
     return 2
 
 

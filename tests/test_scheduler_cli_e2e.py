@@ -1205,3 +1205,75 @@ def test_cli_decontam_semantic_gate_and_compaction(tmp_path, spark):
     assert r2.returncode == 0, r2.stderr[-2000:]
     out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert out2["batch_id"] == 1
+
+
+# --- media CLI: the multimodal payload plane ------------------------------
+
+def test_cli_media_audio_and_video_e2e(tmp_path):
+    """Drive the media subcommand through a real subprocess: synthesize
+    subband-audio and MCV-video payload tables (one corrupt row each),
+    run audio frame sampling and video frame sampling, and check the
+    decoded geometry — corrupt docs drop, they don't fail the job."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_mcv,
+        encode_subband,
+    )
+
+    audio_rows = []
+    for doc_id in range(4):
+        sig = np.full(2500, 1000 + 500 * doc_id, dtype=np.int16)
+        p = encode_subband(1000, sig, kbps=192)
+        if doc_id == 2:
+            p = p[: len(p) // 2]
+        audio_rows.append((doc_id, p))
+    video_rows = []
+    for doc_id in range(3):
+        frames = []
+        for f in range(4):
+            img = np.full((32, 32, 3), 40 + 10 * doc_id, dtype=np.uint8)
+            img[0:16, 16 * (f % 2) : 16 * (f % 2) + 16] = 200
+            frames.append(img)
+        p = encode_mcv(frames, fps=10, gop=2)
+        if doc_id == 1:
+            p = b"\x00\x00" + p
+        video_rows.append((doc_id, p))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, rows in (("audio", audio_rows), ("video", video_rows)):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / f"{name}.parquet")
+
+    a_out = tmp_path / "audio_frames"
+    r = subprocess.run(
+        [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+         "--input", str(tmp_path / "audio.parquet"), "--mode", "audio",
+         "--decoder", "subband", "--output", str(a_out)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    # 3 surviving docs x 3 one-second frames of the 2.5 s clip
+    assert payload["rows"] == 9
+
+    v_out = tmp_path / "video_frames"
+    r = subprocess.run(
+        [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+         "--input", str(tmp_path / "video.parquet"), "--mode", "video",
+         "--decoder", "mcv", "--stride", "2", "--max-frames", "2",
+         "--output", str(v_out)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    # 2 surviving docs x frames {0, 2}
+    assert payload["rows"] == 4

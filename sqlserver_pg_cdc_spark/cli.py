@@ -310,7 +310,8 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--id-col", default="doc_id")
     media.add_argument("--payload-col", default="payload")
     media.add_argument("--mode", required=True,
-                       choices=["features", "image", "audio", "video"])
+                       choices=["features", "image", "audio", "video",
+                                "resize"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -322,6 +323,10 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--fps", type=int, default=25,
                        help="video: elementary-stream timestamp base "
                             "(containerized formats carry their own)")
+    media.add_argument("--width", type=int, default=64,
+                       help="resize target width")
+    media.add_argument("--height", type=int, default=64,
+                       help="resize target height")
     media.add_argument("--partitions", type=int, default=0,
                        help="repartition before the codec stage (0 = "
                             "leave the scan's split count; set to the "
@@ -1218,6 +1223,7 @@ def cmd_media(args) -> int:
     from sqlserver_pg_cdc_spark.operators.multimodal import (
         binary_features,
         decode_images,
+        resize_images,
         sample_audio_frames,
         sample_video_frames,
     )
@@ -1238,6 +1244,12 @@ def cmd_media(args) -> int:
             df, args.id_col, args.payload_col,
             frame_ms=args.frame_ms, max_frames=args.max_frames,
             decoder=args.decoder if args.decoder != "auto" else "wav",
+        )
+    elif args.mode == "resize":
+        out = resize_images(
+            df, args.id_col, args.payload_col,
+            width=args.width, height=args.height,
+            codec=args.decoder if args.decoder != "auto" else "bmp",
         )
     else:
         out = sample_video_frames(

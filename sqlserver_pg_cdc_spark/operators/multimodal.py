@@ -2299,7 +2299,9 @@ def sample_audio_frames(
                         if decoder == "adpcm"
                         else decode_flac(b)
                         if decoder == "flac"
-                        else decode_subband(b)
+                        else decode_subband(
+                            b, max_ms=frame_ms * max_frames
+                        )
                     )
                     if parsed is None:
                         continue
@@ -2748,11 +2750,20 @@ def encode_subband(
     return bytes(out)
 
 
-def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
+def decode_subband(
+    payload: bytes, max_ms: "int | None" = None
+) -> "tuple[int, np.ndarray] | None":
     """Inverse of :func:`encode_subband`; None on any structural
     damage (magic, header/frame CRC, truncation — every bit read is
     bounds-checked, and a stream with fewer frames than the declared
-    sample count needs fails rather than returning a short signal)."""
+    sample count needs fails rather than returning a short signal).
+
+    ``max_ms`` bounds reconstruction work for samplers that only need
+    a prefix (the `decode_mcv` discipline): frames past the needed
+    overlap region are still length+CRC-walked — truncation never
+    passes silently — but their subband fields are not parsed and no
+    synthesis runs for them, so per-document decode cost follows the
+    SAMPLE budget, not the clip length."""
     if len(payload) < 22 or payload[:4] != _SB_MAGIC:
         return None
     try:
@@ -2767,8 +2778,17 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
             return None
         if sample_rate <= 0 or n_frames > (n_total // _SB_FRAME_SAMPLES) + 2:
             return None
+        want = n_total
+        if max_ms is not None:
+            want = min(n_total, (sample_rate * max_ms) // 1000)
+        # output sample i needs OLA blocks through (i + WIN) / LINES;
+        # frames past that are walked (length + CRC), not parsed
+        need_blocks = -(-(want + _SB_LINES) // _SB_LINES) + 1
+        need_frames = min(
+            n_frames, -(-need_blocks // _SB_FRAME_BLOCKS)
+        )
         coef = np.zeros(
-            (n_frames * _SB_FRAME_BLOCKS, _SB_LINES), dtype=np.float64
+            (need_frames * _SB_FRAME_BLOCKS, _SB_LINES), dtype=np.float64
         )
         pos = r.byte_pos()
         for fi in range(n_frames):
@@ -2786,6 +2806,8 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
             ):
                 return None
             pos += 5 + blen
+            if fi >= need_frames:
+                continue  # CRC/length walk only
             fr = _MsbReader(body)
             alloc = [fr.read(4) for _ in range(_SB_NBANDS)]
             scf = np.ones(
@@ -2845,7 +2867,7 @@ def decode_subband(payload: bytes) -> "tuple[int, np.ndarray] | None":
             fr.pos = bpos
         if n_frames * _SB_FRAME_SAMPLES < n_total:
             return None
-        y = _sb_synthesis(coef, n_total)
+        y = _sb_synthesis(coef, want)
         pcm = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
         return sample_rate, pcm
     except EOFError:

@@ -183,3 +183,25 @@ def test_strict_seam_still_raises(spark):
         sample_audio_frames(
             df, "doc_id", "payload", decoder="strict"
         ).collect()
+
+
+def test_prefix_decode_bounds_work_not_validation():
+    """max_ms: the sampler's prefix discipline — prefix equals the
+    full decode's prefix bit-for-bit, frames past the overlap region
+    are CRC-walked but never parsed, and damage ANYWHERE in the
+    stream (even past the prefix) still fails the decode."""
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-20000, 20000, 48000 * 4).astype(np.int16)
+    p = encode_subband(48000, sig, kbps=128)
+    full = decode_subband(p)
+    pre = decode_subband(p, max_ms=500)
+    assert full is not None and pre is not None
+    assert len(pre[1]) == 24000
+    assert np.array_equal(pre[1], full[1][:24000])
+    # over-request clamps to the clip
+    assert np.array_equal(decode_subband(p, max_ms=10**9)[1], full[1])
+    # tail damage beyond the decoded prefix still fails
+    assert decode_subband(p[:-3], max_ms=500) is None
+    bad = bytearray(p)
+    bad[-10] ^= 0xFF
+    assert decode_subband(bytes(bad), max_ms=500) is None

@@ -192,6 +192,7 @@ SWEEP_QUERIES = {
         "multimodal_audio_frames",
         "multimodal_resize",
         "multimodal_resize_jpeg",
+        "multimodal_resize_png",
         "multimodal_avi_frames",
     ]
 }

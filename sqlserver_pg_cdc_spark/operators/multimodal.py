@@ -1073,6 +1073,17 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
     corrupt deflate stream, wrong scanline length, unknown filter type).
     Walks chunks, so ancillary chunks (tEXt, pHYs, ...) and IDAT split
     across multiple chunks are handled; every chunk CRC is verified."""
+    px = _png_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return w, h, c, int(px.astype(np.int64).sum()), w * h * c
+
+
+def _png_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full-pixel variant of :func:`decode_png`: (H, W, C) uint8 array
+    (C = 3 or 4), or None on any corruption — same validation, same
+    bounded-inflate zip-bomb guard. The resize path's PNG entry."""
     if payload is None or len(payload) < len(_PNG_SIG) + 12:
         return None
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -1143,7 +1154,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
         return None  # unknown filter type
     data = arr[:, 1:]
     prev = np.zeros(stride, dtype=np.int64)
-    total = 0
+    out = np.empty((height, stride), dtype=np.uint8)
     for r in range(height):
         f = int(filters[r])
         row = data[r].astype(np.int64)
@@ -1179,9 +1190,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int] | None:
                 left = (px[i] + pred) & 0xFF
                 line[i * bpp : (i + 1) * bpp] = left
                 upleft = up
-        total += int(line.sum())
+        out[r] = line & 0xFF
         prev = line
-    return width, height, channels, total, stride * height
+    return out.reshape(height, width, bpp)
 
 
 # ---------------------------------------------------------------------------
@@ -2380,11 +2391,14 @@ def resize_images(
     codec pair (full entropy decode -> resize -> re-encode; channel
     count preserved). Lossy by nature — the oracle contract rides
     solid-gray inputs, which round-trip exactly.
+    ``codec="png"``: 8-bit truecolor PNG in/out (inflate + unfilter ->
+    resize -> refilter + deflate; RGB/RGBA preserved). Lossless, so
+    resized pixels are exactly the sampled originals.
     ``codec="strict"``: raise — the seam for formats whose decode needs
     an external library."""
     if width <= 0 or height <= 0:
         raise ValueError("target dims must be positive")
-    if codec not in ("bmp", "jpeg", "strict"):
+    if codec not in ("bmp", "jpeg", "png", "strict"):
         raise ValueError(f"unknown resize codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2399,7 +2413,13 @@ def resize_images(
                 b = bytes(payload) if payload is not None else None
                 px = None
                 if b is not None:
-                    px = _bmp_pixels(b) if codec == "bmp" else _jpeg_pixels(b)
+                    px = (
+                        _bmp_pixels(b)
+                        if codec == "bmp"
+                        else _png_pixels(b)
+                        if codec == "png"
+                        else _jpeg_pixels(b)
+                    )
                 if px is None:
                     rows.append((doc_id, None, width, height))
                     continue
@@ -2409,6 +2429,10 @@ def resize_images(
                 out = px[np.ix_(ys, xs)]
                 if codec == "bmp":
                     enc = encode_bmp(width, height, out.tobytes())
+                elif codec == "png":
+                    enc = encode_png(
+                        width, height, out.tobytes(), channels=px.shape[2]
+                    )
                 else:
                     enc = encode_jpeg(
                         width, height, out.tobytes(), channels=px.shape[2]

@@ -3205,6 +3205,43 @@ FROM px
 """
 
 
+def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over the DEFLATE-compressed format, oracle-checked end to
+    end: the same deterministic pixel pattern as `multimodal_resize`,
+    but the source encodes as 8-bit truecolor PNG, resizes through
+    `resize_images(codec="png")` (inflate + unfilter -> index-map
+    sample -> refilter + deflate), and the resized PNG is DECODED
+    AGAIN. PNG is lossless and its encode/decode pixel layout is the
+    identity (top-down row-major RGB), so the BMP resize oracle applies
+    VERBATIM — one analytic sum pins the grid through a second,
+    independent compression family. Corrupt classes (doc_id%13 in 5,9)
+    surface as NULL rows through both codec passes."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 1 + k % 16, 1 + k % 8
+                px = bytes((k * 31 + i * 7) % 256 for i in range(w * h * 3))
+                payloads.append(_mm_corrupt(encode_png(w, h, px), k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    resized = resize_images(enc, "doc_id", "payload", width=7, height=5,
+                            codec="png")
+    return decode_images(resized, "doc_id", "payload", decoder="png")
+
+
 def q_multimodal_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize over an ENTROPY-CODED format, oracle-checked end to end:
     each document's baseline JFIF JPEG (same dims/channels/gray combos
@@ -5984,6 +6021,11 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_resize_jpeg"] = QuerySpec(
         q_multimodal_resize_jpeg, _MM_RESIZE_JPEG_SQL
+    )
+    # lossless + identity pixel layout: the BMP resize oracle applies
+    # verbatim to the PNG pass
+    catalog["multimodal_resize_png"] = QuerySpec(
+        q_multimodal_resize_png, _MM_RESIZE_SQL
     )
     # same frames, same corrupt classes, same analytic oracle — the AVI
     # demux must be value-transparent vs the elementary stream

@@ -1199,3 +1199,45 @@ def test_avi_sample_video_frames_matches_elementary_stream(spark):
         sample_video_frames(df_raw, "doc_id", "payload", decoder="mjpeg", **kw).collect()
     )
     assert got_avi == got_raw and len(got_avi) == 3  # frames 0, 2, 4
+
+
+def test_resize_images_png_lossless_grid(spark):
+    """PNG resize: inflate+unfilter -> index-map sample -> refilter+
+    deflate. Lossless, so resized pixels ARE the sampled originals —
+    RGB and RGBA, with corrupt inputs passing through as NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _png_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(8)
+    rows = []
+    srcs = {}
+    for doc_id, ch in ((0, 3), (1, 4), (2, 3)):
+        px = rng.integers(0, 255, (11, 13, ch), dtype=np.uint8)
+        p = encode_png(13, 11, px.tobytes(), channels=ch)
+        if doc_id == 2:
+            p = p[: len(p) * 3 // 5]
+        srcs[doc_id] = px
+        rows.append((doc_id, p))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, "doc_id", "payload", width=5, height=4, codec="png"
+        ).collect()
+    }
+    assert out[2]["payload"] is None  # corrupt -> NULL through
+    for doc_id in (0, 1):
+        px = srcs[doc_id]
+        got = _png_pixels(bytes(out[doc_id]["payload"]))
+        ys = (np.arange(4) * 11) // 4
+        xs = (np.arange(5) * 13) // 5
+        assert np.array_equal(got, px[np.ix_(ys, xs)])

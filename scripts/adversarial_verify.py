@@ -193,6 +193,7 @@ SWEEP_QUERIES = {
         "multimodal_resize",
         "multimodal_resize_jpeg",
         "multimodal_resize_png",
+        "multimodal_audio_resample",
         "multimodal_avi_frames",
     ]
 }

@@ -311,7 +311,7 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--payload-col", default="payload")
     media.add_argument("--mode", required=True,
                        choices=["features", "image", "audio", "video",
-                                "resize"])
+                                "resize", "resample"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -323,6 +323,8 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--fps", type=int, default=25,
                        help="video: elementary-stream timestamp base "
                             "(containerized formats carry their own)")
+    media.add_argument("--target-rate", type=int, default=16000,
+                       help="resample target sample rate")
     media.add_argument("--width", type=int, default=64,
                        help="resize target width")
     media.add_argument("--height", type=int, default=64,
@@ -1223,6 +1225,7 @@ def cmd_media(args) -> int:
     from sqlserver_pg_cdc_spark.operators.multimodal import (
         binary_features,
         decode_images,
+        resample_audio,
         resize_images,
         sample_audio_frames,
         sample_video_frames,
@@ -1243,6 +1246,11 @@ def cmd_media(args) -> int:
         out = sample_audio_frames(
             df, args.id_col, args.payload_col,
             frame_ms=args.frame_ms, max_frames=args.max_frames,
+            decoder=args.decoder if args.decoder != "auto" else "wav",
+        )
+    elif args.mode == "resample":
+        out = resample_audio(
+            df, args.id_col, args.payload_col, args.target_rate,
             decoder=args.decoder if args.decoder != "auto" else "wav",
         )
     elif args.mode == "resize":

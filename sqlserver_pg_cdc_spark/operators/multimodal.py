@@ -3499,3 +3499,98 @@ def decode_mcv(
         return w, h, fps, frames
     except EOFError:
         return None
+
+
+def resample_pcm(
+    samples: "np.ndarray", src_rate: int, dst_rate: int
+) -> "np.ndarray":
+    """Linear-interpolation sample-rate conversion on int16 PCM with
+    EXACT rational positions (integer index/fraction math — no float
+    phase accumulation, so the output is bit-deterministic across
+    platforms): out[j] = x interpolated at j*src/dst, n_out =
+    floor(n*dst/src). A constant signal resamples to itself exactly
+    (the analytic-oracle anchor). The audio twin of the image resize's
+    floor(i*src/dst) index map."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    n_out = (n * dst_rate) // src_rate
+    if n == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.int16)
+    j = np.arange(n_out, dtype=np.int64)
+    num = j * src_rate
+    idx = num // dst_rate
+    frac = num - idx * dst_rate  # 0 <= frac < dst_rate
+    idx = np.minimum(idx, n - 1)
+    nxt = np.minimum(idx + 1, n - 1)
+    # exact integer interpolation with one final rounding division
+    val = x[idx] * (dst_rate - frac) + x[nxt] * frac
+    out = (2 * val + dst_rate) // (2 * dst_rate)  # round-half-up
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+def resample_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_rate: int,
+    decoder: str = "wav",
+) -> DataFrame:
+    """Audio sample-rate normalization — the preprocessing pass every
+    speech/audio training pipeline runs (decode whatever arrived,
+    resample to the model's rate, re-encode canonical PCM WAV). Rows:
+    (doc_id, payload=mono 16-bit WAV at ``target_rate``, sample_rate,
+    n_samples); corrupt/undecodable inputs yield a NULL payload row
+    (the resize_images convention). ``decoder``: wav / adpcm / flac /
+    subband — all four real audio families feed the same resampler."""
+    decoders = {
+        "wav": decode_wav_pcm16,
+        "adpcm": decode_wav_adpcm,
+        "flac": decode_flac,
+        "subband": decode_subband,
+    }
+    if decoder not in decoders and decoder != "strict":
+        raise ValueError(f"unknown audio decoder {decoder!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "compressed audio decoding requires an audio library; "
+                    "not available in this environment"
+                )
+            dec = decoders[decoder]
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                parsed = dec(b) if b is not None else None
+                if parsed is None:
+                    rows.append((doc_id, None, target_rate, None))
+                    continue
+                rate, samples = parsed
+                out = resample_pcm(samples, rate, target_rate)
+                rows.append(
+                    (
+                        doc_id,
+                        encode_wav_pcm16(target_rate, out),
+                        target_rate,
+                        len(out),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "sample_rate", "n_samples"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema
+    )

@@ -205,3 +205,60 @@ def test_prefix_decode_bounds_work_not_validation():
     bad = bytearray(p)
     bad[-10] ^= 0xFF
     assert decode_subband(bytes(bad), max_ms=500) is None
+
+
+def test_resample_pcm_laws():
+    """Exact-rational linear resampler: constant signals are fixed
+    points at ANY ratio, the identity ratio is the identity, the
+    length law is floor(n*dst/src), and integer-math determinism means
+    a sine up/down round trip reproduces the original exactly at 2x."""
+    x = np.full(1000, -7312, dtype=np.int16)
+    from sqlserver_pg_cdc_spark.operators.multimodal import resample_pcm
+
+    for dst in (8000, 640, 1000, 44100, 3):
+        y = resample_pcm(x, 1000, dst)
+        assert len(y) == (1000 * dst) // 1000
+        assert (y == -7312).all()
+    t = np.arange(8000)
+    s = (10000 * np.sin(2 * np.pi * 50 * t / 8000)).astype(np.int16)
+    back = resample_pcm(resample_pcm(s, 8000, 16000), 16000, 8000)
+    assert np.array_equal(back, s)
+    assert len(resample_pcm(np.zeros(0, dtype=np.int16), 8000, 16000)) == 0
+
+
+def test_resample_audio_through_spark(spark):
+    """subband -> resample -> WAV chain: corrupt inputs surface as
+    NULL-payload rows; the resampled WAV decodes at the target rate
+    with the floor-law sample count."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        resample_audio,
+    )
+
+    rows = []
+    for doc_id in range(4):
+        p = encode_subband(
+            1000, np.full(1500, 4000 + doc_id, dtype=np.int16), kbps=192
+        )
+        if doc_id == 2:
+            p = p[: len(p) // 2]
+        rows.append((doc_id, p))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resample_audio(
+            df, "doc_id", "payload", 640, decoder="subband"
+        ).collect()
+    }
+    assert out[2]["payload"] is None and out[2]["n_samples"] is None
+    for doc_id in (0, 1, 3):
+        r = out[doc_id]
+        assert r["sample_rate"] == 640 and r["n_samples"] == 960
+        rate, pcm = decode_wav_pcm16(bytes(r["payload"]))
+        assert rate == 640 and len(pcm) == 960
+        assert np.abs(pcm.astype(int) - (4000 + doc_id)).max() <= 2

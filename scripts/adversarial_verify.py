@@ -194,6 +194,7 @@ SWEEP_QUERIES = {
         "multimodal_resize_jpeg",
         "multimodal_resize_png",
         "multimodal_audio_resample",
+        "multimodal_resize_gif",
         "multimodal_avi_frames",
     ]
 }

@@ -1293,8 +1293,25 @@ def encode_gif(
 def decode_gif(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """(width, height, 3, rgb_byte_sum, n_rgb_bytes) from the FIRST
     frame of a GIF87a/89a payload, or None on corruption or
-    out-of-scope features (interlace). Full LZW decode with variable
-    code width, clear/EOI, and the deferred-clear dictionary rule."""
+    out-of-scope features. Full LZW decode with variable code width,
+    clear/EOI, and the deferred-clear dictionary rule."""
+    got = _gif_frame(payload)
+    if got is None:
+        return None
+    idx2, rgb = got
+    h, w = idx2.shape
+    total = int(rgb[idx2.reshape(-1)].astype(np.int64).sum())
+    return w, h, 3, total, w * h * 3
+
+
+def _gif_frame(payload: bytes) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Full-pixel variant of :func:`decode_gif`: ((H, W) palette-index
+    array, (N, 3) RGB palette), or None on corruption — same LZW
+    validation. Interlaced frames are de-permuted into natural row
+    order (the 4-pass 8/8/4/2 scheme), so pixel consumers see the
+    image, not the wire order. The GIF entry of the resize path —
+    resizing SAMPLES in index space, so the palette (and losslessness)
+    survives re-encode."""
     if payload is None or len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         return None
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -1322,9 +1339,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int, int] | None:
             return None
         _l, _t, width, height, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
-        # interlace (ipacked & 0x40) merely PERMUTES rows (4-pass row
-        # order); the summary contract (dims + pixel sum) is row-order
-        # invariant, so interlaced frames decode identically here
+        interlaced = bool(ipacked & 0x40)
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 7)
@@ -1404,8 +1419,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int, int] | None:
         if int(idx.max()) * 3 + 2 >= len(pal):
             return None  # index beyond the palette
         rgb = np.frombuffer(pal, dtype=np.uint8)[: (len(pal) // 3) * 3].reshape(-1, 3)
-        total = int(rgb[idx].astype(np.int64).sum())
-        return width, height, 3, total, n_px * 3
+        idx2 = idx.reshape(height, width)
+        if interlaced:
+            order = np.concatenate([
+                np.arange(0, height, 8), np.arange(4, height, 8),
+                np.arange(2, height, 4), np.arange(1, height, 2),
+            ])
+            nat = np.empty(height, dtype=np.int64)
+            nat[order] = np.arange(height)
+            idx2 = idx2[nat]
+        return idx2, rgb
     return None
 
 
@@ -2394,11 +2417,15 @@ def resize_images(
     ``codec="png"``: 8-bit truecolor PNG in/out (inflate + unfilter ->
     resize -> refilter + deflate; RGB/RGBA preserved). Lossless, so
     resized pixels are exactly the sampled originals.
+    ``codec="gif"``: GIF in/out — the resize samples in PALETTE-INDEX
+    space and re-encodes through LZW with the ORIGINAL color table, so
+    the pass is lossless and the palette discipline (the reason GIFs
+    exist) survives.
     ``codec="strict"``: raise — the seam for formats whose decode needs
     an external library."""
     if width <= 0 or height <= 0:
         raise ValueError("target dims must be positive")
-    if codec not in ("bmp", "jpeg", "png", "strict"):
+    if codec not in ("bmp", "jpeg", "png", "gif", "strict"):
         raise ValueError(f"unknown resize codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2411,6 +2438,26 @@ def resize_images(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
+                if codec == "gif":
+                    got = _gif_frame(b) if b is not None else None
+                    if got is None:
+                        rows.append((doc_id, None, width, height))
+                        continue
+                    idx2, rgb = got
+                    sh, sw = idx2.shape
+                    ys = (np.arange(height) * sh) // height
+                    xs = (np.arange(width) * sw) // width
+                    sampled = idx2[np.ix_(ys, xs)]
+                    palette = [tuple(int(v) for v in c) for c in rgb]
+                    rows.append((
+                        doc_id,
+                        encode_gif(
+                            width, height, palette,
+                            sampled.reshape(-1).tobytes(),
+                        ),
+                        width, height,
+                    ))
+                    continue
                 px = None
                 if b is not None:
                     px = (

@@ -3242,6 +3242,82 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(resized, "doc_id", "payload", decoder="png")
 
 
+def q_multimodal_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over the PALETTE-INDEXED format, oracle-checked end to
+    end: each document renders a deterministic indexed pattern over a
+    deterministic palette as GIF (LZW), resizes through
+    `resize_images(codec="gif")` — which samples in INDEX space and
+    re-encodes with the original color table, so the pass is lossless
+    — and the resized GIF is DECODED AGAIN. The oracle recomputes the
+    sampled palette lookups analytically: color c=(k + row*w + col) %
+    nc at the floor(i*src/dst) grid, summed through the three palette
+    component formulas. Corrupt classes (doc_id%13 in 5,9) surface as
+    NULL rows through both LZW passes."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_gif,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 1 + k % 16, 1 + k % 8
+                nc = 2 << (1 + k % 3)  # 8/16/32-color tables
+                pal = [
+                    (
+                        (k * 31 + c * 7) % 256,
+                        (k * 13 + c * 11) % 256,
+                        (k * 7 + c * 3) % 256,
+                    )
+                    for c in range(nc)
+                ]
+                idx = bytes((k + i) % nc for i in range(w * h))
+                payloads.append(_mm_corrupt(encode_gif(w, h, pal, idx), k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    resized = resize_images(enc, "doc_id", "payload", width=7, height=5,
+                            codec="gif")
+    return decode_images(resized, "doc_id", "payload", decoder="gif")
+
+
+_MM_RESIZE_GIF_SQL = """
+WITH px AS (
+    SELECT d.doc_id,
+           sum(((d.doc_id * 31 + cc.c * 7) % 256)
+               + ((d.doc_id * 13 + cc.c * 11) % 256)
+               + ((d.doc_id * 7 + cc.c * 3) % 256)) AS px_sum
+    FROM documents d
+    JOIN generate_series(0, 4) AS ty(i) ON true
+    JOIN generate_series(0, 6) AS tx(i) ON true
+    CROSS JOIN LATERAL (
+        SELECT (d.doc_id
+                + ((ty.i * (1 + d.doc_id % 8)) // 5) * (1 + d.doc_id % 16)
+                + ((tx.i * (1 + d.doc_id % 16)) // 7))
+               % (2 * power(2, 1 + d.doc_id % 3)::BIGINT) AS c
+    ) cc
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(7 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(5 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(3 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(px_sum AS DOUBLE) / (7 * 5 * 3 * 255) END AS mean_pixel
+FROM px
+"""
+
+
 def q_multimodal_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize over an ENTROPY-CODED format, oracle-checked end to end:
     each document's baseline JFIF JPEG (same dims/channels/gray combos
@@ -6099,6 +6175,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     # verbatim to the PNG pass
     catalog["multimodal_resize_png"] = QuerySpec(
         q_multimodal_resize_png, _MM_RESIZE_SQL
+    )
+    catalog["multimodal_resize_gif"] = QuerySpec(
+        q_multimodal_resize_gif, _MM_RESIZE_GIF_SQL
     )
     # same frames, same corrupt classes, same analytic oracle — the AVI
     # demux must be value-transparent vs the elementary stream

@@ -1241,3 +1241,43 @@ def test_resize_images_png_lossless_grid(spark):
         ys = (np.arange(4) * 11) // 4
         xs = (np.arange(5) * 13) // 5
         assert np.array_equal(got, px[np.ix_(ys, xs)])
+
+
+def test_resize_images_gif_index_space(spark):
+    """GIF resize samples in palette-index space: the resized frame's
+    indices ARE the sampled originals, the color table is preserved
+    verbatim, and interlaced sources de-permute to natural order
+    first."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _gif_frame,
+        encode_gif,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(12)
+    pal = [
+        (int(rng.integers(256)), int(rng.integers(256)), int(rng.integers(256)))
+        for _ in range(8)
+    ]
+    idx = rng.integers(0, 8, (9, 14), dtype=np.uint8)
+    p = encode_gif(14, 9, pal, idx.reshape(-1).tobytes())
+    rows = [(0, p), (1, p[: len(p) * 3 // 5])]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, "doc_id", "payload", width=5, height=4, codec="gif"
+        ).collect()
+    }
+    assert out[1]["payload"] is None
+    i2, rgb = _gif_frame(bytes(out[0]["payload"]))
+    ys = (np.arange(4) * 9) // 4
+    xs = (np.arange(5) * 14) // 5
+    assert np.array_equal(i2, idx[np.ix_(ys, xs)])
+    assert np.array_equal(rgb[:8], np.array(pal, dtype=np.uint8))

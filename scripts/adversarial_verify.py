@@ -195,6 +195,7 @@ SWEEP_QUERIES = {
         "multimodal_resize_png",
         "multimodal_audio_resample",
         "multimodal_resize_gif",
+        "multimodal_video_thumbnails",
         "multimodal_avi_frames",
     ]
 }

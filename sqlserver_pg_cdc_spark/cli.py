@@ -311,7 +311,7 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--payload-col", default="payload")
     media.add_argument("--mode", required=True,
                        choices=["features", "image", "audio", "video",
-                                "resize", "resample"])
+                                "resize", "resample", "thumbnails"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -1229,6 +1229,7 @@ def cmd_media(args) -> int:
         resize_images,
         sample_audio_frames,
         sample_video_frames,
+        video_thumbnails,
     )
     from sqlserver_pg_cdc_spark.session import get_spark
 
@@ -1247,6 +1248,13 @@ def cmd_media(args) -> int:
             df, args.id_col, args.payload_col,
             frame_ms=args.frame_ms, max_frames=args.max_frames,
             decoder=args.decoder if args.decoder != "auto" else "wav",
+        )
+    elif args.mode == "thumbnails":
+        out = video_thumbnails(
+            df, args.id_col, args.payload_col,
+            width=args.width, height=args.height,
+            stride=args.stride, max_frames=args.max_frames,
+            decoder=args.decoder if args.decoder != "auto" else "mcv",
         )
     elif args.mode == "resample":
         out = resample_audio(

@@ -3641,3 +3641,94 @@ def resample_audio(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema
     )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset_ms", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def video_thumbnails(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    stride: int = 1,
+    max_frames: int = 8,
+    decoder: str = "mcv",
+) -> DataFrame:
+    """Frame-sample + resize in one pass — the preprocessing shape a
+    vision-encoder training pipeline runs over video (sample every
+    Nth frame, thumbnail it for the image tower). One payload row fans
+    out to up to ``max_frames`` rows of (frame_idx, offset_ms, BMP
+    thumbnail at width x height). ``decoder``: mcv (inter-frame decode
+    of the needed prefix) / mjpeg / avi (marker/chunk walk + JPEG
+    decode of the sampled frames only). Undecodable documents drop;
+    an individually corrupt sampled frame yields a NULL payload row
+    (the MJPEG sampler convention)."""
+    if decoder not in ("mcv", "mjpeg", "avi"):
+        raise ValueError(f"unknown thumbnail decoder {decoder!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError("target dims must be positive")
+
+    def _thumb(rgb: "np.ndarray") -> bytes:
+        sh, sw = rgb.shape[0], rgb.shape[1]
+        if rgb.shape[2] == 1:  # grayscale source -> gray BGR
+            rgb = np.repeat(rgb, 3, axis=2)
+        ys = (np.arange(height) * sh) // height
+        xs = (np.arange(width) * sw) // width
+        # encode_bmp takes top-down BGR rows (the _bmp_pixels layout)
+        return encode_bmp(
+            width, height,
+            np.ascontiguousarray(rgb[np.ix_(ys, xs)][:, :, ::-1]).tobytes(),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = max(1, stride)
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if decoder == "mcv":
+                    got = decode_mcv(b, max_frames=step * max_frames)
+                    if got is None:
+                        continue
+                    _, _, vfps, fr = got
+                    for n, rgb in enumerate(fr[::step][:max_frames]):
+                        src = n * step
+                        rows.append(
+                            (doc_id, src, src * 1000 // max(1, vfps),
+                             _thumb(rgb), width, height)
+                        )
+                    continue
+                split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
+                spans = split_fn(b)
+                for n, (s0, e0) in enumerate(spans[::step][:max_frames]):
+                    src = n * step
+                    px = _jpeg_pixels(b[s0:e0])
+                    rows.append(
+                        (doc_id, src, src * 1000 // 25,
+                         _thumb(px) if px is not None else None,
+                         width, height)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_offset_ms",
+                    "payload", "width", "height",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, THUMBNAIL_SCHEMA
+    )

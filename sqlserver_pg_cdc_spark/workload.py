@@ -4040,6 +4040,78 @@ WHERE d.doc_id % 13 NOT IN (5, 9)
 """
 
 
+def q_multimodal_video_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video -> vision-tower thumbnails, oracle-checked through FOUR
+    codec stages: the MCV clip (same content law as
+    `multimodal_mcv_frames`) decodes, every frame thumbnails to 8x8
+    through the index-map resize, re-encodes as BMP
+    (`operators/multimodal.py video_thumbnails`), and each thumbnail
+    is DECODED AGAIN through the image path. The 16x16 rectangle is
+    block-aligned and the 8x8 grid lands 6 samples inside it at every
+    step position, so mean_pixel is a closed form of the background
+    class alone — exact through P-frame reconstruction AND the
+    thumbnail round trip. Corrupt docs (doc_id%13 in 5,9) drop."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        decode_images,
+        encode_mcv,
+        video_thumbnails,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                bg = 32 + (k % 5) * 8
+                n_frames = 4 + (k % 4) * 2
+                key = (bg, n_frames)
+                p = cache.get(key)
+                if p is None:
+                    frames = []
+                    for f in range(n_frames):
+                        img = np.full((48, 64, 3), bg, dtype=np.uint8)
+                        x = 16 * (f % 3)
+                        img[16:32, x : x + 16] = 200
+                        frames.append(img)
+                    p = encode_mcv(frames, fps=25, gop=4, qscale=4)
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    thumbs = video_thumbnails(
+        enc, "doc_id", "payload", width=8, height=8,
+        stride=1, max_frames=4, decoder="mcv",
+    )
+    # frame_idx < 16 always: fold the composite key into one id for the
+    # generic image-decode contract, recoverable as (id//16, id%16)
+    keyed = thumbs.select(
+        (F.col("doc_id") * 16 + F.col("frame_idx")).alias("doc_id"),
+        "payload",
+    )
+    return decode_images(keyed, "doc_id", "payload", decoder="bmp")
+
+
+_MM_VIDEO_THUMBS_SQL = """
+SELECT d.doc_id * 16 + t.f AS doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(3 * (6 * 200 + 58 * (32 + (d.doc_id % 5) * 8)) AS DOUBLE)
+           / (8 * 8 * 3 * 255) AS mean_pixel
+FROM documents d
+JOIN generate_series(0, 3) AS t(f) ON true
+WHERE d.doc_id % 13 NOT IN (5, 9)
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -6161,6 +6233,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_audio_resample"] = QuerySpec(
         q_multimodal_audio_resample, _MM_AUDIO_RESAMPLE_SQL
+    )
+    catalog["multimodal_video_thumbnails"] = QuerySpec(
+        q_multimodal_video_thumbnails, _MM_VIDEO_THUMBS_SQL
     )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL

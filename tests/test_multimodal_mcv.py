@@ -170,3 +170,58 @@ def test_sample_video_frames_mcv_through_spark(spark):
         assert r.mean_pixel == pytest.approx(expected, abs=1e-12)
         assert (r.width, r.height) == (64, 48)
         assert r.frame_offset_ms == r.frame_idx * 1000 // 25
+
+
+def test_video_thumbnails_exact_and_mjpeg_path(spark):
+    """Thumbnails: MCV path exact on block-aligned content (pixels are
+    the sampled originals re-encoded as BMP); MJPEG path yields rows
+    with NULL payload for an individually corrupt sampled frame."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _bmp_pixels,
+        encode_jpeg,
+        encode_mjpeg,
+        video_thumbnails,
+    )
+
+    frames = [_rect_frame(f, bg=48) for f in range(6)]
+    p = encode_mcv(frames, fps=25, gop=4)
+    df = spark.createDataFrame(
+        pd.DataFrame([(7, p)], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = video_thumbnails(
+        df, "doc_id", "payload", width=8, height=8,
+        stride=2, max_frames=3, decoder="mcv",
+    ).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+    for r in out:
+        px = _bmp_pixels(bytes(r["payload"]))
+        src = frames[r["frame_idx"]]
+        ys = (np.arange(8) * 48) // 8
+        xs = (np.arange(8) * 64) // 8
+        # BGR of gray == gray
+        assert np.array_equal(px, src[np.ix_(ys, xs)][:, :, ::-1])
+        assert r["frame_offset_ms"] == r["frame_idx"] * 1000 // 25
+
+    # MJPEG path: second sampled frame corrupt -> NULL payload row
+    g = np.full((16, 16), 128, dtype=np.uint8)
+    j = encode_jpeg(16, 16, g.tobytes(), channels=1)
+    # middle frame flips SOF0 -> SOF2 (progressive): structurally a
+    # valid marker stream (the splitter keeps three spans) but outside
+    # the baseline decoder's scope -> NULL payload row
+    pos = j.find(b"\xff\xc0")
+    assert pos > 0
+    bad = j[:pos + 1] + b"\xc2" + j[pos + 2 :]
+    stream = encode_mjpeg([j, bad, j])
+    df2 = spark.createDataFrame(
+        pd.DataFrame([(1, stream)], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out2 = video_thumbnails(
+        df2, "doc_id", "payload", width=4, height=4, decoder="mjpeg"
+    ).collect()
+    by_idx = {r["frame_idx"]: r for r in out2}
+    assert by_idx[1]["payload"] is None
+    assert by_idx[0]["payload"] is not None and by_idx[2]["payload"] is not None

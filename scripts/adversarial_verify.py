@@ -196,6 +196,7 @@ SWEEP_QUERIES = {
         "multimodal_audio_resample",
         "multimodal_resize_gif",
         "multimodal_video_thumbnails",
+        "image_phash_crossformat",
         "multimodal_avi_frames",
     ]
 }

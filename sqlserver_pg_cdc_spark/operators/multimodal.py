@@ -3732,3 +3732,192 @@ def video_thumbnails(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, THUMBNAIL_SCHEMA
     )
+
+
+def _dct2_matrix(n: int) -> "np.ndarray":
+    """Orthonormal n-point DCT-II matrix, cached per size."""
+    global _DCT2_CACHE
+    try:
+        cache = _DCT2_CACHE
+    except NameError:
+        cache = _DCT2_CACHE = {}
+    m = cache.get(n)
+    if m is None:
+        j = np.arange(n)
+        m = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / (2 * n))
+        m *= math.sqrt(2.0 / n)
+        m[0] /= math.sqrt(2.0)
+        cache[n] = m
+    return m
+
+
+def phash_pixels(px: "np.ndarray") -> int:
+    """Perceptual hash (pHash) of an (H, W, C) uint8 pixel array: gray
+    (channel sum) -> 32x32 index-map downsample (the resize grid) ->
+    FIXED-POINT 2-D DCT (the orthonormal basis scaled to a 2^18
+    integer lattice; int64 matmuls are exact and order-independent,
+    where a float GEMM's summation order varies per BLAS call and
+    structured images carry exact coefficient ties at the median whose
+    jitter would split one image into several fingerprints) ->
+    low-frequency 8x8 block, DC dropped -> median threshold (exact
+    order statistic of 63 ints) -> 63-bit fingerprint. Identical
+    pixels hash identically REGARDLESS of the container format (the
+    cross-format dedup property byte hashes can't give); visually-near
+    images land within small Hamming distance. Bit-deterministic on
+    any platform, any thread count."""
+    gray3 = px.astype(np.int64).sum(axis=2)  # 3x gray: stays integer
+    sh, sw = gray3.shape
+    ys = (np.arange(32) * sh) // 32
+    xs = (np.arange(32) * sw) // 32
+    g = gray3[np.ix_(ys, xs)]
+    dq = _dct2_int_matrix()
+    d = dq @ g @ dq.T  # |coef| < 765*32^2*2^36 << 2^63: exact int64
+    low = d[:8, :8].reshape(-1)[1:]  # drop DC
+    # exact integer order statistic (np.median would round-trip int64
+    # through float64, losing bits past 2^53 at this fixed-point scale)
+    med = int(np.sort(low)[31])
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def _dct2_int_matrix() -> "np.ndarray":
+    """The 32-point orthonormal DCT-II basis on a 2^18 fixed-point
+    lattice (int64), built once."""
+    global _DCT2_INT
+    try:
+        return _DCT2_INT
+    except NameError:
+        pass
+    _DCT2_INT = np.rint(_dct2_matrix(32) * (1 << 18)).astype(np.int64)
+    return _DCT2_INT
+
+
+def phash_images(
+    df: DataFrame, id_col: str, payload_col: str, decoder: str = "auto"
+) -> DataFrame:
+    """Per-document perceptual hash over any decodable image payload
+    (magic-sniff dispatch across BMP/PNG/JPEG/GIF by default): rows
+    (doc_id, phash) with NULL phash for corrupt/unsupported payloads.
+    Downstream: exact grouping on phash dedups the same image across
+    CONTAINERS (PNG vs BMP re-encodes of one crawl image), and
+    :func:`phash_near_pairs` finds visually-near variants by banded
+    Hamming join."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolve every helper through a WORKER-SIDE module import: the
+        # executor then runs exactly the module the worker interpreter
+        # loaded, never a driver-serialized copy of the closure's
+        # captured globals
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        def _pixels(b: bytes) -> "np.ndarray | None":
+            if decoder == "bmp":
+                return mm._bmp_pixels(b)
+            if decoder == "png":
+                return mm._png_pixels(b)
+            if decoder == "jpeg":
+                return mm._jpeg_pixels(b)
+            if decoder == "gif":
+                got = mm._gif_frame(b)
+                if got is None:
+                    return None
+                idx2, rgb = got
+                return rgb[idx2]
+            # auto: magic sniff
+            if b[:2] == b"BM":
+                return mm._bmp_pixels(b)
+            if b[: len(mm._PNG_SIG)] == mm._PNG_SIG:
+                return mm._png_pixels(b)
+            if b[:4] == b"GIF8":
+                got = mm._gif_frame(b)
+                if got is None:
+                    return None
+                idx2, rgb = got
+                return rgb[idx2]
+            if b[:2] == b"\xff\xd8":
+                return mm._jpeg_pixels(b)
+            return None
+
+        for pdf in it:
+            ids = []
+            hashes = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                px = _pixels(b) if b else None
+                ids.append(doc_id)
+                hashes.append(
+                    mm.phash_pixels(px) if px is not None else None
+                )
+            # the hash column MUST be the nullable Int64 extension
+            # dtype: a plain DataFrame constructor infers float64 for
+            # int+None tuples, and a 63-bit fingerprint near 2^63
+            # silently loses its low ~10 bits to the float mantissa —
+            # same-pixel images then split by WHICH BATCH carried a
+            # corrupt neighbor
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("phash", T.LongType(), True),
+            ]
+        ),
+    )
+
+
+_PHASH_BANDS = 7
+_PHASH_BAND_BITS = 9  # 7 bands x 9 bits cover the 63-bit fingerprint
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Visually-near image pairs by banded Hamming join on pHash —
+    the SimHash pigeonhole (7 bands of 9 bits: full recall through
+    Hamming <= 6), exact bit_count verify on candidates only. NULL
+    hashes (undecodable images) drop out before the join."""
+    fp = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("ph")
+    )
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("ph"), b * _PHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("band_val"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    keyed = fp.select(
+        "doc", "ph", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc", "ph", "bk.band_id", "bk.band_val")
+    left = keyed.select(
+        F.col("doc").alias("a"), F.col("ph").alias("ha"),
+        "band_id", "band_val",
+    )
+    right = keyed.select(
+        F.col("doc").alias("b"), F.col("ph").alias("hb"),
+        "band_id", "band_val",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -4112,6 +4112,91 @@ WHERE d.doc_id % 13 NOT IN (5, 9)
 """
 
 
+def q_image_phash_crossformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CONTAINER image dedup by perceptual hash: every document
+    renders one of seven rich-texture base images (an inverse-DCT-
+    designed coefficient grid — every low-frequency bin carries
+    energy, the regime pHash is built for), encoded as PNG for odd
+    ids and BMP for even ids. Byte-level hashes (md5 dedup) see 14
+    distinct payloads; `phash_images` sees 7 — identical pixels hash
+    identically regardless of container, so the phash GROUP recovers
+    the true duplicate classes across formats. Contract: per doc, the
+    class canonical (min id) and class size; the oracle derives both
+    from the class law alone (exactness pins that no two classes
+    collide AND both codecs decode to identical pixels). Corrupt docs
+    (doc_id%13 in 5,9) drop on NULL phash."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        phash_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                key = (k % 7, k % 2)
+                p = cache.get(key)
+                if p is None:
+                    c = k % 7
+                    # INTEGER-exact texture (no float synthesis: a
+                    # mathematically-boundary pixel would truncate
+                    # differently under executor BLAS summation
+                    # orders and split a class): class-dependent
+                    # frequencies separate the 7 classes by >= 26
+                    # Hamming in the 63-bit fingerprint
+                    y, x = np.mgrid[0:64, 0:64]
+                    g = (
+                        37 * ((x * (c + 2)) // 16)
+                        + 59 * ((y * (c + 3)) // 16)
+                        + 29 * (((x + y) * (c + 1)) // 32)
+                        + c * 41
+                    ) % 256
+                    px = np.stack([g.astype(np.uint8)] * 3, axis=2)
+                    p = (
+                        encode_png(64, 64, px.tobytes())
+                        if k % 2
+                        else encode_bmp(64, 64, px.tobytes())
+                    )
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    hashes = phash_images(enc, "doc_id", "payload").filter(
+        F.col("phash").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return hashes.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("dup_of"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+    )
+
+
+_IMAGE_PHASH_SQL = """
+WITH live AS (
+    SELECT doc_id, doc_id % 7 AS cls
+    FROM documents
+    WHERE doc_id % 13 NOT IN (5, 9)
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY cls) AS dup_of,
+       COUNT(*) OVER (PARTITION BY cls) AS n_same
+FROM live
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -6236,6 +6321,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["multimodal_video_thumbnails"] = QuerySpec(
         q_multimodal_video_thumbnails, _MM_VIDEO_THUMBS_SQL
+    )
+    catalog["image_phash_crossformat"] = QuerySpec(
+        q_image_phash_crossformat, _IMAGE_PHASH_SQL
     )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL

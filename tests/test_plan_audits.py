@@ -383,3 +383,32 @@ def test_round9_codec_queries_plan_shape(spark, qname):
     plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
     assert plan.find("Exchange RoundRobinPartitioning(32") != -1, qname
     assert plan.find("MapInPandas") != -1, qname
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "multimodal_resize_png",
+        "multimodal_resize_gif",
+        "multimodal_audio_resample",
+        "multimodal_video_thumbnails",
+        "image_phash_crossformat",
+    ],
+)
+def test_late_round9_payload_queries_plan_shape(spark, qname):
+    """The late round-9 payload contracts (PNG/GIF resize passes,
+    audio resample chain, video thumbnails, cross-format pHash): no
+    cartesian, the codec work fanned out behind the 32-way
+    repartition, and no unexpected extra Python stages (the budget is
+    encode harness + up to three chained codec operators; pHash adds
+    one window for the group step, which must hash-partition on the
+    fingerprint, not sort globally)."""
+    m = _metrics(spark, qname)
+    assert not m.has_cartesian, m.joins
+    assert m.python_evals <= 4
+    fn = workload.build_catalog(spark)[qname].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert plan.find("Exchange RoundRobinPartitioning(32") != -1, qname
+    assert plan.find("MapInPandas") != -1, qname
+    if qname == "image_phash_crossformat":
+        assert "hashpartitioning(phash" in plan, plan[:2000]

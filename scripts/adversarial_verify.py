@@ -197,6 +197,7 @@ SWEEP_QUERIES = {
         "multimodal_resize_gif",
         "multimodal_video_thumbnails",
         "image_phash_crossformat",
+        "audio_fingerprint_crossformat",
         "multimodal_avi_frames",
     ]
 }

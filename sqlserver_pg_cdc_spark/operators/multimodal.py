@@ -3921,3 +3921,115 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def afp_samples(samples: "np.ndarray") -> "int | None":
+    """Acoustic fingerprint of mono 16-bit PCM — the Haitsma-Kalker
+    shape (energy-difference signs over a time x frequency grid),
+    computed integer-exact: 8 time segments (index-map split), each
+    downsampled to 128 points (exact integer grid), a FIXED-POINT
+    128-point DCT (2^6 lattice, int64 — exact and order-independent,
+    the phash discipline), 9 frequency bands of summed squared
+    coefficients, and 63 bits = sign of the energy delta between
+    consecutive segments per band (9 bands x 7 transitions).
+    Identical samples fingerprint identically REGARDLESS of container
+    (WAV vs FLAC vs any lossless path); perceptually-near audio lands
+    within small Hamming distance. None for signals too short to
+    segment (< 64 samples)."""
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    if n < 64:
+        return None
+    d128 = _afp_dct_matrix()
+    energies = np.empty((8, 9), dtype=np.int64)
+    for s in range(8):
+        seg = x[(s * n) // 8 : ((s + 1) * n) // 8]
+        idx = (np.arange(128) * len(seg)) // 128
+        g = seg[idx]
+        coef = d128 @ g  # |coef| <= 2^15 * 2^6 * 128 = 2^28
+        for b in range(9):
+            band = coef[1 + b * 14 : 1 + (b + 1) * 14]  # skip DC
+            energies[s, b] = int((band * band).sum())  # < 14 * 2^56
+    bits = 0
+    for b in range(9):
+        for s in range(7):
+            if energies[s + 1, b] > energies[s, b]:
+                bits |= 1 << (b * 7 + s)
+    return bits
+
+
+def _afp_dct_matrix() -> "np.ndarray":
+    """128-point orthonormal DCT-II on a 2^6 fixed-point lattice."""
+    global _AFP_DCT
+    try:
+        return _AFP_DCT
+    except NameError:
+        pass
+    j = np.arange(128)
+    m = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 256)
+    m *= math.sqrt(2.0 / 128)
+    m[0] /= math.sqrt(2.0)
+    _AFP_DCT = np.rint(m * (1 << 6)).astype(np.int64)
+    return _AFP_DCT
+
+
+def audio_fingerprints(
+    df: DataFrame, id_col: str, payload_col: str, decoder: str = "auto"
+) -> DataFrame:
+    """Per-document acoustic fingerprint over any decodable audio
+    payload (magic-sniff across WAV/FLAC/subband by default): rows
+    (doc_id, afp) with NULL for corrupt/unsupported/too-short
+    payloads. Downstream: exact grouping on afp dedups the same
+    recording across CONTAINERS (a WAV and its FLAC re-encode are
+    distinct byte hashes, one fingerprint), and
+    :func:`phash_near_pairs` (any 63-bit fingerprint column) finds
+    near-variants by banded Hamming join."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side module resolution (the phash_images discipline)
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        def _samples(b: bytes) -> "np.ndarray | None":
+            if decoder == "wav":
+                got = mm.decode_wav_pcm16(b)
+            elif decoder == "adpcm":
+                got = mm.decode_wav_adpcm(b)
+            elif decoder == "flac":
+                got = mm.decode_flac(b)
+            elif decoder == "subband":
+                got = mm.decode_subband(b)
+            elif b[:4] == b"RIFF":
+                got = mm.decode_wav_pcm16(b) or mm.decode_wav_adpcm(b)
+            elif b[:4] == b"fLaC":
+                got = mm.decode_flac(b)
+            elif b[:4] == mm._SB_MAGIC:
+                got = mm.decode_subband(b)
+            else:
+                got = None
+            return got[1] if got is not None else None
+
+        for pdf in it:
+            ids = []
+            prints = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                sm = _samples(b) if b else None
+                ids.append(doc_id)
+                prints.append(
+                    mm.afp_samples(sm) if sm is not None else None
+                )
+            # nullable Int64: the >2^53 fingerprint must never ride a
+            # float64-inferred column (the phash regression)
+            yield pd.DataFrame(
+                {"doc_id": ids, "afp": pd.array(prints, dtype="Int64")}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("afp", T.LongType(), True),
+            ]
+        ),
+    )

@@ -4197,6 +4197,86 @@ FROM live
 """
 
 
+def q_audio_fingerprint_crossformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CONTAINER audio dedup by acoustic fingerprint: every
+    document renders one of seven two-tone-with-envelope signals,
+    encoded as PCM WAV for even ids and FLAC for odd ids. Byte hashes
+    see 14 distinct payloads; `audio_fingerprints` sees 7 — both
+    containers are lossless, so the Haitsma-Kalker energy-delta
+    fingerprint (integer-exact, see `afp_samples`) collapses each
+    recording's containers into one group. Contract mirrors
+    `image_phash_crossformat`: per doc the class canonical and class
+    size from the fingerprint GROUP; the oracle derives both from the
+    class law alone. Corrupt docs (doc_id%13 in 5,9) drop on NULL."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        audio_fingerprints,
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                key = (k % 7, k % 2)
+                p = cache.get(key)
+                if p is None:
+                    c = k % 7
+                    n = 4000
+                    t = np.arange(n)
+                    s2 = 6000 * np.sign(
+                        np.sin(2 * np.pi * t * (c + 2) / 128)
+                    ) + 4000 * np.sign(
+                        np.sin(2 * np.pi * t * (2 * c + 5) / 512)
+                    )
+                    env = 1 + ((t * (c + 3)) // n)
+                    x = np.clip(
+                        (s2.astype(np.int64) * env) // 4, -32767, 32767
+                    ).astype(np.int16)
+                    p = (
+                        encode_flac(8000, x)
+                        if k % 2
+                        else encode_wav_pcm16(8000, x)
+                    )
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    fps = audio_fingerprints(enc, "doc_id", "payload").filter(
+        F.col("afp").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("afp")
+    return fps.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("dup_of"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+    )
+
+
+_AUDIO_AFP_SQL = """
+WITH live AS (
+    SELECT doc_id, doc_id % 7 AS cls
+    FROM documents
+    WHERE doc_id % 13 NOT IN (5, 9)
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY cls) AS dup_of,
+       COUNT(*) OVER (PARTITION BY cls) AS n_same
+FROM live
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (1 + i % 3) * 2000 for i in range(20)}
 
 
@@ -6324,6 +6404,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["image_phash_crossformat"] = QuerySpec(
         q_image_phash_crossformat, _IMAGE_PHASH_SQL
+    )
+    catalog["audio_fingerprint_crossformat"] = QuerySpec(
+        q_audio_fingerprint_crossformat, _AUDIO_AFP_SQL
     )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL

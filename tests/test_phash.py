@@ -126,3 +126,87 @@ def test_near_pairs_banded_recall(spark):
     # no cross-class pair, nothing touching the NULL row
     assert set(pairs) == {(c * 10, c * 10 + 1) for c in range(4)}
     assert all(h <= 6 for h in pairs.values())
+
+
+def _tone(c: int, n: int = 4000) -> np.ndarray:
+    t = np.arange(n)
+    s = 6000 * np.sign(np.sin(2 * np.pi * t * (c + 2) / 128)) + 4000 * np.sign(
+        np.sin(2 * np.pi * t * (2 * c + 5) / 512)
+    )
+    env = 1 + ((t * (c + 3)) // n)
+    return np.clip((s.astype(np.int64) * env) // 4, -32767, 32767).astype(
+        np.int16
+    )
+
+
+def test_audio_fingerprint_laws():
+    """Acoustic fingerprint: distinct signals separate, containers
+    collapse (WAV == FLAC == raw samples), mild noise stays inside the
+    near-dup budget, call order is irrelevant (integer-exact), and
+    sub-segment signals return None."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        afp_samples,
+        decode_flac,
+        decode_wav_pcm16,
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    hs = [afp_samples(_tone(c)) for c in range(7)]
+    assert len(set(hs)) == 7
+    assert min(
+        bin(a ^ b).count("1") for a, b in itertools.combinations(hs, 2)
+    ) >= 8
+    x = _tone(3)
+    assert (
+        afp_samples(decode_wav_pcm16(encode_wav_pcm16(8000, x))[1])
+        == hs[3]
+        == afp_samples(decode_flac(encode_flac(8000, x))[1])
+    )
+    rng = np.random.default_rng(1)
+    noisy = np.clip(
+        x.astype(int) + rng.integers(-50, 51, len(x)), -32768, 32767
+    ).astype(np.int16)
+    assert bin(afp_samples(noisy) ^ hs[3]).count("1") <= 6
+    for c in (0, 2, 5):
+        afp_samples(_tone(c))
+        assert afp_samples(x) == hs[3]  # no call-order state
+    assert afp_samples(np.zeros(10, dtype=np.int16)) is None
+
+
+def test_audio_fingerprints_cross_container_through_spark(spark):
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        audio_fingerprints,
+        encode_flac,
+        encode_wav_pcm16,
+        phash_near_pairs,
+    )
+
+    rows = []
+    for doc_id in range(5):
+        x = _tone(doc_id % 2)
+        p = encode_flac(8000, x) if doc_id % 2 else encode_wav_pcm16(8000, x)
+        if doc_id == 4:
+            p = p[: len(p) * 3 // 5]
+        rows.append((doc_id, p))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["afp"] for r in
+           audio_fingerprints(df, "doc_id", "payload").collect()}
+    assert got[4] is None  # corrupt drops
+    assert got[0] == got[2] and got[1] == got[3]  # class collapse
+    assert got[0] != got[1]
+    # the banded-join helper is fingerprint-agnostic: exact duplicates
+    # pair at hamming 0
+    fps = audio_fingerprints(df, "doc_id", "payload")
+    pairs = {
+        (r["a"], r["b"])
+        for r in phash_near_pairs(
+            fps, hash_col="afp", max_hamming=0
+        ).collect()
+    }
+    assert pairs == {(0, 2), (1, 3)}

@@ -2849,6 +2849,14 @@ def decode_subband(
             return None
         if sample_rate <= 0 or n_frames > (n_total // _SB_FRAME_SAMPLES) + 2:
             return None
+        # allocation bound: every declared frame costs at least 5
+        # payload bytes (3-byte length + CRC-16), so a header that
+        # declares more frames than the payload can physically hold is
+        # structural damage — reject BEFORE sizing coef from n_frames.
+        # (A 24-byte payload with a valid header CRC and n_total=2^39
+        # must return None, not attempt a multi-terabyte np.zeros.)
+        if len(payload) < 22 + 5 * n_frames:
+            return None
         want = n_total
         if max_ms is not None:
             want = min(n_total, (sample_rate * max_ms) // 1000)
@@ -2941,7 +2949,9 @@ def decode_subband(
         y = _sb_synthesis(coef, want)
         pcm = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
         return sample_rate, pcm
-    except EOFError:
+    except (EOFError, MemoryError):
+        # MemoryError belongs to the NULL-on-corrupt contract too: an
+        # untrusted header must never fail the Spark task.
         return None
 
 
@@ -3399,7 +3409,22 @@ def decode_mcv(
             pos += 6 + clen
             if max_frames is not None and len(frames) >= max_frames:
                 continue  # CRC/length walk only
-            body = zlib.decompress(comp)
+            # bounded inflate: the 3-byte length field admits 16 MB of
+            # compressed input, which a crafted stream (valid CRC over
+            # a zip bomb) would expand without limit. The header dims
+            # are already CRC-validated, so the worst legal frame body
+            # is computable: per 16x16 macroblock at most mode+MV bytes
+            # plus six 8x8 blocks of 64 sparse (count,pos,level)
+            # entries = 3 + 6*(1 + 64*3) = 1161 bytes (an I-frame's
+            # per-MB cost is 6*193 = 1158, under the same bound).
+            max_body = (h // 16) * (w // 16) * 1161 + 64
+            try:
+                infl = zlib.decompressobj()
+                body = infl.decompress(comp, max_body + 1)
+            except zlib.error:
+                return None
+            if len(body) > max_body or infl.unconsumed_tail:
+                return None
             if ftype == 0:
                 got = _mcv_decode_plane_intra(body, 0, h, w, qs)
                 if got is None:
@@ -3475,10 +3500,17 @@ def decode_mcv(
                         if dx >= 128:
                             dx -= 256
                         sy0, sx0 = my + dy, mx + dx
+                        # odd MVs are legal: the encoder's +/-4
+                        # refinement emits them, and both sides derive
+                        # the chroma offset as floor(dy/2) (Python //),
+                        # so prediction stays bit-identical. Chroma
+                        # bounds follow from the luma bounds: my is
+                        # even, so an odd dy gives odd sy0 >= 1, and
+                        # cy + dy//2 = (sy0 - 1)//2 >= 0 with the upper
+                        # edge inside h//2 whenever sy0 + 16 <= h.
                         if (
                             sy0 < 0 or sx0 < 0
                             or sy0 + 16 > h or sx0 + 16 > w
-                            or dy % 2 or dx % 2
                         ):
                             return None
                         pred_y = py[sy0 : sy0 + 16, sx0 : sx0 + 16]
@@ -3664,6 +3696,7 @@ def video_thumbnails(
     stride: int = 1,
     max_frames: int = 8,
     decoder: str = "mcv",
+    fps: int = 25,
 ) -> DataFrame:
     """Frame-sample + resize in one pass — the preprocessing shape a
     vision-encoder training pipeline runs over video (sample every
@@ -3671,8 +3704,11 @@ def video_thumbnails(
     out to up to ``max_frames`` rows of (frame_idx, offset_ms, BMP
     thumbnail at width x height). ``decoder``: mcv (inter-frame decode
     of the needed prefix) / mjpeg / avi (marker/chunk walk + JPEG
-    decode of the sampled frames only). Undecodable documents drop;
-    an individually corrupt sampled frame yields a NULL payload row
+    decode of the sampled frames only). ``fps`` is the timestamp base
+    for MJPEG/AVI elementary streams, which carry no rate of their own
+    (mirrors :func:`sample_video_frames`); the MCV path uses the
+    stream's real header fps. Undecodable documents drop; an
+    individually corrupt sampled frame yields a NULL payload row
     (the MJPEG sampler convention)."""
     if decoder not in ("mcv", "mjpeg", "avi"):
         raise ValueError(f"unknown thumbnail decoder {decoder!r}")
@@ -3717,7 +3753,7 @@ def video_thumbnails(
                     src = n * step
                     px = _jpeg_pixels(b[s0:e0])
                     rows.append(
-                        (doc_id, src, src * 1000 // 25,
+                        (doc_id, src, src * 1000 // max(1, fps),
                          _thumb(px) if px is not None else None,
                          width, height)
                     )

@@ -225,3 +225,102 @@ def test_video_thumbnails_exact_and_mjpeg_path(spark):
     by_idx = {r["frame_idx"]: r for r in out2}
     assert by_idx[1]["payload"] is None
     assert by_idx[0]["payload"] is not None and by_idx[2]["payload"] is not None
+
+
+def test_odd_motion_vectors_are_found_and_round_trip():
+    """Round-9 advice (high): the +/-4 refinement emits ODD motion
+    vectors, which the decoder used to reject wholesale — any clip
+    whose true motion is odd encoded to a stream its own decoder
+    refused. Pin both halves: the search FINDS the odd vector, and the
+    full encode/decode round-trips odd-shift content."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _mcv_motion_search,
+    )
+
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    cur = np.roll(ref, (3, 1), axis=(0, 1))
+    # block (16,16) of cur is ref[13:29, 15:31]: true MV is (-3, -1)
+    dy, dx, sad = _mcv_motion_search(ref, cur, 16, 16)
+    assert (dy, dx, sad) == (-3, -1, 0)
+
+    tex = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+    frames = []
+    for f in range(4):
+        frames.append(
+            np.repeat(
+                np.roll(tex, (3 * f, f), axis=(0, 1))[:, :, None], 3, axis=2
+            )
+        )
+    p = encode_mcv(frames, gop=4, qscale=4)
+    got = decode_mcv(p)
+    assert got is not None
+    _, _, _, out = got
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        err = a.astype(np.float64) - b.astype(np.float64)
+        snr = 10 * np.log10(
+            (a.astype(np.float64) ** 2).mean() / max((err**2).mean(), 1e-12)
+        )
+        assert snr > 30
+
+
+def test_zip_bomb_frame_body_is_rejected_bounded():
+    """Round-9 advice (medium): a crafted frame (valid CRC-16 over a
+    DEFLATE bomb) must be rejected by the bounded inflate computed
+    from the CRC-validated header dims — not expanded to gigabytes."""
+    import zlib
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import _crc16
+
+    one = np.full((16, 16, 3), 128, dtype=np.uint8)
+    header = encode_mcv([one])[:18]  # magic+fields+header CRC, n_frames=1
+    bomb = zlib.compress(b"\x00" * (8 << 20), 9)  # 8 MB of zeros
+    crafted = (
+        header
+        + bytes([0])
+        + len(bomb).to_bytes(3, "big")
+        + bomb
+        + _crc16(bomb).to_bytes(2, "big")
+    )
+    assert decode_mcv(crafted) is None
+    # valid CRC over garbage that is not a DEFLATE stream: zlib.error
+    # is the NULL-on-corrupt contract too, never a task failure
+    junk = b"\x12\x34\x56\x78"
+    crafted2 = (
+        header
+        + bytes([0])
+        + len(junk).to_bytes(3, "big")
+        + junk
+        + _crc16(junk).to_bytes(2, "big")
+    )
+    assert decode_mcv(crafted2) is None
+
+
+def test_video_thumbnails_fps_parameter_sets_mjpeg_timestamps(spark):
+    """Round-9 advice (low): MJPEG/AVI elementary streams carry no
+    frame rate — the fps parameter (mirroring sample_video_frames)
+    must set frame_offset_ms, not a hardcoded 25."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mjpeg,
+        video_thumbnails,
+    )
+
+    g = np.full((16, 16), 90, dtype=np.uint8)
+    j = encode_jpeg(16, 16, g.tobytes(), channels=1)
+    stream = encode_mjpeg([j, j, j, j])
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, stream)], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = video_thumbnails(
+        df, "doc_id", "payload", width=4, height=4,
+        decoder="mjpeg", fps=50,
+    ).collect()
+    by_idx = {r["frame_idx"]: r for r in out}
+    assert set(by_idx) == {0, 1, 2, 3}
+    for idx, r in by_idx.items():
+        assert r["frame_offset_ms"] == idx * 1000 // 50

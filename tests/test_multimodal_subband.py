@@ -262,3 +262,33 @@ def test_resample_audio_through_spark(spark):
         rate, pcm = decode_wav_pcm16(bytes(r["payload"]))
         assert rate == 640 and len(pcm) == 960
         assert np.abs(pcm.astype(int) - (4000 + doc_id)).max() <= 2
+
+
+def test_header_alloc_bomb_is_rejected_before_allocation():
+    """Round-9 advice (medium): a 24-byte crafted payload with a valid
+    header CRC and n_total=2^39 used to trigger a multi-terabyte
+    np.zeros (uncaught MemoryError -> task failure). Every declared
+    frame costs >= 5 payload bytes, so the physical bound rejects it
+    up front; MemoryError is also caught as NULL-on-corrupt."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _SB_FRAME_SAMPLES,
+        _SB_MAGIC,
+        _crc16,
+        _MsbWriter,
+    )
+
+    n_total = 1 << 39
+    head = _MsbWriter()
+    for bch in _SB_MAGIC:
+        head.write(bch, 8)
+    head.write(1, 8)
+    head.write(8000, 32)
+    head.write(n_total, 40)
+    head.write(192, 16)
+    head.write((n_total // _SB_FRAME_SAMPLES) + 1, 32)
+    hb = bytes(head.out)
+    crafted = hb + _crc16(hb[4:]).to_bytes(2, "big")
+    assert len(crafted) == 22
+    assert decode_subband(crafted) is None
+    # padding the tail does not help: still far under 5 bytes/frame
+    assert decode_subband(crafted + b"\x00" * 64) is None

@@ -199,6 +199,7 @@ SWEEP_QUERIES = {
         "image_phash_crossformat",
         "audio_fingerprint_crossformat",
         "multimodal_avi_frames",
+        "media_dedup_gate",
     ]
 }
 

@@ -3832,15 +3832,21 @@ def _dct2_int_matrix() -> "np.ndarray":
 
 
 def phash_images(
-    df: DataFrame, id_col: str, payload_col: str, decoder: str = "auto"
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: str = "auto",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-document perceptual hash over any decodable image payload
     (magic-sniff dispatch across BMP/PNG/JPEG/GIF by default): rows
     (doc_id, phash) with NULL phash for corrupt/unsupported payloads.
-    Downstream: exact grouping on phash dedups the same image across
-    CONTAINERS (PNG vs BMP re-encodes of one crawl image), and
-    :func:`phash_near_pairs` finds visually-near variants by banded
-    Hamming join."""
+    ``keep_cols`` ride through the same mapInPandas pass unchanged —
+    the streamed gate carries (lsn, delete flag) beside the hash
+    without a batch-sized join back. Downstream: exact grouping on
+    phash dedups the same image across CONTAINERS (PNG vs BMP
+    re-encodes of one crawl image), and :func:`phash_near_pairs` finds
+    visually-near variants by banded Hamming join."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # resolve every helper through a WORKER-SIDE module import: the
@@ -3893,22 +3899,21 @@ def phash_images(
             # silently loses its low ~10 bits to the float mantissa —
             # same-pixel images then split by WHICH BATCH carried a
             # corrupt neighbor
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "phash": pd.array(hashes, dtype="Int64"),
-                }
-            )
+            out = {
+                "doc_id": ids,
+                "phash": pd.array(hashes, dtype="Int64"),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        batches,
-        T.StructType(
-            [
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("phash", T.LongType(), True),
-            ]
-        ),
-    )
+    fields = [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ] + [df.schema[c] for c in keep_cols]
+    return df.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
+    ).mapInPandas(batches, T.StructType(fields))
 
 
 _PHASH_BANDS = 7
@@ -4010,14 +4015,19 @@ def _afp_dct_matrix() -> "np.ndarray":
 
 
 def audio_fingerprints(
-    df: DataFrame, id_col: str, payload_col: str, decoder: str = "auto"
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: str = "auto",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-document acoustic fingerprint over any decodable audio
     payload (magic-sniff across WAV/FLAC/subband by default): rows
     (doc_id, afp) with NULL for corrupt/unsupported/too-short
-    payloads. Downstream: exact grouping on afp dedups the same
-    recording across CONTAINERS (a WAV and its FLAC re-encode are
-    distinct byte hashes, one fingerprint), and
+    payloads. ``keep_cols`` ride through unchanged (the
+    :func:`phash_images` gate discipline). Downstream: exact grouping
+    on afp dedups the same recording across CONTAINERS (a WAV and its
+    FLAC re-encode are distinct byte hashes, one fingerprint), and
     :func:`phash_near_pairs` (any 63-bit fingerprint column) finds
     near-variants by banded Hamming join."""
 
@@ -4056,16 +4066,15 @@ def audio_fingerprints(
                 )
             # nullable Int64: the >2^53 fingerprint must never ride a
             # float64-inferred column (the phash regression)
-            yield pd.DataFrame(
-                {"doc_id": ids, "afp": pd.array(prints, dtype="Int64")}
-            )
+            out = {"doc_id": ids, "afp": pd.array(prints, dtype="Int64")}
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        batches,
-        T.StructType(
-            [
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("afp", T.LongType(), True),
-            ]
-        ),
-    )
+    fields = [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ] + [df.schema[c] for c in keep_cols]
+    return df.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
+    ).mapInPandas(batches, T.StructType(fields))

@@ -1,0 +1,512 @@
+"""Streaming-maintained MEDIA fingerprint index + ingest dedup gate:
+the multimodal twin of the text gate (`streaming/minhash.DedupGateSink`)
+and the embedding gate (`streaming/ann.AnnGateSink`).
+
+A media corpus ingested via CDC used to deduplicate only in a later
+batch pass (`operators/multimodal.phash_images` / `audio_fingerprints`
++ grouping); here the cross-container fingerprint index ITSELF is the
+streamed state. Each micro-batch:
+
+1. decodes payloads ONCE (one Arrow mapInPandas pass — pHash for
+   images, acoustic fingerprint for audio; lsn/delete flags ride
+   through as keep_cols, no batch-sized join back),
+2. probes the standing index by banded Hamming join (7 bands x 9 bits
+   over the 63-bit fingerprint: the SimHash pigeonhole — full recall
+   through Hamming <= 6 with NO all-pairs; exact bit_count verify on
+   candidates only, both fingerprints already in the band frame so
+   verification never refetches state),
+3. clusters the remainder within the batch (same banding + connected
+   components) and keeps each cluster's canonical (minimum id),
+4. upserts survivors into the hash-partitioned LSN-guarded state —
+   the corpus the NEXT batch probes.
+
+Rejected docs land in a per-batch-id dup-log generation
+(``dups_dir/batch_<id>/``, overwrite — exactly-once under Structured
+Streaming replay without read-side dedup), with
+`streaming/batchlog.compact_batch_log` retention, exactly like the
+text gate's log.
+
+Undecodable payloads (NULL fingerprint) can never collide: they pass
+the gate un-gated but still own a state row, so a later payload update
+or CDC delete lands on them. CDC deletes bypass the gate entirely — a
+delete must reach the index even though its doc has no payload.
+
+Per-batch work is proportional to batch + collisions, never corpus x
+batch: the probe joins the batch's 7 band rows per doc against the
+banded index, and only Hamming-verified candidates survive. That is
+the 100 TB ingest shape.
+
+Reference analog: the reference achieves ingest-time idempotence by
+key at the sink (docker/configs/kafka-connect/postgresql-sink.json:
+23-31, upsert on PK); here the "key" is perceptual identity — a WAV
+and its FLAC re-encode, or a PNG and BMP of one crawl image, collapse
+at ingest the way byte-identical keys collapse there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+
+_MEDIA_FP_FNS = ("image", "audio")
+
+
+def _fp_band_frame(fp_df: DataFrame, doc_col: str, fp_col: str) -> DataFrame:
+    """(doc, fp) -> (doc, fp, band_id, band_val): the 7x9-bit banded
+    Hamming pigeonhole of `operators/multimodal.phash_near_pairs`,
+    shared verbatim so gate recall == batch-operator recall."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _PHASH_BAND_BITS,
+        _PHASH_BANDS,
+    )
+
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col(fp_col), b * _PHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("band_val"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    return fp_df.select(
+        F.col(doc_col).alias("doc"),
+        F.col(fp_col).alias("fp"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("doc", "fp", "bk.band_id", "bk.band_val")
+
+
+class FingerprintIndexSink(PartitionedParquetUpsertSink):
+    """foreachBatch callable maintaining a streamed media-fingerprint
+    index: one state row per document — (doc, fp, lsn[, __del]) —
+    through the hash-partitioned LSN-guarded upsert. ``media`` picks
+    the fingerprint family: 'image' (pHash over BMP/PNG/JPEG/GIF) or
+    'audio' (acoustic fingerprint over WAV/ADPCM/FLAC/subband);
+    ``decoder`` passes through to the operator's magic-sniff dispatch.
+
+    ``lsn_col`` orders updates to the same doc across batches; absent,
+    rows are stamped with the batch id (last batch wins).
+    ``deleted_col`` makes the sink CDC-complete: soft-deleted docs stay
+    in state under the LSN guard but are excluded from the probe
+    surface. The banding parameters are structural (7x9 bits over a
+    63-bit fingerprint, fixed by the fingerprint family), so only the
+    family + decoder are recorded/validated in the params file — the
+    `MinhashIndexSink.__minhash_params.json` discipline."""
+
+    _PARAMS_FILE = "__fingerprint_params.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        payload_col: str,
+        media: str = "image",
+        decoder: str = "auto",
+        lsn_col: str | None = None,
+        dlq_dir: str | None = None,
+        n_partitions: int = 32,
+        deleted_col: str | None = None,
+    ):
+        super().__init__(
+            spark, state_dir, ["doc"], lsn_col="lsn",
+            dlq_dir=dlq_dir, n_partitions=n_partitions,
+        )
+        if media not in _MEDIA_FP_FNS:
+            raise ValueError(
+                f"unknown media {media!r}: expected one of {_MEDIA_FP_FNS}"
+            )
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.media = media
+        self.decoder = decoder
+        self.src_lsn_col = lsn_col
+        self.deleted_col = deleted_col
+
+    def _params(self) -> dict:
+        from sqlserver_pg_cdc_spark.operators.multimodal import (
+            _PHASH_BAND_BITS,
+            _PHASH_BANDS,
+        )
+
+        return {
+            "media": self.media,
+            "decoder": self.decoder,
+            "id_col": self.id_col,
+            "payload_col": self.payload_col,
+            "bands": _PHASH_BANDS,
+            "band_bits": _PHASH_BAND_BITS,
+        }
+
+    def _check_params(self, create: bool = False) -> None:
+        """An index built from one fingerprint family probed with
+        another silently returns garbage candidates — record the
+        parameters on first write, fail fast on mismatch at open."""
+        import json
+        import os
+
+        if not os.path.isdir(self.target_dir):
+            return
+        pf = os.path.join(self.target_dir, self._PARAMS_FILE)
+        mine = self._params()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            if stored != mine:
+                diff = {
+                    kk: {"stored": stored.get(kk), "sink": v}
+                    for kk, v in mine.items()
+                    if stored.get(kk) != v
+                }
+                raise ValueError(
+                    f"fingerprint state at {self.target_dir} was built "
+                    f"with different parameters than this sink: {diff} — "
+                    "open it with the recorded parameters or rebuild"
+                )
+            return
+        if self._existing_parts():
+            raise ValueError(
+                f"fingerprint state at {self.target_dir} holds partitions "
+                f"but no {self._PARAMS_FILE} — its fingerprint family is "
+                "unknown; rebuild the state"
+            )
+        if create:
+            with open(pf, "w") as f:
+                json.dump(mine, f)
+
+    def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Batch -> one (doc, fp, lsn[, __del]) row per document in ONE
+        Arrow mapInPandas pass: the fingerprint operator decodes each
+        payload once, and lsn/__del ride through as keep_cols — no
+        re-decode, no batch-sized join back. Docs whose payload does
+        not decode keep a NULL fp (they can never collide) but still
+        own a state row, so a later payload update or delete lands."""
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        lsn = (
+            F.col(self.src_lsn_col).cast("long")
+            if self.src_lsn_col
+            else F.lit(int(batch_id)).cast("long")
+        )
+        extra = [lsn.alias("lsn")]
+        src = batch_df
+        if self.deleted_col:
+            del_flag = F.coalesce(
+                F.col(self.deleted_col).cast("string") == F.lit("true"),
+                F.lit(False),
+            )
+            src = batch_df.filter(
+                F.col(self.payload_col).isNotNull() | del_flag
+            )
+            extra.append(del_flag.alias("__del"))
+        keep = ["lsn"] + (["__del"] if self.deleted_col else [])
+        pre = src.select(
+            F.col(self.id_col), F.col(self.payload_col), *extra
+        )
+        if self.media == "image":
+            out = mm.phash_images(
+                pre, self.id_col, self.payload_col,
+                decoder=self.decoder, keep_cols=tuple(keep),
+            )
+            fp_col = "phash"
+        else:
+            out = mm.audio_fingerprints(
+                pre, self.id_col, self.payload_col,
+                decoder=self.decoder, keep_cols=tuple(keep),
+            )
+            fp_col = "afp"
+        return out.select(
+            F.col("doc_id").alias("doc"), F.col(fp_col).alias("fp"), *keep
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+
+    def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._check_params(create=True)
+        super().__call__(proj_df, batch_id)
+
+    # -- query surface ------------------------------------------------------
+
+    def _live_state(self) -> DataFrame | None:
+        self._check_params()
+        st = self.read_target()
+        if st is None:
+            return None
+        if "__del" in st.columns:
+            st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        return st
+
+    def fingerprints(self) -> DataFrame | None:
+        """The stored (doc, fp) of live docs — plugs directly into
+        `operators/multimodal.phash_near_pairs` as a batch frame."""
+        st = self._live_state()
+        if st is None:
+            return None
+        return st.select("doc", "fp")
+
+    def index(self) -> DataFrame | None:
+        """The banded (doc, fp, band_id, band_val) probe surface over
+        live docs with a decodable fingerprint. Band extraction is pure
+        bit arithmetic, so nothing beyond (doc, fp) is ever stored."""
+        fp = self.fingerprints()
+        if fp is None:
+            return None
+        return _fp_band_frame(fp.filter(F.col("fp").isNotNull()), "doc", "fp")
+
+    def near_dups(
+        self, new_df: DataFrame, max_hamming: int = 6
+    ) -> DataFrame | None:
+        """Near-dups of a NEW batch against the streamed index:
+        (a=new id, b=indexed id, hamming <= max_hamming). Work ∝ new
+        batch + collisions: only the new payloads are decoded; the band
+        join hits the stored index; both fingerprints ride the band
+        frames, so exact verification is a bit_count in the join
+        output — no state refetch at all."""
+        if self.index() is None:
+            return None
+        proj = self._project(new_df, batch_id=0)
+        probe = proj.filter(F.col("fp").isNotNull()).select("doc", "fp")
+        return self._near_dups_core(probe, max_hamming)
+
+    def _near_dups_core(
+        self, new_fp: DataFrame, max_hamming: int
+    ) -> DataFrame | None:
+        """Probe with an ALREADY-computed (doc, fp) frame — the seam
+        `MediaDedupGateSink` uses to share one decode pass across
+        probe/cluster/index. Returns a persisted, materialized
+        (a, b, hamming) frame; the caller owns the unpersist."""
+        idx = self.index()
+        if idx is None:
+            return None
+        nb = _fp_band_frame(new_fp, "doc", "fp")
+        ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        res = (
+            nb.select(
+                F.col("doc").alias("a"), F.col("fp").alias("ha"),
+                "band_id", "band_val",
+            )
+            .join(
+                idx.select(
+                    F.col("doc").alias("b"), F.col("fp").alias("hb"),
+                    "band_id", "band_val",
+                ),
+                ["band_id", "band_val"],
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .persist()
+        )
+        res.count()
+        return res
+
+
+class MediaDedupGateSink(FingerprintIndexSink):
+    """Ingest-time MEDIA near-dup GATE: each micro-batch is probed
+    BEFORE indexing —
+
+    1. cross-corpus: batch docs whose fingerprint lands within
+       ``max_hamming`` of an already-indexed doc are routed to the dup
+       log (kind='corpus', best match by min hamming / min indexed id),
+       not indexed;
+    2. within-batch: the remaining docs are clustered among themselves
+       (banded Hamming + connected components) and only each cluster's
+       CANONICAL member — its minimum doc id — survives
+       (kind='batch');
+    3. survivors upsert into the fingerprint index, becoming the
+       standing corpus the NEXT batch probes.
+
+    A WAV and its FLAC re-encode — or a PNG and BMP of one image —
+    arriving in DIFFERENT micro-batches therefore dedup: the first
+    indexes, the second probes against it at Hamming 0.
+
+    The dup log is one parquet generation PER BATCH ID
+    (``dups_dir/batch_<id>/``, overwrite — exactly-once under replay);
+    rows (doc, dup_of, hamming, kind 'corpus'|'batch', __batch_id),
+    hamming NULL for transitively-linked batch members. CDC deletes
+    bypass the gate; undecodable payloads pass un-gated with a NULL
+    fingerprint state row."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        dups_dir: str,
+        id_col: str,
+        payload_col: str,
+        max_hamming: int = 6,
+        **kw,
+    ):
+        super().__init__(spark, state_dir, id_col, payload_col, **kw)
+        self.dups_dir = dups_dir
+        self.max_hamming = max_hamming
+
+    def _dup_batch_dir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
+
+    def dup_log(self) -> DataFrame | None:
+        """Every rejected doc with what it duplicated: (doc, dup_of,
+        hamming, kind, __batch_id) — the compacted generation plus
+        every per-batch generation above the compaction watermark."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+        return read_batch_log(self.spark, self.dups_dir)
+
+    def compact_dup_log(self, watermark_batch_id: int) -> dict:
+        """Day-2 retention: fold closed ``batch_<id>`` generations at
+        or below the watermark into one compacted generation. Pass a
+        batch id the stream can no longer replay at or below; run
+        quiesced (see `streaming/batchlog.py`)."""
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            compact_batch_log,
+        )
+
+        return compact_batch_log(
+            self.spark, self.dups_dir, watermark_batch_id
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+        from sqlserver_pg_cdc_spark.streaming import phases as _phases
+
+        rec = _phases.PhaseRecorder()
+        # ONE decode pass per batch; localCheckpoint truncates the
+        # mapInPandas lineage so the ~5 downstream actions plan over a
+        # LogicalRDD instead of re-driving the decode (the text gate's
+        # projection discipline — here the projection is payload decode,
+        # the single dominant batch cost for media)
+        proj = self._project(batch_df, batch_id).localCheckpoint()
+        rec.mark("projection")
+        cross = pairs = None
+        try:
+            passthrough = None
+            live = proj
+            if self.deleted_col:
+                passthrough = proj.filter(F.col("__del"))
+                live = proj.filter(~F.col("__del"))
+            probe = live.filter(F.col("fp").isNotNull()).select("doc", "fp")
+            # 1) cross-corpus rejects: best match per doc (min hamming,
+            # tie -> smallest indexed id) — deterministic dup_of; the
+            # window shuffles on `a`, same partitioning the band join's
+            # distinct already produced
+            cross = self._near_dups_core(probe, self.max_hamming)
+            rec.mark("probe")
+            dup_frames = []
+            if cross is not None:
+                w = Window.partitionBy("a").orderBy(
+                    F.col("hamming").asc(), F.col("b").asc()
+                )
+                best = (
+                    cross.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                )
+                dup_frames.append(
+                    best.select(
+                        F.col("a").alias("doc"),
+                        F.col("b").alias("dup_of"),
+                        "hamming",
+                        F.lit("corpus").alias("kind"),
+                    )
+                )
+            corpus_dup_docs = (
+                dup_frames[0].select("doc") if dup_frames else None
+            )
+            remaining = live
+            rem_probe = probe
+            if corpus_dup_docs is not None:
+                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
+                rem_probe = probe.join(corpus_dup_docs, "doc", "left_anti")
+            # 2) within-batch rejects: banded self-join + exact Hamming
+            # verify (fingerprints ride the band frame: zero refetch),
+            # connected components, keep each cluster's minimum id
+            kb = _fp_band_frame(rem_probe, "doc", "fp")
+            ham = F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("long")
+            pairs = (
+                kb.select(
+                    F.col("doc").alias("a"), F.col("fp").alias("ha"),
+                    "band_id", "band_val",
+                )
+                .join(
+                    kb.select(
+                        F.col("doc").alias("b"), F.col("fp").alias("hb"),
+                        "band_id", "band_val",
+                    ),
+                    ["band_id", "band_val"],
+                )
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b", ham.alias("hamming"))
+                .filter(F.col("hamming") <= self.max_hamming)
+                .distinct()
+                .persist()
+            )
+            pairs.count()
+            comps = dup_components(pairs)
+            rec.mark("cluster")
+            losers = comps.filter(~F.col("keep")).select(
+                F.col("doc"), F.col("component").alias("dup_of")
+            )
+            pj = pairs.select(
+                F.col("a").alias("doc"), F.col("b").alias("__pb"), "hamming"
+            ).unionByName(
+                pairs.select(
+                    F.col("b").alias("doc"), F.col("a").alias("__pb"),
+                    "hamming",
+                )
+            )
+            batch_dups = (
+                losers.join(
+                    pj,
+                    (losers["doc"] == pj["doc"])
+                    & (losers["dup_of"] == pj["__pb"]),
+                    "left",
+                )
+                .select(
+                    losers.doc, losers.dup_of,
+                    F.col("hamming"),  # NULL when linked transitively
+                    F.lit("batch").alias("kind"),
+                )
+            )
+            dup_frames.append(batch_dups)
+            dups = dup_frames[0]
+            for f in dup_frames[1:]:
+                dups = dups.unionByName(f)
+            # pin the log's id dtype to the STORED key dtype (a batch
+            # whose id arrives narrower must not fork the log schema)
+            t = (self._stored_pk_types() or {}).get("doc")
+            if t:
+                dups = dups.withColumn(
+                    "doc", F.col("doc").cast(t)
+                ).withColumn("dup_of", F.col("dup_of").cast(t))
+            (
+                dups.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .parquet(self._dup_batch_dir(batch_id))
+            )
+            rec.mark("log")
+            # 3) index the survivors (NULL-fp docs were never probeable
+            # so they survive by construction; CDC deletes bypass)
+            survivors = remaining.join(
+                losers.select("doc"), "doc", "left_anti"
+            )
+            if passthrough is not None:
+                survivors = survivors.unionByName(passthrough)
+            self._upsert_projected(survivors, batch_id)
+            rec.mark("upsert")
+        finally:
+            _phases.record("MediaDedupGateSink", rec.ph)
+            for blk in (cross, pairs):
+                if blk is not None:
+                    blk.unpersist()
+            del proj

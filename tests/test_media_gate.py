@@ -1,0 +1,251 @@
+"""Ingest-time MEDIA dedup gate (`streaming/media.MediaDedupGateSink`):
+cross-container dedup at ingest — a WAV and its FLAC re-encode (or a
+PNG and BMP of one image) arriving in DIFFERENT micro-batches collapse
+to one indexed canonical. Streamed == batch parity, within-batch
+clustering, CDC deletes, corrupt payloads, replay exactly-once, and
+the params guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sqlserver_pg_cdc_spark.operators.multimodal import (
+    encode_bmp,
+    encode_flac,
+    encode_png,
+    encode_wav_pcm16,
+)
+
+
+def _audio_payload(cls: int, container: str) -> bytes:
+    """Class-c two-tone signal (the audio_fingerprint_crossformat
+    design): both containers are lossless, so one class -> one
+    fingerprint regardless of container."""
+    n = 4000
+    t = np.arange(n)
+    s2 = 6000 * np.sign(np.sin(2 * np.pi * t * (cls + 2) / 128)) + 4000 * (
+        np.sign(np.sin(2 * np.pi * t * (2 * cls + 5) / 512))
+    )
+    env = 1 + ((t * (cls + 3)) // n)
+    x = np.clip((s2.astype(np.int64) * env) // 4, -32767, 32767).astype(
+        np.int16
+    )
+    return encode_flac(8000, x) if container == "flac" else encode_wav_pcm16(
+        8000, x
+    )
+
+
+def _image_payload(cls: int, container: str) -> bytes:
+    """Class-c integer-exact texture (the image_phash_crossformat
+    design): classes separate by >= 26 Hamming in the fingerprint."""
+    y, x = np.mgrid[0:64, 0:64]
+    g = (
+        37 * ((x * (cls + 2)) // 16)
+        + 59 * ((y * (cls + 3)) // 16)
+        + 29 * (((x + y) * (cls + 1)) // 32)
+        + cls * 41
+    ) % 256
+    px = np.stack([g.astype(np.uint8)] * 3, axis=2)
+    return (
+        encode_png(64, 64, px.tobytes())
+        if container == "png"
+        else encode_bmp(64, 64, px.tobytes())
+    )
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+
+
+def _gate(spark, tmp_path, media="audio", **kw):
+    from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
+
+    kw.setdefault("n_partitions", 4)
+    return MediaDedupGateSink(
+        spark, str(tmp_path / "fp_state"), str(tmp_path / "fp_dups"),
+        "doc_id", "payload", media=media, **kw,
+    )
+
+
+def _indexed(gate):
+    return {
+        r["doc"]
+        for r in gate.fingerprints().select("doc").distinct().collect()
+    }
+
+
+def test_wav_then_flac_cross_batch_dedup(spark, tmp_path):
+    """The headline contract: batch 0 ingests WAV recordings (two docs
+    per class -> within-batch dedup to the min id); batch 1 ingests
+    FLAC re-encodes of the SAME recordings -> every one rejected
+    against the standing index at Hamming 0, dup_of = the class
+    canonical batch 0 indexed."""
+    gate = _gate(spark, tmp_path, media="audio")
+    b0 = _frame(
+        spark,
+        [(2 * c + j, _audio_payload(c, "wav")) for c in range(3) for j in (0, 1)],
+    )
+    gate(b0, 0)
+    log0 = {
+        r["doc"]: (r["dup_of"], r["hamming"], r["kind"])
+        for r in gate.dup_log().filter("__batch_id = 0").collect()
+    }
+    # within batch 0: odd doc of each class rejected against the even min
+    assert log0 == {
+        1: (0, 0, "batch"), 3: (2, 0, "batch"), 5: (4, 0, "batch")
+    }
+    assert _indexed(gate) == {0, 2, 4}
+
+    b1 = _frame(
+        spark, [(10 + c, _audio_payload(c, "flac")) for c in range(3)]
+    )
+    gate(b1, 1)
+    log1 = {
+        r["doc"]: (r["dup_of"], r["hamming"], r["kind"])
+        for r in gate.dup_log().filter("__batch_id = 1").collect()
+    }
+    assert log1 == {
+        10: (0, 0, "corpus"), 11: (2, 0, "corpus"), 12: (4, 0, "corpus")
+    }
+    assert _indexed(gate) == {0, 2, 4}
+
+
+def test_image_gate_streamed_equals_batch(spark, tmp_path):
+    """Parity: after streaming N batches through the gate, the indexed
+    set must be exactly one canonical per fingerprint class (the batch
+    phash group law), and every other doc must be logged exactly once
+    with a resolvable dup_of chain ending at its class canonical."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import phash_images
+
+    docs = []
+    for i in range(24):
+        cls = i % 4
+        cont = "png" if i % 2 else "bmp"
+        docs.append((i, _image_payload(cls, cont)))
+    gate = _gate(spark, tmp_path, media="image")
+    gate(_frame(spark, [d for d in docs if d[0] % 3 == 0]), 0)
+    gate(_frame(spark, [d for d in docs if d[0] % 3 == 1]), 1)
+    gate(_frame(spark, [d for d in docs if d[0] % 3 == 2]), 2)
+
+    batch_fp = {
+        r["doc_id"]: r["phash"]
+        for r in phash_images(
+            _frame(spark, docs), "doc_id", "payload"
+        ).collect()
+    }
+    by_cls = {}
+    for doc, fp in batch_fp.items():
+        by_cls.setdefault(fp, []).append(doc)
+    assert len(by_cls) == 4  # the class law: 4 distinct fingerprints
+
+    idx = _indexed(gate)
+    # exactly one survivor per fingerprint class; the survivor is the
+    # min id of the earliest batch that carried the class (batch 0 held
+    # doc_id % 3 == 0, so each class's canonical is its min %3==0 doc)
+    expected = {
+        min(d for d in members if d % 3 == 0) for members in by_cls.values()
+    }
+    assert idx == expected
+    log = gate.dup_log().collect()
+    assert {r["doc"] for r in log} == set(batch_fp) - idx
+    # every dup_of resolves within the rejected doc's own class
+    cls_of = {d: fp for fp, mem in by_cls.items() for d in mem}
+    for r in log:
+        assert cls_of[r["doc"]] == cls_of[r["dup_of"]]
+
+
+def test_corrupt_payload_passes_ungated_with_state_row(spark, tmp_path):
+    """An undecodable payload can never collide: it must pass the gate
+    (no log row), own a NULL-fp state row, and never poison the probe
+    surface for later batches."""
+    gate = _gate(spark, tmp_path, media="image")
+    good = _image_payload(0, "bmp")
+    gate(_frame(spark, [(1, good), (2, b"\x00garbage")]), 0)
+    assert gate.dup_log().count() == 0
+    st = {r["doc"]: r["fp"] for r in gate.read_target().select("doc", "fp").collect()}
+    assert set(st) == {1, 2} and st[2] is None and st[1] is not None
+    assert _indexed(gate) == {1, 2}  # fingerprints() keeps NULL rows
+    # probe surface excludes the NULL row: a fresh corrupt doc is not
+    # rejected against it
+    gate(_frame(spark, [(3, b"\xff also garbage")]), 1)
+    assert gate.dup_log().count() == 0
+
+
+def test_deletes_bypass_gate_and_hide_from_probe(spark, tmp_path):
+    """CDC-complete: a soft delete reaches state under the LSN guard
+    (no payload to probe), and a deleted doc stops rejecting future
+    re-ingests of the same content."""
+    gate = _gate(
+        spark, tmp_path, media="audio",
+        lsn_col="lsn", deleted_col="__deleted",
+    )
+    wav = _audio_payload(1, "wav")
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["doc_id", "payload", "lsn", "__deleted"]
+            ),
+            "doc_id long, payload binary, lsn long, __deleted string",
+        )
+
+    gate(cdc([(7, wav, 1, "false")]), 0)
+    assert _indexed(gate) == {7}
+    gate(cdc([(7, None, 2, "true")]), 1)
+    assert _indexed(gate) == set()  # live view hides the tombstone
+    # same recording re-ingested as FLAC: must NOT be rejected against
+    # the deleted doc
+    gate(cdc([(8, _audio_payload(1, "flac"), 3, "false")]), 2)
+    assert gate.dup_log().count() == 0
+    assert _indexed(gate) == {8}
+    # stale replay (older lsn) cannot resurrect the deleted doc
+    gate(cdc([(7, wav, 1, "false")]), 3)
+    assert _indexed(gate) == {8}
+
+
+def test_replay_overwrites_dup_generation(spark, tmp_path):
+    """Structured Streaming replays a crashed batch with the SAME id:
+    the dup log generation must overwrite, not append."""
+    gate = _gate(spark, tmp_path, media="audio")
+    gate(_frame(spark, [(0, _audio_payload(0, "wav"))]), 0)
+    dup_batch = _frame(spark, [(5, _audio_payload(0, "flac"))])
+    gate(dup_batch, 1)
+    gate(dup_batch, 1)  # replay
+    log = gate.dup_log().collect()
+    assert len(log) == 1 and log[0]["doc"] == 5 and log[0]["dup_of"] == 0
+
+
+def test_params_guard_fails_fast_on_family_mismatch(spark, tmp_path):
+    gate = _gate(spark, tmp_path, media="audio")
+    gate(_frame(spark, [(0, _audio_payload(0, "wav"))]), 0)
+    other = _gate(spark, tmp_path, media="image")
+    with pytest.raises(ValueError, match="different parameters"):
+        other(_frame(spark, [(1, _image_payload(0, "bmp"))]), 1)
+    with pytest.raises(ValueError, match="unknown media"):
+        _gate(spark, tmp_path / "x", media="video")
+
+
+def test_near_dups_probe_api(spark, tmp_path):
+    """The public probe: fingerprints computed for the new frame,
+    banded against the streamed index, exact Hamming in the join."""
+    from sqlserver_pg_cdc_spark.streaming.media import FingerprintIndexSink
+
+    sink = FingerprintIndexSink(
+        spark, str(tmp_path / "idx"), "doc_id", "payload",
+        media="image", n_partitions=4,
+    )
+    sink(_frame(spark, [(c, _image_payload(c, "bmp")) for c in range(3)]), 0)
+    probe = _frame(
+        spark,
+        [(10, _image_payload(1, "png")), (11, _image_payload(6, "png"))],
+    )
+    res = sink.near_dups(probe)  # persisted: the caller owns unpersist
+    try:
+        got = {(r["a"], r["b"], r["hamming"]) for r in res.collect()}
+        assert got == {(10, 1, 0)}  # class 6 is not indexed: no match
+    finally:
+        res.unpersist()

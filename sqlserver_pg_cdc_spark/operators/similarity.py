@@ -109,6 +109,52 @@ def _bucket_expr(vec: str, planes: list[list[float]]) -> Column:
     return col
 
 
+def _allbits_expr(vec: str, families: "list") -> Column:
+    """ALL bands' sign bits in ONE HOF: ``transform`` over a 2-D plane
+    literal (band-major), each element the SAME ``aggregate(zip_with)``
+    left fold `_bucket_expr` inlines per plane — so the produced bits
+    are character-identical to concatenating the per-band buckets, at
+    one-eightieth the analyzer/codegen surface. The per-plane copy was
+    the driver-side hot spot of every banded embedding query: Catalyst
+    analyzed and codegen'd 80 separate HOF trees PER ACTION (~3-5 s at
+    ANY data size for an 8x10x64 banding); one transform resolves one
+    lambda. Caller slices band b with substring(bits, b*planes+1,
+    planes) over the MATERIALIZED column (CollapseProject keeps a
+    multiply-referenced non-cheap alias, so the fold runs once per
+    row)."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            f"_allbits_expr needs a column name (str), got {type(vec).__name__}"
+        )
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = ("__allbits", vec, tuple(tuple(tuple(p) for p in f) for f in families))
+    per_sess = _BUCKET_CACHE.setdefault(sess, {}) if sess is not None else {}
+    cached = per_sess.get(key)
+    if cached is not None:
+        return cached
+    name = f"`{vec}`" if not vec.isidentifier() else vec
+    rows = []
+    for fam in families:
+        for plane in fam:
+            rows.append(
+                "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+            )
+    mat = "array(" + ", ".join(rows) + ")"
+    d = (
+        f"aggregate(zip_with({name}, p, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    col = F.expr(
+        f"concat_ws('', transform({mat}, p -> "
+        f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END))"
+    )
+    per_sess[key] = col
+    return col
+
+
 def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
     from sqlserver_pg_cdc_spark.functions.vectors import dot_sql
 

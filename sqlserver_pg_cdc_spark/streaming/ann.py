@@ -129,16 +129,31 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         from sqlserver_pg_cdc_spark.functions.vectors import norm
         from sqlserver_pg_cdc_spark.operators.similarity import (
-            _bucket_expr,
+            _allbits_expr,
             hyperplanes,
         )
 
+        # one transform HOF for all bands' bits, sliced per band in a
+        # SECOND select over the materialized column (CollapseProject
+        # keeps the multiply-referenced alias) — same band values as
+        # the per-band bucket concat, ~bands x less analyzer/codegen
+        # cost per micro-batch
+        allbits = _allbits_expr(
+            self.vec_col,
+            [
+                hyperplanes(
+                    self.planes_per_band, self.dim, f"{self.seed}|band{b}"
+                )
+                for b in range(self.bands)
+            ],
+        )
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
-                _bucket_expr(
-                    self.vec_col,
-                    hyperplanes(self.planes_per_band, self.dim, f"{self.seed}|band{b}"),
+                F.substring(
+                    "__bits",
+                    b * self.planes_per_band + 1,
+                    self.planes_per_band,
                 ).alias("bkt"),
             )
             for b in range(self.bands)
@@ -155,23 +170,31 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
             # vector is fine
             del_flag = F.col(self.deleted_col).cast("string") == F.lit("true")
             kept = batch_df.filter(F.col(self.vec_col).isNotNull() | del_flag)
-            return kept.select(
+            step = kept.select(
                 F.col(self.id_col).alias("doc"),
                 F.col(self.vec_col).alias("v"),
                 norm(self.vec_col).alias("nv"),
-                F.array(*band_structs).alias("bands"),
+                allbits.alias("__bits"),
                 lsn.alias("lsn"),
                 del_flag.alias("__del"),
             )
-        return (
+            return step.select(
+                "doc", "v", "nv",
+                F.array(*band_structs).alias("bands"),
+                "lsn", "__del",
+            )
+        step = (
             batch_df.filter(F.col(self.vec_col).isNotNull())
             .select(
                 F.col(self.id_col).alias("doc"),
                 F.col(self.vec_col).alias("v"),
                 norm(self.vec_col).alias("nv"),
-                F.array(*band_structs).alias("bands"),
+                allbits.alias("__bits"),
                 lsn.alias("lsn"),
             )
+        )
+        return step.select(
+            "doc", "v", "nv", F.array(*band_structs).alias("bands"), "lsn"
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -217,39 +217,48 @@ def create_parser() -> argparse.ArgumentParser:
     ann.add_argument("--bands", type=int, default=8)
     ann.add_argument("--planes-per-band", type=int, default=10)
     ann.add_argument("--dim", type=int, default=64)
-    ann.add_argument("--mode", choices=("lsh", "ivf", "pq"), default="lsh",
+    ann.add_argument("--mode", choices=("lsh", "ivf", "pq", "ivfpq"),
+                     default="lsh",
                      help="lsh: banded near-dup index (default); ivf: "
                           "cell-probed top-k index with per-epoch "
                           "centroids stored in the state dir; pq: "
                           "product-quantized ADC top-k with per-epoch "
-                          "codebooks stored in the state dir")
+                          "codebooks stored in the state dir; ivfpq: "
+                          "coarse cells over product-quantized "
+                          "residuals — the composite 100 TB shape "
+                          "(cell pruning x 32x compression), per-epoch "
+                          "centroids AND books stored in the state dir")
     ann.add_argument("--train-cells", type=int,
-                     help="ivf first run: train this many k-means cells "
-                          "on the --ingest batch and store them as the "
-                          "state dir's epoch")
+                     help="ivf/ivfpq first run: train this many k-means "
+                          "cells on the --ingest batch and store them "
+                          "as the state dir's epoch")
     ann.add_argument("--k", type=int, default=10,
-                     help="ivf/pq: top-k per probe vector")
+                     help="ivf/pq/ivfpq: top-k per probe vector")
     ann.add_argument("--n-probe", type=int, default=2,
-                     help="ivf: cells probed per query")
+                     help="ivf/ivfpq: cells probed per query")
     ann.add_argument("--train-codes", type=int,
-                     help="pq first run: train this many codewords per "
-                          "subspace on the --ingest batch and store the "
-                          "books as the state dir's epoch")
+                     help="pq/ivfpq first run: train this many codewords "
+                          "per subspace on the --ingest batch (ivfpq: on "
+                          "its cell residuals) and store the books as "
+                          "the state dir's epoch")
     ann.add_argument("--m-sub", type=int, default=8,
-                     help="pq: subspaces (must divide --dim)")
+                     help="pq/ivfpq: subspaces (must divide --dim)")
     ann.add_argument("--refine", type=int, default=32,
-                     help="pq: ADC candidates exact-re-ranked per query")
+                     help="pq/ivfpq: ADC candidates exact-re-ranked per "
+                          "query")
     ann.add_argument("--capture-baseline", action="store_true",
-                     help="ivf/pq: record the current index-quality "
-                          "scalar as the epoch's training-time baseline "
-                          "(run once after the bootstrap ingest)")
+                     help="ivf/pq/ivfpq: record the current index-"
+                          "quality scalar as the epoch's training-time "
+                          "baseline (run once after the bootstrap "
+                          "ingest)")
     ann.add_argument("--drift", type=float, nargs="?", const=0.05,
                      default=None, metavar="TOL",
-                     help="ivf/pq: probe staleness vs the captured "
+                     help="ivf/pq/ivfpq: probe staleness vs the captured "
                           "baseline; drifted when the mean fell by more "
                           "than TOL (default 0.05)")
     ann.add_argument("--rotate-to", metavar="NEW_DIR",
-                     help="ivf/pq: retrain on the streamed vectors and "
+                     help="ivf/pq/ivfpq: retrain on the streamed vectors "
+                          "(ivfpq: cells AND residual books) and "
                           "bulk-load state into a NEW epoch dir (LSNs "
                           "preserved); consumers generation-swap")
     gate = sub.add_parser(
@@ -935,6 +944,8 @@ def cmd_ann(args) -> int:
         return _cmd_ann_ivf(spark, args)
     if args.mode == "pq":
         return _cmd_ann_pq(spark, args)
+    if args.mode == "ivfpq":
+        return _cmd_ann_ivfpq(spark, args)
     sink = AnnIndexSink(
         spark, args.state_dir, args.id_col, args.vec_col,
         bands=args.bands, planes_per_band=args.planes_per_band,
@@ -1115,6 +1126,121 @@ def _cmd_ann_pq(spark, args) -> int:
             raise SystemExit("--query requires --output")
         topk = sink.topk(
             spark.read.parquet(args.query), k=args.k, refine=args.refine
+        )
+        if topk is None:
+            raise SystemExit("index is empty: ingest before querying")
+        topk.write.mode("overwrite").parquet(args.output)
+        result["topk_rows"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
+    return 0
+
+
+def _cmd_ann_ivfpq(spark, args) -> int:
+    """IVF-PQ mode: the composite 100 TB index — coarse cells over
+    product-quantized residuals. BOTH halves of the epoch live with the
+    state (__centroids.parquet + __codebooks.json), trained from the
+    first ingest (--train-cells + --train-codes: k-means cells, then
+    per-subspace k-means on the cell residuals) and reloaded on every
+    later open so the IvfPqIndexSink sha-guard always sees the same
+    epoch. Queries write cell-pruned ADC top-k with exact re-rank;
+    --capture-baseline/--drift/--rotate-to run the staleness discipline
+    over the composite (reconstruction = centroid + dequantized
+    residual)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.functions.vectors import vsub
+    from sqlserver_pg_cdc_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+        with_ivf_cell,
+    )
+    from sqlserver_pg_cdc_spark.streaming.ann import IvfPqIndexSink
+
+    cdir = os.path.join(args.state_dir, "__centroids.parquet")
+    bpath = os.path.join(args.state_dir, "__codebooks.json")
+    have_cents, have_books = os.path.isdir(cdir), os.path.exists(bpath)
+    if have_cents and have_books:
+        cents = spark.read.parquet(cdir)
+        with open(bpath) as f:
+            books = json.load(f)
+    elif args.ingest and args.train_cells and args.train_codes:
+        vecs = spark.read.parquet(args.ingest)
+        cents = train_ivf_centroids(
+            vecs, args.vec_col, n_cells=args.train_cells
+        )
+        os.makedirs(args.state_dir, exist_ok=True)
+        cents.write.mode("overwrite").parquet(cdir)
+        cents = spark.read.parquet(cdir)  # reload: exact stored floats
+        # residual books: assign the ingest batch to the STORED cells,
+        # train per-subspace k-means on (v - centroid)
+        assigned, _ = with_ivf_cell(
+            vecs, args.id_col, args.vec_col, centroids=cents
+        )
+        cvt = cents.select("cell_id", F.col("cv").alias("__cv"))
+        resid = assigned.join(F.broadcast(cvt), "cell_id").select(
+            vsub("v", "__cv").alias("r")
+        )
+        books = train_pq_codebooks(
+            resid, "r", m_sub=args.m_sub, k_codes=args.train_codes
+        )
+        if not books:
+            raise SystemExit("--ingest holds no non-NULL vectors to train on")
+        with open(bpath, "w") as f:
+            json.dump([[list(cw) for cw in book] for book in books], f)
+        with open(bpath) as f:
+            books = json.load(f)  # reload: the floats the guard will see
+    else:
+        raise SystemExit(
+            "ivfpq mode needs an existing epoch (state dir with "
+            "__centroids.parquet AND __codebooks.json) or --ingest with "
+            "--train-cells and --train-codes"
+        )
+    sink = IvfPqIndexSink(
+        spark, args.state_dir, args.id_col, args.vec_col, cents, books,
+        n_partitions=args.partitions,
+    )
+    if args.ingest:
+        lsn = args.lsn
+        if lsn is None:
+            st = sink.read_target()
+            lsn = 0 if st is None else (
+                (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+            )
+        sink(spark.read.parquet(args.ingest), int(lsn))
+    codes = sink.codes()
+    result = {
+        "state_dir": args.state_dir,
+        "mode": "ivfpq",
+        "indexed_vectors": codes.count() if codes is not None else 0,
+        "n_cells": cents.count(),
+        "m_sub": len(books),
+        "k_codes": len(books[0]),
+    }
+    if args.capture_baseline:
+        result["baseline_mean_cos"] = sink.capture_baseline()
+    if args.drift is not None:
+        result["drift"] = sink.drift(tolerance=args.drift)
+    if args.rotate_to:
+        fresh = sink.rotate_epoch(args.rotate_to)
+        # persist BOTH halves of the new epoch beside its state so a
+        # later reopen reloads exactly what the sha-guard was stamped
+        # with (doubles roundtrip parquet exactly; json repr-exact)
+        fresh.centroids().write.mode("overwrite").parquet(
+            os.path.join(args.rotate_to, "__centroids.parquet")
+        )
+        with open(os.path.join(args.rotate_to, "__codebooks.json"), "w") as f:
+            json.dump([[list(cw) for cw in book] for book in fresh.books], f)
+        fc = fresh.codes()
+        result["rotated_to"] = args.rotate_to
+        result["new_epoch_vectors"] = fc.count() if fc is not None else 0
+    if args.query:
+        if not args.output:
+            raise SystemExit("--query requires --output")
+        topk = sink.topk(
+            spark.read.parquet(args.query), k=args.k,
+            n_probe=args.n_probe, refine=args.refine,
         )
         if topk is None:
             raise SystemExit("index is empty: ingest before querying")

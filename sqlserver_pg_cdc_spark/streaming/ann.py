@@ -1317,6 +1317,12 @@ class IvfPqIndexSink(PartitionedParquetUpsertSink):
             "cell_id int, cv array<double>, cn double",
         )
 
+    @property
+    def books(self) -> list:
+        """The epoch's residual codebooks (the `PqIndexSink.books`
+        surface — the CLI persists them beside a rotated epoch)."""
+        return self._books
+
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         from sqlserver_pg_cdc_spark.functions.vectors import dot, norm, vsub
         from sqlserver_pg_cdc_spark.operators.similarity import (

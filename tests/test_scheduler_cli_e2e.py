@@ -840,6 +840,92 @@ def test_cli_ann_pq_mode_with_drift_and_rotation(tmp_path):
     assert {i for q, rk, i in rows2 if rk == 1} == {1}
 
 
+def test_cli_ann_ivfpq_mode_full_cycle(tmp_path):
+    """`ann --mode ivfpq` (round-9 verdict item #5): the composite
+    index's full shell cycle — first run trains BOTH epoch halves
+    (cells + residual books) from the ingest and captures the baseline;
+    a reopen passes the sha-guard, reads drift healthy, and ranks an
+    exact copy's source first; `--rotate-to` retrains both halves into
+    a new epoch dir that reopens standalone and still answers."""
+    import json as _json
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def write_vecs(path, id_pairs):
+        vals = ", ".join(
+            f"({sid}, [{', '.join(str(float((src * 31 + j * 7) % 97) - 48.0) for j in range(8))}])"
+            for sid, src in id_pairs
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) AS t(vec_id, embedding)) "
+            f"TO '{path}' (FORMAT PARQUET)"
+        )
+
+    write_vecs(tmp_path / "a.parquet", [(i, i) for i in range(0, 24)])
+    write_vecs(tmp_path / "probe.parquet", [(1001, 1)])
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+        "--mode", "ivfpq", "--state-dir", str(tmp_path / "cstate"),
+        "--partitions", "8", "--m-sub", "4", "--k", "3",
+        "--refine", "8", "--n-probe", "4",
+    ]
+    # missing half of the training spec fails fast with a clear message
+    r0 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "a.parquet"),
+                "--train-cells", "4"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r0.returncode != 0 and "--train-codes" in r0.stderr
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "a.parquet"),
+                "--train-cells", "4", "--train-codes", "8",
+                "--capture-baseline"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["indexed_vectors"] == 24 and out1["n_cells"] == 4
+    assert out1["m_sub"] == 4 and out1["k_codes"] == 8
+    assert out1["baseline_mean_cos"] is not None
+    # reopen: sha-guard sees the persisted epoch, drift healthy, and
+    # the cell-pruned ADC top-k of an exact copy ranks its source first
+    r2 = subprocess.run(
+        base + ["--drift", "--query", str(tmp_path / "probe.parquet"),
+                "--output", str(tmp_path / "ctopk")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["drift"]["drifted"] is False
+    rows = con.execute(
+        f"SELECT query_id, rank, id, cosine FROM '{tmp_path}/ctopk/*.parquet'"
+    ).fetchall()
+    top1 = {q: (i, c) for q, rk, i, c in rows if rk == 1}
+    assert top1[1001][0] == 1 and top1[1001][1] > 0.9999
+    # rotation retrains cells AND books; the new epoch dir reopens
+    # standalone (both halves persisted beside the state) and answers
+    r3 = subprocess.run(
+        base + ["--rotate-to", str(tmp_path / "cstate2")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    out3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert out3["new_epoch_vectors"] == 24
+    r4 = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "ann",
+            "--mode", "ivfpq", "--state-dir", str(tmp_path / "cstate2"),
+            "--partitions", "8", "--m-sub", "4", "--k", "3",
+            "--refine", "8", "--n-probe", "4",
+            "--query", str(tmp_path / "probe.parquet"),
+            "--output", str(tmp_path / "ctopk2"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    rows2 = con.execute(
+        f"SELECT query_id, rank, id FROM '{tmp_path}/ctopk2/*.parquet'"
+    ).fetchall()
+    assert {i for q, rk, i in rows2 if rk == 1} == {1}
+
+
 def test_cli_state_purge_and_rescale(tmp_path, spark):
     """`state --purge-watermark --rescale`: tombstones past the horizon
     drop, the layout re-hashes, and the surviving rows read back

@@ -349,7 +349,11 @@ def create_parser() -> argparse.ArgumentParser:
         help="day-2 maintenance on hash-partitioned sink state: "
              "tombstone purge (retention) and partition-count rescale. "
              "ALL state ops require a quiesced state (stop concurrent "
-             "streams first) — they are single-writer passes",
+             "streams first) — they are single-writer passes, ENFORCED "
+             "by a __maintenance.lock sentinel: the pass holds it, "
+             "concurrent sink batches fail fast until it releases, and "
+             "a crashed pass leaves a lock that self-clears once its "
+             "pid is gone (or its timestamp ages out)",
     )
     state.add_argument("--state-dir", required=True)
     state.add_argument("--pk", nargs="+", required=True,

@@ -561,7 +561,19 @@ class HashPartitionedStateMixin:
         liability this op exists to shrink); a concurrent foreachBatch
         swapping a partition between the two passes would be silently
         overwritten with this op's stale snapshot. Single writer only —
-        same rule the ``state`` CLI documents."""
+        ENFORCED since round 10: the pass holds the create-exclusive
+        ``__maintenance.lock`` sentinel (`streaming/lock.py`), and the
+        partitioned sinks fail fast while it is held; a crashed pass
+        leaves a lock that reads stale by pid/timestamp and is broken
+        on the next open."""
+        from sqlserver_pg_cdc_spark.streaming.lock import maintenance_lock
+
+        with maintenance_lock(self.target_dir, "purge_tombstones"):
+            return self._purge_tombstones_locked(watermark_lsn, deleted_col)
+
+    def _purge_tombstones_locked(
+        self, watermark_lsn, deleted_col: str | None = None
+    ) -> dict:
         self._check_layout()
         st = self.read_target()
         if st is None:
@@ -634,8 +646,16 @@ class HashPartitionedStateMixin:
         with the new count."""
         import json
 
+        from sqlserver_pg_cdc_spark.streaming.lock import maintenance_lock
+
         if n_new < 1:
             raise ValueError("n_new must be >= 1")
+        with maintenance_lock(self.target_dir, "rescale"):
+            self._rescale_locked(n_new)
+
+    def _rescale_locked(self, n_new: int) -> None:
+        import json
+
         self._recover_rescale()
         self._check_layout()
         st = self.read_target()
@@ -674,14 +694,19 @@ class HashPartitionedStateMixin:
                     )
             shutil.rmtree(tmp, ignore_errors=True)
         # params/aux marker files (LSH params, IVF baselines, ...) ride
-        # along: they describe the state's content, not its layout
+        # along: they describe the state's content, not its layout. The
+        # maintenance lock does NOT ride — it belongs to THIS pass, and
+        # copying it into the new layout would leave the rescaled state
+        # permanently locked.
+        from sqlserver_pg_cdc_spark.streaming.lock import LOCK_FILE
+
         if os.path.isdir(self.target_dir):
             for name in os.listdir(self.target_dir):
                 srcf = os.path.join(self.target_dir, name)
                 if (
                     os.path.isfile(srcf)
                     and name.startswith("__")
-                    and name != self._LAYOUT_FILE
+                    and name not in (self._LAYOUT_FILE, LOCK_FILE)
                 ):
                     shutil.copy2(srcf, os.path.join(new_dir, name))
         with open(os.path.join(new_dir, self._LAYOUT_FILE), "w") as f:
@@ -1037,6 +1062,17 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
         self.n_partitions = n_partitions
 
     def _apply(self, batch_df: DataFrame) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
+
+        # fail fast while a maintenance pass (purge/rescale/prune)
+        # holds the single-writer lock: the pass re-reads partitions
+        # between its stats and rewrite passes, so a batch landing in
+        # that window would be silently lost to the pass's stale
+        # snapshot. Structured Streaming replays the failed batch after
+        # the lock releases.
+        assert_no_maintenance(self.target_dir, "partitioned upsert batch")
         self._recover_rescale()
         # localCheckpoint, not persist: the touched-partition collect,
         # the merge, and the partitionBy write each re-plan everything

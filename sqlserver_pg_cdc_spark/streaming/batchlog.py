@@ -116,10 +116,22 @@ def compact_batch_log(
     (plus the previous compacted generation) into ONE parquet
     generation. Returns ``{"compacted_batches": n, "rows": r,
     "watermark_batch_id": w}``. No-op when there is nothing at or below
-    the watermark. Run quiesced (single writer)."""
+    the watermark. Run quiesced (single writer) — ENFORCED since round
+    10: the pass holds the ``__maintenance.lock`` sentinel on the log
+    dir (`streaming/lock.py`), and the gates' per-batch log writes fail
+    fast while it is held."""
+    from sqlserver_pg_cdc_spark.streaming.lock import maintenance_lock
+
     wm = int(watermark_batch_id)
     if not os.path.isdir(log_dir):
         return {"compacted_batches": 0, "rows": 0, "watermark_batch_id": wm}
+    with maintenance_lock(log_dir, "compact_batch_log"):
+        return _compact_batch_log_locked(spark, log_dir, wm)
+
+
+def _compact_batch_log_locked(
+    spark: SparkSession, log_dir: str, wm: int
+) -> dict:
     meta = _read_meta(log_dir)
     old_wm = int(meta["watermark_batch_id"]) if meta else None
     old_gen = (

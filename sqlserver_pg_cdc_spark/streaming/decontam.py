@@ -223,6 +223,14 @@ class DecontamGate:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
+
+        # single-writer enforcement: a log compaction on either side
+        # must not interleave with this batch's generation writes
+        assert_no_maintenance(self.accepted_dir, "decontam gate batch")
+        assert_no_maintenance(self.quarantine_dir, "decontam gate batch")
         id_col = self.eval_index.id_col
         report = self.eval_index.contamination(batch_df, self.min_hits)
         if report is None:
@@ -343,7 +351,13 @@ class SemanticDecontamGate:
         import os
 
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
 
+        # single-writer enforcement before the probe work
+        assert_no_maintenance(self.accepted_dir, "semantic gate batch")
+        assert_no_maintenance(self.quarantine_dir, "semantic gate batch")
         rec = _phases.PhaseRecorder()
         id_col = self.eval_index.id_col
         pairs = self.eval_index.near_dups(batch_df, self.threshold)

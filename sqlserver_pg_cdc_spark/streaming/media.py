@@ -378,7 +378,15 @@ class MediaDedupGateSink(FingerprintIndexSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.operators.dedup import dup_components
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
 
+        # single-writer enforcement before the decode work (the text
+        # gate discipline): a dup-log compaction or state maintenance
+        # pass must not interleave with this batch
+        assert_no_maintenance(self.dups_dir, "media gate batch (dup log)")
+        assert_no_maintenance(self.target_dir, "media gate batch")
         rec = _phases.PhaseRecorder()
         # ONE decode pass per batch; localCheckpoint truncates the
         # mapInPandas lineage so the ~5 downstream actions plan over a

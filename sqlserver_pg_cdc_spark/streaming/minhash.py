@@ -475,7 +475,16 @@ class DedupGateSink(MinhashIndexSink):
         # are batch-sized and a Structured Streaming replay re-drives
         # the whole batch anyway, so the non-replayable lineage is moot
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
 
+        # single-writer enforcement, checked BEFORE the probe work: a
+        # log compaction (dup-log lock) or state maintenance pass must
+        # not interleave with this batch — fail fast, let Structured
+        # Streaming replay after the pass releases
+        assert_no_maintenance(self.dups_dir, "dedup gate batch (dup log)")
+        assert_no_maintenance(self.target_dir, "dedup gate batch")
         rec = _phases.PhaseRecorder()
         proj = self._project(batch_df, batch_id).localCheckpoint()
         rec.mark("projection")

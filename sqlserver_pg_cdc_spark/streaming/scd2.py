@@ -314,6 +314,14 @@ class PartitionedScd2Sink:
     def _apply(self, batch_df: DataFrame) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            assert_no_maintenance,
+        )
+
+        # single-writer enforcement: fail fast while prune_history (or
+        # any maintenance pass) holds the lock — the replayed batch
+        # lands after the pass instead of being lost to its snapshot
+        assert_no_maintenance(self.target_dir, "SCD2 apply batch")
         st = self._store
         # hash the STORED key dtypes (xxhash64 is type-sensitive): a
         # batch whose key column arrives as int32 against a long-keyed
@@ -379,7 +387,16 @@ class PartitionedScd2Sink:
         batches), like :meth:`rescale` — the stats pass and the rewrite
         pass re-read the partition files, so a concurrent writer
         swapping a partition between the passes would be silently
-        overwritten with this op's stale snapshot. Single writer only."""
+        overwritten with this op's stale snapshot. Single writer only —
+        ENFORCED since round 10 via the ``__maintenance.lock`` sentinel
+        (`streaming/lock.py`): concurrent applies fail fast; a crashed
+        pass leaves a lock that reads stale by pid/timestamp."""
+        from sqlserver_pg_cdc_spark.streaming.lock import maintenance_lock
+
+        with maintenance_lock(self.target_dir, "prune_history"):
+            return self._prune_history_locked(watermark_lsn)
+
+    def _prune_history_locked(self, watermark_lsn: int) -> dict:
         st = self._store
         st._check_layout()
         h = st.read_target()

@@ -1,0 +1,213 @@
+"""Single-writer lock enforcement (`streaming/lock.py`) — round-9
+verdict item #6: the quiesce contract on day-2 maintenance ops
+(purge_tombstones / rescale / prune_history / compact_batch_log) is now
+ENFORCED, not just documented. Concurrent writers fail fast while a
+pass holds the lock; a crashed pass leaves a lock that reads stale by
+pid/timestamp and is broken on the next open."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from sqlserver_pg_cdc_spark.streaming.lock import (
+    LOCK_FILE,
+    MaintenanceLockError,
+    assert_no_maintenance,
+    maintenance_lock,
+    read_lock,
+)
+
+
+def _sink(spark, tmp_path, name="st", n=4):
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    return PartitionedParquetUpsertSink(
+        spark, str(tmp_path / name), ["id"], n_partitions=n
+    )
+
+
+def _rows(spark, ids, deleted=(), lsn=10):
+    return spark.createDataFrame(
+        [
+            (i, f"n{i}", "true" if i in deleted else "false", lsn + i)
+            for i in ids
+        ],
+        "id long, name string, __deleted string, lsn long",
+    )
+
+
+def _dead_pid() -> int:
+    """A pid guaranteed dead: spawn a trivial process and wait it out."""
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    return p.pid
+
+
+def test_upsert_fails_fast_while_maintenance_holds_lock(spark, tmp_path):
+    """The r8-ADVICE lost-update scenario: a batch landing between a
+    maintenance pass's stats and rewrite passes would be silently
+    overwritten — now one side raises instead."""
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(10)), 0)
+    with maintenance_lock(str(tmp_path / "st"), "purge_tombstones"):
+        with pytest.raises(MaintenanceLockError, match="purge_tombstones"):
+            sink(_rows(spark, range(10, 20)), 1)
+        # a second maintenance op is excluded the same way
+        with pytest.raises(MaintenanceLockError, match="single-writer"):
+            sink.purge_tombstones(5, deleted_col="__deleted")
+    # lock released: the replayed batch applies cleanly
+    sink(_rows(spark, range(10, 20)), 1)
+    assert sink.read_target().count() == 20
+
+
+def test_purge_and_rescale_hold_and_release_the_lock(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(12), deleted={3, 5}), 0)
+    out = sink.purge_tombstones(10**9, deleted_col="__deleted")
+    assert out["purged"] == 2
+    assert read_lock(str(tmp_path / "st")) is None  # released
+    sink.rescale(8)
+    # the lock must NOT ride into the rescaled layout as an aux file
+    assert not os.path.exists(tmp_path / "st" / LOCK_FILE)
+    sink(_rows(spark, range(12, 15)), 1)
+    assert sink.read_target().count() == 13
+
+
+def test_crashed_pass_lock_is_stale_and_recoverable(spark, tmp_path):
+    """A pass that died leaves the marker behind; its pid is gone, so
+    the next writer AND the next maintenance op break it and proceed."""
+    import socket
+
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(5), deleted={1}), 0)
+    sdir = str(tmp_path / "st")
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(
+            {"op": "rescale", "pid": _dead_pid(),
+             "host": socket.gethostname(), "ts": time.time()},
+            f,
+        )
+    sink(_rows(spark, range(5, 8)), 1)  # writer breaks the dead lock
+    assert sink.read_target().count() == 8
+    assert read_lock(sdir) is None
+    # same for a new maintenance acquire
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(
+            {"op": "purge_tombstones", "pid": _dead_pid(),
+             "host": socket.gethostname(), "ts": time.time()},
+            f,
+        )
+    assert sink.purge_tombstones(10**9, deleted_col="__deleted")["purged"] == 1
+
+
+def test_foreign_host_lock_blocks_until_age_out(tmp_path):
+    """A lock from another host has no liveness signal: fresh blocks,
+    aged-out breaks (the timestamp half of the staleness rule)."""
+    sdir = str(tmp_path / "x")
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(
+            {"op": "prune_history", "pid": 1, "host": "elsewhere",
+             "ts": time.time()},
+            f,
+        )
+    with pytest.raises(MaintenanceLockError, match="prune_history"):
+        assert_no_maintenance(sdir)
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(
+            {"op": "prune_history", "pid": 1, "host": "elsewhere",
+             "ts": time.time() - 7200},
+            f,
+        )
+    assert_no_maintenance(sdir, stale_after_s=3600)  # aged out: broken
+    assert read_lock(sdir) is None
+    # an unparseable marker (crash mid-write) falls back to file mtime
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        f.write("{half a json")
+    with pytest.raises(MaintenanceLockError):
+        assert_no_maintenance(sdir)
+    old = time.time() - 7200
+    os.utime(os.path.join(sdir, LOCK_FILE), (old, old))
+    assert_no_maintenance(sdir, stale_after_s=3600)
+
+
+def test_scd2_apply_fails_during_prune_lock(spark, tmp_path):
+    from sqlserver_pg_cdc_spark.streaming.scd2 import PartitionedScd2Sink
+
+    sink = PartitionedScd2Sink(
+        spark, str(tmp_path / "hist"), ["id"], n_partitions=4
+    )
+    batch = spark.createDataFrame(
+        [(1, "a", 10, "c"), (2, "b", 11, "c")],
+        "id long, name string, lsn long, op string",
+    )
+    sink(batch, 0)
+    with maintenance_lock(str(tmp_path / "hist"), "prune_history"):
+        with pytest.raises(MaintenanceLockError, match="prune_history"):
+            sink(
+                spark.createDataFrame(
+                    [(3, "c", 12, "c")],
+                    "id long, name string, lsn long, op string",
+                ),
+                1,
+            )
+    assert sink.prune_history(0)["pruned"] == 0  # lock released: runs
+
+
+def test_gate_log_write_fails_during_compaction_lock(spark, tmp_path):
+    """compact_batch_log holds the lock on the LOG dir; a gate batch
+    arriving mid-compaction fails fast instead of writing a generation
+    the sweep could clobber."""
+    from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
+
+    gate = DedupGateSink(
+        spark, str(tmp_path / "gs"), str(tmp_path / "gd"),
+        "doc_id", "text", threshold=0.2, n_partitions=4,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    gate(docs, 0)
+    with maintenance_lock(str(tmp_path / "gd"), "compact_batch_log"):
+        with pytest.raises(MaintenanceLockError, match="compact_batch_log"):
+            gate(docs.limit(2), 1)
+    # and the real compaction itself acquires/releases cleanly
+    out = gate.compact_dup_log(0)
+    assert read_lock(str(tmp_path / "gd")) is None
+    assert "watermark_batch_id" in out
+    gate(docs.limit(2), 1)  # post-compaction batch applies
+
+
+def test_media_gate_checks_both_dirs(spark, tmp_path):
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import encode_bmp
+    from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
+
+    import numpy as np
+
+    px = np.full((16, 16, 3), 99, dtype=np.uint8)
+    payload = encode_bmp(16, 16, px.tobytes())
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, payload)], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    gate = MediaDedupGateSink(
+        spark, str(tmp_path / "ms"), str(tmp_path / "md"),
+        "doc_id", "payload", media="image", n_partitions=4,
+    )
+    with maintenance_lock(str(tmp_path / "md"), "compact_batch_log"):
+        with pytest.raises(MaintenanceLockError, match="media gate"):
+            gate(df, 0)
+    with maintenance_lock(str(tmp_path / "ms"), "rescale"):
+        with pytest.raises(MaintenanceLockError, match="media gate"):
+            gate(df, 0)
+    gate(df, 0)  # both released
+    assert {r["doc"] for r in gate.fingerprints().collect()} == {1}

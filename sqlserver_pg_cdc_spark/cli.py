@@ -155,6 +155,14 @@ def create_parser() -> argparse.ArgumentParser:
                                "accepted/quarantine generations with batch "
                                "id <= WM into one compacted generation each "
                                "(run quiesced)")
+    decontam.add_argument("--retain-batches", type=int, default=None,
+                          metavar="N",
+                          help="streaming mode: retention policy over both "
+                               "logs — after the corpus gating batch, keep "
+                               "the newest N batch generations replayable "
+                               "and fold older ones (watermark = latest "
+                               "committed batch id - N); pick N at or past "
+                               "the stream's reprocessing window")
 
     rollup = sub.add_parser(
         "rollup",
@@ -306,6 +314,17 @@ def create_parser() -> argparse.ArgumentParser:
                            "generations with batch id <= WM into one "
                            "compacted generation (WM must be past the "
                            "stream's replay horizon; run quiesced)")
+    gate.add_argument("--retain-batches", type=int, default=None,
+                      metavar="N",
+                      help="retention POLICY over the dup log (the "
+                           "reference's 30-day DLQ retention knob as one "
+                           "flag): keep the newest N batch generations "
+                           "replayable and fold everything older into "
+                           "the compacted generation — the watermark "
+                           "derives from the log's latest committed "
+                           "batch id minus N. Runs AFTER --ingest's "
+                           "batch, or standalone; pick N at or past the "
+                           "stream's reprocessing window")
 
     media = sub.add_parser(
         "media",
@@ -813,11 +832,25 @@ def _cmd_decontam_streaming(args) -> int:
     gate(batch, int(bid))
     acc = gate.accepted()
     qlog = gate.quarantine_log()
-    print(json.dumps({
+    out = {
         "batch_id": int(bid),
         "accepted_total": acc.count() if acc is not None else 0,
         "quarantined_total": qlog.count() if qlog is not None else 0,
-    }))
+    }
+    if args.retain_batches is not None:
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            retain_batches,
+        )
+
+        out["retention"] = {
+            "accepted": retain_batches(
+                spark, args.output, args.retain_batches
+            ),
+            "quarantine": retain_batches(
+                spark, args.quarantine_out, args.retain_batches
+            ),
+        }
+    print(json.dumps(out))
     return 0
 
 
@@ -1275,7 +1308,16 @@ def cmd_gate(args) -> int:
         print(json.dumps({"dups_dir": args.dups_dir, **res}))
         return 0
     if not args.ingest:
-        print("gate: --ingest is required unless --compact-dups",
+        if args.retain_batches is not None:
+            from sqlserver_pg_cdc_spark.streaming.batchlog import (
+                retain_batches,
+            )
+
+            res = retain_batches(spark, args.dups_dir, args.retain_batches)
+            print(json.dumps({"dups_dir": args.dups_dir, **res}))
+            return 0
+        print("gate: --ingest is required unless --compact-dups or "
+              "--retain-batches",
               file=sys.stderr)
         return 2
     common = dict(
@@ -1342,6 +1384,16 @@ def cmd_gate(args) -> int:
         "rejected_this_batch": this_batch,
         "indexed_total": surface.count() if surface is not None else 0,
     }
+    if args.retain_batches is not None:
+        # periodic retention rides the same invocation: the gate batch
+        # committed above, so the pass runs quiesced by construction
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            retain_batches,
+        )
+
+        result["retention"] = retain_batches(
+            spark, args.dups_dir, args.retain_batches
+        )
     print(json.dumps(result))
     return 0
 

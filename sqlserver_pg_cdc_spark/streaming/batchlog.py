@@ -193,3 +193,38 @@ def _compact_batch_log_locked(
         "rows": int(n_dst),
         "watermark_batch_id": wm,
     }
+
+
+def retain_batches(
+    spark: SparkSession, log_dir: str, n_retain: int
+) -> dict:
+    """Retention POLICY over :func:`compact_batch_log`: keep the newest
+    ``n_retain`` batch generations replayable, fold everything older
+    into the compacted generation — the reference's "30-day DLQ
+    retention" knob (postgresql-sink.json:44-49) as one number.
+
+    The watermark derives from the log's own latest committed batch id
+    (max of the ``batch_<id>`` dirs and the recorded compaction
+    watermark — the id space the driving stream's checkpoint committed
+    through) minus ``n_retain``; the caller picks ``n_retain`` at or
+    past the stream's reprocessing window. After the pass the log holds
+    at most ``n_retain`` batch dirs plus one compacted generation, and
+    replays ABOVE the watermark keep their exactly-once overwrite
+    property untouched. No-op (never a watermark regression) when the
+    log is empty or everything is already within the window."""
+    if n_retain < 0:
+        raise ValueError("n_retain must be >= 0")
+    noop = {"compacted_batches": 0, "rows": 0, "watermark_batch_id": None}
+    if not os.path.isdir(log_dir):
+        return noop
+    meta = _read_meta(log_dir)
+    ids = [bid for bid, _ in _batch_dirs(log_dir)]
+    if meta is not None:
+        ids.append(int(meta["watermark_batch_id"]))
+    if not ids:
+        return noop
+    wm = max(ids) - n_retain
+    old_wm = int(meta["watermark_batch_id"]) if meta else None
+    if wm < 0 or (old_wm is not None and wm <= old_wm):
+        return dict(noop, watermark_batch_id=old_wm)
+    return compact_batch_log(spark, log_dir, wm)

@@ -261,3 +261,39 @@ def test_decontam_gate_compacts_both_logs(spark, tmp_path):
         sorted(r["doc_id"] for r in gate.quarantine_log().collect())
         == quar_before
     )
+
+
+def test_retain_batches_policy_bounds_dirs_and_never_regresses(spark, tmp_path):
+    """`retain_batches(n)` (r9 verdict stretch #8): the watermark
+    derives from the log's latest committed batch id minus n, the dir
+    count lands at n batch dirs + one generation, rows are identical,
+    and repeated/raced applications never move the watermark backward
+    or raise."""
+    from sqlserver_pg_cdc_spark.streaming.batchlog import retain_batches
+
+    log = str(tmp_path / "log")
+    # empty / missing: clean no-ops
+    assert retain_batches(spark, log, 2)["compacted_batches"] == 0
+    for b in range(6):
+        _write_batch(spark, log, b, range(b * 10, b * 10 + 2))
+    before = _rows(read_batch_log(spark, log))
+    res = retain_batches(spark, log, 2)
+    assert res["watermark_batch_id"] == 3 and res["compacted_batches"] == 4
+    assert _ndirs(log) == 3  # batches 4,5 + one generation
+    assert _rows(read_batch_log(spark, log)) == before
+    # already within the window: no-op, watermark unchanged
+    res2 = retain_batches(spark, log, 2)
+    assert res2["compacted_batches"] == 0
+    assert res2["watermark_batch_id"] == 3
+    # a LARGER window later must not regress the watermark
+    res3 = retain_batches(spark, log, 5)
+    assert res3["compacted_batches"] == 0
+    assert res3["watermark_batch_id"] == 3
+    # stream advances: the policy folds exactly the aged-out ids
+    for b in range(6, 9):
+        _write_batch(spark, log, b, range(b * 10, b * 10 + 2))
+    res4 = retain_batches(spark, log, 2)
+    assert res4["watermark_batch_id"] == 6 and res4["compacted_batches"] == 3
+    assert _ndirs(log) == 3
+    assert retain_batches(spark, log, 0)["watermark_batch_id"] == 8
+    assert _ndirs(log) == 1  # everything folded, one generation

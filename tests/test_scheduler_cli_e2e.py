@@ -1293,6 +1293,61 @@ def test_cli_decontam_semantic_gate_and_compaction(tmp_path, spark):
     assert out2["batch_id"] == 1
 
 
+def test_cli_decontam_retain_batches(tmp_path, spark):
+    """`decontam --retain-batches N`: after each corpus gating batch
+    the retention policy folds aged-out generations on BOTH logs in the
+    same invocation."""
+    import glob as _glob
+    import json as _json
+
+    spark.createDataFrame(
+        [(1, "secret benchmark answer alpha bravo charlie delta echo")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "ev"))
+    for b in range(3):
+        spark.createDataFrame(
+            [(100 + b, "secret benchmark answer alpha bravo charlie delta echo"),
+             (200 + b, f"clean document number {b} nothing shared here at all")],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / f"c{b}"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "decontam",
+        "--eval-state-dir", str(tmp_path / "evstate"),
+        "--k", "5", "--partitions", "4",
+    ]
+    r = subprocess.run(
+        base + ["--input", str(tmp_path / "ev"), "--eval-ingest"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = []
+    for b in range(3):
+        r = subprocess.run(
+            base + ["--input", str(tmp_path / f"c{b}"),
+                    "--output", str(tmp_path / "acc"),
+                    "--quarantine-out", str(tmp_path / "quar"),
+                    "--retain-batches", "1"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(_json.loads(r.stdout.strip().splitlines()[-1]))
+        for d in ("acc", "quar"):
+            ndirs = len(_glob.glob(str(tmp_path / d / "batch_*"))) + len(
+                _glob.glob(str(tmp_path / d / "gen_*"))
+            )
+            assert ndirs <= 1 + 1  # N batch dirs + one generation
+    assert [o["batch_id"] for o in outs] == [0, 1, 2]
+    assert outs[-1]["retention"]["accepted"]["watermark_batch_id"] == 1
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    quar = {r2["doc_id"] for r2 in read_batch_log(
+        spark, str(tmp_path / "quar")).collect()}
+    assert quar == {100, 101, 102}  # every leaked copy, across the folds
+    acc = {r2["doc_id"] for r2 in read_batch_log(
+        spark, str(tmp_path / "acc")).collect()}
+    assert acc == {200, 201, 202}
+
+
 # --- media CLI: the multimodal payload plane ------------------------------
 
 def test_cli_media_audio_and_video_e2e(tmp_path):
@@ -1363,3 +1418,66 @@ def test_cli_media_audio_and_video_e2e(tmp_path):
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     # 2 surviving docs x frames {0, 2}
     assert payload["rows"] == 4
+
+
+def test_cli_gate_retain_batches_periodic_retention(tmp_path, spark):
+    """`gate --retain-batches N` (r9 verdict stretch #8): a long stream
+    with the retention flag riding every invocation keeps the dup log
+    at <= N batch dirs + one compacted generation, the full log's rows
+    survive every fold, and a replay ABOVE the watermark stays
+    exactly-once (its generation overwrites, rows never double)."""
+    import glob as _glob
+    import json as _json
+
+    # every batch re-sends doc 1's text under a fresh id -> exactly one
+    # 'corpus' reject per batch after batch 0: a deterministic one-row-
+    # per-batch dup log
+    base_text = "the quick brown fox jumps over the lazy dog today"
+    for b in range(5):
+        spark.createDataFrame(
+            [(100 + b, base_text),
+             (200 + b, f"novel content number {b} with unique words "
+                       f"{'x' * (b + 3)} {'y' * (b + 5)}")],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / f"b{b}"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "text",
+        "--state-dir", str(tmp_path / "gstate"),
+        "--dups-dir", str(tmp_path / "gdups"),
+        "--threshold", "0.3", "--partitions", "4",
+        "--retain-batches", "2",
+    ]
+    outs = []
+    for b in range(5):
+        r = subprocess.run(
+            base + ["--ingest", str(tmp_path / f"b{b}")],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(_json.loads(r.stdout.strip().splitlines()[-1]))
+        ndirs = len(_glob.glob(str(tmp_path / "gdups" / "batch_*"))) + len(
+            _glob.glob(str(tmp_path / "gdups" / "gen_*"))
+        )
+        assert ndirs <= 2 + 1  # N batch dirs + one compacted generation
+    assert [o["batch_id"] for o in outs] == [0, 1, 2, 3, 4]
+    assert [o["rejected_this_batch"] for o in outs] == [0, 1, 1, 1, 1]
+    assert outs[-1]["retention"]["watermark_batch_id"] == 2
+    # full log intact across the folds: one corpus reject per batch 1-4
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    log = read_batch_log(spark, str(tmp_path / "gdups"))
+    rows = {(r["doc"], r["__batch_id"]) for r in log.collect()}
+    assert rows == {(101, 1), (102, 2), (103, 3), (104, 4)}
+    # replay ABOVE the watermark (batch 4): generation overwrites,
+    # exactly-once holds, and the retention no-ops (already in window)
+    r = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b4"), "--batch-id", "4"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["retention"]["compacted_batches"] == 0
+    log2 = read_batch_log(spark, str(tmp_path / "gdups"))
+    rows2 = {(r["doc"], r["__batch_id"]) for r in log2.collect()}
+    assert rows2 == rows

@@ -273,9 +273,12 @@ def create_parser() -> argparse.ArgumentParser:
         "gate",
         help="ingest-time dedup gate: probe a batch against the standing "
              "streamed index, cluster the remainder within the batch, "
-             "index only survivors (text MinHash or embedding LSH)",
+             "index only survivors (text MinHash, embedding LSH, or "
+             "image/audio perceptual fingerprints)",
     )
-    gate.add_argument("--mode", choices=("text", "embedding"), default="text")
+    gate.add_argument("--mode",
+                      choices=("text", "embedding", "image", "audio"),
+                      default="text")
     gate.add_argument("--state-dir", required=True,
                       help="standing index (created on first batch)")
     gate.add_argument("--dups-dir", required=True,
@@ -284,12 +287,21 @@ def create_parser() -> argparse.ArgumentParser:
                       help="parquet batch to gate and (partially) index "
                            "(required unless --compact-dups)")
     gate.add_argument("--id-col", default=None,
-                      help="default: doc_id (text) / vec_id (embedding)")
+                      help="default: doc_id (text/image/audio) / vec_id "
+                           "(embedding)")
     gate.add_argument("--content-col", default=None,
-                      help="default: text (text) / embedding (embedding)")
+                      help="default: text (text) / embedding (embedding) "
+                           "/ payload (image/audio)")
     gate.add_argument("--threshold", type=float, default=None,
                       help="default: 0.5 jaccard (text) / 0.95 cosine "
                            "(embedding)")
+    gate.add_argument("--max-hamming", type=int, default=6,
+                      help="image/audio modes: fingerprint Hamming "
+                           "distance treated as a near-dup (the 7x9-bit "
+                           "banding has full recall through 6)")
+    gate.add_argument("--media-decoder", default="auto",
+                      help="image/audio modes: payload decoder dispatch "
+                           "(default: magic-byte sniff)")
     gate.add_argument("--batch-id", type=int, default=None,
                       help="batch id / LSN stamp (default: one past the "
                            "number of existing dup-log generations)")
@@ -1327,7 +1339,17 @@ def cmd_gate(args) -> int:
     )
     if args.gate_bands is not None:
         common["bands"] = args.gate_bands
-    if args.mode == "text":
+    if args.mode in ("image", "audio"):
+        from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
+
+        common.pop("bands", None)  # banding is structural for fingerprints
+        gate = MediaDedupGateSink(
+            spark, args.state_dir, args.dups_dir,
+            args.id_col or "doc_id", args.content_col or "payload",
+            media=args.mode, decoder=args.media_decoder,
+            max_hamming=args.max_hamming, **common,
+        )
+    elif args.mode == "text":
         from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink
 
         gate = DedupGateSink(
@@ -1377,7 +1399,12 @@ def cmd_gate(args) -> int:
         if log is None
         else log.filter(F.col("__batch_id") == int(batch_id)).count()
     )
-    surface = gate.shingles() if args.mode == "text" else gate.vectors()
+    if args.mode == "text":
+        surface = gate.shingles()
+    elif args.mode == "embedding":
+        surface = gate.vectors()
+    else:
+        surface = gate.fingerprints()
     result = {
         "state_dir": args.state_dir,
         "batch_id": int(batch_id),

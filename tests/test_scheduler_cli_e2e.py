@@ -1481,3 +1481,63 @@ def test_cli_gate_retain_batches_periodic_retention(tmp_path, spark):
     log2 = read_batch_log(spark, str(tmp_path / "gdups"))
     rows2 = {(r["doc"], r["__batch_id"]) for r in log2.collect()}
     assert rows2 == rows
+
+
+def test_cli_gate_media_audio_cross_container(tmp_path, spark):
+    """`gate --mode audio`: batch 0 ingests a WAV recording, batch 1
+    ingests its FLAC re-encode under a fresh id — rejected against the
+    standing fingerprint index as kind='corpus' at Hamming 0."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(4000)
+    x = np.clip(
+        6000 * np.sign(np.sin(2 * np.pi * t / 128))
+        + 4000 * np.sign(np.sin(2 * np.pi * t / 512)),
+        -32767, 32767,
+    ).astype(np.int16)
+    spark.createDataFrame(
+        pd.DataFrame([(1, encode_wav_pcm16(8000, x)),
+                      (2, b"not a payload at all")],
+                     columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "m0"))
+    spark.createDataFrame(
+        pd.DataFrame([(10, encode_flac(8000, x))],
+                     columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "m1"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "audio",
+        "--state-dir", str(tmp_path / "mstate"),
+        "--dups-dir", str(tmp_path / "mdups"),
+        "--partitions", "4",
+    ]
+    r0 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "m0")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    out0 = _json.loads(r0.stdout.strip().splitlines()[-1])
+    # the corrupt payload passes un-gated with a NULL-fp state row
+    assert out0["rejected_this_batch"] == 0 and out0["indexed_total"] == 2
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "m1")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["rejected_this_batch"] == 1 and out1["indexed_total"] == 2
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    log = read_batch_log(spark, str(tmp_path / "mdups")).collect()
+    assert [(r2["doc"], r2["dup_of"], r2["hamming"], r2["kind"])
+            for r2 in log] == [(10, 1, 0, "corpus")]

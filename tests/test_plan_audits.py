@@ -412,3 +412,52 @@ def test_late_round9_payload_queries_plan_shape(spark, qname):
     assert plan.find("MapInPandas") != -1, qname
     if qname == "image_phash_crossformat":
         assert "hashpartitioning(phash" in plan, plan[:2000]
+
+
+def test_allbits_banding_folds_once_per_row(spark):
+    """Round-10 restructure: the 8x10x64 banding computes ALL sign bits
+    in ONE transform HOF over a 2-D plane literal, sliced per band with
+    substring over the materialized __bits column. CollapseProject must
+    NOT inline the alias back into 8 copies (that would re-run the
+    5120-multiply fold per band per row) — pin exactly one transform in
+    the optimized plan, for both the batch index builder and the
+    streamed sink projection."""
+    import tempfile
+
+    from sqlserver_pg_cdc_spark.operators.dedup import embedding_band_index
+    from sqlserver_pg_cdc_spark.streaming.ann import AnnIndexSink
+
+    df = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    idx_plan = (
+        embedding_band_index(df, "vec_id", "embedding")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert idx_plan.count("transform(") == 1, idx_plan
+    assert "__bits" in idx_plan  # the alias survives as its own Project
+
+    sink = AnnIndexSink(
+        spark, tempfile.mkdtemp(), "vec_id", "embedding", n_partitions=4
+    )
+    proj_plan = (
+        sink._project(df, 0)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert proj_plan.count("transform(") == 1, proj_plan
+    assert "__bits" in proj_plan
+
+
+def test_media_gate_query_plan_shape(spark):
+    """The media gate contract stays JVM-side outside the single decode
+    mapInPandas pass, with no cartesian anywhere: the probe is a banded
+    equi-join on (band_id, band_val) with the Hamming verify computed
+    IN the join output (both fingerprints ride the band frames)."""
+    m = _metrics(spark, "media_dedup_gate")
+    assert not m.has_cartesian, m.joins
+    # exactly the decode passes reach Python (one mapInPandas per batch
+    # projection); probe/cluster/log read back pure JVM
+    fn = workload.build_catalog(spark)["media_dedup_gate"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan

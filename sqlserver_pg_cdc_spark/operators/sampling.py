@@ -300,3 +300,76 @@ SELECT CAST(({_hash_bucket_sql(key_col)}) % {n_shards} AS BIGINT) AS shard_id,
 FROM ({table_expr})
 GROUP BY 1
 """
+
+
+def diversity_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quota: int,
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced corpus selection over an embedding column (the
+    coverage-first sampling a curation pipeline runs after SemDeDup):
+    every vector is assigned to its max-cosine IVF cell and each cell
+    contributes at most ``quota`` documents, chosen in deterministic
+    content-hash order — so the sample covers embedding SPACE evenly
+    instead of mirroring corpus density (a dominant near-duplicate
+    topic cluster stops crowding out the tail). Returns
+    (id, cell_id, rk) with rk 1..quota inside each cell.
+
+    Deterministic twice over: the cell law (first ``n_cells`` vectors
+    by id as centroids when none are passed — the SQL-reproducible
+    `with_ivf_cell` convention; pass `train_ivf_centroids` output for
+    production recall) and the within-cell order (md5 bucket of the id,
+    the `deterministic_sample` hash). Scale: assignment is a per-row
+    literal argmax (zero shuffles); the quota cut shuffles ONCE on
+    cell_id with skew bounded by cell occupancy — for pathologically
+    hot cells use a rate threshold per `budget_mix_by_rate` instead of
+    the exact row_number."""
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+
+    assigned, _ = with_ivf_cell(
+        df, id_col, vec_col, n_cells, centroids=centroids
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        _hash_bucket("id"), F.col("id")
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(quota))
+        .select(F.col("id").alias(id_col), "cell_id", "rk")
+    )
+
+
+def diversity_sample_sql(
+    table: str, id_col: str, vec_col: str, quota: int, n_cells: int = 8
+) -> str:
+    """Oracle twin of :func:`diversity_sample` (deterministic
+    first-n-by-id centroids): same max-cosine assignment with ties to
+    the lowest cell, same hash-order quota cut."""
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine_sql
+
+    cell_cos = cosine_sql("x.v", "c.cv")
+    return f"""
+WITH cent AS (
+    SELECT {id_col} AS cell_id, {vec_col} AS cv
+    FROM {table} WHERE {vec_col} IS NOT NULL ORDER BY {id_col} LIMIT {n_cells}
+),
+assigned AS (
+    SELECT id, cell_id FROM (
+        SELECT x.id, c.cell_id,
+               row_number() OVER (PARTITION BY x.id
+                                  ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+        FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+              WHERE {vec_col} IS NOT NULL) x, cent c
+    ) WHERE rn = 1
+)
+SELECT id AS {id_col}, cell_id, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT id, cell_id,
+           row_number() OVER (PARTITION BY cell_id
+                              ORDER BY {_hash_bucket_sql("id")}, id) AS rk
+    FROM assigned
+) WHERE rk <= {quota}
+"""

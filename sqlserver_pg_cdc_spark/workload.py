@@ -5012,6 +5012,34 @@ def _shard_manifest_sql() -> str:
     )
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection (`operators/sampling.
+    diversity_sample`): embeddings assigned to IVF cells (deterministic
+    first-8-by-id centroid law — the SQL-reproducible `with_ivf_cell`
+    convention), each cell contributing at most 40 vectors in
+    content-hash order. The coverage-first sampling a curation pipeline
+    runs after dedup: embedding-space coverage instead of corpus
+    density (a dominant topic cluster stops crowding out the tail).
+    The oracle recomputes assignment + quota cut relationally, so every
+    keep decision is value-checked."""
+    from sqlserver_pg_cdc_spark.operators.sampling import diversity_sample
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return diversity_sample(emb, "vec_id", "embedding", quota=40, n_cells=8)
+
+
+def _diversity_sample_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        diversity_sample_sql,
+    )
+
+    return diversity_sample_sql(
+        "embeddings", "vec_id", "embedding", quota=40, n_cells=8
+    )
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -6607,6 +6635,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["corpus_report"] = QuerySpec(q_corpus_report, _corpus_report_sql())
     catalog["shard_manifest"] = QuerySpec(q_shard_manifest, _shard_manifest_sql())
+    catalog["diversity_sample"] = QuerySpec(
+        q_diversity_sample, _diversity_sample_sql()
+    )
 
     # schema-dependent oracles (reuse the shared probes)
     for table in ("customer", "orders", "lineitem", "events"):
@@ -6664,8 +6695,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 # scripts/verify_local.py, which runs ALL entries with the driver-faithful
 # comparator.
 _DRIVER_WINDOW_FIRST = [
-    # NEW contract this round
+    # NEW contracts this round
     "media_dedup_gate",  # NEW: ingest-time cross-container media dedup
+    "diversity_sample",  # NEW: cluster-balanced corpus selection
     # landed AFTER the r9 driver gate ran — never had a driver row
     # (verdict item #1: these are first in line)
     "ann_topk_ivfpq",
@@ -6722,7 +6754,9 @@ _DRIVER_WINDOW_FIRST = [
     "type_convert_orders",
     "user_event_cadence",
     "user_series_correlation",
-    "volume_shipping",
+    # volume_shipping (r7, plain TPC-H aggregate) yields its slot to the
+    # second new contract; it stays verify_local-green like the rest of
+    # the behind-window cohort
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -258,3 +258,63 @@ def test_quantile_buckets_plan_has_no_window_or_global_sort(spark):
     assert "Window" not in plan
     assert "Sort" not in plan
     assert "Exchange" not in plan  # no shuffle at all: aggregate ran at build time
+
+
+def test_diversity_sample_covers_space_not_density(spark):
+    """Cluster-balanced selection: a dominant dense cluster is capped
+    at the quota while every sparse cell keeps all its members — the
+    sample covers embedding SPACE, not corpus density. Deterministic
+    across runs; assignment is a literal argmax (no shuffle before the
+    single quota-cut exchange)."""
+    from sqlserver_pg_cdc_spark.operators.sampling import diversity_sample
+
+    def vec(seed, dim=8):
+        return [float((seed * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+
+    rows = []
+    # ids 0..3 seed four deterministic centroids (first-n-by-id law)
+    for i in range(4):
+        rows.append((i, vec(i)))
+    # a DENSE cluster: 40 near-copies of vec(1) under higher ids
+    for i in range(100, 140):
+        rows.append((i, vec(1)))
+    # sparse tail: two lone members near vec(2) and vec(3)
+    rows.append((200, vec(2)))
+    rows.append((300, vec(3)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = diversity_sample(df, "vec_id", "embedding", quota=5, n_cells=4)
+    got = {(r["vec_id"], r["cell_id"], r["rk"]) for r in out.collect()}
+    by_cell = {}
+    for vid, cell, rk in got:
+        by_cell.setdefault(cell, []).append((rk, vid))
+    # every cell capped at the quota; rk is 1..len within each cell
+    for cell, members in by_cell.items():
+        assert len(members) <= 5
+        assert sorted(rk for rk, _ in members) == list(
+            range(1, len(members) + 1)
+        )
+    # the dense vec(1) cell hit the cap; the sparse cells kept all
+    # members (200's and 300's cells contribute their loners)
+    dense_cell = [c for c, m in by_cell.items() if len(m) == 5]
+    assert dense_cell, by_cell
+    sampled_ids = {vid for vid, _, _ in got}
+    assert {200, 300} <= sampled_ids
+    # dense-cluster representation is quota, not 40
+    assert len(sampled_ids & set(range(100, 140))) <= 5
+    # deterministic: a second run returns the identical set
+    again = {
+        (r["vec_id"], r["cell_id"], r["rk"])
+        for r in diversity_sample(
+            df, "vec_id", "embedding", quota=5, n_cells=4
+        ).collect()
+    }
+    assert again == got
+    # NULL vectors drop out (no direction, no cell)
+    with_null = df.union(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    out2 = diversity_sample(with_null, "vec_id", "embedding", quota=5, n_cells=4)
+    assert 999 not in {r["vec_id"] for r in out2.collect()}

@@ -543,8 +543,13 @@ def main() -> None:
         ),
         "healthy_band": [0.9, 1.1],
     }
+    # tri-state: a run that never sampled the canary (subset runs, or a
+    # 0.0-rounded wall) publishes null, NOT false — "not measured" must
+    # never read as "host unhealthy" to a cross-round comparator
     canary["canary_healthy"] = (
-        canary["ratio"] is not None and 0.9 <= canary["ratio"] <= 1.1
+        (0.9 <= canary["ratio"] <= 1.1)
+        if canary["ratio"] is not None
+        else None
     )
 
     out = {

@@ -1342,6 +1342,20 @@ def cmd_gate(args) -> int:
     if args.mode in ("image", "audio"):
         from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
 
+        # fail fast on the wrong knob: a user tuning --threshold (the
+        # text/embedding dial) would otherwise get default Hamming
+        # gating with no warning; same for the text/embedding banding
+        if args.threshold is not None:
+            raise SystemExit(
+                "--threshold is the text/embedding dial; image/audio "
+                "modes gate on fingerprint Hamming distance — use "
+                "--max-hamming"
+            )
+        if args.gate_bands is not None:
+            raise SystemExit(
+                "--gate-bands does not apply to image/audio modes: the "
+                "7x9-bit fingerprint banding is structural"
+            )
         common.pop("bands", None)  # banding is structural for fingerprints
         gate = MediaDedupGateSink(
             spark, args.state_dir, args.dups_dir,

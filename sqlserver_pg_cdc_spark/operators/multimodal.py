@@ -3843,7 +3843,11 @@ def phash_images(
     (doc_id, phash) with NULL phash for corrupt/unsupported payloads.
     ``keep_cols`` ride through the same mapInPandas pass unchanged —
     the streamed gate carries (lsn, delete flag) beside the hash
-    without a batch-sized join back. Downstream: exact grouping on
+    without a batch-sized join back. CAVEAT: Arrow->pandas turns a
+    nullable integer column into float64 BEFORE this code sees it (one
+    NULL anywhere poisons the column; values past 2^53 lose bits) —
+    route integer riders through strings, as `FingerprintIndexSink.
+    _project` does. Downstream: exact grouping on
     phash dedups the same image across CONTAINERS (PNG vs BMP
     re-encodes of one crawl image), and :func:`phash_near_pairs` finds
     visually-near variants by banded Hamming join."""
@@ -4025,7 +4029,8 @@ def audio_fingerprints(
     payload (magic-sniff across WAV/FLAC/subband by default): rows
     (doc_id, afp) with NULL for corrupt/unsupported/too-short
     payloads. ``keep_cols`` ride through unchanged (the
-    :func:`phash_images` gate discipline). Downstream: exact grouping
+    :func:`phash_images` gate discipline — including its CAVEAT: route
+    nullable integer riders through strings). Downstream: exact grouping
     on afp dedups the same recording across CONTAINERS (a WAV and its
     FLAC re-encode are distinct byte hashes, one fingerprint), and
     :func:`phash_near_pairs` (any 63-bit fingerprint column) finds

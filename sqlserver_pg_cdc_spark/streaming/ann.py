@@ -992,6 +992,17 @@ class AnnGateSink(AnnIndexSink):
         return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement before the probe work (the
+        # text/media gate discipline): fail fast while a compaction/
+        # maintenance pass runs, and hold beacons for the batch's whole
+        # duration so a pass cannot start mid-batch either
+        with writer_beacon(self.dups_dir, "embedding gate batch (dup log)"), \
+                writer_beacon(self.target_dir, "embedding gate batch"):
+            self._gated_call(batch_df, batch_id)
+
+    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.functions.vectors import dot
         from sqlserver_pg_cdc_spark.operators.dedup import dup_components
 

@@ -1062,17 +1062,19 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
         self.n_partitions = n_partitions
 
     def _apply(self, batch_df: DataFrame) -> None:
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
 
-        # fail fast while a maintenance pass (purge/rescale/prune)
-        # holds the single-writer lock: the pass re-reads partitions
-        # between its stats and rewrite passes, so a batch landing in
-        # that window would be silently lost to the pass's stale
-        # snapshot. Structured Streaming replays the failed batch after
-        # the lock releases.
-        assert_no_maintenance(self.target_dir, "partitioned upsert batch")
+        # two-way single-writer enforcement: fail fast while a
+        # maintenance pass (purge/rescale/prune) holds the lock, AND
+        # hold a writer beacon for the batch's whole duration so a pass
+        # cannot START mid-batch either — a batch landing between a
+        # pass's stats and rewrite passes would be silently lost to the
+        # pass's stale snapshot. Structured Streaming replays the
+        # failed batch after the lock releases.
+        with writer_beacon(self.target_dir, "partitioned upsert batch"):
+            self._apply_guarded(batch_df)
+
+    def _apply_guarded(self, batch_df: DataFrame) -> None:
         self._recover_rescale()
         # localCheckpoint, not persist: the touched-partition collect,
         # the merge, and the partitionBy write each re-plan everything

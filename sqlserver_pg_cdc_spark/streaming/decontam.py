@@ -221,16 +221,18 @@ class DecontamGate:
         return self.eval_index.spark
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement: a log compaction on either
+        # side must not interleave with this batch's generation writes,
+        # nor start mid-batch (the beacons hold for the whole batch)
+        with writer_beacon(self.accepted_dir, "decontam gate batch"), \
+                writer_beacon(self.quarantine_dir, "decontam gate batch"):
+            self._gated_call(batch_df, batch_id)
+
+    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
-
-        # single-writer enforcement: a log compaction on either side
-        # must not interleave with this batch's generation writes
-        assert_no_maintenance(self.accepted_dir, "decontam gate batch")
-        assert_no_maintenance(self.quarantine_dir, "decontam gate batch")
         id_col = self.eval_index.id_col
         report = self.eval_index.contamination(batch_df, self.min_hits)
         if report is None:
@@ -348,16 +350,18 @@ class SemanticDecontamGate:
         return self.eval_index.spark
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement before the probe work
+        with writer_beacon(self.accepted_dir, "semantic gate batch"), \
+                writer_beacon(self.quarantine_dir, "semantic gate batch"):
+            self._gated_call(batch_df, batch_id)
+
+    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
 
-        # single-writer enforcement before the probe work
-        assert_no_maintenance(self.accepted_dir, "semantic gate batch")
-        assert_no_maintenance(self.quarantine_dir, "semantic gate batch")
         rec = _phases.PhaseRecorder()
         id_col = self.eval_index.id_col
         pairs = self.eval_index.near_dups(batch_df, self.threshold)

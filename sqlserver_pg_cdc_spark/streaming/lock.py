@@ -6,26 +6,45 @@ quiesced — single writer only": the op re-reads partition files between
 its stats pass and its rewrite pass, so a concurrent ``foreachBatch``
 writer swapping a partition in that window would be silently
 overwritten with the op's stale snapshot (a lost update). Through
-round 9 that contract was documentation only; this module ENFORCES it:
+round 9 that contract was documentation only; this module ENFORCES it
+in BOTH directions:
 
 * the maintenance op holds a create-exclusive marker
   (``__maintenance.lock``, O_CREAT|O_EXCL — atomic on every POSIX
   filesystem) in the state/log dir for the duration of the pass;
-* every partitioned sink's batch apply and every gate's log write
-  checks the marker first and FAILS FAST with a clear message while a
-  live pass holds it — Structured Streaming surfaces the failed batch
-  and replays it after the pass releases;
-* a second concurrent maintenance op fails the exclusive create the
-  same way.
+  writer batches that arrive while it is held FAIL FAST with a clear
+  message (Structured Streaming replays them after the pass), and a
+  second concurrent maintenance op fails the exclusive create;
+* every writer batch holds a BEACON (``__writers/w_*.json``) for its
+  duration, and a maintenance op refuses to start while live beacons
+  exist — so a pass can no more start mid-batch than a batch can start
+  mid-pass. The handshake is the classic store-then-load: the writer
+  creates its beacon FIRST and only then checks the lock (aborting and
+  removing the beacon if one appeared); the maintenance op creates the
+  lock FIRST and only then checks beacons (releasing the lock if any
+  are live). Both sides proceeding simultaneously is impossible —
+  whichever marker landed second is seen by the other side's check.
 
-Crash recovery: a pass that dies mid-way leaves the marker behind, but
-the marker records (pid, host, ts) — a later acquire or writer check
-treats it as STALE when its pid is gone (same host) or its timestamp
-is past ``stale_after_s``, breaks it, and proceeds. That is safe
-because every guarded op is individually crash-recoverable
-(`_recover_rescale`, per-partition generation swap, batch-log meta
-commit point): the lock exists to serialize LIVE writers, not to mark
-corruption.
+Crash recovery, without TOCTOU races:
+
+* a lock whose pid is GONE on this host is stale immediately; a lock
+  whose pid is ALIVE here still ages out after ``4 x stale_after_s``
+  (pids recycle — an unrelated long-lived process reusing the pid must
+  not make the lock immortal); foreign-host/anonymous locks age out
+  after ``stale_after_s``. Beacons follow the same rules.
+* WRITERS never delete a stale lock — they treat it as absent and
+  proceed (deleting would race a maintenance op that just broke the
+  same stale lock and created a fresh LIVE one: the unconditional
+  remove could take out the live lock).
+* MAINTENANCE acquirers break a stale lock through a short-lived break
+  mutex (``__maintenance.lock.break``, O_EXCL) and remove the lock
+  only if its bytes still equal the payload they judged stale — a
+  fresh lock that replaced it in the meantime is never deleted.
+
+Breaking a stale lock is safe because every guarded op is individually
+crash-recoverable (`_recover_rescale`, per-partition generation swap,
+batch-log meta commit point): the lock exists to serialize LIVE
+writers, not to mark corruption.
 
 Reference analog: the reference serializes day-2 maintenance against
 its connectors by pausing them (docs/troubleshooting-part01.md
@@ -38,34 +57,49 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from contextlib import contextmanager
 
 LOCK_FILE = "__maintenance.lock"
+_BEACON_DIR = "__writers"
 
-# Default staleness horizon for locks whose owner cannot be liveness-
-# checked (other host): generous, because breaking a LIVE lock is the
-# one unsafe action. Same-host dead pids are broken immediately.
+# Staleness horizon for locks/beacons whose owner cannot be
+# liveness-checked (other host, unparseable payload). Same-host dead
+# pids break immediately; same-host ALIVE pids age out at 4x this
+# (these passes run minutes — an alive pid past that horizon is almost
+# certainly a recycled pid, and an immortal lock blocks everything).
 DEFAULT_STALE_AFTER_S = 6 * 3600.0
 
 
 class MaintenanceLockError(RuntimeError):
     """A maintenance pass holds (or contends for) the single-writer
-    lock. Writers should retry after the pass finishes."""
+    lock — or in-flight writer batches hold the state. Retry after the
+    other side finishes."""
 
 
 def _lock_path(state_dir: str) -> str:
     return os.path.join(state_dir, LOCK_FILE)
 
 
-def read_lock(state_dir: str) -> dict | None:
-    """The live lock's payload (op, pid, host, ts) or None. A marker
-    that cannot be parsed (crash mid-write) reads as an empty dict —
-    present but anonymous, so staleness falls back to file mtime."""
-    path = _lock_path(state_dir)
+def _payload(op: str) -> dict:
+    import socket
+
+    return {
+        "op": op,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "ts": time.time(),
+    }
+
+
+def _read_marker(path: str) -> tuple[dict, bytes] | None:
+    """(parsed payload, raw bytes) or None. An unparseable marker
+    (crash mid-write) reads as an empty dict — present but anonymous,
+    so staleness falls back to file mtime."""
     try:
-        with open(path) as f:
+        with open(path, "rb") as f:
             raw = f.read()
-    except FileNotFoundError:
+    except (FileNotFoundError, OSError):
         return None
     try:
         info = json.loads(raw)
@@ -76,47 +110,70 @@ def read_lock(state_dir: str) -> dict | None:
             info["ts"] = os.path.getmtime(path)
         except OSError:
             info["ts"] = time.time()
-    return info
+    return info, raw
+
+
+def read_lock(state_dir: str) -> dict | None:
+    """The lock's payload (op, pid, host, ts) or None — present means
+    present, NOT necessarily live; pair with :func:`_is_stale`."""
+    got = _read_marker(_lock_path(state_dir))
+    return got[0] if got is not None else None
 
 
 def _is_stale(info: dict, stale_after_s: float) -> bool:
     import socket
 
+    age = time.time() - float(info.get("ts", 0.0))
     pid = info.get("pid")
     host = info.get("host")
     if pid is not None and host == socket.gethostname():
         try:
             os.kill(int(pid), 0)
         except ProcessLookupError:
-            return True  # owner died on this host: break immediately
-        except PermissionError:
-            pass  # alive, owned by another user
+            return True  # owner died on this host: stale immediately
         except (OverflowError, ValueError):
             return True  # garbage pid: treat as crashed-mid-write
-        else:
-            return False  # owner is alive here: never stale by age
-        return False
-    # foreign-host or anonymous lock: age is the only signal
-    return (time.time() - float(info.get("ts", 0.0))) > stale_after_s
+        except PermissionError:
+            pass  # alive, owned by another user
+        # alive on this host — but pids recycle: age out on the long
+        # horizon rather than living forever under a reused pid
+        return age > 4 * stale_after_s
+    # foreign-host or anonymous marker: age is the only signal
+    return age > stale_after_s
 
 
-def assert_no_maintenance(
-    state_dir: str,
-    what: str = "upsert batch",
-    stale_after_s: float = DEFAULT_STALE_AFTER_S,
-) -> None:
-    """Writer-side check: fail fast while a LIVE maintenance pass holds
-    the dir; break and proceed past a stale (crashed) one."""
-    info = read_lock(state_dir)
-    if info is None:
-        return
-    if _is_stale(info, stale_after_s):
+def _break_stale(path: str, judged_raw: bytes) -> None:
+    """Remove a lock judged stale — serialized through a break mutex,
+    and only if its bytes still equal what was judged (a fresh lock
+    that replaced it is never deleted)."""
+    bm = path + ".break"
+    try:
+        fd = os.open(bm, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # another breaker is active; if IT crashed, age its mutex out
         try:
-            os.remove(_lock_path(state_dir))
-        except FileNotFoundError:
+            if time.time() - os.path.getmtime(bm) > 60:
+                os.remove(bm)
+        except OSError:
             pass
         return
-    raise MaintenanceLockError(
+    try:
+        os.close(fd)
+        cur = _read_marker(path)
+        if cur is not None and cur[1] == judged_raw:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+    finally:
+        try:
+            os.remove(bm)
+        except FileNotFoundError:
+            pass
+
+
+def _held_message(what: str, state_dir: str, info: dict) -> str:
+    return (
         f"{what} refused: maintenance op {info.get('op')!r} "
         f"(pid {info.get('pid')}, host {info.get('host')}, started "
         f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime(float(info.get('ts', 0.0))))}) "
@@ -125,54 +182,143 @@ def assert_no_maintenance(
     )
 
 
+def assert_no_maintenance(
+    state_dir: str,
+    what: str = "upsert batch",
+    stale_after_s: float = DEFAULT_STALE_AFTER_S,
+) -> None:
+    """Writer-side check: fail fast while a LIVE maintenance pass holds
+    the dir. A stale (crashed) lock is treated as ABSENT — deliberately
+    not deleted here: an unconditional writer-side remove would race a
+    maintenance acquirer that just broke the same stale lock and
+    created a fresh live one. The next maintenance op breaks it."""
+    got = _read_marker(_lock_path(state_dir))
+    if got is None:
+        return
+    info, _ = got
+    if _is_stale(info, stale_after_s):
+        return
+    raise MaintenanceLockError(_held_message(what, state_dir, info))
+
+
+def _beacon_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, _BEACON_DIR)
+
+
+def _live_beacons(
+    state_dir: str, stale_after_s: float
+) -> list[dict]:
+    """Live writer beacons; stale ones (dead pid / aged out) are swept
+    in passing."""
+    bdir = _beacon_dir(state_dir)
+    try:
+        names = os.listdir(bdir)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    live = []
+    for n in names:
+        p = os.path.join(bdir, n)
+        got = _read_marker(p)
+        if got is None:
+            continue
+        info, _ = got
+        if _is_stale(info, stale_after_s):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            continue
+        live.append(info)
+    return live
+
+
+@contextmanager
+def writer_beacon(
+    state_dir: str,
+    what: str = "upsert batch",
+    stale_after_s: float = DEFAULT_STALE_AFTER_S,
+):
+    """Held by a writer batch for its whole duration. Mark-then-check:
+    the beacon lands BEFORE the lock check, so a maintenance op that
+    acquires the lock concurrently is guaranteed to see either this
+    beacon (and release) or this writer's abort. Use this — not a bare
+    :func:`assert_no_maintenance` — around any state-mutating batch."""
+    os.makedirs(_beacon_dir(state_dir), exist_ok=True)
+    path = os.path.join(
+        _beacon_dir(state_dir), f"w_{os.getpid()}_{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(dict(_payload(what)), f)
+    try:
+        try:
+            assert_no_maintenance(state_dir, what, stale_after_s)
+        except MaintenanceLockError:
+            # abort: the pass holds the lock; our beacon must not keep
+            # blocking it after we give way
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            raise
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+
 @contextmanager
 def maintenance_lock(
     state_dir: str,
     op: str,
     stale_after_s: float = DEFAULT_STALE_AFTER_S,
 ):
-    """Hold the create-exclusive maintenance marker for the pass."""
-    import socket
-
+    """Hold the create-exclusive maintenance marker for the pass. After
+    the lock lands, in-flight writer beacons are checked (the mirror of
+    the writer's mark-then-check): any live beacon releases the lock
+    and raises — the pass must not start mid-batch."""
     os.makedirs(state_dir, exist_ok=True)
     path = _lock_path(state_dir)
     fd = None
-    for _attempt in range(2):
+    for _attempt in range(3):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            info = read_lock(state_dir)
-            if info is not None and _is_stale(info, stale_after_s):
-                # crashed owner: break the lock, retry the exclusive
-                # create once (a racing breaker loses the create and
-                # re-reads a FRESH lock on its second attempt)
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+            got = _read_marker(path)
+            if got is None:
+                continue  # vanished between create and read: retry
+            info, raw = got
+            if _is_stale(info, stale_after_s):
+                _break_stale(path, raw)
                 continue
             raise MaintenanceLockError(
                 f"maintenance op {op!r} refused: "
-                f"{(info or {}).get('op')!r} (pid {(info or {}).get('pid')}) "
-                f"already holds the single-writer lock on {state_dir}"
+                f"{info.get('op')!r} (pid {info.get('pid')}) already "
+                f"holds the single-writer lock on {state_dir}"
             )
     if fd is None:
         raise MaintenanceLockError(
             f"maintenance op {op!r} could not acquire the single-writer "
             f"lock on {state_dir} (live contention)"
         )
+    with os.fdopen(fd, "w") as f:
+        json.dump(_payload(op), f)
+    live = _live_beacons(state_dir, stale_after_s)
+    if live:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        whats = sorted({str(b.get("op")) for b in live})
+        raise MaintenanceLockError(
+            f"maintenance op {op!r} refused: {len(live)} in-flight "
+            f"writer batch(es) hold {state_dir} ({', '.join(whats)}) — "
+            "quiesce the stream (or wait for the batches to drain) and "
+            "retry"
+        )
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "op": op,
-                    "pid": os.getpid(),
-                    "host": socket.gethostname(),
-                    "ts": time.time(),
-                },
-                f,
-            )
         yield
     finally:
         try:

@@ -183,7 +183,14 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         payload once, and lsn/__del ride through as keep_cols — no
         re-decode, no batch-sized join back. Docs whose payload does
         not decode keep a NULL fp (they can never collide) but still
-        own a state row, so a later payload update or delete lands."""
+        own a state row, so a later payload update or delete lands.
+
+        The riders cross the pandas boundary AS STRINGS: a nullable
+        long column entering pandas becomes float64 (one NULL anywhere
+        poisons the whole column), silently corrupting every LSN past
+        2^53 before our code ever sees it — the Int64-inference trap
+        the fingerprint columns already guard against. long -> string
+        -> long round-trips exactly for every value and NULL."""
         from sqlserver_pg_cdc_spark.operators import multimodal as mm
 
         lsn = (
@@ -191,7 +198,7 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             if self.src_lsn_col
             else F.lit(int(batch_id)).cast("long")
         )
-        extra = [lsn.alias("lsn")]
+        extra = [lsn.cast("string").alias("__lsn_s")]
         src = batch_df
         if self.deleted_col:
             del_flag = F.coalesce(
@@ -201,8 +208,8 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             src = batch_df.filter(
                 F.col(self.payload_col).isNotNull() | del_flag
             )
-            extra.append(del_flag.alias("__del"))
-        keep = ["lsn"] + (["__del"] if self.deleted_col else [])
+            extra.append(del_flag.cast("string").alias("__del_s"))
+        keep = ["__lsn_s"] + (["__del_s"] if self.deleted_col else [])
         pre = src.select(
             F.col(self.id_col), F.col(self.payload_col), *extra
         )
@@ -218,8 +225,13 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
                 decoder=self.decoder, keep_cols=tuple(keep),
             )
             fp_col = "afp"
+        post = [F.col("__lsn_s").cast("long").alias("lsn")]
+        if self.deleted_col:
+            post.append(
+                (F.col("__del_s") == F.lit("true")).alias("__del")
+            )
         return out.select(
-            F.col("doc_id").alias("doc"), F.col(fp_col).alias("fp"), *keep
+            F.col("doc_id").alias("doc"), F.col(fp_col).alias("fp"), *post
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -376,17 +388,20 @@ class MediaDedupGateSink(FingerprintIndexSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement before the decode work (the
+        # text gate discipline): fail fast while a compaction/
+        # maintenance pass runs, and hold beacons for the batch's whole
+        # duration so a pass cannot start mid-batch either
+        with writer_beacon(self.dups_dir, "media gate batch (dup log)"), \
+                writer_beacon(self.target_dir, "media gate batch"):
+            self._gated_call(batch_df, batch_id)
+
+    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.operators.dedup import dup_components
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
 
-        # single-writer enforcement before the decode work (the text
-        # gate discipline): a dup-log compaction or state maintenance
-        # pass must not interleave with this batch
-        assert_no_maintenance(self.dups_dir, "media gate batch (dup log)")
-        assert_no_maintenance(self.target_dir, "media gate batch")
         rec = _phases.PhaseRecorder()
         # ONE decode pass per batch; localCheckpoint truncates the
         # mapInPandas lineage so the ~5 downstream actions plan over a

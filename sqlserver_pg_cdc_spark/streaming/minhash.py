@@ -462,6 +462,18 @@ class DedupGateSink(MinhashIndexSink):
         return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement, marked BEFORE the probe
+        # work: a log compaction (dup-log lock) or state maintenance
+        # pass must not interleave with this batch — fail fast if one
+        # is running, and hold beacons on BOTH dirs for the batch's
+        # whole duration so a pass cannot start mid-batch either
+        with writer_beacon(self.dups_dir, "dedup gate batch (dup log)"), \
+                writer_beacon(self.target_dir, "dedup gate batch"):
+            self._gated_call(batch_df, batch_id)
+
+    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         from sqlserver_pg_cdc_spark.operators.dedup import dup_components
 
         # ONE projection per batch — tokenize/md5/minhash/band once, then
@@ -475,16 +487,7 @@ class DedupGateSink(MinhashIndexSink):
         # are batch-sized and a Structured Streaming replay re-drives
         # the whole batch anyway, so the non-replayable lineage is moot
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
 
-        # single-writer enforcement, checked BEFORE the probe work: a
-        # log compaction (dup-log lock) or state maintenance pass must
-        # not interleave with this batch — fail fast, let Structured
-        # Streaming replay after the pass releases
-        assert_no_maintenance(self.dups_dir, "dedup gate batch (dup log)")
-        assert_no_maintenance(self.target_dir, "dedup gate batch")
         rec = _phases.PhaseRecorder()
         proj = self._project(batch_df, batch_id).localCheckpoint()
         rec.mark("projection")

@@ -312,16 +312,17 @@ class PartitionedScd2Sink:
             )
 
     def _apply(self, batch_df: DataFrame) -> None:
+        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+        # two-way single-writer enforcement: fail fast while
+        # prune_history (or any pass) holds the lock, and hold a writer
+        # beacon so a pass cannot start mid-batch either
+        with writer_beacon(self.target_dir, "SCD2 apply batch"):
+            self._apply_guarded(batch_df)
+
+    def _apply_guarded(self, batch_df: DataFrame) -> None:
         import os
 
-        from sqlserver_pg_cdc_spark.streaming.lock import (
-            assert_no_maintenance,
-        )
-
-        # single-writer enforcement: fail fast while prune_history (or
-        # any maintenance pass) holds the lock — the replayed batch
-        # lands after the pass instead of being lost to its snapshot
-        assert_no_maintenance(self.target_dir, "SCD2 apply batch")
         st = self._store
         # hash the STORED key dtypes (xxhash64 is type-sensitive): a
         # batch whose key column arrives as int32 against a long-keyed

@@ -81,7 +81,9 @@ def test_purge_and_rescale_hold_and_release_the_lock(spark, tmp_path):
 
 def test_crashed_pass_lock_is_stale_and_recoverable(spark, tmp_path):
     """A pass that died leaves the marker behind; its pid is gone, so
-    the next writer AND the next maintenance op break it and proceed."""
+    the next writer treats it as ABSENT (proceeding without deleting —
+    a writer-side remove would race a fresh acquire) and the next
+    maintenance op breaks it through the break mutex and proceeds."""
     import socket
 
     sink = _sink(spark, tmp_path)
@@ -93,17 +95,13 @@ def test_crashed_pass_lock_is_stale_and_recoverable(spark, tmp_path):
              "host": socket.gethostname(), "ts": time.time()},
             f,
         )
-    sink(_rows(spark, range(5, 8)), 1)  # writer breaks the dead lock
+    sink(_rows(spark, range(5, 8)), 1)  # writer proceeds past the dead lock
     assert sink.read_target().count() == 8
-    assert read_lock(sdir) is None
-    # same for a new maintenance acquire
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
-        json.dump(
-            {"op": "purge_tombstones", "pid": _dead_pid(),
-             "host": socket.gethostname(), "ts": time.time()},
-            f,
-        )
+    # the stale marker is NOT writer-deleted; the next maintenance
+    # acquire breaks it and runs
+    assert read_lock(sdir) is not None
     assert sink.purge_tombstones(10**9, deleted_col="__deleted")["purged"] == 1
+    assert read_lock(sdir) is None  # the pass released its own lock
 
 
 def test_foreign_host_lock_blocks_until_age_out(tmp_path):
@@ -125,8 +123,11 @@ def test_foreign_host_lock_blocks_until_age_out(tmp_path):
              "ts": time.time() - 7200},
             f,
         )
-    assert_no_maintenance(sdir, stale_after_s=3600)  # aged out: broken
-    assert read_lock(sdir) is None
+    assert_no_maintenance(sdir, stale_after_s=3600)  # aged out: ignored
+    # ... but not writer-deleted; a maintenance acquire breaks it
+    assert read_lock(sdir) is not None
+    with maintenance_lock(sdir, "x", stale_after_s=3600):
+        assert read_lock(sdir)["op"] == "x"
     # an unparseable marker (crash mid-write) falls back to file mtime
     with open(os.path.join(sdir, LOCK_FILE), "w") as f:
         f.write("{half a json")
@@ -135,6 +136,55 @@ def test_foreign_host_lock_blocks_until_age_out(tmp_path):
     old = time.time() - 7200
     os.utime(os.path.join(sdir, LOCK_FILE), (old, old))
     assert_no_maintenance(sdir, stale_after_s=3600)
+
+
+def test_recycled_pid_lock_ages_out_on_the_long_horizon(tmp_path):
+    """A crashed pass whose pid was recycled by a LIVE unrelated
+    process must not hold the lock forever: alive-pid locks age out at
+    4x the horizon (a genuinely live pass runs minutes, not hours)."""
+    import socket
+
+    sdir = str(tmp_path / "y")
+    os.makedirs(sdir)
+    me = {"op": "rescale", "pid": os.getpid(),  # alive: this process
+          "host": socket.gethostname()}
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(dict(me, ts=time.time()), f)
+    with pytest.raises(MaintenanceLockError):
+        assert_no_maintenance(sdir, stale_after_s=3600)  # fresh: held
+    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+        json.dump(dict(me, ts=time.time() - 5 * 3600), f)
+    # past 4x the horizon: treated as a recycled pid, ignored
+    assert_no_maintenance(sdir, stale_after_s=3600)
+
+
+def test_writer_beacon_blocks_maintenance_start_mid_batch(spark, tmp_path):
+    """The other direction of enforcement: a maintenance pass must not
+    START while a writer batch is in flight — the batch's beacon makes
+    the acquire release its lock and raise; a crashed writer's beacon
+    (dead pid) is swept and does not block."""
+    import socket
+
+    from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(6), deleted={2}), 0)
+    sdir = str(tmp_path / "st")
+    with writer_beacon(sdir, "in-flight batch"):
+        with pytest.raises(MaintenanceLockError, match="in-flight"):
+            sink.purge_tombstones(10**9, deleted_col="__deleted")
+        # the failed acquire released its lock: writers keep flowing
+        assert read_lock(sdir) is None
+    # beacon released: the pass runs
+    assert sink.purge_tombstones(10**9, deleted_col="__deleted")["purged"] == 1
+    # a crashed writer's beacon does not block (dead pid -> swept)
+    bdir = os.path.join(sdir, "__writers")
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, "w_dead.json"), "w") as f:
+        json.dump({"op": "upsert batch", "pid": _dead_pid(),
+                   "host": socket.gethostname(), "ts": time.time()}, f)
+    assert sink.purge_tombstones(10**9, deleted_col="__deleted")["purged"] == 0
+    assert os.listdir(bdir) == []  # swept in passing
 
 
 def test_scd2_apply_fails_during_prune_lock(spark, tmp_path):

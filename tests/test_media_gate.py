@@ -249,3 +249,49 @@ def test_near_dups_probe_api(spark, tmp_path):
         assert got == {(10, 1, 0)}  # class 6 is not indexed: no match
     finally:
         res.unpersist()
+
+
+def test_lsn_rides_the_decode_pass_exactly_past_2_53(spark, tmp_path):
+    """The Int64-inference trap, closed at the sink: a batch carrying
+    an LSN past 2^53 BESIDE a NULL-lsn row must store both exactly —
+    a nullable long entering pandas as float64 would corrupt the big
+    LSN's low bits and break the upsert's ordering guard. The riders
+    cross the mapInPandas boundary as strings (lossless round-trip)."""
+    big = (1 << 60) + 12345  # unrepresentable in float64
+    gate = _gate(
+        spark, tmp_path, media="audio",
+        lsn_col="lsn", deleted_col="__deleted",
+    )
+    wav = _audio_payload(0, "wav")
+    # plain-row construction (how CDC batches actually arrive) — a
+    # pandas fixture would float64 the [big, None] column before Spark
+    # ever saw it and corrupt the value in the TEST, not the engine
+    batch = spark.createDataFrame(
+        [
+            (1, bytearray(wav), big, "false"),
+            # a delete with NULL payload in the SAME batch: its
+            # presence used to flip the whole lsn column to float64
+            # inside the fingerprint mapInPandas pass
+            (2, None, None, "true"),
+        ],
+        "doc_id long, payload binary, lsn long, __deleted string",
+    )
+    gate(batch, 0)
+    st = {r["doc"]: r["lsn"] for r in gate.read_target().collect()}
+    assert st[1] == big  # bit-exact, not big±(float64 rounding)
+    assert st[2] is None
+    # the LSN guard still orders correctly against the exact value: a
+    # stale update (lsn = big - 1) must lose
+    gate(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(1, _audio_payload(3, "wav"), big - 1, "false")],
+                columns=["doc_id", "payload", "lsn", "__deleted"],
+            ),
+            "doc_id long, payload binary, lsn long, __deleted string",
+        ),
+        1,
+    )
+    fp_now = {r["doc"]: r["fp"] for r in gate.read_target().collect()}
+    st2 = {r["doc"]: r["lsn"] for r in gate.read_target().collect()}
+    assert st2[1] == big  # stale write rejected on exact comparison

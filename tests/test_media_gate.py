@@ -295,3 +295,44 @@ def test_lsn_rides_the_decode_pass_exactly_past_2_53(spark, tmp_path):
     fp_now = {r["doc"]: r["fp"] for r in gate.read_target().collect()}
     st2 = {r["doc"]: r["lsn"] for r in gate.read_target().collect()}
     assert st2[1] == big  # stale write rejected on exact comparison
+
+
+def test_near_dup_variant_rejected_at_its_measured_hamming(spark, tmp_path):
+    """NEAR-dup (0 < Hamming <= 6) evidence at the GATE level, not just
+    the banding unit tests: a gently perturbed re-render of an indexed
+    image lands within the pigeonhole's recall band and is rejected
+    with exactly the Hamming distance computed in-test; tightening
+    max_hamming below that distance lets the same variant pass."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import phash_pixels
+
+    y, x = np.mgrid[0:64, 0:64]
+    g = (37 * ((x * 2) // 16) + 59 * ((y * 3) // 16) + 29 * ((x + y) // 32)) % 256
+    base = np.stack([g.astype(np.uint8)] * 3, axis=2)
+    pert = np.clip(
+        base.astype(np.int64)
+        + ((x % 7 == 0).astype(np.int64)[:, :, None] * 10),
+        0, 255,
+    ).astype(np.uint8)
+    h0, h1 = phash_pixels(base), phash_pixels(pert)
+    ham = bin(h0 ^ h1).count("1")
+    assert 1 <= ham <= 6  # a true near-dup, not an exact copy
+
+    p_base = encode_bmp(64, 64, base.tobytes())
+    p_pert = encode_png(64, 64, pert.tobytes())  # different container too
+    gate = _gate(spark, tmp_path, media="image")
+    gate(_frame(spark, [(1, p_base)]), 0)
+    gate(_frame(spark, [(9, p_pert)]), 1)
+    log = {(r["doc"], r["dup_of"], r["hamming"], r["kind"])
+           for r in gate.dup_log().collect()}
+    assert log == {(9, 1, ham, "corpus")}
+    assert _indexed(gate) == {1}
+
+    # a tighter dial (max_hamming below the measured distance) admits
+    # the same variant: it indexes beside the base
+    strict = _gate(
+        spark, tmp_path / "strict", media="image", max_hamming=ham - 1
+    )
+    strict(_frame(spark, [(1, p_base)]), 0)
+    strict(_frame(spark, [(9, p_pert)]), 1)
+    assert strict.dup_log().count() == 0
+    assert _indexed(strict) == {1, 9}

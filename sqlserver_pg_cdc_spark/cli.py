@@ -351,7 +351,8 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--payload-col", default="payload")
     media.add_argument("--mode", required=True,
                        choices=["features", "image", "audio", "video",
-                                "resize", "resample", "thumbnails"])
+                                "resize", "resample", "thumbnails",
+                                "phash", "afp"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -373,7 +374,49 @@ def create_parser() -> argparse.ArgumentParser:
                        help="repartition before the codec stage (0 = "
                             "leave the scan's split count; set to the "
                             "core count when the input is few files)")
+    media.add_argument("--near-pairs", metavar="DIR",
+                       help="phash/afp modes: also write the banded-"
+                            "Hamming near-dup pairs (a, b, hamming) "
+                            "over the computed fingerprints here")
+    media.add_argument("--max-hamming", type=int, default=6,
+                       help="phash/afp --near-pairs: Hamming cut "
+                            "(full recall through 6)")
     media.add_argument("--output", required=True)
+
+    sample = sub.add_parser(
+        "sample",
+        help="deterministic corpus sampling: content-hash keep/drop "
+             "(reproducible across engines, partitionings, and runs), "
+             "stratified caps, quality-weighted Bernoulli, and "
+             "cluster-balanced diversity selection over embeddings",
+    )
+    sample.add_argument("--input", required=True,
+                        help="parquet corpus (documents or embeddings)")
+    sample.add_argument("--output", required=True)
+    sample.add_argument("--mode", required=True,
+                        choices=["deterministic", "stratified",
+                                 "weighted", "diversity"])
+    sample.add_argument("--key-col", default="doc_id",
+                        help="content-hash key (the sample is a pure "
+                             "function of this column's values)")
+    sample.add_argument("--fraction", type=float, default=0.1,
+                        help="deterministic/weighted: keep fraction")
+    sample.add_argument("--weight-col",
+                        help="weighted: per-row quality weight in "
+                             "[0, 1]; keep probability = weight x "
+                             "fraction")
+    sample.add_argument("--strata", nargs="+",
+                        help="stratified: stratum column(s)")
+    sample.add_argument("--per-stratum", type=int, default=100,
+                        help="stratified: max rows kept per stratum")
+    sample.add_argument("--vec-col", default="embedding",
+                        help="diversity: embedding column")
+    sample.add_argument("--quota", type=int, default=1000,
+                        help="diversity: max rows kept per IVF cell")
+    sample.add_argument("--cells", type=int, default=64,
+                        help="diversity: IVF cell count (first-n-by-id "
+                             "centroids; train via the ann CLI for "
+                             "production recall)")
 
     state = sub.add_parser(
         "state",
@@ -1446,8 +1489,11 @@ def cmd_media(args) -> int:
     drop convention rather than failing the job — at corpus scale
     damaged payloads are data, not errors."""
     from sqlserver_pg_cdc_spark.operators.multimodal import (
+        audio_fingerprints,
         binary_features,
         decode_images,
+        phash_images,
+        phash_near_pairs,
         resample_audio,
         resize_images,
         sample_audio_frames,
@@ -1460,6 +1506,37 @@ def cmd_media(args) -> int:
     df = spark.read.parquet(args.input)
     if args.partitions:
         df = df.repartition(args.partitions)
+    if args.mode in ("phash", "afp"):
+        # cross-container fingerprints: identical pixels/samples hash
+        # identically regardless of container; optional banded-Hamming
+        # near-pair output (no all-pairs — the 7x9-bit pigeonhole)
+        from pyspark.sql import functions as F
+
+        fn = phash_images if args.mode == "phash" else audio_fingerprints
+        fp_col = "phash" if args.mode == "phash" else "afp"
+        fps = fn(df, args.id_col, args.payload_col, decoder=args.decoder)
+        fps.write.mode("overwrite").parquet(args.output)
+        fps = spark.read.parquet(args.output)
+        result = {
+            "mode": args.mode,
+            "rows": fps.count(),
+            "fingerprinted": fps.filter(
+                F.col(fp_col).isNotNull()
+            ).count(),
+            "output": args.output,
+        }
+        if args.near_pairs:
+            pairs = phash_near_pairs(
+                fps, id_col="doc_id", hash_col=fp_col,
+                max_hamming=args.max_hamming,
+            )
+            pairs.write.mode("overwrite").parquet(args.near_pairs)
+            result["near_pairs"] = spark.read.parquet(
+                args.near_pairs
+            ).count()
+            result["near_pairs_output"] = args.near_pairs
+        print(json.dumps(result))
+        return 0
     if args.mode == "features":
         out = binary_features(df, args.id_col, args.payload_col)
     elif args.mode == "image":
@@ -1499,6 +1576,52 @@ def cmd_media(args) -> int:
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"mode": args.mode, "rows": n, "output": args.output}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic corpus sampling: every mode derives the keep/drop
+    decision from a content hash of the key, so the sample is a pure
+    function of the data — reproducible across engines, partitionings,
+    and re-runs (disjoint fractions give consistent train/holdout
+    splits). All modes are one scan (+ one bounded shuffle for the
+    per-group caps); nothing reaches the driver but counts."""
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        deterministic_sample,
+        diversity_sample,
+        stratified_sample,
+        weighted_sample,
+    )
+    from sqlserver_pg_cdc_spark.session import get_spark
+
+    spark = get_spark("sample-cli")
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    if args.mode == "deterministic":
+        out = deterministic_sample(df, args.key_col, args.fraction)
+    elif args.mode == "weighted":
+        if not args.weight_col:
+            raise SystemExit("--mode weighted requires --weight-col")
+        out = weighted_sample(
+            df, args.key_col, args.weight_col, args.fraction
+        )
+    elif args.mode == "stratified":
+        if not args.strata:
+            raise SystemExit("--mode stratified requires --strata")
+        out = stratified_sample(
+            df, list(args.strata), args.key_col, args.per_stratum
+        )
+    else:
+        out = diversity_sample(
+            df, args.key_col, args.vec_col,
+            quota=args.quota, n_cells=args.cells,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "mode": args.mode, "rows_in": n_in, "rows_out": n_out,
+        "output": args.output,
+    }))
     return 0
 
 
@@ -1584,6 +1707,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_state(args)
     if args.command == "media":
         return cmd_media(args)
+    if args.command == "sample":
+        return cmd_sample(args)
     return 2
 
 

@@ -1541,3 +1541,108 @@ def test_cli_gate_media_audio_cross_container(tmp_path, spark):
     log = read_batch_log(spark, str(tmp_path / "mdups")).collect()
     assert [(r2["doc"], r2["dup_of"], r2["hamming"], r2["kind"])
             for r2 in log] == [(10, 1, 0, "corpus")]
+
+
+def test_cli_sample_all_modes(tmp_path, spark):
+    """`sample`: the four deterministic samplers through a real
+    subprocess — fraction law, weighted law (weight 0 never kept),
+    per-stratum cap, and the diversity quota — all reproducible (a
+    second run returns the identical set)."""
+    import json as _json
+
+    rows = []
+    for i in range(400):
+        rows.append((i, f"s{i % 4}", 1.0 if i % 2 else 0.0,
+                     [float((i % 8) * 31 + j) for j in range(8)]))
+    spark.createDataFrame(
+        rows, "doc_id long, src string, w double, embedding array<double>"
+    ).write.parquet(str(tmp_path / "corpus"))
+
+    def run(mode, *extra):
+        cmd = [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "sample",
+            "--input", str(tmp_path / "corpus"),
+            "--output", str(tmp_path / f"out_{mode}"),
+            "--mode", mode, "--key-col", "doc_id", *extra,
+        ]
+        r = subprocess.run(cmd, cwd="/root/repo", capture_output=True,
+                           text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    det = run("deterministic", "--fraction", "0.25")
+    assert det["rows_in"] == 400
+    assert 0.15 * 400 < det["rows_out"] < 0.35 * 400
+    det2 = run("deterministic", "--fraction", "0.25")
+    assert det2["rows_out"] == det["rows_out"]  # pure function of data
+
+    wtd = run("weighted", "--fraction", "0.5", "--weight-col", "w")
+    kept = {r2[0] for r2 in spark.read.parquet(
+        str(tmp_path / "out_weighted")).select("doc_id").collect()}
+    assert kept and all(k % 2 == 1 for k in kept)  # weight-0 never kept
+
+    strat = run("stratified", "--strata", "src", "--per-stratum", "10")
+    assert strat["rows_out"] == 40  # 4 strata x 10
+    per = spark.read.parquet(str(tmp_path / "out_stratified")) \
+        .groupBy("src").count().collect()
+    assert all(r2["count"] == 10 for r2 in per)
+
+    div = run("diversity", "--vec-col", "embedding",
+              "--quota", "5", "--cells", "8")
+    out = spark.read.parquet(str(tmp_path / "out_diversity"))
+    per_cell = out.groupBy("cell_id").count().collect()
+    assert all(r2["count"] <= 5 for r2 in per_cell)
+    assert div["rows_out"] == sum(r2["count"] for r2 in per_cell)
+
+
+def test_cli_media_fingerprint_modes(tmp_path, spark):
+    """`media --mode afp` with --near-pairs: cross-container audio
+    fingerprints through a real subprocess — a WAV and its FLAC
+    re-encode share one fingerprint (a Hamming-0 near pair), a corrupt
+    payload fingerprints NULL."""
+    import json as _json
+
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(4000)
+    x = np.clip(
+        6000 * np.sign(np.sin(2 * np.pi * t / 128))
+        + 4000 * np.sign(np.sin(2 * np.pi * t / 512)),
+        -32767, 32767,
+    ).astype(np.int16)
+    y = np.clip(
+        5000 * np.sign(np.sin(2 * np.pi * t / 64)), -32767, 32767
+    ).astype(np.int16)
+    spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(8000, x))),
+            (2, bytearray(encode_flac(8000, x))),   # re-encode of 1
+            (3, bytearray(encode_flac(8000, y))),   # distinct recording
+            (4, bytearray(b"\x00not audio")),       # corrupt
+        ],
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "audio"))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+            "--mode", "afp", "--input", str(tmp_path / "audio"),
+            "--output", str(tmp_path / "fps"),
+            "--near-pairs", str(tmp_path / "pairs"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 4 and out["fingerprinted"] == 3
+    fps = {r2["doc_id"]: r2["afp"] for r2 in spark.read.parquet(
+        str(tmp_path / "fps")).collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[3] and fps[4] is None
+    pairs = {(r2["a"], r2["b"], r2["hamming"]) for r2 in spark.read.parquet(
+        str(tmp_path / "pairs")).collect()}
+    assert (1, 2, 0) in pairs
+    assert all(a != 4 and b != 4 for a, b, _ in pairs)

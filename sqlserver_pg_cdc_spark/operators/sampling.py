@@ -373,3 +373,83 @@ SELECT id AS {id_col}, cell_id, CAST(rk AS INTEGER) AS rk FROM (
     FROM assigned
 ) WHERE rk <= {quota}
 """
+
+
+def diversity_sample_by_rate(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quota: int,
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The HOT-CELL scale path of :func:`diversity_sample`: instead of
+    an exact per-cell row_number (one window task per cell — the skew
+    liability when one topic cluster holds a third of the corpus),
+    keep each member with probability quota/cell_size via the content
+    hash. EXPECTED kept rows per cell hit the quota with no window and
+    no per-cell sort; the plan is the cell argmax, one tiny per-cell
+    count aggregate broadcast back, and a codegen filter on the scan —
+    the `budget_mix_by_rate` discipline applied to embedding-space
+    coverage. Fully deterministic: same data + quota -> same sample,
+    on any engine or partitioning. Returns (id, cell_id)."""
+    from sqlserver_pg_cdc_spark.operators.similarity import with_ivf_cell
+
+    assigned, _ = with_ivf_cell(
+        df, id_col, vec_col, n_cells, centroids=centroids
+    )
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    rates = sizes.select(
+        "cell_id",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(quota)) / F.col("__n").cast("double"),
+            )
+            * F.lit(_BUCKETS)
+        ).alias("__thresh"),
+    )
+    return (
+        assigned.join(F.broadcast(rates), "cell_id")
+        .filter(_hash_bucket("id") < F.col("__thresh"))
+        .select(F.col("id").alias(id_col), "cell_id")
+    )
+
+
+def diversity_sample_by_rate_sql(
+    table: str, id_col: str, vec_col: str, quota: int, n_cells: int = 8
+) -> str:
+    """Oracle twin of :func:`diversity_sample_by_rate` (deterministic
+    first-n-by-id centroids): same assignment, same rate threshold
+    arithmetic (IEEE double divide + floor — the budget_mix_by_rate
+    parity pattern)."""
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine_sql
+
+    cell_cos = cosine_sql("x.v", "c.cv")
+    return f"""
+WITH cent AS (
+    SELECT {id_col} AS cell_id, {vec_col} AS cv
+    FROM {table} WHERE {vec_col} IS NOT NULL ORDER BY {id_col} LIMIT {n_cells}
+),
+assigned AS (
+    SELECT id, cell_id FROM (
+        SELECT x.id, c.cell_id,
+               row_number() OVER (PARTITION BY x.id
+                                  ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+        FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+              WHERE {vec_col} IS NOT NULL) x, cent c
+    ) WHERE rn = 1
+),
+rates AS (
+    SELECT cell_id,
+           floor(least(CAST(1 AS DOUBLE),
+                       CAST({int(quota)} AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 * {_BUCKETS}) AS __thresh
+    FROM assigned GROUP BY cell_id
+)
+SELECT a.id AS {id_col}, a.cell_id
+FROM assigned a JOIN rates r ON a.cell_id = r.cell_id
+WHERE {_hash_bucket_sql("a.id")} < r.__thresh
+"""

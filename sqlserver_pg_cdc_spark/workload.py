@@ -5040,6 +5040,37 @@ def _diversity_sample_sql() -> str:
     )
 
 
+def q_diversity_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-CELL scale path of diversity sampling
+    (`operators/sampling.diversity_sample_by_rate`): per-cell EXPECTED
+    quotas via content-hash rate thresholds — no window, no per-cell
+    sort, skew-immune (the plan is the cell argmax + one tiny count
+    aggregate broadcast back + a codegen filter). The exact-quota
+    variant (`diversity_sample`) is the validation contract; this is
+    what runs when one topic cluster holds a third of a 100 TB
+    corpus."""
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        diversity_sample_by_rate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return diversity_sample_by_rate(
+        emb, "vec_id", "embedding", quota=40, n_cells=8
+    )
+
+
+def _diversity_sample_rate_sql() -> str:
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        diversity_sample_by_rate_sql,
+    )
+
+    return diversity_sample_by_rate_sql(
+        "embeddings", "vec_id", "embedding", quota=40, n_cells=8
+    )
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -6637,6 +6668,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["shard_manifest"] = QuerySpec(q_shard_manifest, _shard_manifest_sql())
     catalog["diversity_sample"] = QuerySpec(
         q_diversity_sample, _diversity_sample_sql()
+    )
+    catalog["diversity_sample_rate"] = QuerySpec(
+        q_diversity_sample_rate, _diversity_sample_rate_sql()
     )
 
     # schema-dependent oracles (reuse the shared probes)

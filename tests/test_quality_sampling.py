@@ -318,3 +318,44 @@ def test_diversity_sample_covers_space_not_density(spark):
     )
     out2 = diversity_sample(with_null, "vec_id", "embedding", quota=5, n_cells=4)
     assert 999 not in {r["vec_id"] for r in out2.collect()}
+
+
+def test_diversity_sample_by_rate_is_windowless_and_quota_bounded(spark):
+    """The hot-cell scale path: per-cell EXPECTED quotas via hash-rate
+    thresholds — the executed plan must contain NO Window and NO Sort
+    (skew-immunity is the point), the kept count per cell must track
+    the quota (within Bernoulli noise), a cell smaller than the quota
+    keeps everything (rate clamps at 1), and the sample is a pure
+    function of the data."""
+    from sqlserver_pg_cdc_spark.operators.sampling import (
+        diversity_sample_by_rate,
+    )
+
+    def vec(seed, dim=8):
+        return [float((seed * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(4)]  # centroid seeds
+    rows += [(i, vec(1)) for i in range(100, 700)]  # hot cell: 600 rows
+    rows += [(i, vec(2)) for i in range(1000, 1003)]  # small cell: 3 rows
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_sample_by_rate(
+        df, "vec_id", "embedding", quota=50, n_cells=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan, plan
+    got = out.collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell_id"], set()).add(r["vec_id"])
+    hot = [m for m in by_cell.values() if m & set(range(100, 700))]
+    assert hot, by_cell
+    # expected 50 of 600+1: Bernoulli noise band (p=50/601, n=601)
+    assert 20 <= len(hot[0]) <= 90
+    # the under-quota cell keeps ALL members (rate clamps at 1.0)
+    small = [m for m in by_cell.values() if m & {1000, 1001, 1002}]
+    assert small and {1000, 1001, 1002} <= small[0]
+    # deterministic: identical second run
+    again = {(r["vec_id"], r["cell_id"]) for r in diversity_sample_by_rate(
+        df, "vec_id", "embedding", quota=50, n_cells=4
+    ).collect()}
+    assert again == {(r["vec_id"], r["cell_id"]) for r in got}

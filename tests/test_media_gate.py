@@ -336,3 +336,59 @@ def test_near_dup_variant_rejected_at_its_measured_hamming(spark, tmp_path):
     strict(_frame(spark, [(9, p_pert)]), 1)
     assert strict.dup_log().count() == 0
     assert _indexed(strict) == {1, 9}
+
+
+def test_end_to_end_writestream(spark, tmp_path):
+    """The production harness shape: a file-source stream of payload
+    parquet drives the gate through writeStream.foreachBatch — batch 0
+    (WAV recordings) indexes, batch 1 (their FLAC re-encodes + one
+    fresh recording) rejects the re-encodes against the standing index
+    and admits the new class."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows], pa.binary()),
+                }
+            ),
+            str(spool / fname),
+        )
+
+    write("a.parquet", [(c, _audio_payload(c, "wav")) for c in (0, 1)])
+    write("b.parquet", [
+        (10, _audio_payload(0, "flac")),
+        (11, _audio_payload(1, "flac")),
+        (12, _audio_payload(5, "flac")),  # fresh class: admitted
+    ])
+    # pin file order: the source processes oldest-modified first
+    now = _time.time()
+    os.utime(spool / "a.parquet", (now - 60, now - 60))
+    os.utime(spool / "b.parquet", (now, now))
+
+    gate = _gate(spark, tmp_path, media="audio")
+    q = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(spool))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _indexed(gate) == {0, 1, 12}
+    log = {
+        r["doc"]: (r["dup_of"], r["hamming"], r["kind"])
+        for r in gate.dup_log().collect()
+    }
+    assert log == {10: (0, 0, "corpus"), 11: (1, 0, "corpus")}

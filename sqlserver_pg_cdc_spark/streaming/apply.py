@@ -728,13 +728,35 @@ class HashPartitionedStateMixin:
         (crash after the final rename or before the first): remove
         incomplete news, remove olds only when the target is live.
         Target MISSING -> a completed new dir is adopted; else the old
-        dir is restored."""
+        dir is restored.
+
+        A target that exists but is a HUSK — no layout marker and no
+        partitions, e.g. recreated by a stray ``os.makedirs`` between
+        the swap's two renames (the round-10 ADVICE scenario; markers
+        are sibling files since, but pre-fix debris may persist) — is
+        NOT live: when a completed new dir exists the husk is removed
+        and the new layout adopted. A completed new dir is never
+        deleted unless the target carries its own layout marker."""
         import glob as _glob
 
         news = sorted(_glob.glob(f"{self.target_dir}.__rescale_new_*"))
         olds = sorted(_glob.glob(f"{self.target_dir}.__rescale_old_*"))
         if not news and not olds:
             return
+        if (
+            os.path.isdir(self.target_dir)
+            and not self._target_is_live()
+            and (
+                olds
+                or any(
+                    os.path.exists(os.path.join(d, "__rescale_complete"))
+                    for d in news
+                )
+            )
+        ):
+            # husk: clear it so the missing-target logic below adopts
+            # the completed new layout (or restores the old one)
+            shutil.rmtree(self.target_dir, ignore_errors=True)
         if not os.path.isdir(self.target_dir):
             done = [
                 d
@@ -751,8 +773,30 @@ class HashPartitionedStateMixin:
                 os.rename(olds[-1], self.target_dir)
                 olds.remove(olds[-1])
         if os.path.isdir(self.target_dir):
+            live = self._target_is_live()
             for d in news + olds:
+                if not live and os.path.exists(
+                    os.path.join(d, "__rescale_complete")
+                ):
+                    # never delete a completed layout while the target
+                    # cannot prove it IS the state (round-10 ADVICE:
+                    # this was the total-loss path)
+                    continue
                 shutil.rmtree(d, ignore_errors=True)
+
+    def _target_is_live(self) -> bool:
+        """A target dir counts as the real state only if it carries its
+        layout marker or at least one partition dir — a bare directory
+        (husk) proves nothing."""
+        if os.path.exists(os.path.join(self.target_dir, self._LAYOUT_FILE)):
+            return True
+        try:
+            return any(
+                n.startswith("part_")
+                for n in os.listdir(self.target_dir)
+            )
+        except (FileNotFoundError, NotADirectoryError):
+            return False
 
     @staticmethod
     def _schema_sha(ddl: dict, version: int) -> str:

@@ -46,6 +46,24 @@ crash-recoverable (`_recover_rescale`, per-partition generation swap,
 batch-log meta commit point): the lock exists to serialize LIVE
 writers, not to mark corruption.
 
+Both markers live at SIBLING paths of the state dir
+(``<state>.__maintenance.lock``, ``<state>.__writers/``), never inside
+it: `rescale` renames the state dir itself during its two-rename swap,
+and an in-dir lock would vanish from the target path mid-swap while a
+concurrent writer's ``os.makedirs(<state>/__writers)`` would recreate
+the target as a husk between the renames — failing the swap and
+tricking crash recovery into deleting the completed new layout
+(round-10 ADVICE). A sibling marker survives the swap untouched and
+marking it never materializes the state dir.
+
+Long passes stay live via a HEARTBEAT: the holding process rewrites
+its marker's ``ts`` every ``stale_after_s / 8`` from a daemon thread,
+so a pass (or writer batch) running longer than the staleness horizon
+is never mis-judged stale (round-10 ADVICE: a 7-hour rescale must not
+have writers walk through its lock at hour 6). The rewrite is an
+atomic ``os.replace``, and `_break_stale`'s compare-bytes-then-delete
+never removes a marker whose bytes changed since it was judged.
+
 Reference analog: the reference serializes day-2 maintenance against
 its connectors by pausing them (docs/troubleshooting-part01.md
 retention runbooks); here the pause is enforced at the state boundary
@@ -56,6 +74,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -77,8 +96,57 @@ class MaintenanceLockError(RuntimeError):
     other side finishes."""
 
 
-def _lock_path(state_dir: str) -> str:
-    return os.path.join(state_dir, LOCK_FILE)
+def lock_path(state_dir: str) -> str:
+    """The maintenance lock's SIBLING path for a state dir:
+    ``<state>.__maintenance.lock``. A sibling, not a member — the lock
+    must survive `rescale`'s rename of the state dir itself, and
+    creating it must never materialize the state dir (a husk target
+    recreated mid-swap breaks the swap's final rename)."""
+    return f"{os.path.normpath(state_dir)}.{LOCK_FILE}"
+
+
+_lock_path = lock_path  # internal alias (pre-round-11 name)
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+class _Heartbeat:
+    """Keep a marker's ``ts`` fresh from a daemon thread while its
+    holder runs — a pass longer than the staleness horizon must not be
+    judged dead mid-flight. Rewrites are atomic `os.replace`, so a
+    concurrent `_break_stale` (which deletes only if the bytes still
+    equal what it judged stale) can never remove a heartbeating marker.
+    ``stop()`` JOINS the thread before returning: the holder removes
+    the marker right after, and an in-flight beat landing post-removal
+    would strand a marker that reads live until age-out."""
+
+    def __init__(self, path: str, payload: dict, stale_after_s: float):
+        self._path = path
+        self._payload = payload
+        self._stop = threading.Event()
+        self._interval = max(stale_after_s / 8.0, 0.05)
+        self._t = threading.Thread(
+            target=self._run, daemon=True, name=f"lock-hb:{path}"
+        )
+        self._t.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                _atomic_write_json(
+                    self._path, dict(self._payload, ts=time.time())
+                )
+            except OSError:
+                pass  # dir swept mid-beat; the holder's exit handles it
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._t.join(timeout=30.0)
 
 
 def _payload(op: str) -> dict:
@@ -202,7 +270,10 @@ def assert_no_maintenance(
 
 
 def _beacon_dir(state_dir: str) -> str:
-    return os.path.join(state_dir, _BEACON_DIR)
+    """Writer beacons live at a SIBLING path (``<state>.__writers``)
+    for the same reason as the lock: marking in-flight writers must
+    neither materialize the state dir nor ride a `rescale` rename."""
+    return f"{os.path.normpath(state_dir)}.{_BEACON_DIR}"
 
 
 def _live_beacons(
@@ -247,21 +318,24 @@ def writer_beacon(
     path = os.path.join(
         _beacon_dir(state_dir), f"w_{os.getpid()}_{uuid.uuid4().hex[:8]}.json"
     )
+    payload = _payload(what)
     with open(path, "w") as f:
-        json.dump(dict(_payload(what)), f)
+        json.dump(dict(payload), f)
     try:
+        assert_no_maintenance(state_dir, what, stale_after_s)
+    except MaintenanceLockError:
+        # abort: the pass holds the lock; our beacon must not keep
+        # blocking it after we give way
         try:
-            assert_no_maintenance(state_dir, what, stale_after_s)
-        except MaintenanceLockError:
-            # abort: the pass holds the lock; our beacon must not keep
-            # blocking it after we give way
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
-            raise
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        raise
+    hb = _Heartbeat(path, payload, stale_after_s)
+    try:
         yield
     finally:
+        hb.stop()
         try:
             os.remove(path)
         except FileNotFoundError:
@@ -277,8 +351,11 @@ def maintenance_lock(
     """Hold the create-exclusive maintenance marker for the pass. After
     the lock lands, in-flight writer beacons are checked (the mirror of
     the writer's mark-then-check): any live beacon releases the lock
-    and raises — the pass must not start mid-batch."""
-    os.makedirs(state_dir, exist_ok=True)
+    and raises — the pass must not start mid-batch.
+
+    Deliberately does NOT create ``state_dir``: the lock is a sibling
+    file, and materializing the state dir here would recreate the husk
+    `rescale`'s swap must never find (see the module docstring)."""
     path = _lock_path(state_dir)
     fd = None
     for _attempt in range(3):
@@ -303,8 +380,9 @@ def maintenance_lock(
             f"maintenance op {op!r} could not acquire the single-writer "
             f"lock on {state_dir} (live contention)"
         )
+    payload = _payload(op)
     with os.fdopen(fd, "w") as f:
-        json.dump(_payload(op), f)
+        json.dump(dict(payload), f)
     live = _live_beacons(state_dir, stale_after_s)
     if live:
         try:
@@ -318,9 +396,11 @@ def maintenance_lock(
             "quiesce the stream (or wait for the batches to drain) and "
             "retry"
         )
+    hb = _Heartbeat(path, payload, stale_after_s)
     try:
         yield
     finally:
+        hb.stop()
         try:
             os.remove(path)
         except FileNotFoundError:

@@ -17,6 +17,7 @@ from sqlserver_pg_cdc_spark.streaming.lock import (
     LOCK_FILE,
     MaintenanceLockError,
     assert_no_maintenance,
+    lock_path,
     maintenance_lock,
     read_lock,
 )
@@ -73,8 +74,9 @@ def test_purge_and_rescale_hold_and_release_the_lock(spark, tmp_path):
     assert out["purged"] == 2
     assert read_lock(str(tmp_path / "st")) is None  # released
     sink.rescale(8)
-    # the lock must NOT ride into the rescaled layout as an aux file
+    # the lock is a SIBLING file (never inside the layout) and released
     assert not os.path.exists(tmp_path / "st" / LOCK_FILE)
+    assert read_lock(str(tmp_path / "st")) is None
     sink(_rows(spark, range(12, 15)), 1)
     assert sink.read_target().count() == 13
 
@@ -89,7 +91,7 @@ def test_crashed_pass_lock_is_stale_and_recoverable(spark, tmp_path):
     sink = _sink(spark, tmp_path)
     sink(_rows(spark, range(5), deleted={1}), 0)
     sdir = str(tmp_path / "st")
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         json.dump(
             {"op": "rescale", "pid": _dead_pid(),
              "host": socket.gethostname(), "ts": time.time()},
@@ -109,7 +111,7 @@ def test_foreign_host_lock_blocks_until_age_out(tmp_path):
     aged-out breaks (the timestamp half of the staleness rule)."""
     sdir = str(tmp_path / "x")
     os.makedirs(sdir)
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         json.dump(
             {"op": "prune_history", "pid": 1, "host": "elsewhere",
              "ts": time.time()},
@@ -117,7 +119,7 @@ def test_foreign_host_lock_blocks_until_age_out(tmp_path):
         )
     with pytest.raises(MaintenanceLockError, match="prune_history"):
         assert_no_maintenance(sdir)
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         json.dump(
             {"op": "prune_history", "pid": 1, "host": "elsewhere",
              "ts": time.time() - 7200},
@@ -129,12 +131,12 @@ def test_foreign_host_lock_blocks_until_age_out(tmp_path):
     with maintenance_lock(sdir, "x", stale_after_s=3600):
         assert read_lock(sdir)["op"] == "x"
     # an unparseable marker (crash mid-write) falls back to file mtime
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         f.write("{half a json")
     with pytest.raises(MaintenanceLockError):
         assert_no_maintenance(sdir)
     old = time.time() - 7200
-    os.utime(os.path.join(sdir, LOCK_FILE), (old, old))
+    os.utime(lock_path(sdir), (old, old))
     assert_no_maintenance(sdir, stale_after_s=3600)
 
 
@@ -148,11 +150,11 @@ def test_recycled_pid_lock_ages_out_on_the_long_horizon(tmp_path):
     os.makedirs(sdir)
     me = {"op": "rescale", "pid": os.getpid(),  # alive: this process
           "host": socket.gethostname()}
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         json.dump(dict(me, ts=time.time()), f)
     with pytest.raises(MaintenanceLockError):
         assert_no_maintenance(sdir, stale_after_s=3600)  # fresh: held
-    with open(os.path.join(sdir, LOCK_FILE), "w") as f:
+    with open(lock_path(sdir), "w") as f:
         json.dump(dict(me, ts=time.time() - 5 * 3600), f)
     # past 4x the horizon: treated as a recycled pid, ignored
     assert_no_maintenance(sdir, stale_after_s=3600)
@@ -178,7 +180,7 @@ def test_writer_beacon_blocks_maintenance_start_mid_batch(spark, tmp_path):
     # beacon released: the pass runs
     assert sink.purge_tombstones(10**9, deleted_col="__deleted")["purged"] == 1
     # a crashed writer's beacon does not block (dead pid -> swept)
-    bdir = os.path.join(sdir, "__writers")
+    bdir = sdir + ".__writers"  # beacons are SIBLINGS of the state dir
     os.makedirs(bdir, exist_ok=True)
     with open(os.path.join(bdir, "w_dead.json"), "w") as f:
         json.dump({"op": "upsert batch", "pid": _dead_pid(),
@@ -261,3 +263,72 @@ def test_media_gate_checks_both_dirs(spark, tmp_path):
             gate(df, 0)
     gate(df, 0)  # both released
     assert {r["doc"] for r in gate.fingerprints().collect()} == {1}
+
+
+def test_markers_are_siblings_and_survive_rescale_swap(spark, tmp_path):
+    """Round-10 ADVICE (medium): the in-dir lock rode rescale's rename
+    away from the target path mid-swap, and a concurrent writer's
+    beacon makedirs could recreate the target as a husk between the two
+    renames — failing the swap and tricking recovery into deleting the
+    completed new layout. Sibling markers make both impossible: the
+    lock never moves, and marking never materializes the state dir."""
+    sdir = str(tmp_path / "sib")
+    with maintenance_lock(sdir, "rescale"):
+        assert os.path.exists(lock_path(sdir))
+        assert lock_path(sdir) == sdir + "." + LOCK_FILE
+        # acquiring the lock must not create the state dir itself
+        assert not os.path.isdir(sdir)
+    from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
+
+    with writer_beacon(sdir, "batch"):
+        assert os.path.isdir(sdir + ".__writers")
+        assert not os.path.isdir(sdir)  # beacons don't materialize it
+
+
+def test_recover_rescale_never_deletes_completed_layout_for_husk(
+    spark, tmp_path
+):
+    """Round-10 ADVICE (medium), recovery half: a husk target (no
+    layout marker, no partitions) with a completed __rescale_new_*
+    sibling adopts the new layout instead of rmtree'ing it."""
+    sink = _sink(spark, tmp_path, name="rz", n=4)
+    sink(_rows(spark, range(8)), 0)
+    sdir = str(tmp_path / "rz")
+    # simulate the pre-fix crash: completed new layout built, target
+    # recreated as a husk between the swap's two renames
+    import shutil
+
+    shutil.move(sdir, sdir + ".__rescale_new_deadbeef")
+    open(
+        os.path.join(sdir + ".__rescale_new_deadbeef", "__rescale_complete"),
+        "w",
+    ).close()
+    os.makedirs(sdir)  # the husk
+    sink._recover_rescale()
+    assert sink.read_target().count() == 8  # adopted, not deleted
+    assert not os.path.isdir(sdir + ".__rescale_new_deadbeef")
+
+
+def test_heartbeat_keeps_long_passes_live(tmp_path):
+    """Round-10 ADVICE: a pass running longer than stale_after_s used
+    to be judged stale (ts written once) — writers would walk through
+    its lock. The holder now heartbeats the marker's ts."""
+    from sqlserver_pg_cdc_spark.streaming.lock import (
+        _is_stale,
+        _live_beacons,
+        writer_beacon,
+    )
+
+    sdir = str(tmp_path / "hb")
+    horizon = 0.3
+    with maintenance_lock(sdir, "slow_pass", stale_after_s=horizon):
+        time.sleep(6 * horizon)  # well past even the 4x alive-pid rule
+        info = read_lock(sdir)
+        assert not _is_stale(info, horizon)
+        with pytest.raises(MaintenanceLockError, match="slow_pass"):
+            assert_no_maintenance(sdir, stale_after_s=horizon)
+    assert read_lock(sdir) is None  # stop() joined: no resurrection
+    with writer_beacon(sdir, "slow batch", stale_after_s=horizon):
+        time.sleep(6 * horizon)
+        assert _live_beacons(sdir, horizon)  # still live, not swept
+    assert _live_beacons(sdir, horizon) == []

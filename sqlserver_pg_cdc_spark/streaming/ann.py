@@ -26,10 +26,11 @@ same discipline applied to a vector index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+from sqlserver_pg_cdc_spark.streaming.gate import GatedIndexMixin
 
 
 class AnnIndexSink(PartitionedParquetUpsertSink):
@@ -921,11 +922,12 @@ class PqIndexSink(PartitionedParquetUpsertSink):
         return fresh
 
 
-class AnnGateSink(AnnIndexSink):
+class AnnGateSink(GatedIndexMixin, AnnIndexSink):
     """Ingest-time EMBEDDING near-dup gate — the vector twin of
-    `streaming/minhash.DedupGateSink`, and the at-ingest shape of
-    SemDeDup-style semantic dedup: each micro-batch is probed BEFORE
-    indexing —
+    `streaming/minhash.DedupGateSink` and the at-ingest shape of
+    SemDeDup-style semantic dedup, on the shared
+    `streaming/gate.GatedIndexMixin` skeleton. Each micro-batch is
+    probed BEFORE indexing —
 
     1. cross-corpus: batch vectors whose cosine against an
        already-indexed vector reaches the threshold are routed to the
@@ -939,20 +941,21 @@ class AnnGateSink(AnnIndexSink):
        LSN-guarded path, becoming the corpus the NEXT batch probes.
 
     The dup log is one parquet generation PER BATCH ID
-    (``dups_dir/batch_<id>/``, overwrite) — a Structured Streaming
-    replay of a crashed batch rewrites its own generation, so
-    ``dup_log()`` is exactly-once without read-side dedup. Rows:
-    (doc, dup_of, cosine, kind 'corpus'|'batch', __batch_id); cosine is
-    NULL for within-batch members linked only transitively.
-
-    CDC deletes (``deleted_col``) bypass the gate: a delete must reach
-    the index even though its row carries no vector to probe.
+    (``dups_dir/batch_<id>/``, overwrite — exactly-once under replay).
+    Rows: (doc, dup_of, cosine, kind 'corpus'|'batch', __batch_id);
+    cosine is NULL for within-batch members linked only transitively.
+    CDC deletes (``deleted_col``) bypass the gate.
 
     Reference analog: the reference applies each change batch against
     persisted incremental state before accepting it
     (src/reconciliation/incremental/state.py:112-164); here the state
     is the embedding band index and "apply" includes the accept/reject
     decision."""
+
+    _GATE_NAME = "AnnGateSink"
+    _GATE_LABEL = "embedding gate"
+    _SCORE_COL = "cosine"
+    _SCORE_BEST_ASC = False  # higher cosine = closer
 
     def __init__(
         self,
@@ -968,219 +971,107 @@ class AnnGateSink(AnnIndexSink):
         self.dups_dir = dups_dir
         self.threshold = threshold
 
-    def _dup_batch_dir(self, batch_id: int) -> str:
-        import os
-
-        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
-
-    def dup_log(self) -> DataFrame | None:
-        """Every rejected vector with what it duplicated: (doc, dup_of,
-        cosine, kind, __batch_id) — the compacted generation plus every
-        per-batch generation above the compaction watermark."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
-
-        return read_batch_log(self.spark, self.dups_dir)
-
-    def compact_dup_log(self, watermark_batch_id: int) -> dict:
-        """Day-2 retention for the dup log — same contract as
-        `DedupGateSink.compact_dup_log` (see `streaming/batchlog.py`).
-        Run quiesced."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import (
-            compact_batch_log,
+    def _gate_surface(self, live: DataFrame) -> dict:
+        """Exploded hyperplane band keys + (vector, norm) off the one
+        shared projection — banding/norms computed exactly once."""
+        bands = live.select(
+            "doc", F.explode("bands").alias("bb")
+        ).select("doc", "bb.band", "bb.bkt")
+        a_vec = live.select(
+            F.col("doc").alias("a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"),
         )
+        return {"bands": bands, "a_vec": a_vec}
 
-        return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
+    @staticmethod
+    def _cosine_col():
+        return (F.col("__dot") / (F.col("na") * F.col("nb"))).alias("cosine")
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
-
-        # two-way single-writer enforcement before the probe work (the
-        # text/media gate discipline): fail fast while a compaction/
-        # maintenance pass runs, and hold beacons for the batch's whole
-        # duration so a pass cannot start mid-batch either
-        with writer_beacon(self.dups_dir, "embedding gate batch (dup log)"), \
-                writer_beacon(self.target_dir, "embedding gate batch"):
-            self._gated_call(batch_df, batch_id)
-
-    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
         from sqlserver_pg_cdc_spark.functions.vectors import dot
-        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
 
-        # ONE projection per batch — hyperplane band keys + norms are
-        # computed once, then the probe, the within-batch clustering,
-        # and the index upsert all read from it; localCheckpoint'd so
-        # the ~6 downstream actions plan over a LogicalRDD instead of
-        # re-canonicalizing the literal-heavy banding tree
-        from sqlserver_pg_cdc_spark.streaming import phases as _phases
+        idx = self.index()
+        if idx is None:
+            return None
+        live_bands, a_vec = surface["bands"], surface["a_vec"]
+        cands = (
+            live_bands.join(idx, ["band", "bkt"])
+            .select(live_bands.doc.alias("a"), idx.doc.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        blocks.append(cands)
+        st = self._live_state()
+        b_vec = (
+            st.join(
+                cands.select(F.col("b").alias("doc")).distinct(),
+                "doc",
+                "left_semi",
+            )
+            .select(
+                F.col("doc").alias("b"), F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            )
+        )
+        cross = (
+            cands.join(a_vec, "a")
+            .join(b_vec, "b")
+            .select(
+                "a", "b", "na", "nb",
+                dot(F.col("va"), F.col("vb")).alias("__dot"),
+            )
+            .select("a", "b", self._cosine_col())
+            .filter(F.col("cosine") >= self.threshold)
+            .persist()
+        )
+        cross.count()
+        blocks.append(cross)
+        cands.unpersist()  # candidate blocks served their one join
+        return cross
 
-        rec = _phases.PhaseRecorder()
-        proj = self._project(batch_df, batch_id).localCheckpoint()
-        rec.mark("projection")
-        cands = cross = pairs = None
-        try:
-            passthrough = None
-            live = proj
-            if self.deleted_col:
-                passthrough = proj.filter(F.col("__del"))
-                live = proj.filter(~F.col("__del"))
-            live_bands = live.select("doc", F.explode("bands").alias("bb")).select(
-                "doc", "bb.band", "bb.bkt"
+    def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
+        """LSH candidates from the SHARED band frame, exact cosine from
+        the shared vectors."""
+        from sqlserver_pg_cdc_spark.functions.vectors import dot
+
+        rem_bands, rem_vec = surface["bands"], surface["a_vec"]
+        if reject_docs is not None:
+            rem_bands = rem_bands.join(reject_docs, "doc", "left_anti")
+            rem_vec = rem_vec.join(
+                reject_docs.select(F.col("doc").alias("a")), "a",
+                "left_anti",
             )
-            a_vec = live.select(
-                F.col("doc").alias("a"), F.col("v").alias("va"),
-                F.col("nv").alias("na"),
+        cands2 = (
+            rem_bands.select(F.col("doc").alias("a"), "band", "bkt")
+            .join(
+                rem_bands.select(F.col("doc").alias("b"), "band", "bkt"),
+                ["band", "bkt"],
             )
-            cosine = (F.col("__dot") / (F.col("na") * F.col("nb"))).alias("cosine")
-            # 1) cross-corpus rejects: best match per doc
-            idx = self.index()
-            cross = None
-            dup_frames = []
-            if idx is not None:
-                cands = (
-                    live_bands.join(idx, ["band", "bkt"])
-                    .select(live_bands.doc.alias("a"), idx.doc.alias("b"))
-                    .filter(F.col("a") != F.col("b"))
-                    .distinct()
-                    .persist()
-                )
-                st = self._live_state()
-                b_vec = (
-                    st.join(
-                        cands.select(F.col("b").alias("doc")).distinct(),
-                        "doc",
-                        "left_semi",
-                    )
-                    .select(
-                        F.col("doc").alias("b"), F.col("v").alias("vb"),
-                        F.col("nv").alias("nb"),
-                    )
-                )
-                cross = (
-                    cands.join(a_vec, "a")
-                    .join(b_vec, "b")
-                    .select(
-                        "a", "b", "na", "nb",
-                        dot(F.col("va"), F.col("vb")).alias("__dot"),
-                    )
-                    .select("a", "b", cosine)
-                    .filter(F.col("cosine") >= self.threshold)
-                    .persist()
-                )
-                cross.count()
-                cands.unpersist()
-                # row_number over (cosine DESC, b ASC), not a negated-id
-                # max_by: id_col may be a string; unary minus would cast it
-                # to double and break deterministic dup_of on ties (see the
-                # same fix in minhash.DedupGateSink)
-                w = Window.partitionBy("a").orderBy(
-                    F.col("cosine").desc(), F.col("b").asc()
-                )
-                best = (
-                    cross.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                )
-                dup_frames.append(
-                    best.select(
-                        F.col("a").alias("doc"),
-                        F.col("b").alias("dup_of"),
-                        "cosine",
-                        F.lit("corpus").alias("kind"),
-                    )
-                )
-            rec.mark("probe")
-            corpus_dup_docs = dup_frames[0].select("doc") if dup_frames else None
-            remaining = live
-            rem_bands, rem_vec = live_bands, a_vec
-            if corpus_dup_docs is not None:
-                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
-                rem_bands = live_bands.join(corpus_dup_docs, "doc", "left_anti")
-                rem_vec = a_vec.join(
-                    corpus_dup_docs.select(F.col("doc").alias("a")), "a",
-                    "left_anti",
-                )
-            # 2) within-batch rejects: LSH candidates from the SHARED band
-            # frame, exact cosine from the shared vectors, connected
-            # components, keep each cluster's minimum id
-            cands2 = (
-                rem_bands.select(F.col("doc").alias("a"), "band", "bkt")
-                .join(
-                    rem_bands.select(F.col("doc").alias("b"), "band", "bkt"),
-                    ["band", "bkt"],
-                )
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b")
-                .distinct()
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = (
+            cands2.join(rem_vec, "a")
+            .join(
+                rem_vec.select(
+                    F.col("a").alias("b"), F.col("va").alias("vb"),
+                    F.col("na").alias("nb"),
+                ),
+                "b",
             )
-            pairs = (
-                cands2.join(rem_vec, "a")
-                .join(
-                    rem_vec.select(
-                        F.col("a").alias("b"), F.col("va").alias("vb"),
-                        F.col("na").alias("nb"),
-                    ),
-                    "b",
-                )
-                .select(
-                    "a", "b", "na", "nb",
-                    dot(F.col("va"), F.col("vb")).alias("__dot"),
-                )
-                .select("a", "b", cosine)
-                .filter(F.col("cosine") >= self.threshold)
-                .persist()
+            .select(
+                "a", "b", "na", "nb",
+                dot(F.col("va"), F.col("vb")).alias("__dot"),
             )
-            pairs.count()
-            comps = dup_components(pairs)
-            rec.mark("cluster")
-            losers = comps.filter(~F.col("keep")).select(
-                F.col("doc"), F.col("component").alias("dup_of")
-            )
-            pj = pairs.select(
-                F.col("a").alias("doc"), F.col("b").alias("__pb"), "cosine"
-            ).unionByName(
-                pairs.select(
-                    F.col("b").alias("doc"), F.col("a").alias("__pb"), "cosine"
-                )
-            )
-            batch_dups = losers.join(
-                pj,
-                (losers["doc"] == pj["doc"]) & (losers["dup_of"] == pj["__pb"]),
-                "left",
-            ).select(
-                losers.doc, losers.dup_of,
-                F.col("cosine"),  # NULL when linked transitively
-                F.lit("batch").alias("kind"),
-            )
-            dup_frames.append(batch_dups)
-            dups = dup_frames[0]
-            for f in dup_frames[1:]:
-                dups = dups.unionByName(f)
-            # pin the log's id dtype to the STORED key dtype, so a batch
-            # arriving with a narrower id type cannot fork the log schema
-            t = (self._stored_pk_types() or {}).get("doc")
-            if t:
-                dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
-                    "dup_of", F.col("dup_of").cast(t)
-                )
-            (
-                dups.withColumn("__batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .parquet(self._dup_batch_dir(batch_id))
-            )
-            rec.mark("log")
-            # 3) index the survivors (plus CDC deletes, which bypass)
-            survivors = remaining.join(losers.select("doc"), "doc", "left_anti")
-            if passthrough is not None:
-                survivors = survivors.unionByName(passthrough)
-            self._upsert_projected(survivors, batch_id)
-            rec.mark("upsert")
-        finally:
-            _phases.record("AnnGateSink", rec.ph)
-            # unpersist EVERY persisted block even when the batch
-            # fails mid-gate (e.g. a DLQ'd write) — otherwise the
-            # blocks leak in executor storage (r8 ADVICE)
-            for blk in (cands, cross, pairs):
-                if blk is not None:
-                    blk.unpersist()
+            .select("a", "b", self._cosine_col())
+            .filter(F.col("cosine") >= self.threshold)
+            .persist()
+        )
+        pairs.count()
+        blocks.append(pairs)
+        return pairs
 
 
 class IvfPqIndexSink(PartitionedParquetUpsertSink):

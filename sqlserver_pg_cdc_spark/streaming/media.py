@@ -45,10 +45,11 @@ at ingest the way byte-identical keys collapse there.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+from sqlserver_pg_cdc_spark.streaming.gate import GatedIndexMixin
 
 _MEDIA_FP_FNS = ("image", "audio")
 
@@ -205,9 +206,10 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
                 F.col(self.deleted_col).cast("string") == F.lit("true"),
                 F.lit(False),
             )
-            src = batch_df.filter(
-                F.col(self.payload_col).isNotNull() | del_flag
-            )
+            # NULL-payload non-delete rows stay in: they fingerprint
+            # NULL and pass un-gated but still own a state row — the
+            # same contract as deleted_col=None (round-10 ADVICE: the
+            # old payload-or-delete filter silently dropped them)
             extra.append(del_flag.cast("string").alias("__del_s"))
         keep = ["__lsn_s"] + (["__del_s"] if self.deleted_col else [])
         pre = src.select(
@@ -280,24 +282,39 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         batch + collisions: only the new payloads are decoded; the band
         join hits the stored index; both fingerprints ride the band
         frames, so exact verification is a bit_count in the join
-        output — no state refetch at all."""
-        if self.index() is None:
-            return None
-        proj = self._project(new_df, batch_id=0)
-        probe = proj.filter(F.col("fp").isNotNull()).select("doc", "fp")
-        return self._near_dups_core(probe, max_hamming)
-
-    def _near_dups_core(
-        self, new_fp: DataFrame, max_hamming: int
-    ) -> DataFrame | None:
-        """Probe with an ALREADY-computed (doc, fp) frame — the seam
-        `MediaDedupGateSink` uses to share one decode pass across
-        probe/cluster/index. Returns a persisted, materialized
-        (a, b, hamming) frame; the caller owns the unpersist."""
+        output — no state refetch at all. Returns a persisted,
+        materialized frame; the caller owns the unpersist."""
         idx = self.index()
         if idx is None:
             return None
-        nb = _fp_band_frame(new_fp, "doc", "fp")
+        proj = self._project(new_df, batch_id=0)
+        probe = proj.filter(F.col("fp").isNotNull()).select("doc", "fp")
+        return self._near_dups_core(probe, max_hamming, idx=idx)
+
+    def _near_dups_core(
+        self,
+        new_fp: DataFrame,
+        max_hamming: int,
+        new_bands: DataFrame | None = None,
+        idx: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Probe with an ALREADY-computed (doc, fp) frame — the seam
+        `MediaDedupGateSink` uses to share one decode pass across
+        probe/cluster/index. ``new_bands``/``idx`` accept precomputed
+        band/index frames so the gate bands the batch ONCE for both
+        the cross-corpus and within-batch joins, and a caller that
+        already read the index for a None check never replans the
+        state read (round-10 ADVICE). Returns a persisted, materialized
+        (a, b, hamming) frame; the caller owns the unpersist."""
+        if idx is None:
+            idx = self.index()
+        if idx is None:
+            return None
+        nb = (
+            new_bands
+            if new_bands is not None
+            else _fp_band_frame(new_fp, "doc", "fp")
+        )
         ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
         res = (
             nb.select(
@@ -321,9 +338,10 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         return res
 
 
-class MediaDedupGateSink(FingerprintIndexSink):
-    """Ingest-time MEDIA near-dup GATE: each micro-batch is probed
-    BEFORE indexing —
+class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
+    """Ingest-time MEDIA near-dup GATE on the shared
+    `streaming/gate.GatedIndexMixin` skeleton: each micro-batch is
+    probed BEFORE indexing —
 
     1. cross-corpus: batch docs whose fingerprint lands within
        ``max_hamming`` of an already-indexed doc are routed to the dup
@@ -345,7 +363,17 @@ class MediaDedupGateSink(FingerprintIndexSink):
     rows (doc, dup_of, hamming, kind 'corpus'|'batch', __batch_id),
     hamming NULL for transitively-linked batch members. CDC deletes
     bypass the gate; undecodable payloads pass un-gated with a NULL
-    fingerprint state row."""
+    fingerprint state row.
+
+    The batch is BANDED ONCE: one band frame off the checkpointed
+    decode feeds both the cross-corpus probe join and the within-batch
+    self-join (the within-batch side anti-joins corpus rejects out of
+    the same frame)."""
+
+    _GATE_NAME = "MediaDedupGateSink"
+    _GATE_LABEL = "media gate"
+    _SCORE_COL = "hamming"
+    _SCORE_BEST_ASC = True  # smaller Hamming = closer
 
     def __init__(
         self,
@@ -361,175 +389,46 @@ class MediaDedupGateSink(FingerprintIndexSink):
         self.dups_dir = dups_dir
         self.max_hamming = max_hamming
 
-    def _dup_batch_dir(self, batch_id: int) -> str:
-        import os
+    def _gate_surface(self, live: DataFrame) -> dict:
+        """(doc, fp) probe frame + ITS band frame, both lazy views over
+        the checkpointed decode — payload decode, the dominant media
+        batch cost, ran exactly once."""
+        probe = live.filter(F.col("fp").isNotNull()).select("doc", "fp")
+        return {"probe": probe, "bands": _fp_band_frame(probe, "doc", "fp")}
 
-        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
-
-    def dup_log(self) -> DataFrame | None:
-        """Every rejected doc with what it duplicated: (doc, dup_of,
-        hamming, kind, __batch_id) — the compacted generation plus
-        every per-batch generation above the compaction watermark."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
-
-        return read_batch_log(self.spark, self.dups_dir)
-
-    def compact_dup_log(self, watermark_batch_id: int) -> dict:
-        """Day-2 retention: fold closed ``batch_<id>`` generations at
-        or below the watermark into one compacted generation. Pass a
-        batch id the stream can no longer replay at or below; run
-        quiesced (see `streaming/batchlog.py`)."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import (
-            compact_batch_log,
+    def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
+        cross = self._near_dups_core(
+            surface["probe"], self.max_hamming, new_bands=surface["bands"]
         )
+        if cross is not None:
+            blocks.append(cross)
+        return cross
 
-        return compact_batch_log(
-            self.spark, self.dups_dir, watermark_batch_id
-        )
-
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
-
-        # two-way single-writer enforcement before the decode work (the
-        # text gate discipline): fail fast while a compaction/
-        # maintenance pass runs, and hold beacons for the batch's whole
-        # duration so a pass cannot start mid-batch either
-        with writer_beacon(self.dups_dir, "media gate batch (dup log)"), \
-                writer_beacon(self.target_dir, "media gate batch"):
-            self._gated_call(batch_df, batch_id)
-
-    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
-        from sqlserver_pg_cdc_spark.streaming import phases as _phases
-
-        rec = _phases.PhaseRecorder()
-        # ONE decode pass per batch; localCheckpoint truncates the
-        # mapInPandas lineage so the ~5 downstream actions plan over a
-        # LogicalRDD instead of re-driving the decode (the text gate's
-        # projection discipline — here the projection is payload decode,
-        # the single dominant batch cost for media)
-        proj = self._project(batch_df, batch_id).localCheckpoint()
-        rec.mark("projection")
-        cross = pairs = None
-        try:
-            passthrough = None
-            live = proj
-            if self.deleted_col:
-                passthrough = proj.filter(F.col("__del"))
-                live = proj.filter(~F.col("__del"))
-            probe = live.filter(F.col("fp").isNotNull()).select("doc", "fp")
-            # 1) cross-corpus rejects: best match per doc (min hamming,
-            # tie -> smallest indexed id) — deterministic dup_of; the
-            # window shuffles on `a`, same partitioning the band join's
-            # distinct already produced
-            cross = self._near_dups_core(probe, self.max_hamming)
-            rec.mark("probe")
-            dup_frames = []
-            if cross is not None:
-                w = Window.partitionBy("a").orderBy(
-                    F.col("hamming").asc(), F.col("b").asc()
-                )
-                best = (
-                    cross.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                )
-                dup_frames.append(
-                    best.select(
-                        F.col("a").alias("doc"),
-                        F.col("b").alias("dup_of"),
-                        "hamming",
-                        F.lit("corpus").alias("kind"),
-                    )
-                )
-            corpus_dup_docs = (
-                dup_frames[0].select("doc") if dup_frames else None
+    def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
+        """Banded self-join + exact Hamming verify — fingerprints ride
+        the band frame, so verification never refetches state."""
+        kb = surface["bands"]
+        if reject_docs is not None:
+            kb = kb.join(reject_docs, "doc", "left_anti")
+        ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        pairs = (
+            kb.select(
+                F.col("doc").alias("a"), F.col("fp").alias("ha"),
+                "band_id", "band_val",
             )
-            remaining = live
-            rem_probe = probe
-            if corpus_dup_docs is not None:
-                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
-                rem_probe = probe.join(corpus_dup_docs, "doc", "left_anti")
-            # 2) within-batch rejects: banded self-join + exact Hamming
-            # verify (fingerprints ride the band frame: zero refetch),
-            # connected components, keep each cluster's minimum id
-            kb = _fp_band_frame(rem_probe, "doc", "fp")
-            ham = F.bit_count(
-                F.col("ha").bitwiseXOR(F.col("hb"))
-            ).cast("long")
-            pairs = (
+            .join(
                 kb.select(
-                    F.col("doc").alias("a"), F.col("fp").alias("ha"),
+                    F.col("doc").alias("b"), F.col("fp").alias("hb"),
                     "band_id", "band_val",
-                )
-                .join(
-                    kb.select(
-                        F.col("doc").alias("b"), F.col("fp").alias("hb"),
-                        "band_id", "band_val",
-                    ),
-                    ["band_id", "band_val"],
-                )
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b", ham.alias("hamming"))
-                .filter(F.col("hamming") <= self.max_hamming)
-                .distinct()
-                .persist()
+                ),
+                ["band_id", "band_val"],
             )
-            pairs.count()
-            comps = dup_components(pairs)
-            rec.mark("cluster")
-            losers = comps.filter(~F.col("keep")).select(
-                F.col("doc"), F.col("component").alias("dup_of")
-            )
-            pj = pairs.select(
-                F.col("a").alias("doc"), F.col("b").alias("__pb"), "hamming"
-            ).unionByName(
-                pairs.select(
-                    F.col("b").alias("doc"), F.col("a").alias("__pb"),
-                    "hamming",
-                )
-            )
-            batch_dups = (
-                losers.join(
-                    pj,
-                    (losers["doc"] == pj["doc"])
-                    & (losers["dup_of"] == pj["__pb"]),
-                    "left",
-                )
-                .select(
-                    losers.doc, losers.dup_of,
-                    F.col("hamming"),  # NULL when linked transitively
-                    F.lit("batch").alias("kind"),
-                )
-            )
-            dup_frames.append(batch_dups)
-            dups = dup_frames[0]
-            for f in dup_frames[1:]:
-                dups = dups.unionByName(f)
-            # pin the log's id dtype to the STORED key dtype (a batch
-            # whose id arrives narrower must not fork the log schema)
-            t = (self._stored_pk_types() or {}).get("doc")
-            if t:
-                dups = dups.withColumn(
-                    "doc", F.col("doc").cast(t)
-                ).withColumn("dup_of", F.col("dup_of").cast(t))
-            (
-                dups.withColumn("__batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .parquet(self._dup_batch_dir(batch_id))
-            )
-            rec.mark("log")
-            # 3) index the survivors (NULL-fp docs were never probeable
-            # so they survive by construction; CDC deletes bypass)
-            survivors = remaining.join(
-                losers.select("doc"), "doc", "left_anti"
-            )
-            if passthrough is not None:
-                survivors = survivors.unionByName(passthrough)
-            self._upsert_projected(survivors, batch_id)
-            rec.mark("upsert")
-        finally:
-            _phases.record("MediaDedupGateSink", rec.ph)
-            for blk in (cross, pairs):
-                if blk is not None:
-                    blk.unpersist()
-            del proj
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= self.max_hamming)
+            .distinct()
+            .persist()
+        )
+        pairs.count()
+        blocks.append(pairs)
+        return pairs

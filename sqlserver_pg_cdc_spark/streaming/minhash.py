@@ -37,10 +37,11 @@ index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
+from sqlserver_pg_cdc_spark.streaming.gate import GatedIndexMixin
 
 # Unresolved-Column cache for the per-row minhash projection: building
 # the 16 aggregate() HOFs + band md5 structs costs ~1.5 s of pure
@@ -391,9 +392,10 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             cands.unpersist()
 
 
-class DedupGateSink(MinhashIndexSink):
+class DedupGateSink(GatedIndexMixin, MinhashIndexSink):
     """Ingest-time near-dup GATE: the production shape of continuous
-    corpus dedup. Each micro-batch is probed BEFORE indexing —
+    corpus dedup, on the shared `streaming/gate.GatedIndexMixin`
+    skeleton. Each micro-batch is probed BEFORE indexing —
 
     1. cross-corpus: batch docs near-dup'ing an already-indexed doc
        (``near_dups`` against the streamed state) are routed to the
@@ -420,6 +422,11 @@ class DedupGateSink(MinhashIndexSink):
     (src/reconciliation/incremental/state.py:112-164); here "state" is
     the dedup index and "apply" includes the accept/reject decision."""
 
+    _GATE_NAME = "DedupGateSink"
+    _GATE_LABEL = "dedup gate"
+    _SCORE_COL = "jaccard"
+    _SCORE_BEST_ASC = False  # higher Jaccard = closer
+
     def __init__(
         self,
         spark: SparkSession,
@@ -434,205 +441,59 @@ class DedupGateSink(MinhashIndexSink):
         self.dups_dir = dups_dir
         self.threshold = threshold
 
-    def _dup_batch_dir(self, batch_id: int) -> str:
-        import os
+    def _gate_surface(self, live: DataFrame) -> dict:
+        """Shingle sets + exploded band keys off the one shared
+        projection — tokenize/md5/minhash/band ran exactly once (the
+        naive composition re-shingled the batch three times; at 100 TB
+        the signature map IS the dominant batch cost)."""
+        nsh = live.select("doc", "sh").filter(F.size("sh") > 0)
+        bands = live.select(
+            "doc", F.explode("bands").alias("bk")
+        ).select("doc", "bk.band_id", "bk.band_key")
+        return {"nsh": nsh, "bands": bands}
 
-        return os.path.join(self.dups_dir, f"batch_{int(batch_id)}")
-
-    def dup_log(self) -> DataFrame | None:
-        """Every rejected doc with what it duplicated: (doc, dup_of,
-        jaccard, kind, __batch_id) — the compacted generation plus every
-        per-batch generation above the compaction watermark."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
-
-        return read_batch_log(self.spark, self.dups_dir)
-
-    def compact_dup_log(self, watermark_batch_id: int) -> dict:
-        """Day-2 retention for the dup log: fold every closed
-        ``batch_<id>`` generation at or below the watermark into one
-        compacted parquet generation (one dir per micro-batch otherwise
-        grows forever — ~170k dirs/day at 500 ms triggers). Pass a batch
-        id the stream can no longer replay at or below; replays ABOVE it
-        keep their exactly-once overwrite property. Run quiesced. See
-        `streaming/batchlog.py` for the crash-safety contract."""
-        from sqlserver_pg_cdc_spark.streaming.batchlog import (
-            compact_batch_log,
+    def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
+        cross = self._near_dups_core(
+            surface["nsh"], surface["bands"], self.threshold
         )
+        if cross is not None:
+            blocks.append(cross)
+        return cross
 
-        return compact_batch_log(self.spark, self.dups_dir, watermark_batch_id)
-
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
-
-        # two-way single-writer enforcement, marked BEFORE the probe
-        # work: a log compaction (dup-log lock) or state maintenance
-        # pass must not interleave with this batch — fail fast if one
-        # is running, and hold beacons on BOTH dirs for the batch's
-        # whole duration so a pass cannot start mid-batch either
-        with writer_beacon(self.dups_dir, "dedup gate batch (dup log)"), \
-                writer_beacon(self.target_dir, "dedup gate batch"):
-            self._gated_call(batch_df, batch_id)
-
-    def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sqlserver_pg_cdc_spark.operators.dedup import dup_components
-
-        # ONE projection per batch — tokenize/md5/minhash/band once, then
-        # probe, within-batch clustering, and the index upsert all read
-        # from it (the naive composition re-shingled the batch three
-        # times; at 100 TB the signature map IS the dominant batch cost).
-        # localCheckpoint, not persist: it truncates the lineage, so the
-        # ~6 downstream actions plan over a LogicalRDD instead of
-        # re-canonicalizing the 16-HOF projection tree each time (~0.5 s
-        # of driver CPU per action, independent of data size); blocks
-        # are batch-sized and a Structured Streaming replay re-drives
-        # the whole batch anyway, so the non-replayable lineage is moot
-        from sqlserver_pg_cdc_spark.streaming import phases as _phases
-
-        rec = _phases.PhaseRecorder()
-        proj = self._project(batch_df, batch_id).localCheckpoint()
-        rec.mark("projection")
-        cross = pairs = None
-        try:
-            passthrough = None
-            live = proj
-            if self.deleted_col:
-                passthrough = proj.filter(F.col("__del"))
-                live = proj.filter(~F.col("__del"))
-            nsh = live.select("doc", "sh").filter(F.size("sh") > 0)
-            live_bands = live.select(
-                "doc", F.explode("bands").alias("bk")
-            ).select("doc", "bk.band_id", "bk.band_key")
-            # 1) cross-corpus rejects: best match per doc (max jaccard,
-            # tie -> smallest indexed id) — deterministic dup_of
-            cross = self._near_dups_core(nsh, live_bands, self.threshold)
-            rec.mark("probe")
-            dup_frames = []
-            if cross is not None:
-                # row_number over (jaccard DESC, b ASC), not a negated-id
-                # max_by: id_col is caller-chosen and may be a string —
-                # unary minus would cast it to double (NULL or a raise
-                # under ANSI), breaking the deterministic dup_of
-                # contract on ties. The window shuffles on `a`, the same
-                # partitioning the groupBy had.
-                w = Window.partitionBy("a").orderBy(
-                    F.col("jaccard").desc(), F.col("b").asc()
-                )
-                best = (
-                    cross.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                )
-                dup_frames.append(
-                    best.select(
-                        F.col("a").alias("doc"),
-                        F.col("b").alias("dup_of"),
-                        "jaccard",
-                        F.lit("corpus").alias("kind"),
-                    )
-                )
-            corpus_dup_docs = (
-                dup_frames[0].select("doc") if dup_frames else None
+    def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
+        """LSH candidates from the SHARED band frame (self-join on the
+        composite band key), exact Jaccard from the shared shingles."""
+        rem_bands, rem_sh = surface["bands"], surface["nsh"]
+        if reject_docs is not None:
+            rem_bands = rem_bands.join(reject_docs, "doc", "left_anti")
+            rem_sh = rem_sh.join(reject_docs, "doc", "left_anti")
+        cands = (
+            rem_bands.select(F.col("doc").alias("a"), "band_id", "band_key")
+            .join(
+                rem_bands.select(
+                    F.col("doc").alias("b"), "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
             )
-            remaining = live
-            rem_bands, rem_sh = live_bands, nsh
-            if corpus_dup_docs is not None:
-                remaining = live.join(corpus_dup_docs, "doc", "left_anti")
-                rem_bands = live_bands.join(
-                    corpus_dup_docs, "doc", "left_anti"
-                )
-                rem_sh = nsh.join(corpus_dup_docs, "doc", "left_anti")
-            # 2) within-batch rejects: LSH candidates from the SHARED
-            # band frame (self-join on the composite band key), exact
-            # Jaccard from the shared shingles, connected components,
-            # keep each cluster's minimum id
-            cands = (
-                rem_bands.select(F.col("doc").alias("a"), "band_id", "band_key")
-                .join(
-                    rem_bands.select(
-                        F.col("doc").alias("b"), "band_id", "band_key"
-                    ),
-                    ["band_id", "band_key"],
-                )
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b")
-                .distinct()
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        pairs = (
+            cands.join(
+                rem_sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")),
+                "a",
             )
-            inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            pairs = (
-                cands.join(
-                    rem_sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")),
-                    "a",
-                )
-                .join(
-                    rem_sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")),
-                    "b",
-                )
-                .select("a", "b", (inter / union).alias("jaccard"))
-                .filter(F.col("jaccard") >= self.threshold)
-                .persist()
+            .join(
+                rem_sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")),
+                "b",
             )
-            pairs.count()
-            comps = dup_components(pairs)
-            rec.mark("cluster")
-            losers = comps.filter(~F.col("keep")).select(
-                F.col("doc"), F.col("component").alias("dup_of")
-            )
-            pj = pairs.select(
-                F.col("a").alias("doc"), F.col("b").alias("__pb"), "jaccard"
-            ).unionByName(
-                pairs.select(
-                    F.col("b").alias("doc"), F.col("a").alias("__pb"), "jaccard"
-                )
-            )
-            batch_dups = (
-                losers.join(
-                    pj,
-                    (losers["doc"] == pj["doc"])
-                    & (losers["dup_of"] == pj["__pb"]),
-                    "left",
-                )
-                .select(
-                    losers.doc, losers.dup_of,
-                    F.col("jaccard"),  # NULL when linked transitively
-                    F.lit("batch").alias("kind"),
-                )
-            )
-            dup_frames.append(batch_dups)
-            dups = dup_frames[0]
-            for f in dup_frames[1:]:
-                dups = dups.unionByName(f)
-            # pin the log's id dtype to the STORED key dtype: a batch
-            # whose id column arrives narrower (int vs long) must not
-            # fork the dup-log schema across generations
-            t = (self._stored_pk_types() or {}).get("doc")
-            if t:
-                dups = dups.withColumn("doc", F.col("doc").cast(t)).withColumn(
-                    "dup_of", F.col("dup_of").cast(t)
-                )
-            (
-                dups.withColumn("__batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .parquet(self._dup_batch_dir(batch_id))
-            )
-            rec.mark("log")
-            # 3) index the survivors (plus CDC deletes, which bypass) —
-            # rows are already in the stored shape; no re-projection
-            survivors = remaining.join(
-                losers.select("doc"), "doc", "left_anti"
-            )
-            if passthrough is not None:
-                survivors = survivors.unionByName(passthrough)
-            self._upsert_projected(survivors, batch_id)
-            rec.mark("upsert")
-        finally:
-            _phases.record("DedupGateSink", rec.ph)
-            # unpersist EVERY persisted block even when the batch fails
-            # mid-gate (e.g. a DLQ'd write) — otherwise the blocks leak
-            # in executor storage (r8 ADVICE)
-            for blk in (cross, pairs):
-                if blk is not None:
-                    blk.unpersist()
-            # proj is localCheckpoint'd: its batch-sized blocks are
-            # reclaimed by the ContextCleaner once the frame drops out
-            # of scope (unpersist() would be a no-op on checkpoint RDDs)
-            del proj
+            .select("a", "b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= self.threshold)
+            .persist()
+        )
+        pairs.count()
+        blocks.append(pairs)
+        return pairs

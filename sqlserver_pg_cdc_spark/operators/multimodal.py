@@ -3805,9 +3805,19 @@ def phash_pixels(px: "np.ndarray") -> int:
     sh, sw = gray3.shape
     ys = (np.arange(32) * sh) // 32
     xs = (np.arange(32) * sw) // 32
-    g = gray3[np.ix_(ys, xs)]
+    return _phash_of_grid(gray3[np.ix_(ys, xs)])
+
+
+def _phash_of_grid(g: "np.ndarray") -> int:
+    """The shared DCT/threshold core of the perceptual-hash family: a
+    32x32 int64 intensity grid (values bounded ~2^11 so the two
+    fixed-point matmuls stay exact: |coef| < 2^11*32^2*2^36 << 2^63) ->
+    2-D integer DCT -> low 8x8 block, DC dropped -> exact-median
+    threshold -> 63-bit fingerprint. `phash_pixels` (image) and
+    `vhash_frames` (video) differ only in how they reduce pixels to
+    this grid."""
     dq = _dct2_int_matrix()
-    d = dq @ g @ dq.T  # |coef| < 765*32^2*2^36 << 2^63: exact int64
+    d = dq @ g @ dq.T
     low = d[:8, :8].reshape(-1)[1:]  # drop DC
     # exact integer order statistic (np.median would round-trip int64
     # through float64, losing bits past 2^53 at this fixed-point scale)
@@ -3872,20 +3882,7 @@ def phash_images(
                     return None
                 idx2, rgb = got
                 return rgb[idx2]
-            # auto: magic sniff
-            if b[:2] == b"BM":
-                return mm._bmp_pixels(b)
-            if b[: len(mm._PNG_SIG)] == mm._PNG_SIG:
-                return mm._png_pixels(b)
-            if b[:4] == b"GIF8":
-                got = mm._gif_frame(b)
-                if got is None:
-                    return None
-                idx2, rgb = got
-                return rgb[idx2]
-            if b[:2] == b"\xff\xd8":
-                return mm._jpeg_pixels(b)
-            return None
+            return mm.sniff_image_pixels(b)
 
         for pdf in it:
             ids = []
@@ -4049,14 +4046,8 @@ def audio_fingerprints(
                 got = mm.decode_flac(b)
             elif decoder == "subband":
                 got = mm.decode_subband(b)
-            elif b[:4] == b"RIFF":
-                got = mm.decode_wav_pcm16(b) or mm.decode_wav_adpcm(b)
-            elif b[:4] == b"fLaC":
-                got = mm.decode_flac(b)
-            elif b[:4] == mm._SB_MAGIC:
-                got = mm.decode_subband(b)
             else:
-                got = None
+                return mm.sniff_audio_samples(b)
             return got[1] if got is not None else None
 
         for pdf in it:
@@ -4079,6 +4070,297 @@ def audio_fingerprints(
     fields = [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("afp", T.LongType(), True),
+    ] + [df.schema[c] for c in keep_cols]
+    return df.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
+    ).mapInPandas(batches, T.StructType(fields))
+
+
+def vhash_frames(frames: "list[np.ndarray]") -> "int | None":
+    """Video fingerprint over sampled (H, W, 3) uint8 RGB frames: the
+    video member of the 63-bit perceptual family (`phash_pixels`,
+    `afp_samples`). Reduction, all integer-exact:
+
+    1. temporal LUMA sum — BT.601 integer weights (66R + 129G + 25B),
+       because both DCT codecs here (MCV inter-frame, MJPEG) quantize
+       in YCbCr with full-resolution luma and 4:2:0 chroma: a channel-
+       sum gray would inherit the chroma round-trip noise (measured
+       ~2x the Hamming drift between re-encodes of one clip);
+    2. exact 32x32 box-average pool (integral image; cell sums are
+       exact rationals scaled x4 then floor-normalized by
+       area*220*n_frames, landing the grid in the same ~0..1020 range
+       `phash_pixels` feeds the shared core) — box pooling, not the
+       image path's point sampling, because codec noise on a single
+       sampled pixel moves the grid directly while a cell mean
+       averages it away;
+    3. the shared fixed-point DCT + exact-median threshold
+       (:func:`_phash_of_grid`).
+
+    FOLD RECALL (the design choice the banded index inherits): one
+    63-bit fingerprint per CLIP from the temporally-summed luma, not
+    per-frame fingerprints with any-frame-match banding. Measured on
+    the contract clip law, MCV/MJPEG/AVI re-encodes of one clip land
+    within Hamming <= 6 of each other — inside the 7x9-bit pigeonhole's
+    full-recall bound — while distinct clips stay >= 12 apart. The
+    tradeoff: a clip re-CUT (same scenes, different ordering/subset)
+    shifts the temporal mean and may escape; per-frame indexing would
+    catch it at 'frames x bands' index rows per clip. None for an
+    empty frame list."""
+    if not frames:
+        return None
+    n = len(frames)
+    acc = np.zeros(frames[0].shape[:2], dtype=np.int64)
+    for px in frames:
+        p = px.astype(np.int64)
+        if p.shape[2] == 1:  # grayscale source
+            acc += 220 * p[:, :, 0]
+        else:
+            acc += 66 * p[:, :, 0] + 129 * p[:, :, 1] + 25 * p[:, :, 2]
+    sh, sw = acc.shape
+    cs = np.zeros((sh + 1, sw + 1), dtype=np.int64)
+    cs[1:, 1:] = acc.cumsum(0).cumsum(1)
+    yb = (np.arange(33) * sh) // 32
+    xb = (np.arange(33) * sw) // 32
+    y0, y1 = yb[:-1], yb[1:]
+    x0, x1 = xb[:-1], xb[1:]
+    sums = (
+        cs[np.ix_(y1, x1)] - cs[np.ix_(y0, x1)]
+        - cs[np.ix_(y1, x0)] + cs[np.ix_(y0, x0)]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    if (area == 0).any():  # degenerate dims (< 32 px a side)
+        return None
+    g = (sums * 4) // (area * 220 * n)
+    return _phash_of_grid(g)
+
+
+def sample_frames_for_vhash(
+    payload: bytes, decoder: str = "auto",
+    stride: int = 1, max_frames: int = 8,
+) -> "list[np.ndarray] | None":
+    """Decode-and-sample for :func:`vhash_frames`: up to ``max_frames``
+    frames, every ``stride``-th, from an MCV / AVI-MJPEG / MJPEG
+    elementary payload (magic sniff under ``decoder="auto"``: MCV1
+    header, RIFF+'AVI ', bare 0xFFD8 stream). Decode work is bounded
+    by the sample budget — MCV reconstructs only the needed prefix
+    (the `sample_video_frames` discipline); MJPEG/AVI decode only the
+    sampled spans. None when the container does not parse; per-frame
+    JPEG damage just drops that frame."""
+    step = max(1, stride)
+    b = payload
+    kind = decoder
+    if kind == "auto":
+        if b[:4] == _MCV_MAGIC:
+            kind = "mcv"
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            kind = "avi"
+        elif b[:2] == b"\xff\xd8":
+            kind = "mjpeg"
+        else:
+            return None
+    if kind == "mcv":
+        got = decode_mcv(b, max_frames=step * max_frames)
+        if got is None:
+            return None
+        return got[3][::step][:max_frames]
+    split_fn = split_avi_mjpeg if kind == "avi" else split_mjpeg
+    spans = split_fn(b)
+    if not spans:
+        return None
+    frames = []
+    for s, e in spans[::step][:max_frames]:
+        px = _jpeg_pixels(b[s:e])
+        if px is not None:
+            frames.append(px)
+    return frames or None
+
+
+def video_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: str = "auto",
+    keep_cols: "tuple[str, ...]" = (),
+    stride: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Per-document video fingerprint over any decodable video payload
+    (magic-sniff across MCV/AVI-MJPEG/MJPEG by default): rows
+    (doc_id, vhash) with NULL for corrupt/unsupported payloads.
+    ``keep_cols`` ride through unchanged (the :func:`phash_images`
+    gate discipline — including its CAVEAT: route nullable integer
+    riders through strings). Downstream: an MCV re-encode of an MJPEG
+    clip — the video twin of the WAV/FLAC case — lands within Hamming
+    <= 6 of the original under :func:`phash_near_pairs` banding; see
+    :func:`vhash_frames` for the fold-recall contract. H.264/VP9-class
+    compressed streams stay behind ``decoder="strict"`` (the
+    `sample_video_frames` seam)."""
+    if decoder == "strict":
+        raise NotImplementedError(
+            "compressed-codec video decoding requires ffmpeg-class "
+            "libraries; not available in this environment"
+        )
+    if decoder not in ("auto", "mcv", "avi", "mjpeg"):
+        raise ValueError(f"unknown video decoder {decoder!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side module resolution (the phash_images discipline)
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        for pdf in it:
+            ids = []
+            prints = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                fr = (
+                    mm.sample_frames_for_vhash(
+                        b, decoder=decoder,
+                        stride=stride, max_frames=max_frames,
+                    )
+                    if b
+                    else None
+                )
+                ids.append(doc_id)
+                prints.append(
+                    mm.vhash_frames(fr) if fr is not None else None
+                )
+            # nullable Int64: the >2^53 fingerprint must never ride a
+            # float64-inferred column (the phash regression)
+            out = {"doc_id": ids, "vhash": pd.array(prints, dtype="Int64")}
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
+
+    fields = [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("vhash", T.LongType(), True),
+    ] + [df.schema[c] for c in keep_cols]
+    return df.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
+    ).mapInPandas(batches, T.StructType(fields))
+
+
+def sniff_image_pixels(b: bytes) -> "np.ndarray | None":
+    """Magic-sniff image decode to (H, W, C) pixels — the
+    ``decoder="auto"`` path of :func:`phash_images`."""
+    if b[:2] == b"BM":
+        return _bmp_pixels(b)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_pixels(b)
+    if b[:4] == b"GIF8":
+        got = _gif_frame(b)
+        if got is None:
+            return None
+        idx2, rgb = got
+        return rgb[idx2]
+    if b[:2] == b"\xff\xd8":
+        return _jpeg_pixels(b)
+    return None
+
+
+def sniff_audio_samples(b: bytes) -> "np.ndarray | None":
+    """Magic-sniff audio decode to mono int16 samples — the
+    ``decoder="auto"`` path of :func:`audio_fingerprints`."""
+    if b[:4] == b"RIFF" and b[8:12] != b"AVI ":
+        got = decode_wav_pcm16(b) or decode_wav_adpcm(b)
+    elif b[:4] == b"fLaC":
+        got = decode_flac(b)
+    elif b[:4] == _SB_MAGIC:
+        got = decode_subband(b)
+    else:
+        got = None
+    return got[1] if got is not None else None
+
+
+def sniff_media_family(b: "bytes | None") -> "str | None":
+    """Container-class sniff for mixed-media streams: 'image'
+    (BMP/PNG/GIF/JPEG), 'audio' (WAV/ADPCM RIFF+WAVE, FLAC, subband),
+    'video' (MCV, RIFF+'AVI '), or None. A bare 0xFFD8 payload is
+    ambiguous by construction (a JPEG image IS a one-frame MJPEG
+    elementary stream); it sniffs as 'image' when the marker walk
+    finds one frame and 'video' for a multi-frame stream — a
+    single-frame MJPEG wrapped in AVI still sniffs 'video' (the
+    container states intent)."""
+    if b is None or len(b) < 12:
+        return None
+    if b[:4] == _MCV_MAGIC:
+        return "video"
+    if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            return "video"
+        if b[8:12] == b"WAVE":
+            return "audio"
+        return None
+    if b[:2] == b"BM" or b[: len(_PNG_SIG)] == _PNG_SIG or b[:4] == b"GIF8":
+        return "image"
+    if b[:4] == b"fLaC" or b[:4] == _SB_MAGIC:
+        return "audio"
+    if b[:2] == b"\xff\xd8":
+        return "image" if len(split_mjpeg(b)) <= 1 else "video"
+    return None
+
+
+def media_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    keep_cols: "tuple[str, ...]" = (),
+    stride: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Mixed-media fingerprinting in ONE Arrow pass: each payload is
+    container-sniffed (:func:`sniff_media_family`) and fingerprinted
+    with its family's member of the 63-bit perceptual family — pHash
+    for images, acoustic fingerprint for audio, video hash for video.
+    Rows (doc_id, family, fp); family/fp NULL for unrecognized or
+    corrupt payloads. Fingerprints are only comparable WITHIN a
+    family — a pHash and an AFP at small Hamming distance mean
+    nothing — so every downstream band join must include ``family``
+    in its key, as `streaming/media.FingerprintIndexSink` does.
+    ``keep_cols`` ride through unchanged (integer riders as strings —
+    the `functions/riders` discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side module resolution (the phash_images discipline)
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        for pdf in it:
+            ids = []
+            fams = []
+            prints = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                fam = mm.sniff_media_family(b)
+                fp = None
+                if fam == "image":
+                    px = mm.sniff_image_pixels(b)
+                    fp = mm.phash_pixels(px) if px is not None else None
+                elif fam == "audio":
+                    sm = mm.sniff_audio_samples(b)
+                    fp = mm.afp_samples(sm) if sm is not None else None
+                elif fam == "video":
+                    fr = mm.sample_frames_for_vhash(
+                        b, stride=stride, max_frames=max_frames
+                    )
+                    fp = mm.vhash_frames(fr) if fr is not None else None
+                ids.append(doc_id)
+                fams.append(fam if fp is not None else None)
+                prints.append(fp)
+            out = {
+                "doc_id": ids,
+                "family": pd.array(fams, dtype="string"),
+                # nullable Int64: >2^53 fingerprints must never ride a
+                # float64-inferred column (the phash regression)
+                "fp": pd.array(prints, dtype="Int64"),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
+
+    fields = [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("family", T.StringType(), True),
+        T.StructField("fp", T.LongType(), True),
     ] + [df.schema[c] for c in keep_cols]
     return df.select(
         F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]

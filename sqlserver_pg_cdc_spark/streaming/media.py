@@ -51,13 +51,21 @@ from pyspark.sql import functions as F
 from sqlserver_pg_cdc_spark.streaming.apply import PartitionedParquetUpsertSink
 from sqlserver_pg_cdc_spark.streaming.gate import GatedIndexMixin
 
-_MEDIA_FP_FNS = ("image", "audio")
+_MEDIA_FP_FNS = ("image", "audio", "video", "auto")
+
+# Every Hamming band join is FAMILY-SCOPED: a pHash and an acoustic
+# fingerprint at small Hamming distance mean nothing, so `family` is a
+# join key wherever band_val is — cross-family candidates are
+# impossible by construction, not by filtering.
+_BAND_KEYS = ["family", "band_id", "band_val"]
 
 
 def _fp_band_frame(fp_df: DataFrame, doc_col: str, fp_col: str) -> DataFrame:
-    """(doc, fp) -> (doc, fp, band_id, band_val): the 7x9-bit banded
-    Hamming pigeonhole of `operators/multimodal.phash_near_pairs`,
-    shared verbatim so gate recall == batch-operator recall."""
+    """(doc, fp, family) -> (doc, fp, family, band_id, band_val): the
+    7x9-bit banded Hamming pigeonhole of
+    `operators/multimodal.phash_near_pairs`, shared verbatim so gate
+    recall == batch-operator recall; the family column rides into the
+    band key (see ``_BAND_KEYS``)."""
     from sqlserver_pg_cdc_spark.operators.multimodal import (
         _PHASH_BAND_BITS,
         _PHASH_BANDS,
@@ -76,17 +84,23 @@ def _fp_band_frame(fp_df: DataFrame, doc_col: str, fp_col: str) -> DataFrame:
     return fp_df.select(
         F.col(doc_col).alias("doc"),
         F.col(fp_col).alias("fp"),
+        F.col("family"),
         F.explode(F.array(*bands)).alias("bk"),
-    ).select("doc", "fp", "bk.band_id", "bk.band_val")
+    ).select("doc", "fp", "family", "bk.band_id", "bk.band_val")
 
 
 class FingerprintIndexSink(PartitionedParquetUpsertSink):
     """foreachBatch callable maintaining a streamed media-fingerprint
-    index: one state row per document — (doc, fp, lsn[, __del]) —
+    index: one state row per document — (doc, fp, family,
+    lsn[, __del]) —
     through the hash-partitioned LSN-guarded upsert. ``media`` picks
-    the fingerprint family: 'image' (pHash over BMP/PNG/JPEG/GIF) or
-    'audio' (acoustic fingerprint over WAV/ADPCM/FLAC/subband);
-    ``decoder`` passes through to the operator's magic-sniff dispatch.
+    the fingerprint family: 'image' (pHash over BMP/PNG/JPEG/GIF),
+    'audio' (acoustic fingerprint over WAV/ADPCM/FLAC/subband),
+    'video' (vhash over MCV/AVI-MJPEG/MJPEG), or 'auto' (per-row
+    container sniff routing a MIXED stream to its family fingerprint
+    in one pass — `operators/multimodal.media_fingerprints`);
+    ``decoder`` passes through to the operator's magic-sniff dispatch
+    for the fixed families.
 
     ``lsn_col`` orders updates to the same doc across batches; absent,
     rows are stamped with the batch id (last batch wins).
@@ -119,6 +133,11 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         if media not in _MEDIA_FP_FNS:
             raise ValueError(
                 f"unknown media {media!r}: expected one of {_MEDIA_FP_FNS}"
+            )
+        if media == "auto" and decoder != "auto":
+            raise ValueError(
+                "media='auto' routes by container sniff; a fixed decoder "
+                "contradicts it — pick the family explicitly instead"
             )
         self.id_col = id_col
         self.payload_col = payload_col
@@ -179,19 +198,28 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
                 json.dump(mine, f)
 
     def _project(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
-        """Batch -> one (doc, fp, lsn[, __del]) row per document in ONE
-        Arrow mapInPandas pass: the fingerprint operator decodes each
-        payload once, and lsn/__del ride through as keep_cols — no
+        """Batch -> one (doc, fp, family, lsn[, __del]) row per document
+        in ONE Arrow mapInPandas pass: the fingerprint operator decodes
+        each payload once, and lsn/__del ride through as keep_cols — no
         re-decode, no batch-sized join back. Docs whose payload does
         not decode keep a NULL fp (they can never collide) but still
-        own a state row, so a later payload update or delete lands.
+        own a state row, so a later payload update or delete lands;
+        that includes non-delete rows with a NULL payload. ``family``
+        is the sink's fixed family, or per-row container sniff under
+        ``media='auto'`` (one mixed crawl topic, one sink — images
+        dedup against images, audio against audio, video against
+        video, never across).
 
-        The riders cross the pandas boundary AS STRINGS: a nullable
-        long column entering pandas becomes float64 (one NULL anywhere
-        poisons the whole column), silently corrupting every LSN past
-        2^53 before our code ever sees it — the Int64-inference trap
-        the fingerprint columns already guard against. long -> string
-        -> long round-trips exactly for every value and NULL."""
+        Integer riders cross the pandas boundary AS STRINGS
+        (`functions/riders`): a nullable long column entering pandas
+        becomes float64 (one NULL anywhere poisons the whole column),
+        silently corrupting every LSN past 2^53 before our code ever
+        sees it — the Int64-inference trap the fingerprint columns
+        already guard against."""
+        from sqlserver_pg_cdc_spark.functions.riders import (
+            unwrap_int_riders,
+            wrap_int_riders,
+        )
         from sqlserver_pg_cdc_spark.operators import multimodal as mm
 
         lsn = (
@@ -199,7 +227,7 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             if self.src_lsn_col
             else F.lit(int(batch_id)).cast("long")
         )
-        extra = [lsn.cast("string").alias("__lsn_s")]
+        extra = [lsn.alias("__lsn")]
         src = batch_df
         if self.deleted_col:
             del_flag = F.coalesce(
@@ -211,29 +239,47 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             # same contract as deleted_col=None (round-10 ADVICE: the
             # old payload-or-delete filter silently dropped them)
             extra.append(del_flag.cast("string").alias("__del_s"))
-        keep = ["__lsn_s"] + (["__del_s"] if self.deleted_col else [])
-        pre = src.select(
-            F.col(self.id_col), F.col(self.payload_col), *extra
+        keep = ["__lsn"] + (["__del_s"] if self.deleted_col else [])
+        pre = wrap_int_riders(
+            src.select(F.col(self.id_col), F.col(self.payload_col), *extra),
+            ["__lsn"],
         )
+        fam = F.lit(self.media)
         if self.media == "image":
             out = mm.phash_images(
                 pre, self.id_col, self.payload_col,
                 decoder=self.decoder, keep_cols=tuple(keep),
             )
             fp_col = "phash"
-        else:
+        elif self.media == "audio":
             out = mm.audio_fingerprints(
                 pre, self.id_col, self.payload_col,
                 decoder=self.decoder, keep_cols=tuple(keep),
             )
             fp_col = "afp"
-        post = [F.col("__lsn_s").cast("long").alias("lsn")]
+        elif self.media == "video":
+            out = mm.video_fingerprints(
+                pre, self.id_col, self.payload_col,
+                decoder=self.decoder, keep_cols=tuple(keep),
+            )
+            fp_col = "vhash"
+        else:  # auto: per-row container sniff, one decode pass
+            out = mm.media_fingerprints(
+                pre, self.id_col, self.payload_col, keep_cols=tuple(keep)
+            )
+            fp_col = "fp"
+            fam = F.col("family")
+        out = unwrap_int_riders(out, ["__lsn"])
+        post = [F.col("__lsn").alias("lsn")]
         if self.deleted_col:
             post.append(
                 (F.col("__del_s") == F.lit("true")).alias("__del")
             )
         return out.select(
-            F.col("doc_id").alias("doc"), F.col(fp_col).alias("fp"), *post
+            F.col("doc_id").alias("doc"),
+            F.col(fp_col).alias("fp"),
+            fam.alias("family"),
+            *post,
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -258,17 +304,20 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         return st
 
     def fingerprints(self) -> DataFrame | None:
-        """The stored (doc, fp) of live docs — plugs directly into
-        `operators/multimodal.phash_near_pairs` as a batch frame."""
+        """The stored (doc, fp, family) of live docs — (doc, fp) plugs
+        directly into `operators/multimodal.phash_near_pairs` as a
+        batch frame; family scopes comparability (constant for a
+        fixed-family sink, per-row under ``media='auto'``)."""
         st = self._live_state()
         if st is None:
             return None
-        return st.select("doc", "fp")
+        return st.select("doc", "fp", "family")
 
     def index(self) -> DataFrame | None:
-        """The banded (doc, fp, band_id, band_val) probe surface over
-        live docs with a decodable fingerprint. Band extraction is pure
-        bit arithmetic, so nothing beyond (doc, fp) is ever stored."""
+        """The banded (doc, fp, family, band_id, band_val) probe
+        surface over live docs with a decodable fingerprint. Band
+        extraction is pure bit arithmetic, so nothing beyond
+        (doc, fp, family) is ever stored."""
         fp = self.fingerprints()
         if fp is None:
             return None
@@ -288,7 +337,9 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         if idx is None:
             return None
         proj = self._project(new_df, batch_id=0)
-        probe = proj.filter(F.col("fp").isNotNull()).select("doc", "fp")
+        probe = proj.filter(F.col("fp").isNotNull()).select(
+            "doc", "fp", "family"
+        )
         return self._near_dups_core(probe, max_hamming, idx=idx)
 
     def _near_dups_core(
@@ -319,14 +370,14 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         res = (
             nb.select(
                 F.col("doc").alias("a"), F.col("fp").alias("ha"),
-                "band_id", "band_val",
+                *_BAND_KEYS,
             )
             .join(
                 idx.select(
                     F.col("doc").alias("b"), F.col("fp").alias("hb"),
-                    "band_id", "band_val",
+                    *_BAND_KEYS,
                 ),
-                ["band_id", "band_val"],
+                _BAND_KEYS,
             )
             .filter(F.col("a") != F.col("b"))
             .select("a", "b", ham.alias("hamming"))
@@ -393,7 +444,9 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
         """(doc, fp) probe frame + ITS band frame, both lazy views over
         the checkpointed decode — payload decode, the dominant media
         batch cost, ran exactly once."""
-        probe = live.filter(F.col("fp").isNotNull()).select("doc", "fp")
+        probe = live.filter(F.col("fp").isNotNull()).select(
+            "doc", "fp", "family"
+        )
         return {"probe": probe, "bands": _fp_band_frame(probe, "doc", "fp")}
 
     def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
@@ -414,14 +467,14 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
         pairs = (
             kb.select(
                 F.col("doc").alias("a"), F.col("fp").alias("ha"),
-                "band_id", "band_val",
+                *_BAND_KEYS,
             )
             .join(
                 kb.select(
                     F.col("doc").alias("b"), F.col("fp").alias("hb"),
-                    "band_id", "band_val",
+                    *_BAND_KEYS,
                 ),
-                ["band_id", "band_val"],
+                _BAND_KEYS,
             )
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", ham.alias("hamming"))

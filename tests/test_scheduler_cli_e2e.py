@@ -1646,3 +1646,152 @@ def test_cli_media_fingerprint_modes(tmp_path, spark):
         str(tmp_path / "pairs")).collect()}
     assert (1, 2, 0) in pairs
     assert all(a != 4 and b != 4 for a, b, _ in pairs)
+
+
+def _mixed_media_rows():
+    """One image + one audio + one video payload, plus a re-encode of
+    each in ANOTHER container — the mixed-crawl-topic shape."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_flac,
+        encode_jpeg,
+        encode_mcv,
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    y, x = np.mgrid[0:64, 0:64]
+    g = ((37 * (x // 16) + 59 * (y // 16)) % 256).astype(np.uint8)
+    img = np.stack([g] * 3, axis=2)
+    t = np.arange(4000)
+    snd = np.clip(
+        6000 * np.sign(np.sin(2 * np.pi * t / 128)), -32767, 32767
+    ).astype(np.int16)
+    yy, xx = np.mgrid[0:32, 0:48]
+    base = (((yy // 8) * 74 + (xx // 8) * 159) % 200 + 20).astype(np.uint8)
+    frames = []
+    for f in range(8):
+        px = np.stack([base, np.full_like(base, 40), base[::-1]], axis=2)
+        px[8 * (f % 3):8 * (f % 3) + 8, 8 * f % 32:8 * f % 32 + 16] = 235
+        frames.append(px.astype(np.uint8))
+    jpegs = [encode_jpeg(48, 32, fr.tobytes()) for fr in frames]
+    return {
+        "image": (encode_png(64, 64, img.tobytes()),
+                  encode_bmp(64, 64, img.tobytes())),
+        "audio": (encode_wav_pcm16(8000, snd), encode_flac(8000, snd)),
+        "video": (encode_mcv(frames, fps=10, gop=4, qscale=4),
+                  encode_avi_mjpeg(jpegs, 48, 32, fps=10)),
+    }
+
+
+def test_cli_gate_media_auto_mixed_stream(tmp_path, spark):
+    """`gate --mode auto` (round-10 verdict item #3): one sink gates a
+    MIXED image+audio+video topic — batch 0 indexes one doc per family,
+    batch 1's re-encodes (different container per family) are each
+    rejected against their OWN family's canonical."""
+    import json as _json
+
+    import pandas as pd
+
+    media = _mixed_media_rows()
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(1, media["image"][0]), (2, media["audio"][0]),
+             (3, media["video"][0])],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "b0"))
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(11, media["image"][1]), (12, media["audio"][1]),
+             (13, media["video"][1])],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "b1"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "auto",
+        "--state-dir", str(tmp_path / "astate"),
+        "--dups-dir", str(tmp_path / "adups"),
+        "--partitions", "4",
+    ]
+    r0 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b0")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    out0 = _json.loads(r0.stdout.strip().splitlines()[-1])
+    assert out0["rejected_this_batch"] == 0 and out0["indexed_total"] == 3
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "b1")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["rejected_this_batch"] == 3 and out1["indexed_total"] == 3
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    log = {r2["doc"]: r2["dup_of"] for r2 in read_batch_log(
+        spark, str(tmp_path / "adups")).collect()}
+    assert log == {11: 1, 12: 2, 13: 3}
+
+
+def test_cli_media_mfp_and_vhash(tmp_path, spark):
+    """`media --mode mfp` (mixed fingerprinting, family-scoped near
+    pairs) and `--mode vhash` (video fingerprints) through a real
+    subprocess."""
+    import json as _json
+
+    media = _mixed_media_rows()
+    rows = [
+        (1, bytearray(media["image"][0])), (2, bytearray(media["image"][1])),
+        (3, bytearray(media["audio"][0])), (4, bytearray(media["audio"][1])),
+        (5, bytearray(media["video"][0])), (6, bytearray(media["video"][1])),
+        (7, bytearray(b"\x00not media")),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    ).write.parquet(str(tmp_path / "mixed"))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+            "--mode", "mfp", "--input", str(tmp_path / "mixed"),
+            "--output", str(tmp_path / "fps"),
+            "--near-pairs", str(tmp_path / "pairs"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 7 and out["fingerprinted"] == 6
+    fam = {r2["doc_id"]: r2["family"] for r2 in spark.read.parquet(
+        str(tmp_path / "fps")).collect()}
+    assert fam == {1: "image", 2: "image", 3: "audio", 4: "audio",
+                   5: "video", 6: "video", 7: None}
+    pairs = {(r2["a"], r2["b"]): r2["family"] for r2 in spark.read.parquet(
+        str(tmp_path / "pairs")).collect()}
+    assert pairs == {(1, 2): "image", (3, 4): "audio", (5, 6): "video"}
+    # vhash over just the video rows
+    spark.createDataFrame(
+        rows[4:6], "doc_id long, payload binary"
+    ).write.parquet(str(tmp_path / "vids"))
+    rv = subprocess.run(
+        [
+            sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+            "--mode", "vhash", "--input", str(tmp_path / "vids"),
+            "--output", str(tmp_path / "vfps"),
+            "--near-pairs", str(tmp_path / "vpairs"),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert rv.returncode == 0, rv.stderr[-2000:]
+    outv = _json.loads(rv.stdout.strip().splitlines()[-1])
+    assert outv["rows"] == 2 and outv["fingerprinted"] == 2
+    vp = [(r2["a"], r2["b"], r2["hamming"]) for r2 in spark.read.parquet(
+        str(tmp_path / "vpairs")).collect()]
+    assert len(vp) == 1 and vp[0][:2] == (5, 6) and vp[0][2] <= 6

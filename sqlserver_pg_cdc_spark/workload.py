@@ -4277,6 +4277,130 @@ FROM live
 """
 
 
+def q_video_phash_crossformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CONTAINER video dedup by perceptual video hash — the video
+    member of the crossformat family (round-10 verdict missing #1):
+    every document renders one of seven 8-frame clips (blocky
+    8x8-aligned class texture + a moving bright rectangle), encoded as
+    motion-compensated MCV or as AVI-wrapped MJPEG. Byte hashes see 14
+    distinct payloads; `video_fingerprints` sees 7 classes — but both
+    codecs are LOSSY, so unlike the image/audio twins the law is
+    NEAR-match, not equality: `vhash_frames` folds the sampled frames'
+    luma into one 63-bit fingerprint, measured <= 6 Hamming between
+    re-encodes of one clip (inside the 7x9-bit banding's full-recall
+    bound) and >= 12 across clips, so banded Hamming pairs + connected
+    components recover exactly the class partition. Contract mirrors
+    `audio_fingerprint_crossformat`: per doc the class canonical (min
+    id) and class size; the oracle derives both from the class law
+    alone. Container assignment: AVI for odd ids, MCV for even ids AND
+    for truncation-corrupt ids (doc_id%13==5) — MCV's header-declared
+    frame count makes truncation structural (NULL), where a truncated
+    AVI decodes its surviving frame prefix BY DESIGN (the
+    `sample_video_frames` tail law) and would fingerprint a different
+    frame subset rather than dropping. Magic-corrupt docs (%13==9)
+    fail either container; corrupt docs drop on NULL vhash."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        phash_near_pairs,
+        video_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        from sqlserver_pg_cdc_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_jpeg,
+            encode_mcv,
+        )
+
+        cache: dict = {}
+        h, w, nf = 32, 48, 8
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                c = k % 7
+                container = "mcv" if (k % 13 == 5 or k % 2 == 0) else "avi"
+                key = (c, container)
+                p = cache.get(key)
+                if p is None:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    base = (
+                        ((yy // 8) * (c + 2) * 37
+                         + (xx // 8) * (2 * c + 3) * 53) % 200 + 20
+                    ).astype(np.uint8)
+                    frames = []
+                    for f in range(nf):
+                        px = np.stack(
+                            [base,
+                             np.full_like(base, (30 * c + 40) % 256),
+                             base[::-1]],
+                            axis=2,
+                        ).astype(np.uint8)
+                        x0 = 8 * ((f + c) % ((w // 8) - 2))
+                        y0 = 8 * ((f + 2 * c) % ((h // 8) - 1))
+                        px[y0:y0 + 8, x0:x0 + 16] = (235 - 25 * c) % 256
+                        frames.append(px)
+                    if container == "mcv":
+                        p = encode_mcv(frames, fps=10, gop=4, qscale=4)
+                    else:
+                        p = encode_avi_mjpeg(
+                            [encode_jpeg(w, h, f.tobytes()) for f in frames],
+                            w, h, fps=10,
+                        )
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    # sample budget: the first 4 frames — the measured law holds
+    # (within-class <= 5, cross-class >= 16) at half the full-clip
+    # decode, and MCV reconstructs only the 4-frame prefix; both
+    # containers sample identical frame indices
+    # ONE decode pass: pairs, components (iterative), and the final
+    # labeling all read the fingerprint frame — localCheckpoint it
+    # (corpus-of-fingerprints sized, two longs per doc) or the codec
+    # work re-runs per downstream action (the gate projection
+    # discipline)
+    fps = video_fingerprints(
+        enc, "doc_id", "payload", stride=1, max_frames=4
+    ).filter(F.col("vhash").isNotNull()).localCheckpoint()
+    pairs = phash_near_pairs(fps, id_col="doc_id", hash_col="vhash",
+                             max_hamming=6)
+    comps = dup_components(pairs).select(
+        F.col("doc").alias("doc_id"), "component"
+    )
+    from pyspark.sql import Window
+
+    labeled = fps.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("dup_of"),
+    )
+    w2 = Window.partitionBy("dup_of")
+    return labeled.select(
+        "doc_id", "dup_of",
+        F.count(F.lit(1)).over(w2).cast("long").alias("n_same"),
+    )
+
+
+_VIDEO_VHASH_SQL = """
+WITH live AS (
+    SELECT doc_id, doc_id % 7 AS cls
+    FROM documents
+    WHERE doc_id % 13 NOT IN (5, 9)
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY cls) AS dup_of,
+       COUNT(*) OVER (PARTITION BY cls) AS n_same
+FROM live
+"""
+
+
 def q_media_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time MEDIA dedup GATE (`streaming/media.
     MediaDedupGateSink`) — cross-container dedup at ingest, the gap the
@@ -6597,6 +6721,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     catalog["audio_fingerprint_crossformat"] = QuerySpec(
         q_audio_fingerprint_crossformat, _AUDIO_AFP_SQL
     )
+    catalog["video_phash_crossformat"] = QuerySpec(
+        q_video_phash_crossformat, _VIDEO_VHASH_SQL
+    )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL
     )
@@ -6719,78 +6846,74 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 
 
 # The driver's correctness gate evaluates only the FIRST 50 catalog entries.
-# Round-9 ordering (longest-unsampled-first rotation): new/changed contracts
-# lead (the new streaming semantic-decontamination gate, plus the five
-# queries whose implementation changed this round: deterministic gate
-# tie-breaks, the compacted batch-log read path, and the key down-cast
-# guard in the partitioned upsert write path), then the ENTIRE round-6
-# cohort — 44 queries whose last driver row would otherwise be three
-# rounds old. Everything behind the window stays locally verified by
-# scripts/verify_local.py, which runs ALL entries with the driver-faithful
-# comparator.
+# Round-11 ordering (longest-unsampled-first rotation, per the round-10
+# verdict's explicit slate): the new video-fingerprint contract leads
+# (landed this round — a contract without a driver row is the backlog),
+# then diversity_sample_rate (the ONE catalog query that had never had
+# a driver row), then the three gates whose implementation CHANGED this
+# round (refactored onto streaming/gate.GatedIndexMixin; the media gate
+# additionally gained family-scoped state and band keys — changed code
+# must re-verify under the driver gate, not just verify_local), then
+# 45 of the 47-row r8 cohort — the oldest bulk. The two r8 rows left
+# behind (ann_topk_cosine, vocab_topk) were both independently
+# re-verified by the round-10 judge session and stay verify_local-green,
+# as do the 10 r7 rows; all 12 behind-window rows are listed in SCALE.md
+# for the round-12 sweep.
 _DRIVER_WINDOW_FIRST = [
-    # NEW contracts this round
-    "media_dedup_gate",  # NEW: ingest-time cross-container media dedup
-    "diversity_sample",  # NEW: cluster-balanced corpus selection
-    # landed AFTER the r9 driver gate ran — never had a driver row
-    # (verdict item #1: these are first in line)
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_streamed",
-    "audio_fingerprint_crossformat",
-    "image_phash_crossformat",
-    "multimodal_audio_resample",
-    "multimodal_mcv_frames",
-    "multimodal_resize_gif",
-    "multimodal_resize_png",
-    "multimodal_subband_frames",
-    "multimodal_video_thumbnails",
-    # implementation CHANGED this round (eval index hoisted out of the
-    # per-run rebuild): must re-verify under the driver gate
-    "semantic_decontam",
-    # last driver row: round 7 (the oldest cohort; 9 of the 48 r7 rows
-    # stay behind the window this round — all 9 were independently
-    # re-verified against the oracle by the r9 judge session, and all
-    # 48 stay green under scripts/verify_local.py)
-    "balance_quartiles",
-    "bpe_top_pairs",
-    "brand_supplier_stats",
-    "corpus_report",
-    "counts_compare_orders",
-    "customer_set_ops",
-    "diff_orders_incremental",
-    "disjunctive_revenue",
-    "distinct_counts",
-    "duplicate_spans_stripped",
-    "events_continuous_agg",
-    "events_gap_fill",
-    "events_json_stats",
-    "events_moving_window",
-    "gopher_quality",
-    "k_anonymity_customer",
-    "large_volume_customers",
-    "multimodal_avi_frames",
-    "multimodal_png_decode",
-    "multimodal_resize_jpeg",
-    "order_outliers",
-    "order_percentiles",
-    "order_priority_exists",
-    "orders_grouping_sets",
-    "pii_mask_customer",
-    "pii_mask_udf_fields",
-    "priority_class_counts",
-    "promo_revenue_ratio",
-    "quantile_buckets_orders",
-    "range_join_price_tiers",
-    "shard_manifest",
-    "sole_late_supplier",
-    "supplier_window_showcase",
-    "tfidf_top_terms",
-    "type_convert_orders",
-    "user_event_cadence",
-    "user_series_correlation",
-    # volume_shipping (r7, plain TPC-H aggregate) yields its slot to the
-    # second new contract; it stays verify_local-green like the rest of
-    # the behind-window cohort
+    # NEW contract this round
+    "video_phash_crossformat",
+    # never had a driver row (landed after the r10 gate ran)
+    "diversity_sample_rate",
+    # implementation CHANGED this round (shared gate skeleton)
+    "media_dedup_gate",
+    "text_dedup_gate",
+    "embedding_gate",
+    # last driver row: round 8 (the oldest cohort)
+    "ann_topk_ivf",
+    "ann_topk_ivf_streamed",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "ann_topk_pq_streamed",
+    "asof_latest_order",
+    "cheapest_supplier_per_part",
+    "corpus_boilerplate",
+    "corpus_repetition",
+    "customer_order_distribution",
+    "decontam_gate",
+    "dedup_components",
+    "dedup_components_incremental",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_select_canonical",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunks",
+    "dominant_part_suppliers",
+    "event_attribution",
+    "event_funnel",
+    "heavy_hitter_tokens",
+    "important_part_value",
+    "latest_per_key_skewed",
+    "nation_market_share",
+    "order_lines_array",
+    "pack_sequences",
+    "pack_stats",
+    "part_pair_cooccurrence",
+    "pii_scan_segments",
+    "price_histogram",
+    "product_type_profit",
+    "promo_part_suppliers",
+    "returned_item_revenue",
+    "sample_weighted_docs",
+    "scd2_time_travel_partitioned",
+    "segment_dedup",
+    "supplier_part_variety",
+    "text_analysis",
+    "text_dedup_streamed_index",
+    "top_supplier_revenue",
+    "training_order",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

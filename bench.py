@@ -520,36 +520,56 @@ def main() -> None:
                 sc.setLocalProperty("spark.jobGroup.id", None)
             tri_jobs.append(len(tracker.getJobIdsForGroup(group)))
 
-    # Canary discipline (r9 verdict #3): the binary `healthy` probe bit
-    # is a knife-edge (r8's driver run read unhealthy at 0.835 s and
-    # r9's 180 s run healthy at 0.799 s — same regime). Publish a RATIO
-    # against a committed best-window value of a pure-JVM query whose
-    # builder has not changed since r6: cross-round comparisons should
-    # key off canary_ratio ∈ [0.9, 1.1] (SCALE.md rule); outside the
-    # band, discount absolute totals and compare query-RELATIVE times.
-    # A ratio BELOW the band means the committed anchor is stale (the
-    # host got faster) — re-pin _CANARY_BEST_S, don't celebrate.
-    _CANARY_QUERY = "checksum_lineitem"
-    _CANARY_BEST_S = 3.44  # committed best healthy-window value (r9)
-    canary_wall = timings.get(_CANARY_QUERY)
-    canary = {
-        "query": _CANARY_QUERY,
-        "committed_best_s": _CANARY_BEST_S,
-        "wall_s": canary_wall,
-        "ratio": (
-            round(canary_wall / _CANARY_BEST_S, 3)
-            if canary_wall
-            else None
-        ),
-        "healthy_band": [0.9, 1.1],
+    # Canary discipline (r9 verdict #3, widened to a SET by r10 verdict
+    # #4): a single pure-JVM anchor admitted an 18% healthy-band total
+    # spread (152.0 s @ 0.955 vs 180.6 s @ 0.994, same code) because one
+    # query shape cannot see python-worker or shuffle degradation.
+    # Three anchors of deliberately different shapes — pure-JVM scan
+    # (checksum_lineitem), shuffle-heavy iterative
+    # (dedup_components_incremental), python-worker/Arrow
+    # (multimodal_flac_frames) — each publish a ratio against their
+    # committed best-window value; representativeness keys off the
+    # MEDIAN ratio ∈ [0.9, 1.1] (SCALE.md rule). Outside the band,
+    # discount absolute totals and compare query-RELATIVE times. A
+    # median BELOW the band means the committed anchors are stale (the
+    # host got faster) — re-pin _CANARY_SET, don't celebrate. The
+    # legacy single-anchor fields stay published for cross-round
+    # comparability with r9/r10 records.
+    _CANARY_SET = {
+        "checksum_lineitem": 3.28,            # pure JVM (re-pinned r11)
+        "dedup_components_incremental": 2.63,  # shuffle-heavy iterative
+        "multimodal_flac_frames": 1.04,        # python-worker / Arrow
     }
-    # tri-state: a run that never sampled the canary (subset runs, or a
+    anchors = {}
+    ratios = []
+    for qname, best_s in _CANARY_SET.items():
+        wall = timings.get(qname)
+        ratio = round(wall / best_s, 3) if wall else None
+        anchors[qname] = {
+            "committed_best_s": best_s, "wall_s": wall, "ratio": ratio,
+        }
+        if ratio is not None:
+            ratios.append(ratio)
+    median_ratio = (
+        round(sorted(ratios)[len(ratios) // 2], 3) if ratios else None
+    )
+    canary_wall = timings.get("checksum_lineitem")
+    canary = {
+        # legacy single-anchor fields (r9/r10 comparators key on these)
+        "query": "checksum_lineitem",
+        "committed_best_s": _CANARY_SET["checksum_lineitem"],
+        "wall_s": canary_wall,
+        "ratio": anchors["checksum_lineitem"]["ratio"],
+        "healthy_band": [0.9, 1.1],
+        # the r11 canary SET
+        "anchors": anchors,
+        "median_ratio": median_ratio,
+    }
+    # tri-state: a run that never sampled the anchors (subset runs, or a
     # 0.0-rounded wall) publishes null, NOT false — "not measured" must
     # never read as "host unhealthy" to a cross-round comparator
     canary["canary_healthy"] = (
-        (0.9 <= canary["ratio"] <= 1.1)
-        if canary["ratio"] is not None
-        else None
+        (0.9 <= median_ratio <= 1.1) if median_ratio is not None else None
     )
 
     out = {

@@ -210,3 +210,28 @@ def test_audio_fingerprints_cross_container_through_spark(spark):
         ).collect()
     }
     assert pairs == {(0, 2), (1, 3)}
+
+
+def test_vhash_frames_edge_cases():
+    """Unit laws of the video fingerprint: empty -> None, sub-32px
+    frames -> None (degenerate box grid), grayscale channel weighting,
+    and determinism across call order (the fixed-point discipline)."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import vhash_frames
+
+    assert vhash_frames([]) is None
+    tiny = [np.zeros((8, 8, 3), dtype=np.uint8)]
+    assert vhash_frames(tiny) is None
+    rgb = [
+        ((np.mgrid[0:32, 0:48][0] * 7 + f) % 256).astype(np.uint8)[
+            :, :, None
+        ].repeat(3, axis=2)
+        for f in range(4)
+    ]
+    gray = [fr[:, :, :1] for fr in rgb]
+    a = vhash_frames(rgb)
+    b = vhash_frames(gray)  # 220x the single channel == luma of equal RGB
+    assert a == b
+    assert vhash_frames(list(reversed(rgb))) == a  # temporal SUM: order-free
+    assert 0 <= a < (1 << 63)

@@ -461,3 +461,39 @@ def test_media_gate_query_plan_shape(spark):
     fn = workload.build_catalog(spark)["media_dedup_gate"].fn
     plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
     assert "CartesianProduct" not in plan
+
+
+def test_video_crossformat_plan_shape(spark):
+    """video_phash_crossformat: no cartesian anywhere; the near-pair
+    probe is a banded equi-join; the only Python is the two mapInPandas
+    passes (payload synth + fingerprint decode) — the clustering and
+    labeling read the localCheckpoint'd fingerprint frame JVM-side."""
+    m = _metrics(spark, "video_phash_crossformat")
+    assert not m.has_cartesian, m.joins
+
+
+def test_auto_media_band_joins_are_family_scoped(spark, tmp_path):
+    """media='auto': every Hamming band join must carry `family` as an
+    equi-join KEY (cross-family candidates impossible by construction).
+    Pinned on the plan text of the gate's probe frame."""
+    from sqlserver_pg_cdc_spark.streaming.media import FingerprintIndexSink
+
+    sink = FingerprintIndexSink(
+        spark, str(tmp_path / "fpstate"), "doc_id", "payload",
+        media="auto", n_partitions=4,
+    )
+    probe = spark.createDataFrame(
+        [(1, 7, "image")], "doc long, fp long, family string"
+    )
+    proj = spark.createDataFrame(
+        [(2, 7, "audio", 0)], "doc long, fp long, family string, lsn long"
+    )
+    sink._upsert_projected(proj, 0)
+    res = sink._near_dups_core(probe, max_hamming=6)
+    plan = str(res._jdf.queryExecution().analyzed())
+    res.unpersist()
+    assert "family" in plan
+    # and behaviorally: same fp, different family -> no candidate
+    res2 = sink._near_dups_core(probe, max_hamming=6)
+    assert res2.count() == 0
+    res2.unpersist()

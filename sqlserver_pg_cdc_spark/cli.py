@@ -399,7 +399,8 @@ def create_parser() -> argparse.ArgumentParser:
     sample.add_argument("--output", required=True)
     sample.add_argument("--mode", required=True,
                         choices=["deterministic", "stratified",
-                                 "weighted", "diversity"])
+                                 "weighted", "diversity",
+                                 "diversity-stream"])
     sample.add_argument("--key-col", default="doc_id",
                         help="content-hash key (the sample is a pure "
                              "function of this column's values)")
@@ -417,6 +418,16 @@ def create_parser() -> argparse.ArgumentParser:
                         help="diversity: embedding column")
     sample.add_argument("--quota", type=int, default=1000,
                         help="diversity: max rows kept per IVF cell")
+    sample.add_argument("--state-dir",
+                        help="diversity-stream: standing selection state "
+                             "(created on first batch; each invocation "
+                             "folds --input into it and writes the "
+                             "current selection to --output)")
+    sample.add_argument("--batch-id", type=int, default=None,
+                        help="diversity-stream: LSN stamp (default: one "
+                             "past the stored max)")
+    sample.add_argument("--partitions", type=int, default=32,
+                        help="diversity-stream: state partition count")
     sample.add_argument("--cells", type=int, default=64,
                         help="diversity: IVF cell count (first-n-by-id "
                              "centroids; train via the ann CLI for "
@@ -1655,6 +1666,32 @@ def cmd_sample(args) -> int:
         out = stratified_sample(
             df, list(args.strata), args.key_col, args.per_stratum
         )
+    elif args.mode == "diversity-stream":
+        # the streamed fold: the standing SELECTION is state; each CLI
+        # invocation is one micro-batch, so a cron'd ingest keeps a
+        # cluster-balanced corpus sample without ever rescanning
+        from pyspark.sql import functions as F
+
+        from sqlserver_pg_cdc_spark.streaming.diversity import (
+            DiversitySampleSink,
+        )
+
+        if not args.state_dir:
+            raise SystemExit("--mode diversity-stream requires --state-dir")
+        sink = DiversitySampleSink(
+            spark, args.state_dir, args.key_col, args.vec_col,
+            quota=args.quota, n_cells=args.cells,
+            n_partitions=args.partitions,
+        )
+        batch_id = args.batch_id
+        if batch_id is None:
+            st = sink.read_target()
+            batch_id = (
+                0 if st is None
+                else (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+            )
+        sink(df, int(batch_id))
+        out = sink.selection()
     else:
         out = diversity_sample(
             df, args.key_col, args.vec_col,

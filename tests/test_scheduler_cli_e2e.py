@@ -1795,3 +1795,56 @@ def test_cli_media_mfp_and_vhash(tmp_path, spark):
     vp = [(r2["a"], r2["b"], r2["hamming"]) for r2 in spark.read.parquet(
         str(tmp_path / "vpairs")).collect()]
     assert len(vp) == 1 and vp[0][:2] == (5, 6) and vp[0][2] <= 6
+
+
+def test_cli_sample_diversity_stream(tmp_path, spark):
+    """`sample --mode diversity-stream`: each invocation folds one
+    batch into the standing selection state; after two batches the
+    output equals the batch diversity sampler over the union (the
+    streamed-selection invariant through a real subprocess)."""
+    import json as _json
+
+    def vecs(ids):
+        rows = []
+        for i in ids:
+            c = i % 8
+            base = [1.0 if d == c % 6 else 0.1 * ((c + d) % 3)
+                    for d in range(6)]
+            rows.append((i, [b + 0.01 * ((i * (d + 3)) % 7)
+                             for d, b in enumerate(base)]))
+        return spark.createDataFrame(rows, "doc_id long, v array<double>")
+
+    b0, b1 = list(range(0, 60)), list(range(60, 150))
+    vecs(b0).write.parquet(str(tmp_path / "b0"))
+    vecs(b1).write.parquet(str(tmp_path / "b1"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "sample",
+        "--mode", "diversity-stream", "--key-col", "doc_id",
+        "--vec-col", "v", "--quota", "3", "--cells", "4",
+        "--state-dir", str(tmp_path / "divstate"), "--partitions", "4",
+    ]
+    for i, b in enumerate(("b0", "b1")):
+        r = subprocess.run(
+            base + ["--input", str(tmp_path / b),
+                    "--output", str(tmp_path / f"sel{i}")],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["rows_out"] <= 3 * 4
+    got = {(r2["doc"], r2["cell_id"]) for r2 in spark.read.parquet(
+        str(tmp_path / "sel1")).collect()}
+    # batch sampler over the union with the sink's persisted epoch
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+    from sqlserver_pg_cdc_spark.operators.sampling import diversity_sample
+    from pyspark.sql import functions as F
+
+    cents = spark.read.parquet(str(tmp_path / "divstate" / "__centroids"))
+    cents = cents.select("cell_id", "cv", norm("cv").alias("cn"))
+    want = {
+        (r2["doc_id"], r2["cell_id"])
+        for r2 in diversity_sample(
+            vecs(b0 + b1), "doc_id", "v", 3, n_cells=4, centroids=cents
+        ).collect()
+    }
+    assert got == want

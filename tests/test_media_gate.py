@@ -535,3 +535,64 @@ def test_auto_gate_zero_cross_family_candidates(spark, tmp_path):
     rows = {(r["a"], r["b"]) for r in got.collect()}
     got.unpersist()
     assert rows == {(9, 1)}  # the audio doc with the same fp is unseen
+
+
+def test_auto_gate_end_to_end_writestream(spark, tmp_path):
+    """The production harness shape for media='auto': a file-source
+    stream of MIXED image+audio+video parquet drives one gate through
+    writeStream.foreachBatch — batch 0 indexes one doc per family,
+    batch 1's cross-container re-encodes reject per family while a
+    fresh clip is admitted."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows], pa.binary()),
+                }
+            ),
+            str(spool / fname),
+        )
+
+    write("a.parquet", [
+        (1, _image_payload(0, "png")),
+        (2, _audio_payload(0, "wav")),
+        (3, _video_payload(0, "mcv")),
+    ])
+    write("b.parquet", [
+        (11, _image_payload(0, "bmp")),   # image re-encode -> reject
+        (12, _audio_payload(0, "flac")),  # audio re-encode -> reject
+        (13, _video_payload(0, "avi")),   # video re-encode -> reject
+        (14, _video_payload(4, "mcv")),   # fresh clip -> admitted
+    ])
+    now = _time.time()
+    os.utime(spool / "a.parquet", (now - 60, now - 60))
+    os.utime(spool / "b.parquet", (now, now))
+
+    gate = _gate(spark, tmp_path, media="auto")
+    q = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(spool))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _indexed(gate) == {1, 2, 3, 14}
+    log = {r["doc"]: (r["dup_of"], r["kind"])
+           for r in gate.dup_log().collect()}
+    assert log == {11: (1, "corpus"), 12: (2, "corpus"),
+                   13: (3, "corpus")}
+    fam = {r["doc"]: r["family"] for r in gate.fingerprints().collect()}
+    assert fam == {1: "image", 2: "audio", 3: "video", 14: "video"}

@@ -200,6 +200,7 @@ SWEEP_QUERIES = {
         "audio_fingerprint_crossformat",
         "multimodal_avi_frames",
         "media_dedup_gate",
+        "video_phash_crossformat",
     ]
 }
 

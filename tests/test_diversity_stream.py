@@ -119,3 +119,23 @@ def test_centroid_epoch_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="different parameters"):
         third(_vecs(spark, list(range(40, 50))), 1)
+
+
+def test_eviction_tombstones_are_purgeable(spark, tmp_path):
+    """Day-2 retention composes: evicted selection rows are ordinary
+    soft-delete tombstones, so the inherited `purge_tombstones`
+    physically drops them past the replay horizon without touching the
+    live selection — and the selection survives unchanged."""
+    sink = DiversitySampleSink(
+        spark, str(tmp_path / "div"), "doc_id", "v",
+        quota=2, n_cells=2, n_partitions=4,
+    )
+    sink(_vecs(spark, list(range(16))), 0)
+    sink(_vecs(spark, list(range(16, 200))), 1)
+    before = _sel(sink)
+    dead = sink.read_target().filter("__del").count()
+    assert dead > 0  # batch 1 evicted someone
+    out = sink.purge_tombstones(10**9, deleted_col="__del")
+    assert out["purged"] == dead
+    assert sink.read_target().filter("__del").count() == 0
+    assert _sel(sink) == before

@@ -693,22 +693,36 @@ class HashPartitionedStateMixin:
                         os.path.join(new_dir, f"part_{p:05d}"),
                     )
             shutil.rmtree(tmp, ignore_errors=True)
-        # params/aux marker files (LSH params, IVF baselines, ...) ride
-        # along: they describe the state's content, not its layout. The
-        # maintenance lock does NOT ride — it belongs to THIS pass, and
-        # copying it into the new layout would leave the rescaled state
-        # permanently locked.
-        from sqlserver_pg_cdc_spark.streaming.lock import LOCK_FILE
+        # params/aux markers (LSH params, IVF baselines, centroid
+        # parquet DIRECTORIES like DiversitySampleSink's __centroids or
+        # the ann CLI's __centroids.parquet, ...) ride along: they
+        # describe the state's content, not its layout. Dropping an aux
+        # DIRECTORY here strands the params json that references it, so
+        # the next batch crashes resolving a nonexistent path (round-11
+        # ADVICE). The maintenance lock does NOT ride — it belongs to
+        # THIS pass (legacy in-dir name excluded for pre-round-11
+        # states); neither do layout internals (__hive, __rescale_*) nor
+        # a legacy in-dir __writers beacon dir (transient, owned by the
+        # batches that created it).
+        from sqlserver_pg_cdc_spark.streaming.lock import (
+            _BEACON_DIR,
+            LOCK_FILE,
+        )
 
         if os.path.isdir(self.target_dir):
             for name in os.listdir(self.target_dir):
                 srcf = os.path.join(self.target_dir, name)
                 if (
-                    os.path.isfile(srcf)
-                    and name.startswith("__")
-                    and name not in (self._LAYOUT_FILE, LOCK_FILE)
+                    not name.startswith("__")
+                    or name in (self._LAYOUT_FILE, LOCK_FILE, _BEACON_DIR)
+                    or name.startswith("__rescale_")
+                    or name == "__hive"
                 ):
+                    continue
+                if os.path.isfile(srcf):
                     shutil.copy2(srcf, os.path.join(new_dir, name))
+                elif os.path.isdir(srcf):
+                    shutil.copytree(srcf, os.path.join(new_dir, name))
         with open(os.path.join(new_dir, self._LAYOUT_FILE), "w") as f:
             json.dump(marker_meta, f)
         # completion sentinel: _recover_rescale only adopts a new dir

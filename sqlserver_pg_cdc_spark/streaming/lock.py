@@ -108,6 +108,21 @@ def lock_path(state_dir: str) -> str:
 _lock_path = lock_path  # internal alias (pre-round-11 name)
 
 
+def _legacy_lock_path(state_dir: str) -> str:
+    """Pre-round-11 versions kept the lock INSIDE the state dir. During
+    a mixed-version window an old writer/pass still marks there, so new
+    code READS the legacy location too (round-11 ADVICE) — a live
+    legacy marker blocks exactly like a sibling one, a stale one is
+    broken through the same mutex. New code never WRITES here."""
+    return os.path.join(os.path.normpath(state_dir), LOCK_FILE)
+
+
+def _legacy_beacon_dir(state_dir: str) -> str:
+    """Pre-round-11 in-dir writer-beacon location (read-only; see
+    :func:`_legacy_lock_path`)."""
+    return os.path.join(os.path.normpath(state_dir), _BEACON_DIR)
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -259,14 +274,20 @@ def assert_no_maintenance(
     the dir. A stale (crashed) lock is treated as ABSENT — deliberately
     not deleted here: an unconditional writer-side remove would race a
     maintenance acquirer that just broke the same stale lock and
-    created a fresh live one. The next maintenance op breaks it."""
-    got = _read_marker(_lock_path(state_dir))
-    if got is None:
-        return
-    info, _ = got
-    if _is_stale(info, stale_after_s):
-        return
-    raise MaintenanceLockError(_held_message(what, state_dir, info))
+    created a fresh live one. The next maintenance op breaks it.
+
+    Both the sibling path and the legacy in-dir path are read: during a
+    mixed-version window an OLD maintenance pass still marks inside the
+    state dir, and walking through its lock would void single-writer
+    exclusion (round-11 ADVICE)."""
+    for p in (_lock_path(state_dir), _legacy_lock_path(state_dir)):
+        got = _read_marker(p)
+        if got is None:
+            continue
+        info, _ = got
+        if _is_stale(info, stale_after_s):
+            continue
+        raise MaintenanceLockError(_held_message(what, state_dir, info))
 
 
 def _beacon_dir(state_dir: str) -> str:
@@ -280,26 +301,28 @@ def _live_beacons(
     state_dir: str, stale_after_s: float
 ) -> list[dict]:
     """Live writer beacons; stale ones (dead pid / aged out) are swept
-    in passing."""
-    bdir = _beacon_dir(state_dir)
-    try:
-        names = os.listdir(bdir)
-    except (FileNotFoundError, NotADirectoryError):
-        return []
+    in passing. Scans the sibling dir AND the legacy in-dir location —
+    an old-version writer's in-dir beacon must still hold off a new
+    maintenance pass during a mixed-version window (round-11 ADVICE)."""
     live = []
-    for n in names:
-        p = os.path.join(bdir, n)
-        got = _read_marker(p)
-        if got is None:
+    for bdir in (_beacon_dir(state_dir), _legacy_beacon_dir(state_dir)):
+        try:
+            names = os.listdir(bdir)
+        except (FileNotFoundError, NotADirectoryError):
             continue
-        info, _ = got
-        if _is_stale(info, stale_after_s):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-            continue
-        live.append(info)
+        for n in names:
+            p = os.path.join(bdir, n)
+            got = _read_marker(p)
+            if got is None:
+                continue
+            info, _ = got
+            if _is_stale(info, stale_after_s):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+                continue
+            live.append(info)
     return live
 
 
@@ -356,6 +379,25 @@ def maintenance_lock(
     Deliberately does NOT create ``state_dir``: the lock is a sibling
     file, and materializing the state dir here would recreate the husk
     `rescale`'s swap must never find (see the module docstring)."""
+    # mixed-version window (round-11 ADVICE): an OLD maintenance pass
+    # marks INSIDE the state dir — refuse while its marker is live,
+    # break it when stale. New code never writes this location. (The
+    # reverse hole — an old pass cannot see a NEW writer's sibling
+    # beacon — is closed only by finishing the version rollout; this
+    # side at least never walks through the old side's lock.)
+    legacy = _legacy_lock_path(state_dir)
+    got = _read_marker(legacy)
+    if got is not None:
+        info, raw = got
+        if _is_stale(info, stale_after_s):
+            _break_stale(legacy, raw)
+        else:
+            raise MaintenanceLockError(
+                f"maintenance op {op!r} refused: {info.get('op')!r} "
+                f"(pid {info.get('pid')}) holds the LEGACY in-dir "
+                f"single-writer lock on {state_dir} (pre-round-11 "
+                "version still active); retry after it finishes"
+            )
     path = _lock_path(state_dir)
     fd = None
     for _attempt in range(3):

@@ -299,6 +299,19 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         st = self.read_target()
         if st is None:
             return None
+        if "family" not in st.columns:
+            # pre-round-11 states stored (doc, fp) without the family
+            # column that now rides every band-join key; probing such a
+            # state would otherwise die in a bare AnalysisException
+            # deep inside a select (round-11 ADVICE) — name the
+            # migration instead
+            raise ValueError(
+                f"fingerprint state at {self.target_dir} predates the "
+                "'family' state column (pre-round-11 layout) — rebuild "
+                "the index by re-ingesting the corpus, or backfill a "
+                "constant family column matching the recorded 'media' "
+                "parameter into every state partition"
+            )
         if "__del" in st.columns:
             st = st.filter(~F.coalesce(F.col("__del"), F.lit(False)))
         return st

@@ -139,3 +139,143 @@ def test_eviction_tombstones_are_purgeable(spark, tmp_path):
     assert out["purged"] == dead
     assert sink.read_target().filter("__del").count() == 0
     assert _sel(sink) == before
+
+
+def test_reingest_changed_vector_moves_cell_once(spark, tmp_path):
+    """Round-11 ADVICE: a doc re-ingested with a changed embedding (or
+    duplicated inside one batch with different vectors) must compete
+    exactly once, in exactly one cell — the old cell's row is evicted
+    in the same fold, never the same doc under two cell_ids."""
+    sink = DiversitySampleSink(
+        spark, str(tmp_path / "div"), "doc_id", "v",
+        quota=2, n_cells=2, n_partitions=4,
+    )
+    # two orthogonal-ish clusters; centroids seeded from docs 0 and 1
+    a = [1.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0]
+    sink(spark.createDataFrame(
+        [(0, a), (1, b), (2, a), (3, b)],
+        "doc_id long, v array<double>",
+    ), 0)
+    sel0 = {r["doc"]: r["cell_id"] for r in sink.selection().collect()}
+    assert sel0[2] == sel0[0] and sel0[3] == sel0[1]
+    # doc 2's embedding CHANGES to cluster b; same batch also carries a
+    # stale duplicate row for doc 2 (old vector, lower lsn) that must
+    # lose the within-batch collapse
+    sink(spark.createDataFrame(
+        [(2, a, 10), (2, b, 20)],
+        "doc_id long, v array<double>, lsn long",
+    ), 1)
+    rows = sink.selection().collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc"], set()).add(r["cell_id"])
+    assert all(len(cells) == 1 for cells in per_doc.values())
+    # doc 2 now lives in (at most) cell b — never still in cell a
+    if 2 in per_doc:
+        assert per_doc[2] == {sel0[1]}
+    # the old cell-a slot no longer lists doc 2
+    cell_a_docs = {d for d, cs in per_doc.items() if cs == {sel0[0]}}
+    assert 2 not in cell_a_docs
+    # replaying the batch is a no-op
+    sink(spark.createDataFrame(
+        [(2, a, 10), (2, b, 20)],
+        "doc_id long, v array<double>, lsn long",
+    ), 1)
+    assert {r["doc"]: r["cell_id"] for r in sink.selection().collect()} \
+        == {d: next(iter(c)) for d, c in per_doc.items()}
+
+
+def test_drift_fires_under_shifted_stream(spark, tmp_path):
+    """Round-11 verdict #3: the `AnnIndexSink` drift discipline ported —
+    baseline at bootstrap, probe falls when the corpus distribution
+    leaves the epoch's cells."""
+    sink = DiversitySampleSink(
+        spark, str(tmp_path / "div"), "doc_id", "v",
+        quota=4, n_cells=2, n_partitions=4,
+    )
+    # bootstrap: tight around the two seeded centroids (ids interleave
+    # the clusters so the first-2-by-id seed law picks one of each)
+    rows = [(2 * i, [1.0, 0.01 * i, 0.0]) for i in range(8)]
+    rows += [(2 * i + 1, [0.0, 1.0, 0.01 * i]) for i in range(8)]
+    sink(spark.createDataFrame(rows, "doc_id long, v array<double>"), 0)
+    base = sink.capture_baseline()
+    assert base is not None and base > 0.9
+    probe = sink.drift(tolerance=0.05)
+    assert not probe["drifted"]
+    # shifted stream: a third direction far from both cells floods in
+    shifted = [(200 + i, [0.0, 0.0, 1.0 + 0.001 * i]) for i in range(40)]
+    sink(spark.createDataFrame(shifted, "doc_id long, v array<double>"), 1)
+    probe = sink.drift(tolerance=0.05)
+    assert probe["drifted"] and probe["drop"] > 0.05
+
+
+def test_rotate_epoch_exact_with_docs_and_standing_only(spark, tmp_path):
+    """rotate_epoch(docs=union) re-folds under the new cells EXACTLY:
+    the new selection equals the batch sampler over the union with the
+    new centroids; without docs, the standing rows re-rank (bounded).
+    The returned sink keeps streaming incrementally."""
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+
+    sink = DiversitySampleSink(
+        spark, str(tmp_path / "div"), "doc_id", "v",
+        quota=3, n_cells=4, n_partitions=4,
+    )
+    ids = list(range(80))
+    sink(_vecs(spark, ids[:40]), 0)
+    sink(_vecs(spark, ids[40:]), 1)
+    # a new, explicit epoch (different seed docs => different cells)
+    new_cents = _vecs(spark, [7, 21, 42, 63]).select(
+        F.col("doc_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    rotated = sink.rotate_epoch(
+        str(tmp_path / "div2"), centroids=new_cents,
+        docs=_vecs(spark, ids),
+    )
+    want = diversity_sample(
+        _vecs(spark, ids), "doc_id", "v", 3, n_cells=4,
+        centroids=new_cents.select(
+            "cell_id", "cv", norm("cv").alias("cn")
+        ),
+    )
+    assert _sel(rotated) == {
+        (r["doc_id"], r["cell_id"]) for r in want.collect()
+    }
+    # baseline captured on the new epoch; probe healthy
+    assert not rotated.drift(tolerance=0.5)["drifted"]
+    # the rotated sink keeps folding incrementally
+    rotated(_vecs(spark, list(range(80, 120))), 99)
+    assert _sel(rotated) == _batch_sel(
+        spark, rotated, list(range(120)), 3
+    )
+    # standing-only path: bounded re-rank, per-cell quota respected
+    rot2 = sink.rotate_epoch(
+        str(tmp_path / "div3"), centroids=new_cents,
+    )
+    per_cell = rot2.selection().groupBy("cell_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_cell)
+    live_docs = {d for d, _ in _sel(sink)}
+    assert {d for d, _ in _sel(rot2)} <= live_docs
+
+
+def test_rescale_carries_centroid_epoch_directory(spark, tmp_path):
+    """Round-11 ADVICE (medium): `rescale` must carry __-prefixed aux
+    DIRECTORIES — dropping the __centroids parquet dir strands the
+    params json and every later fold crashes resolving it."""
+    import os
+
+    sink = DiversitySampleSink(
+        spark, str(tmp_path / "div"), "doc_id", "v",
+        quota=2, n_cells=4, n_partitions=2,
+    )
+    sink(_vecs(spark, list(range(30))), 0)
+    before = _sel(sink)
+    sink.rescale(8)
+    assert os.path.isdir(str(tmp_path / "div" / "__centroids"))
+    assert os.path.exists(
+        str(tmp_path / "div" / "__diversity_params.json")
+    )
+    assert _sel(sink) == before
+    # the next fold resolves the epoch and keeps the invariant
+    sink(_vecs(spark, list(range(30, 60))), 1)
+    assert _sel(sink) == _batch_sel(spark, sink, list(range(60)), 2)

@@ -332,3 +332,105 @@ def test_heartbeat_keeps_long_passes_live(tmp_path):
         time.sleep(6 * horizon)
         assert _live_beacons(sdir, horizon)  # still live, not swept
     assert _live_beacons(sdir, horizon) == []
+
+
+# --- mixed-version window: legacy in-dir markers (round-11 ADVICE) --------
+
+
+def test_legacy_in_dir_lock_blocks_writers_and_maintenance(
+    spark, tmp_path
+):
+    """Pre-round-11 versions marked INSIDE the state dir. During a
+    mixed-version window a new writer/pass must still see an old
+    pass's live in-dir lock — walking through it would void
+    single-writer exclusion."""
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(4)), 0)
+    legacy = os.path.join(sink.target_dir, LOCK_FILE)
+    with open(legacy, "w") as f:
+        json.dump(
+            {"op": "old-version purge", "pid": os.getpid(),
+             "host": __import__("socket").gethostname(),
+             "ts": time.time()},
+            f,
+        )
+    with pytest.raises(MaintenanceLockError, match="purge"):
+        assert_no_maintenance(sink.target_dir, "upsert batch")
+    with pytest.raises(MaintenanceLockError, match="LEGACY"):
+        with maintenance_lock(sink.target_dir, "rescale"):
+            pass
+    os.remove(legacy)
+    assert_no_maintenance(sink.target_dir, "upsert batch")
+
+
+def test_legacy_in_dir_lock_stale_is_broken(spark, tmp_path):
+    """A crashed old-version pass's in-dir lock (dead pid) must not
+    block new maintenance forever — it is broken through the same
+    compare-bytes mutex as a sibling lock."""
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(4)), 0)
+    legacy = os.path.join(sink.target_dir, LOCK_FILE)
+    with open(legacy, "w") as f:
+        json.dump(
+            {"op": "old purge", "pid": _dead_pid(),
+             "host": __import__("socket").gethostname(),
+             "ts": time.time()},
+            f,
+        )
+    with maintenance_lock(sink.target_dir, "purge"):
+        assert not os.path.exists(legacy)
+
+
+def test_legacy_in_dir_writer_beacon_blocks_maintenance(spark, tmp_path):
+    """An old-version writer batch's in-dir beacon must hold off a new
+    maintenance pass exactly like a sibling beacon."""
+    sink = _sink(spark, tmp_path)
+    sink(_rows(spark, range(4)), 0)
+    bdir = os.path.join(sink.target_dir, "__writers")
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, "w_legacy.json"), "w") as f:
+        json.dump(
+            {"op": "old-version upsert", "pid": os.getpid(),
+             "host": __import__("socket").gethostname(),
+             "ts": time.time()},
+            f,
+        )
+    with pytest.raises(MaintenanceLockError, match="in-flight"):
+        with maintenance_lock(sink.target_dir, "purge"):
+            pass
+    os.remove(os.path.join(bdir, "w_legacy.json"))
+    with maintenance_lock(sink.target_dir, "purge"):
+        pass
+
+
+def test_pre_family_media_state_names_the_migration(spark, tmp_path):
+    """Round-11 ADVICE: opening a pre-round-11 media index state (no
+    `family` column) must fail with a rebuild hint, not a bare
+    AnalysisException from deep inside a select."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.streaming.media import FingerprintIndexSink
+
+    sink = FingerprintIndexSink(
+        spark, str(tmp_path / "fpx"), "doc_id", "payload",
+        media="image", n_partitions=2,
+    )
+    png = bytes.fromhex("89504e470d0a1a0a")  # sniffable header only
+    sink(
+        spark.createDataFrame(
+            [(1, png)], "doc_id long, payload binary"
+        ),
+        0,
+    )
+    # simulate the pre-change layout: rewrite every state partition
+    # without the family column
+    import glob
+    import shutil
+
+    for p in sorted(glob.glob(str(tmp_path / "fpx" / "part_*"))):
+        old = spark.read.parquet(p).drop("family")
+        old.write.mode("overwrite").parquet(p + ".new")
+        shutil.rmtree(p)
+        os.rename(p + ".new", p)
+    with pytest.raises(ValueError, match="family"):
+        sink.fingerprints()

@@ -201,6 +201,7 @@ SWEEP_QUERIES = {
         "multimodal_avi_frames",
         "media_dedup_gate",
         "video_phash_crossformat",
+        "video_phash_recut",
     ]
 }
 

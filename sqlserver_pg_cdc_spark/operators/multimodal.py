@@ -4103,9 +4103,11 @@ def vhash_frames(frames: "list[np.ndarray]") -> "int | None":
     within Hamming <= 6 of each other — inside the 7x9-bit pigeonhole's
     full-recall bound — while distinct clips stay >= 12 apart. The
     tradeoff: a clip re-CUT (same scenes, different ordering/subset)
-    shifts the temporal mean and may escape; per-frame indexing would
-    catch it at 'frames x bands' index rows per clip. None for an
-    empty frame list."""
+    shifts the temporal mean and may escape; the per-frame path
+    (:func:`video_frame_fingerprints` + :func:`vframe_near_clip_pairs`,
+    or ``granularity='frame'`` on the streaming index) catches it at
+    'frames x bands' index rows per clip. None for an empty frame
+    list."""
     if not frames:
         return None
     n = len(frames)
@@ -4238,6 +4240,151 @@ def video_fingerprints(
     return df.select(
         F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
     ).mapInPandas(batches, T.StructType(fields))
+
+
+def video_frame_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: str = "auto",
+    keep_cols: "tuple[str, ...]" = (),
+    stride: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """PER-FRAME video fingerprints — the recall path the clip-level
+    fold (`video_fingerprints`) documents as its tradeoff: one 63-bit
+    pHash PER SAMPLED FRAME (`vhash_frames` over a single frame — the
+    identical luma/box-pool/DCT core, so a frame's hash is independent
+    of which clip, position, or sampling budget carried it). Rows
+    (doc_id, fhashes array<long>) with frame order preserved; NULL for
+    corrupt/unsupported payloads, undecodable individual frames are
+    dropped from the array (an empty array reads NULL — it can never
+    collide).
+
+    Clip-level duplication is then >= k matching frames
+    (:func:`vframe_near_clip_pairs`): a re-CUT — same scenes, trimmed
+    or reordered — that shifts the temporal mean out of the single
+    fold's Hamming band still shares per-frame fingerprints, at the
+    cost of frames x bands index rows per clip instead of bands.
+    Decode stays sample-budget-bounded exactly as the clip fold
+    (MCV reconstructs only the sampled prefix)."""
+    if decoder == "strict":
+        raise NotImplementedError(
+            "compressed-codec video decoding requires ffmpeg-class "
+            "libraries; not available in this environment"
+        )
+    if decoder not in ("auto", "mcv", "avi", "mjpeg"):
+        raise ValueError(f"unknown video decoder {decoder!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sqlserver_pg_cdc_spark.operators import multimodal as mm
+
+        for pdf in it:
+            ids = []
+            prints = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                fr = (
+                    mm.sample_frames_for_vhash(
+                        b, decoder=decoder,
+                        stride=stride, max_frames=max_frames,
+                    )
+                    if b
+                    else None
+                )
+                ids.append(doc_id)
+                if fr is None:
+                    prints.append(None)
+                else:
+                    hs = [
+                        h for h in (mm.vhash_frames([f]) for f in fr)
+                        if h is not None
+                    ]
+                    prints.append(hs or None)
+            # array<long> elements are exact int64 end to end (no
+            # scalar Int64-inference trap: object lists of python
+            # ints cross Arrow as list<int64>)
+            out = {"doc_id": ids, "fhashes": prints}
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
+
+    fields = [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fhashes", T.ArrayType(T.LongType()), True),
+    ] + [df.schema[c] for c in keep_cols]
+    return df.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in keep_cols]
+    ).mapInPandas(batches, T.StructType(fields))
+
+
+def vframe_near_clip_pairs(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    fhashes_col: str = "fhashes",
+    max_hamming: int = 6,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Clip-level near-duplicate pairs from PER-FRAME fingerprints:
+    two clips are near-dups when at least ``min_frames`` of their
+    sampled frames match within ``max_hamming`` — the any-frame-match
+    law that catches re-cuts the single temporal fold misses.
+
+    Plan shape (the 100 TB contract): posexplode to
+    (doc, frame_id, fh) — frames x rows per clip, bounded by the
+    sample budget — then the SAME 7x9-bit banded pigeonhole as
+    `phash_near_pairs` (full recall through Hamming <= max_hamming 6,
+    no all-pairs), exact bit_count verify on band candidates only,
+    and ONE aggregation per surviving clip pair. Matched-frame count
+    is the SYMMETRIC minimum of distinct matched frames on each side,
+    so one static scene repeated across a clip cannot inflate the
+    overlap. Returns (a, b, n_frames, hamming) with a < b, hamming =
+    the pair's best frame match."""
+    fp = frames.filter(F.col(fhashes_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(fhashes_col).alias("frame_id", "fh"),
+    )
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("fh"), b * _PHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("band_val"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    keyed = fp.select(
+        "doc", "frame_id", "fh", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc", "frame_id", "fh", "bk.band_id", "bk.band_val")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    frame_pairs = (
+        keyed.select(
+            F.col("doc").alias("a"), F.col("frame_id").alias("fa"),
+            F.col("fh").alias("ha"), "band_id", "band_val",
+        )
+        .join(
+            keyed.select(
+                F.col("doc").alias("b"), F.col("frame_id").alias("fb"),
+                F.col("fh").alias("hb"), "band_id", "band_val",
+            ),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "fa", "b", "fb", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return (
+        frame_pairs.groupBy("a", "b")
+        .agg(
+            F.least(
+                F.countDistinct("fa"), F.countDistinct("fb")
+            ).cast("long").alias("n_frames"),
+            F.min("hamming").alias("hamming"),
+        )
+        .filter(F.col("n_frames") >= min_frames)
+    )
 
 
 def sniff_image_pixels(b: bytes) -> "np.ndarray | None":

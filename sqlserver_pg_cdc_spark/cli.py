@@ -432,6 +432,25 @@ def create_parser() -> argparse.ArgumentParser:
                         help="diversity: IVF cell count (first-n-by-id "
                              "centroids; train via the ann CLI for "
                              "production recall)")
+    sample.add_argument("--capture-baseline", action="store_true",
+                        help="diversity-stream: record the current mean "
+                             "assigned-cosine as the epoch's bootstrap "
+                             "baseline (run once after the first folds)")
+    sample.add_argument("--drift", type=float, nargs="?", const=0.05,
+                        default=None, metavar="TOL",
+                        help="diversity-stream: probe staleness vs the "
+                             "captured baseline; drifted when the mean "
+                             "fell by more than TOL (default 0.05)")
+    sample.add_argument("--rotate-to", metavar="NEW_DIR",
+                        help="diversity-stream: open a NEW centroid "
+                             "epoch (spherical k-means retrain) and "
+                             "re-fold --input into it EXACTLY — the new "
+                             "selection is the batch sampler over "
+                             "--input with the new cells; consumers "
+                             "generation-swap to NEW_DIR")
+    sample.add_argument("--rotate-cells", type=int, default=None,
+                        help="diversity-stream: cell count for the "
+                             "rotated epoch (default: current)")
 
     state = sub.add_parser(
         "state",
@@ -1652,6 +1671,7 @@ def cmd_sample(args) -> int:
     spark = get_spark("sample-cli")
     df = spark.read.parquet(args.input)
     n_in = df.count()
+    extra: dict = {}
     if args.mode == "deterministic":
         out = deterministic_sample(df, args.key_col, args.fraction)
     elif args.mode == "weighted":
@@ -1683,14 +1703,34 @@ def cmd_sample(args) -> int:
             quota=args.quota, n_cells=args.cells,
             n_partitions=args.partitions,
         )
-        batch_id = args.batch_id
-        if batch_id is None:
-            st = sink.read_target()
-            batch_id = (
-                0 if st is None
-                else (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
-            )
-        sink(df, int(batch_id))
+        maintenance = (
+            args.capture_baseline or args.drift is not None
+            or args.rotate_to
+        )
+        if maintenance:
+            # staleness discipline (the ann CLI contract): these run
+            # INSTEAD of an ingest fold — --input is the rotation
+            # corpus, not a batch
+            if args.capture_baseline:
+                extra["baseline_mean_cos"] = sink.capture_baseline()
+            if args.drift is not None:
+                extra["drift"] = sink.drift(tolerance=args.drift)
+            if args.rotate_to:
+                sink = sink.rotate_epoch(
+                    args.rotate_to, docs=df,
+                    n_cells=args.rotate_cells,
+                )
+                extra["rotated_to"] = args.rotate_to
+                extra["baseline_mean_cos"] = sink.mean_assigned_cos()
+        else:
+            batch_id = args.batch_id
+            if batch_id is None:
+                st = sink.read_target()
+                batch_id = (
+                    0 if st is None
+                    else (st.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+                )
+            sink(df, int(batch_id))
         out = sink.selection()
     else:
         out = diversity_sample(
@@ -1699,10 +1739,10 @@ def cmd_sample(args) -> int:
         )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
-    print(json.dumps({
+    print(json.dumps(dict({
         "mode": args.mode, "rows_in": n_in, "rows_out": n_out,
         "output": args.output,
-    }))
+    }, **extra)))
     return 0
 
 

@@ -1848,3 +1848,82 @@ def test_cli_sample_diversity_stream(tmp_path, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cli_sample_diversity_stream_rotate(tmp_path, spark):
+    """`sample --mode diversity-stream` staleness discipline (round-11
+    verdict #3): --capture-baseline after bootstrap, --drift fires
+    under a shifted stream, --rotate-to opens a new epoch whose
+    selection is the EXACT batch sampler over the supplied corpus with
+    the retrained cells; the rotated state keeps folding."""
+    import json as _json
+
+    def vecs(spark_, rows):
+        return spark_.createDataFrame(rows, "doc_id long, v array<double>")
+
+    boot = [(2 * i, [1.0, 0.01 * i, 0.0]) for i in range(8)]
+    boot += [(2 * i + 1, [0.0, 1.0, 0.01 * i]) for i in range(8)]
+    shifted = [(200 + i, [0.0, 0.0, 1.0 + 0.001 * i]) for i in range(40)]
+    vecs(spark, boot).write.parquet(str(tmp_path / "boot"))
+    vecs(spark, shifted).write.parquet(str(tmp_path / "shift"))
+    vecs(spark, boot + shifted).write.parquet(str(tmp_path / "union"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "sample",
+        "--mode", "diversity-stream", "--key-col", "doc_id",
+        "--vec-col", "v", "--quota", "4", "--cells", "2",
+        "--state-dir", str(tmp_path / "divstate"), "--partitions", "4",
+    ]
+
+    def run(*flags, inp="boot", outp="sel"):
+        r = subprocess.run(
+            base + ["--input", str(tmp_path / inp),
+                    "--output", str(tmp_path / outp)] + list(flags),
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    run()  # bootstrap fold
+    out = run("--capture-baseline")
+    assert out["baseline_mean_cos"] > 0.9
+    out = run("--drift", "0.05")
+    assert not out["drift"]["drifted"]
+    run(inp="shift", outp="sel2")  # the distribution leaves the epoch
+    out = run("--drift", "0.05")
+    assert out["drift"]["drifted"]
+    out = run(
+        "--rotate-to", str(tmp_path / "div2"), "--rotate-cells", "3",
+        inp="union", outp="sel3",
+    )
+    assert out["rotated_to"] == str(tmp_path / "div2")
+    # exactness: the rotated selection IS the batch sampler over the
+    # union with the new epoch's persisted centroids
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+    from sqlserver_pg_cdc_spark.operators.sampling import diversity_sample
+
+    cents = spark.read.parquet(str(tmp_path / "div2" / "__centroids"))
+    cents = cents.select("cell_id", "cv", norm("cv").alias("cn"))
+    want = {
+        (r2["doc_id"], r2["cell_id"])
+        for r2 in diversity_sample(
+            vecs(spark, boot + shifted), "doc_id", "v", 4, n_cells=3,
+            centroids=cents,
+        ).collect()
+    }
+    got = {(r2["doc"], r2["cell_id"]) for r2 in spark.read.parquet(
+        str(tmp_path / "sel3")).collect()}
+    assert got == want
+    # the rotated epoch carries its own baseline and keeps folding
+    assert os.path.exists(
+        str(tmp_path / "div2" / "__diversity_baseline.json")
+    )
+    more = [(900 + i, [0.5, 0.5, 0.5 + 0.001 * i]) for i in range(6)]
+    vecs(spark, more).write.parquet(str(tmp_path / "more"))
+    out = subprocess.run(
+        [a if a != str(tmp_path / "divstate") else str(tmp_path / "div2")
+         for a in base]
+        + ["--input", str(tmp_path / "more"),
+           "--output", str(tmp_path / "sel4"), "--cells", "3"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]

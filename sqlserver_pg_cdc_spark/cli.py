@@ -452,6 +452,55 @@ def create_parser() -> argparse.ArgumentParser:
                         help="diversity-stream: cell count for the "
                              "rotated epoch (default: current)")
 
+    pipe = sub.add_parser(
+        "pipeline",
+        help="the composed ingest path: run one micro-batch through a "
+             "configured chain of gate stages (text near-dup gate -> "
+             "eval-set decontamination -> streamed diversity sampler), "
+             "each stage handing its survivors on through its own "
+             "exactly-once artifact",
+    )
+    pipe.add_argument("--input", required=True,
+                      help="parquet batch to ingest through the chain")
+    pipe.add_argument("--state-root", required=True,
+                      help="root dir; each stage keeps its state and "
+                           "artifacts under <root>/<stage>/")
+    pipe.add_argument("--stages", required=True,
+                      help="comma list, executed in order; any of: "
+                           "text-dedup, decontam, diversity (each at "
+                           "most once)")
+    pipe.add_argument("--id-col", default="doc_id")
+    pipe.add_argument("--text-col", default="text")
+    pipe.add_argument("--vec-col", default="embedding",
+                      help="diversity stage: embedding column")
+    pipe.add_argument("--threshold", type=float, default=0.5,
+                      help="text-dedup: shingle-Jaccard near-dup bar")
+    pipe.add_argument("--num-hashes", type=int, default=32,
+                      help="text-dedup: MinHash signature width")
+    pipe.add_argument("--bands", type=int, default=16,
+                      help="text-dedup: LSH bands")
+    pipe.add_argument("--eval-state", default=None,
+                      help="decontam: EvalGramIndexSink state dir "
+                           "(build via the decontam CLI)")
+    pipe.add_argument("--min-hits", type=int, default=1,
+                      help="decontam: eval-gram hits that quarantine")
+    pipe.add_argument("--gram-k", type=int, default=8,
+                      help="decontam: gram width (must match the eval "
+                           "state's recorded k)")
+    pipe.add_argument("--quota", type=int, default=1000,
+                      help="diversity: rows kept per IVF cell")
+    pipe.add_argument("--cells", type=int, default=64,
+                      help="diversity: IVF cell count")
+    pipe.add_argument("--batch-id", type=int, default=None,
+                      help="LSN stamp for every stage (default: the "
+                           "root's recorded next id; pass explicitly "
+                           "to REPLAY a batch — every stage is "
+                           "exactly-once)")
+    pipe.add_argument("--partitions", type=int, default=32)
+    pipe.add_argument("--output", default=None,
+                      help="optional parquet path for the final "
+                           "stage's surviving rows")
+
     state = sub.add_parser(
         "state",
         help="day-2 maintenance on hash-partitioned sink state: "
@@ -1746,6 +1795,138 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """One micro-batch through the composed ingest chain
+    (`streaming/chain.ChainedGateSink`): stages validate up front,
+    every stage stamps the same batch id, survivors hand off through
+    each stage's exactly-once artifact, and the per-stage survivor
+    counts + wall seconds come back as one JSON line. Re-running with
+    an explicit --batch-id is a no-op at every stage (replay safety
+    is the chain's contract, not a caller obligation)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_pg_cdc_spark.session import get_spark
+    from sqlserver_pg_cdc_spark.streaming import phases
+    from sqlserver_pg_cdc_spark.streaming.chain import (
+        ChainedGateSink,
+        DecontamStage,
+        DiversityStage,
+        GateStage,
+    )
+
+    known = ("text-dedup", "decontam", "diversity")
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    bad = [s for s in stages if s not in known]
+    if bad or not stages:
+        raise SystemExit(
+            f"--stages must be a comma list of {known}, each at most "
+            f"once; got {args.stages!r}"
+        )
+    if len(set(stages)) != len(stages):
+        raise SystemExit(f"duplicate stage in --stages: {args.stages!r}")
+    if "decontam" in stages and not args.eval_state:
+        raise SystemExit("--stages decontam requires --eval-state")
+
+    spark = get_spark("pipeline-cli")
+    root = args.state_root
+    built = []
+    for s in stages:
+        if s == "text-dedup":
+            from sqlserver_pg_cdc_spark.streaming.minhash import (
+                DedupGateSink,
+            )
+
+            gate = DedupGateSink(
+                spark,
+                os.path.join(root, "text_dedup", "state"),
+                os.path.join(root, "text_dedup", "dups"),
+                args.id_col, args.text_col,
+                threshold=args.threshold,
+                num_hashes=args.num_hashes, bands=args.bands,
+                n_partitions=args.partitions,
+            )
+            built.append(GateStage("text-dedup", gate, args.id_col))
+        elif s == "decontam":
+            from sqlserver_pg_cdc_spark.streaming.decontam import (
+                DecontamGate,
+                EvalGramIndexSink,
+            )
+
+            eval_idx = EvalGramIndexSink(
+                spark, args.eval_state, args.id_col, args.text_col,
+                k=args.gram_k, n_partitions=args.partitions,
+            )
+            built.append(DecontamStage("decontam", DecontamGate(
+                eval_idx,
+                os.path.join(root, "decontam", "accepted"),
+                os.path.join(root, "decontam", "quarantine"),
+                min_hits=args.min_hits,
+            )))
+        else:
+            from sqlserver_pg_cdc_spark.streaming.diversity import (
+                DiversitySampleSink,
+            )
+
+            sink = DiversitySampleSink(
+                spark,
+                os.path.join(root, "diversity", "state"),
+                args.id_col, args.vec_col,
+                quota=args.quota, n_cells=args.cells,
+                n_partitions=args.partitions,
+            )
+            built.append(
+                DiversityStage("diversity", sink, args.id_col,
+                               args.vec_col)
+            )
+
+    marker = os.path.join(root, "__pipeline_next_batch.json")
+    batch_id = args.batch_id
+    if batch_id is None:
+        batch_id = 0
+        if os.path.exists(marker):
+            with open(marker) as f:
+                batch_id = int(json.load(f)["next_batch_id"])
+
+    chain = ChainedGateSink(spark, built)
+    phases.reset(chain._GATE_NAME)
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    chain(df, int(batch_id))
+    if args.batch_id is None:
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"next_batch_id": int(batch_id) + 1}, f)
+    result = {
+        "batch_id": int(batch_id),
+        "rows_in": n_in,
+        "stages": stages,
+        "survivors": chain.last_batch["survivors"],
+        "stage_wall_s": phases.snapshot(chain._GATE_NAME),
+    }
+    if args.output:
+        # re-derive the final survivor frame from the stages' own
+        # artifacts (the chain consumed it); cheapest: re-run the
+        # handoff reads without re-gating
+        out_df = df
+        for st in built:
+            if isinstance(st, GateStage):
+                rejected = spark.read.parquet(
+                    st.gate._dup_batch_dir(batch_id)
+                ).select(F.col("doc").alias(args.id_col))
+                out_df = out_df.join(rejected, args.id_col, "left_anti")
+            elif isinstance(st, DecontamStage):
+                out_df = spark.read.parquet(os.path.join(
+                    st.gate.accepted_dir, f"batch_{int(batch_id)}"
+                ))
+        out_df.write.mode("overwrite").parquet(args.output)
+        result["output"] = args.output
+        result["rows_out"] = spark.read.parquet(args.output).count()
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_state(args) -> int:
     """Day-2 maintenance: open the partitioned state with the partition
     count recorded in its own __layout.json (never guessed from a
@@ -1830,6 +2011,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_media(args)
     if args.command == "sample":
         return cmd_sample(args)
+    if args.command == "pipeline":
+        return cmd_pipeline(args)
     return 2
 
 

@@ -1,0 +1,178 @@
+"""`pipeline` CLI (round-11 verdict #4): the composed ingest chain —
+text gate -> decontam -> streamed diversity — as ONE subprocess
+invocation per micro-batch, with the same stage-by-stage parity
+assertion `tests/test_ingest_pipeline.py` pins for the hand-wired
+chain: every stage's streamed artifact equals the batch-side law over
+the union, and replaying a batch (explicit --batch-id) is a no-op at
+every stage."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+_EVAL_TEXT = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def _contam(i: int) -> bool:
+    return i % 11 == 3
+
+
+def _doc_text(i: int) -> str:
+    c = i % 8
+    base = " ".join(f"w{c}x{j}" for j in range(60))
+    text = f"{base} marker{i}"
+    if _contam(i):
+        text = f"{text} {_EVAL_TEXT}"
+    return text
+
+
+def _vec(i: int) -> list:
+    c = i % 8
+    base = [1.0 if d == c % 6 else 0.1 * ((c + d) % 3) for d in range(6)]
+    return [b + 0.01 * ((i * (d + 3)) % 7) for d, b in enumerate(base)]
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _doc_text(i), _vec(i)) for i in ids],
+        "doc_id long, text string, embedding array<double>",
+    )
+
+
+def _run(args, **kw):
+    r = subprocess.run(
+        [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "pipeline"]
+        + args,
+        cwd="/root/repo", capture_output=True, text=True, timeout=600,
+        **kw,
+    )
+    return r
+
+
+def test_pipeline_cli_chain_parity_and_replay(tmp_path, spark):
+    from sqlserver_pg_cdc_spark.streaming.decontam import EvalGramIndexSink
+
+    # the eval index the decontam stage probes, built once up front
+    eval_state = str(tmp_path / "eval_state")
+    EvalGramIndexSink(spark, eval_state, "doc_id", "text", k=8,
+                      n_partitions=4)(
+        spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, text string"),
+        0,
+    )
+    b0, b1 = list(range(0, 40)), list(range(40, 100))
+    _docs(spark, b0).write.parquet(str(tmp_path / "b0"))
+    _docs(spark, b1).write.parquet(str(tmp_path / "b1"))
+    root = str(tmp_path / "chain")
+    base = [
+        "--state-root", root,
+        "--stages", "text-dedup,decontam,diversity",
+        "--eval-state", eval_state, "--gram-k", "8",
+        "--threshold", "0.5", "--num-hashes", "32", "--bands", "16",
+        "--quota", "2", "--cells", "4", "--partitions", "4",
+    ]
+    outs = []
+    for i, b in enumerate(("b0", "b1")):
+        r = _run(base + ["--input", str(tmp_path / b),
+                         "--output", str(tmp_path / f"final{i}")])
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["batch_id"] == i  # marker-sequenced
+        assert set(out["stage_wall_s"]) == {
+            "text-dedup", "decontam", "diversity"
+        }
+        # survivors shrink monotonically through the chain
+        s = out["survivors"]
+        assert s["text-dedup"] >= s["decontam"] >= 0
+        outs.append(out)
+
+    # --- batch-side laws over the union (the ingest-pipeline test's
+    # --- assertion, now against the CLI-driven state) ----------------
+    all_ids = b0 + b1
+    classes: dict = {}
+    for i in all_ids:
+        classes.setdefault(i % 8, []).append(i)
+    survivors_ids = set()
+    for members in classes.values():
+        in_b0 = [m for m in members if m in b0]
+        survivors_ids.add(min(in_b0) if in_b0 else min(members))
+    clean_ids = {i for i in survivors_ids if not _contam(i)}
+
+    dup_docs = {
+        r["doc"]
+        for r in spark.read.parquet(
+            os.path.join(root, "text_dedup", "dups", "batch_*")
+        ).collect()
+    }
+    assert dup_docs == set(all_ids) - survivors_ids
+    quarantined = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(root, "decontam", "quarantine", "batch_*")
+        ).collect()
+    }
+    assert quarantined == survivors_ids - clean_ids
+    # final survivors artifact of batch 1 = clean survivors first seen
+    # in batch 1
+    final1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "final1")).collect()
+    }
+    assert final1 == {i for i in clean_ids if i in b1}
+    # diversity selection equals the batch sampler over the clean
+    # survivors with the sink's persisted epoch
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+    from sqlserver_pg_cdc_spark.operators.sampling import diversity_sample
+
+    div_state = os.path.join(root, "diversity", "state")
+    cents = spark.read.parquet(
+        os.path.join(div_state, "__centroids")
+    ).select("cell_id", "cv", norm("cv").alias("cn"))
+    want = {
+        (r["doc_id"], r["cell_id"])
+        for r in diversity_sample(
+            _docs(spark, sorted(clean_ids)).select("doc_id", "embedding"),
+            "doc_id", "embedding", 2, n_cells=4, centroids=cents,
+        ).collect()
+    }
+    sel = spark.read.parquet(os.path.join(div_state, "part_*"))
+    sel = sel.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    got = {(r["doc"], r["cell_id"]) for r in sel.collect()}
+    assert got == want
+
+    # --- REPLAY batch 1 with an explicit --batch-id: every stage is a
+    # --- no-op --------------------------------------------------------
+    r = _run(base + ["--input", str(tmp_path / "b1"), "--batch-id", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    sel2 = spark.read.parquet(os.path.join(div_state, "part_*"))
+    sel2 = sel2.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    assert {(r2["doc"], r2["cell_id"]) for r2 in sel2.collect()} == want
+    dup_docs2 = {
+        r2["doc"]
+        for r2 in spark.read.parquet(
+            os.path.join(root, "text_dedup", "dups", "batch_*")
+        ).collect()
+    }
+    assert dup_docs2 == dup_docs
+    # the marker did not advance on an explicit-id replay
+    with open(os.path.join(root, "__pipeline_next_batch.json")) as f:
+        assert json.load(f)["next_batch_id"] == 2
+
+
+def test_pipeline_cli_stage_validation(tmp_path):
+    bad = [
+        ["--stages", "text-dedup,nope"],
+        ["--stages", "text-dedup,text-dedup"],
+        ["--stages", ""],
+        ["--stages", "decontam"],  # no --eval-state
+    ]
+    for extra in bad:
+        r = _run([
+            "--input", str(tmp_path / "missing"),
+            "--state-root", str(tmp_path / "root"),
+        ] + extra)
+        assert r.returncode != 0
+        assert "--stages" in r.stderr or "--eval-state" in r.stderr

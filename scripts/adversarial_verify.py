@@ -202,6 +202,7 @@ SWEEP_QUERIES = {
         "media_dedup_gate",
         "video_phash_crossformat",
         "video_phash_recut",
+        "media_auto_diversity",
     ]
 }
 

@@ -5330,6 +5330,222 @@ def _diversity_sample_rate_sql() -> str:
     )
 
 
+def q_media_auto_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-MEDIA ingest pipeline contract (round-11 verdict stretch
+    #7): one crawl topic carrying images, audio AND video
+    (family = doc_id%3, class = doc_id%7, identical payload per
+    (family, class)) streams through the `media='auto'` dedup gate in
+    two micro-batches (batch 0 = even ids), then each batch's ACCEPTED
+    decodable docs join their embeddings and fold into a PER-FAMILY
+    streamed diversity sampler — the `family` column routing end to
+    end: the sniff fixes it, every band-join key carries it, and the
+    sampler cells are scoped by it. Returns (doc_id, family, cell_id):
+    the standing per-family selections.
+
+    The oracle recomputes every stage analytically: gate survivorship
+    is min-nondeleted-id per (family, class) with the batch-parity
+    first-seen rule; per-family centroids are the first n_cells
+    survivors (by id) of the family's earliest non-empty batch — the
+    sink's deterministic seed law; the quota cut is the shared
+    md5-bucket order. Corrupt docs (doc_id%13 in 5,9) fingerprint NULL
+    (truncation is structural for all three containers; magic
+    corruption kills the sniff) and drop before the sampler."""
+    import os as _os
+
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.streaming.diversity import DiversitySampleSink
+    from sqlserver_pg_cdc_spark.streaming.media import MediaDedupGateSink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def encode(it):
+        import numpy as np
+
+        from sqlserver_pg_cdc_spark.operators.multimodal import (
+            encode_bmp,
+            encode_mcv,
+            encode_wav_pcm16,
+        )
+        from sqlserver_pg_cdc_spark.workload import _mm_corrupt, _recut_scene
+
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                fam = k % 3
+                c = k % 7
+                p = cache.get((fam, c))
+                if p is None:
+                    if fam == 0:  # image: class texture BMP
+                        y, x = np.mgrid[0:64, 0:64]
+                        g = (
+                            37 * ((x * (c + 2)) // 16)
+                            + 59 * ((y * (c + 3)) // 16)
+                            + 29 * (((x + y) * (c + 1)) // 32) + c * 41
+                        ) % 256
+                        px = np.stack([g.astype(np.uint8)] * 3, axis=2)
+                        p = encode_bmp(64, 64, px.tobytes())
+                    elif fam == 1:  # audio: class two-tone WAV
+                        n = 4000
+                        t = np.arange(n)
+                        s2 = 6000 * np.sign(
+                            np.sin(2 * np.pi * t * (c + 2) / 128)
+                        ) + 4000 * np.sign(
+                            np.sin(2 * np.pi * t * (2 * c + 5) / 512)
+                        )
+                        env = 1 + ((t * (c + 3)) // n)
+                        xs = np.clip(
+                            (s2.astype(np.int64) * env) // 4,
+                            -32767, 32767,
+                        ).astype(np.int16)
+                        p = encode_wav_pcm16(8000, xs)
+                    else:  # video: class scene clip, MCV (4 frames —
+                        # the dup law is exact payload identity, so the
+                        # clip length only sets decode cost)
+                        p = encode_mcv(
+                            [_recut_scene(c, f) for f in range(4)],
+                            fps=10, gop=4, qscale=4,
+                        )
+                    cache[(fam, c)] = p
+                payloads.append(_mm_corrupt(p, k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    work = _ann_streamed_workdir(sf_dir)
+    gate = MediaDedupGateSink(
+        spark, _os.path.join(work, "mad_gate_state"),
+        _os.path.join(work, "mad_gate_dups"),
+        "doc_id", "payload", media="auto", n_partitions=4,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc"), "embedding"
+    ).filter(F.col("embedding").isNotNull())
+    sinks = {
+        fam: DiversitySampleSink(
+            spark, _os.path.join(work, f"mad_div_{fam}"),
+            "doc", "embedding", quota=3, n_cells=2, n_partitions=4,
+        )
+        for fam in ("image", "audio", "video")
+    }
+    # a quarter of the corpus split over two batches — the
+    # media_dedup_gate population discipline: decode work is the
+    # dominant cost and the laws are per-(family, class), so the doc
+    # population only sets the constant
+    for i, pred in enumerate(("doc_id % 4 = 0", "doc_id % 4 = 1")):
+        batch = d.filter(pred).mapInPandas(
+            encode, "doc_id long, payload binary"
+        )
+        gate(batch, i)
+        fps = gate.fingerprints()
+        if fps is None:  # degenerate corpus: nothing ever indexed
+            continue
+        rejects = spark.read.parquet(gate._dup_batch_dir(i)).select(
+            F.col("doc")
+        )
+        accepted = (
+            fps
+            .filter(F.col("fp").isNotNull())
+            .join(batch.select(F.col("doc_id").alias("doc")), "doc",
+                  "left_semi")
+            .join(rejects, "doc", "left_anti")
+            .join(emb, "doc")
+            .select("doc", "family", "embedding")
+            .persist()
+        )
+        # an empty fold must not seed an empty centroid epoch: the
+        # family's epoch comes from its first NON-empty batch (the
+        # oracle mirrors this); ONE count action sizes all families
+        present = {
+            r["family"]
+            for r in accepted.select("family").distinct().collect()
+        }
+        for fam, sink in sinks.items():
+            if fam in present:
+                sink(
+                    accepted.filter(F.col("family") == fam).select(
+                        "doc", "embedding"
+                    ),
+                    i,
+                )
+        accepted.unpersist()
+    frames = []
+    for fam, sink in sinks.items():
+        sel = sink.selection()
+        if sel is not None:
+            frames.append(sel.select(
+                F.col("doc").alias("doc_id"),
+                F.lit(fam).alias("family"),
+                F.col("cell_id"),
+            ))
+    if not frames:
+        return spark.createDataFrame(
+            [], "doc_id long, family string, cell_id long"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _media_auto_diversity_sql() -> str:
+    from sqlserver_pg_cdc_spark.functions.vectors import cosine_sql
+    from sqlserver_pg_cdc_spark.operators.sampling import _hash_bucket_sql
+
+    cell_cos = cosine_sql("x.v", "c.cv")
+    return f"""
+WITH live AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS family,
+           doc_id % 7 AS cls,
+           doc_id % 4 = 0 AS in_b0
+    FROM documents
+    WHERE doc_id % 13 NOT IN (5, 9) AND doc_id % 4 IN (0, 1)
+),
+surv AS (
+    SELECT family,
+           COALESCE(MIN(CASE WHEN in_b0 THEN doc_id END),
+                    MIN(doc_id)) AS doc_id,
+           COUNT(CASE WHEN in_b0 THEN 1 END) > 0 AS won_in_b0
+    FROM live GROUP BY family, cls
+),
+sv AS (
+    SELECT s.family, s.doc_id, s.won_in_b0, e.embedding AS v
+    FROM surv s JOIN embeddings e ON e.vec_id = s.doc_id
+    WHERE e.embedding IS NOT NULL
+),
+first_batch AS (
+    SELECT family, MIN(CASE WHEN won_in_b0 THEN 0 ELSE 1 END) AS fb
+    FROM sv GROUP BY family
+),
+cent AS (
+    SELECT family, doc_id AS cell_id, v AS cv FROM (
+        SELECT sv.family, sv.doc_id, sv.v,
+               row_number() OVER (PARTITION BY sv.family
+                                  ORDER BY sv.doc_id) AS rn
+        FROM sv JOIN first_batch fb ON fb.family = sv.family
+        WHERE (CASE WHEN sv.won_in_b0 THEN 0 ELSE 1 END) = fb.fb
+    ) WHERE rn <= 2
+),
+assigned AS (
+    SELECT family, id, cell_id FROM (
+        SELECT x.family, x.doc_id AS id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY x.family, x.doc_id
+                   ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+        FROM sv x JOIN cent c ON c.family = x.family
+    ) WHERE rn = 1
+)
+SELECT id AS doc_id, family, cell_id FROM (
+    SELECT family, id, cell_id,
+           row_number() OVER (PARTITION BY family, cell_id
+                              ORDER BY {_hash_bucket_sql("id")}, id) AS rk
+    FROM assigned
+) WHERE rk <= 3
+"""
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing: customers split into four account-
     balance quartiles (deterministic tie-break on the key), per-quartile
@@ -6861,6 +7077,9 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
     )
     catalog["video_phash_recut"] = QuerySpec(
         q_video_phash_recut, _VIDEO_RECUT_SQL
+    )
+    catalog["media_auto_diversity"] = QuerySpec(
+        q_media_auto_diversity, _media_auto_diversity_sql()
     )
     catalog["multimodal_mcv_frames"] = QuerySpec(
         q_multimodal_mcv_frames, _MM_MCV_FRAMES_SQL

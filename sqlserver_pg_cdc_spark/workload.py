@@ -7203,74 +7203,72 @@ def build_catalog(spark: SparkSession | None = None, sf_dir: str | None = None) 
 
 
 # The driver's correctness gate evaluates only the FIRST 50 catalog entries.
-# Round-11 ordering (longest-unsampled-first rotation, per the round-10
-# verdict's explicit slate): the new video-fingerprint contract leads
-# (landed this round — a contract without a driver row is the backlog),
-# then diversity_sample_rate (the ONE catalog query that had never had
-# a driver row), then the three gates whose implementation CHANGED this
-# round (refactored onto streaming/gate.GatedIndexMixin; the media gate
-# additionally gained family-scoped state and band keys — changed code
-# must re-verify under the driver gate, not just verify_local), then
-# 45 of the 47-row r8 cohort — the oldest bulk. The two r8 rows left
-# behind (ann_topk_cosine, vocab_topk) were both independently
-# re-verified by the round-10 judge session and stay verify_local-green,
-# as do the 10 r7 rows; all 12 behind-window rows are listed in SCALE.md
-# for the round-12 sweep.
+# Round-12 ordering (the round-11 verdict's explicit slate): the two NEW
+# contracts lead (video_phash_recut per-frame recall; media_auto_diversity
+# mixed-media pipeline), then the ENTIRE 12-row behind-window backlog
+# (2 r8 + 10 r7 — after this round nothing's last driver-green predates
+# r9), then the two rows whose implementation changed this round
+# (media.py gained the family fail-fast + frame granularity;
+# video_phash_crossformat shares the touched fingerprint module), then
+# 34 of the 48-row r9 cohort (alphabetical prefix). The 14 r9 rows left
+# behind (pricing_pivot .. small_quantity_revenue, listed in SCALE.md)
+# rotate in next round.
 _DRIVER_WINDOW_FIRST = [
-    # NEW contract this round
-    "video_phash_crossformat",
-    # never had a driver row (landed after the r10 gate ran)
-    "diversity_sample_rate",
-    # implementation CHANGED this round (shared gate skeleton)
+    # NEW contracts this round
+    "video_phash_recut",
+    "media_auto_diversity",
+    # the complete behind-window backlog: last driver row r8 ...
+    "ann_topk_cosine",
+    "vocab_topk",
+    # ... and r7
+    "balance_cube",
+    "bloom_prefilter",
+    "cdc_latest_state",
+    "corpus_lm_score",
+    "embedding_streamed_index",
+    "events_sessions",
+    "fk_discovery",
+    "fuzzy_match_customers",
+    "gdpr_pseudonymize_supplier",
+    "volume_shipping",
+    # implementation touched this round
     "media_dedup_gate",
-    "text_dedup_gate",
-    "embedding_gate",
-    # last driver row: round 8 (the oldest cohort)
-    "ann_topk_ivf",
-    "ann_topk_ivf_streamed",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "ann_topk_pq_streamed",
-    "asof_latest_order",
-    "cheapest_supplier_per_part",
-    "corpus_boilerplate",
-    "corpus_repetition",
-    "customer_order_distribution",
-    "decontam_gate",
-    "dedup_components",
-    "dedup_components_incremental",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_select_canonical",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunks",
-    "dominant_part_suppliers",
-    "event_attribution",
-    "event_funnel",
-    "heavy_hitter_tokens",
-    "important_part_value",
-    "latest_per_key_skewed",
-    "nation_market_share",
-    "order_lines_array",
-    "pack_sequences",
-    "pack_stats",
-    "part_pair_cooccurrence",
-    "pii_scan_segments",
-    "price_histogram",
-    "product_type_profit",
-    "promo_part_suppliers",
-    "returned_item_revenue",
-    "sample_weighted_docs",
-    "scd2_time_travel_partitioned",
-    "segment_dedup",
-    "supplier_part_variety",
-    "text_analysis",
-    "text_dedup_streamed_index",
-    "top_supplier_revenue",
-    "training_order",
+    "video_phash_crossformat",
+    # oldest r9 cohort (34 of 48)
+    "cdc_active_rows",
+    "cdc_purge_retention",
+    "cdc_schema_evolution",
+    "checksum_customer",
+    "checksum_events",
+    "checksum_incremental_events",
+    "checksum_lineitem",
+    "checksum_ordered_orders",
+    "checksum_orders",
+    "corpus_mix",
+    "corpus_mix_rate",
+    "corpus_select",
+    "customer_order_outer",
+    "customer_order_ranks",
+    "decontaminate",
+    "diff_orders",
+    "diff_summary_severity",
+    "duplicate_spans",
+    "embedding_incremental",
+    "embedding_near_dup",
+    "events_daily_revenue",
+    "events_sliding",
+    "events_windowed",
+    "forecast_revenue_change",
+    "local_supplier_volume",
+    "multimodal_adpcm_frames",
+    "multimodal_audio_frames",
+    "multimodal_binary_features",
+    "multimodal_flac_frames",
+    "multimodal_gif_decode",
+    "multimodal_image_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_resize",
+    "multimodal_video_frames",
 ]
 
 def _driver_window_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -306,6 +306,16 @@ def create_parser() -> argparse.ArgumentParser:
                       help="image/audio/video modes: payload decoder "
                            "dispatch (default: magic-byte sniff; "
                            "mode=auto requires it)")
+    gate.add_argument("--granularity", choices=("clip", "frame"),
+                      default="clip",
+                      help="video mode: 'frame' stores per-sampled-"
+                           "frame fingerprints and rejects a clip at "
+                           ">= --min-match-frames matching frames — "
+                           "the re-cut recall path (clip-level fold is "
+                           "the cheap default)")
+    gate.add_argument("--min-match-frames", type=int, default=3,
+                      help="video frame granularity: matching sampled "
+                           "frames that make a clip a duplicate")
     gate.add_argument("--batch-id", type=int, default=None,
                       help="batch id / LSN stamp (default: one past the "
                            "number of existing dup-log generations)")
@@ -1483,11 +1493,17 @@ def cmd_gate(args) -> int:
                 "7x9-bit fingerprint banding is structural"
             )
         common.pop("bands", None)  # banding is structural for fingerprints
+        extra = {}
+        if args.granularity != "clip":
+            extra = {
+                "granularity": args.granularity,
+                "min_match_frames": args.min_match_frames,
+            }
         gate = MediaDedupGateSink(
             spark, args.state_dir, args.dups_dir,
             args.id_col or "doc_id", args.content_col or "payload",
             media=args.mode, decoder=args.media_decoder,
-            max_hamming=args.max_hamming, **common,
+            max_hamming=args.max_hamming, **extra, **common,
         )
     elif args.mode == "text":
         from sqlserver_pg_cdc_spark.streaming.minhash import DedupGateSink

@@ -1927,3 +1927,76 @@ def test_cli_sample_diversity_stream_rotate(tmp_path, spark):
         cwd="/root/repo", capture_output=True, text=True, timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_cli_gate_video_frame_granularity_recut(tmp_path, spark):
+    """`gate --mode video --granularity frame`: a RE-CUT (4 of the
+    indexed clip's 8 scenes, other container) arriving in batch 1 is
+    rejected under the >= k matching-frames law through a real
+    subprocess."""
+    import json as _json
+
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+    )
+    from sqlserver_pg_cdc_spark.workload import _RECUT_FRAMES, _recut_scene
+
+    orig = encode_mcv(
+        [_recut_scene(0, f) for f in range(8)], fps=10, gop=4, qscale=4
+    )
+    recut = encode_avi_mjpeg(
+        [encode_jpeg(48, 32, _recut_scene(0, f).tobytes())
+         for f in _RECUT_FRAMES],
+        48, 32, fps=10,
+    )
+    other = encode_mcv(
+        [_recut_scene(4, f) for f in range(8)], fps=10, gop=4, qscale=4
+    )
+    spark.createDataFrame(
+        pd.DataFrame([(1, orig)], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "v0"))
+    spark.createDataFrame(
+        pd.DataFrame([(2, recut), (3, other)],
+                     columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "v1"))
+    base = [
+        sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "gate",
+        "--mode", "video", "--granularity", "frame",
+        "--min-match-frames", "3",
+        "--state-dir", str(tmp_path / "vstate"),
+        "--dups-dir", str(tmp_path / "vdups"),
+        "--partitions", "4",
+    ]
+    r0 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "v0")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    r1 = subprocess.run(
+        base + ["--ingest", str(tmp_path / "v1")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["rejected_this_batch"] == 1 and out1["indexed_total"] == 2
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    log = {r["doc"]: r for r in read_batch_log(
+        spark, str(tmp_path / "vdups")).collect()}
+    assert set(log) == {2}
+    assert log[2]["dup_of"] == 1 and log[2]["hamming"] == 0
+    # a clip-granularity open of the same state fails fast
+    rbad = subprocess.run(
+        [a for a in base if a not in
+         ("--granularity", "frame", "--min-match-frames", "3")]
+        + ["--ingest", str(tmp_path / "v0")],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert rbad.returncode != 0
+    assert "different parameters" in rbad.stderr

@@ -477,12 +477,26 @@ def create_parser() -> argparse.ArgumentParser:
                            "artifacts under <root>/<stage>/")
     pipe.add_argument("--stages", required=True,
                       help="comma list, executed in order; any of: "
-                           "text-dedup, decontam, diversity (each at "
-                           "most once)")
+                           "text-dedup, embedding-dedup, media-dedup, "
+                           "decontam, diversity (each at most once)")
     pipe.add_argument("--id-col", default="doc_id")
     pipe.add_argument("--text-col", default="text")
     pipe.add_argument("--vec-col", default="embedding",
-                      help="diversity stage: embedding column")
+                      help="embedding-dedup / diversity stages: "
+                           "embedding column")
+    pipe.add_argument("--payload-col", default="payload",
+                      help="media-dedup: binary payload column")
+    pipe.add_argument("--media", default="auto",
+                      choices=("image", "audio", "video", "auto"),
+                      help="media-dedup: fingerprint family (auto = "
+                           "per-row container sniff)")
+    pipe.add_argument("--max-hamming", type=int, default=6,
+                      help="media-dedup: near-dup Hamming bar")
+    pipe.add_argument("--emb-threshold", type=float, default=0.95,
+                      help="embedding-dedup: cosine near-dup bar")
+    pipe.add_argument("--emb-dim", type=int, default=64,
+                      help="embedding-dedup: vector dimension (sizes "
+                           "the LSH hyperplanes — must match the data)")
     pipe.add_argument("--threshold", type=float, default=0.5,
                       help="text-dedup: shingle-Jaccard near-dup bar")
     pipe.add_argument("--num-hashes", type=int, default=32,
@@ -1832,7 +1846,8 @@ def cmd_pipeline(args) -> int:
         GateStage,
     )
 
-    known = ("text-dedup", "decontam", "diversity")
+    known = ("text-dedup", "embedding-dedup", "media-dedup",
+             "decontam", "diversity")
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     bad = [s for s in stages if s not in known]
     if bad or not stages:
@@ -1864,6 +1879,32 @@ def cmd_pipeline(args) -> int:
                 n_partitions=args.partitions,
             )
             built.append(GateStage("text-dedup", gate, args.id_col))
+        elif s == "embedding-dedup":
+            from sqlserver_pg_cdc_spark.streaming.ann import AnnGateSink
+
+            gate = AnnGateSink(
+                spark,
+                os.path.join(root, "embedding_dedup", "state"),
+                os.path.join(root, "embedding_dedup", "dups"),
+                args.id_col, args.vec_col,
+                threshold=args.emb_threshold, dim=args.emb_dim,
+                n_partitions=args.partitions,
+            )
+            built.append(GateStage("embedding-dedup", gate, args.id_col))
+        elif s == "media-dedup":
+            from sqlserver_pg_cdc_spark.streaming.media import (
+                MediaDedupGateSink,
+            )
+
+            gate = MediaDedupGateSink(
+                spark,
+                os.path.join(root, "media_dedup", "state"),
+                os.path.join(root, "media_dedup", "dups"),
+                args.id_col, args.payload_col,
+                media=args.media, max_hamming=args.max_hamming,
+                n_partitions=args.partitions,
+            )
+            built.append(GateStage("media-dedup", gate, args.id_col))
         elif s == "decontam":
             from sqlserver_pg_cdc_spark.streaming.decontam import (
                 DecontamGate,

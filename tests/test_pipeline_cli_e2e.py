@@ -176,3 +176,84 @@ def test_pipeline_cli_stage_validation(tmp_path):
         ] + extra)
         assert r.returncode != 0
         assert "--stages" in r.stderr or "--eval-state" in r.stderr
+
+
+def test_pipeline_cli_media_then_diversity(tmp_path, spark):
+    """`pipeline --stages media-dedup,diversity`: a mixed crawl batch
+    (image + audio payloads, embeddings riding the same rows) gates
+    per family under media='auto' and the survivors fold into the
+    diversity selection — the media chain as one subprocess per
+    micro-batch."""
+    import numpy as np
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    def img(cls, codec="bmp"):
+        y, x = np.mgrid[0:64, 0:64]
+        g = (37 * ((x * (cls + 2)) // 16) + 59 * ((y * (cls + 3)) // 16)
+             + 29 * (((x + y) * (cls + 1)) // 32) + cls * 41) % 256
+        px = np.stack([g.astype(np.uint8)] * 3, axis=2)
+        enc = encode_png if codec == "png" else encode_bmp
+        return enc(64, 64, px.tobytes())
+
+    def wav(cls):
+        t = np.arange(4000)
+        x = np.clip(
+            6000 * np.sign(np.sin(2 * np.pi * t * (cls + 2) / 128))
+            + 4000 * np.sign(np.sin(2 * np.pi * t * (2 * cls + 5) / 512)),
+            -32767, 32767,
+        ).astype(np.int16)
+        return encode_wav_pcm16(8000, x)
+
+    def vec(i):
+        return [1.0 if d == i % 4 else 0.05 * ((i + d) % 3)
+                for d in range(4)]
+
+    schema = "doc_id long, payload binary, embedding array<double>"
+    b0 = [(1, img(0), vec(1)), (2, img(0), vec(2)), (3, wav(0), vec(3))]
+    b1 = [(4, img(0, "png"), vec(4)), (5, wav(3), vec(5))]
+    spark.createDataFrame(b0, schema).write.parquet(str(tmp_path / "m0"))
+    spark.createDataFrame(b1, schema).write.parquet(str(tmp_path / "m1"))
+    root = str(tmp_path / "chain")
+    base = [
+        "--state-root", root, "--stages", "media-dedup,diversity",
+        "--media", "auto", "--quota", "4", "--cells", "2",
+        "--partitions", "4",
+    ]
+    for i, b in enumerate(("m0", "m1")):
+        r = _run(base + ["--input", str(tmp_path / b),
+                         "--output", str(tmp_path / f"out{i}")])
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert set(out["stage_wall_s"]) == {"media-dedup", "diversity"}
+    # batch 0: doc 2 (same image) rejected within-batch; batch 1:
+    # doc 4 (PNG re-encode of the indexed BMP) rejected cross-corpus
+    dup = {
+        r["doc"]: r["kind"]
+        for r in spark.read.parquet(
+            os.path.join(root, "media_dedup", "dups", "batch_*")
+        ).collect()
+    }
+    assert dup == {2: "batch", 4: "corpus"}
+    out1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out1")).collect()
+    }
+    assert out1 == {5}
+    sel = spark.read.parquet(
+        os.path.join(root, "diversity", "state", "part_*")
+    )
+    sel = sel.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    assert {r["doc"] for r in sel.collect()} == {1, 3, 5}
+    # replay batch 1: no-op at both stages
+    r = _run(base + ["--input", str(tmp_path / "m1"), "--batch-id", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    sel2 = spark.read.parquet(
+        os.path.join(root, "diversity", "state", "part_*")
+    )
+    sel2 = sel2.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    assert {r2["doc"] for r2 in sel2.collect()} == {1, 3, 5}

@@ -366,7 +366,8 @@ def create_parser() -> argparse.ArgumentParser:
     media.add_argument("--mode", required=True,
                        choices=["features", "image", "audio", "video",
                                 "resize", "resample", "thumbnails",
-                                "phash", "afp", "vhash", "mfp"])
+                                "phash", "afp", "vhash", "mfp",
+                                "vframe"])
     media.add_argument("--decoder", default="auto",
                        help="image: bmp/png/jpeg/gif/auto; audio: "
                             "wav/adpcm/flac/subband; video: mjpeg/avi/mcv")
@@ -389,12 +390,18 @@ def create_parser() -> argparse.ArgumentParser:
                             "leave the scan's split count; set to the "
                             "core count when the input is few files)")
     media.add_argument("--near-pairs", metavar="DIR",
-                       help="phash/afp modes: also write the banded-"
+                       help="fingerprint modes: also write the banded-"
                             "Hamming near-dup pairs (a, b, hamming) "
-                            "over the computed fingerprints here")
+                            "over the computed fingerprints here "
+                            "(vframe: clip pairs (a, b, n_frames, "
+                            "hamming) under the >= k matching-frames "
+                            "law)")
     media.add_argument("--max-hamming", type=int, default=6,
-                       help="phash/afp --near-pairs: Hamming cut "
+                       help="fingerprint --near-pairs: Hamming cut "
                             "(full recall through 6)")
+    media.add_argument("--min-match-frames", type=int, default=3,
+                       help="vframe --near-pairs: matching sampled "
+                            "frames that make two clips near-dups")
     media.add_argument("--output", required=True)
 
     sample = sub.add_parser(
@@ -1621,7 +1628,7 @@ def cmd_media(args) -> int:
     df = spark.read.parquet(args.input)
     if args.partitions:
         df = df.repartition(args.partitions)
-    if args.mode in ("phash", "afp", "vhash", "mfp"):
+    if args.mode in ("phash", "afp", "vhash", "mfp", "vframe"):
         # cross-container fingerprints: identical pixels/samples hash
         # identically regardless of container (video: perceptually-
         # identical clips land within small Hamming); optional
@@ -1630,11 +1637,20 @@ def cmd_media(args) -> int:
         # one pass, rows (doc_id, family, fp).
         from pyspark.sql import functions as F
 
-        fp_col = {"phash": "phash", "afp": "afp",
-                  "vhash": "vhash", "mfp": "fp"}[args.mode]
+        fp_col = {"phash": "phash", "afp": "afp", "vhash": "vhash",
+                  "mfp": "fp", "vframe": "fhashes"}[args.mode]
         if args.mode == "mfp":
             fps = media_fingerprints(
                 df, args.id_col, args.payload_col,
+                stride=args.stride, max_frames=args.max_frames,
+            )
+        elif args.mode == "vframe":
+            from sqlserver_pg_cdc_spark.operators.multimodal import (
+                video_frame_fingerprints,
+            )
+
+            fps = video_frame_fingerprints(
+                df, args.id_col, args.payload_col, decoder=args.decoder,
                 stride=args.stride, max_frames=args.max_frames,
             )
         elif args.mode == "vhash":
@@ -1656,7 +1672,17 @@ def cmd_media(args) -> int:
             "output": args.output,
         }
         if args.near_pairs:
-            if args.mode == "mfp":
+            if args.mode == "vframe":
+                from sqlserver_pg_cdc_spark.operators.multimodal import (
+                    vframe_near_clip_pairs,
+                )
+
+                pairs = vframe_near_clip_pairs(
+                    fps, id_col="doc_id", fhashes_col=fp_col,
+                    max_hamming=args.max_hamming,
+                    min_frames=args.min_match_frames,
+                )
+            elif args.mode == "mfp":
                 # fingerprints are only comparable WITHIN a family: band
                 # each family separately (3 cheap passes over a banded
                 # join; a single pass would emit meaningless

@@ -2000,3 +2000,49 @@ def test_cli_gate_video_frame_granularity_recut(tmp_path, spark):
     )
     assert rbad.returncode != 0
     assert "different parameters" in rbad.stderr
+
+
+def test_cli_media_vframe_near_clip_pairs(tmp_path, spark):
+    """`media --mode vframe --near-pairs`: per-frame fingerprints +
+    the >= k matching-frames clip pairs from the batch CLI — a re-cut
+    pairs with its source, a distinct clip does not."""
+    import json as _json
+
+    import pandas as pd
+
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+    )
+    from sqlserver_pg_cdc_spark.workload import _RECUT_FRAMES, _recut_scene
+
+    rows = [
+        (1, encode_mcv([_recut_scene(0, f) for f in range(8)],
+                       fps=10, gop=4, qscale=4)),
+        (2, encode_avi_mjpeg(
+            [encode_jpeg(48, 32, _recut_scene(0, f).tobytes())
+             for f in _RECUT_FRAMES], 48, 32, fps=10)),
+        (3, encode_mcv([_recut_scene(5, f) for f in range(8)],
+                       fps=10, gop=4, qscale=4)),
+        (4, b"\x00not-a-video"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    ).write.parquet(str(tmp_path / "clips"))
+    r = subprocess.run(
+        [sys.executable, "-m", "sqlserver_pg_cdc_spark.cli", "media",
+         "--mode", "vframe", "--input", str(tmp_path / "clips"),
+         "--output", str(tmp_path / "fps"),
+         "--near-pairs", str(tmp_path / "pairs"),
+         "--min-match-frames", "3", "--partitions", "4"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 4 and out["fingerprinted"] == 3
+    assert out["near_pairs"] == 1
+    p = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    assert [(r2["a"], r2["b"], r2["n_frames"], r2["hamming"])
+            for r2 in p] == [(1, 2, 4, 0)]

@@ -157,3 +157,123 @@ def test_gate_chain_streamed_equals_batch_recompute(spark, tmp_path):
         (r["doc"], r["cell_id"]) for r in sampler.selection().collect()
     } == want
     assert {r["doc"] for r in text_gate.dup_log().collect()} == dup_log_docs
+
+
+def test_chain_end_to_end_writestream(spark, tmp_path):
+    """The product shape (round-11 verdict #4): `ChainedGateSink`
+    driving the gate -> decontam -> streamed-diversity chain as ONE
+    writeStream.foreachBatch over a real file-source stream — the
+    same laws the hand-wired chain test pins, through Structured
+    Streaming's own batch sequencing."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqlserver_pg_cdc_spark.streaming.chain import (
+        ChainedGateSink,
+        DecontamStage,
+        DiversityStage,
+        GateStage,
+    )
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+
+    def write(fname, ids):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([_doc_text(i) for i in ids]),
+                "embedding": pa.array(
+                    [_vec(i) for i in ids],
+                    pa.list_(pa.float64()),
+                ),
+            }),
+            str(spool / fname),
+        )
+
+    b0, b1 = list(range(0, 40)), list(range(40, 100))
+    write("a.parquet", b0)
+    write("b.parquet", b1)
+    now = _time.time()
+    os.utime(spool / "a.parquet", (now - 60, now - 60))
+    os.utime(spool / "b.parquet", (now, now))
+
+    text_gate = DedupGateSink(
+        spark, str(tmp_path / "dd_state"), str(tmp_path / "dd_dups"),
+        "doc_id", "text", threshold=0.5, n_partitions=4,
+        num_hashes=32, bands=16,
+    )
+    eval_idx = EvalGramIndexSink(
+        spark, str(tmp_path / "eval_state"), "doc_id", "text",
+        k=8, n_partitions=4,
+    )
+    eval_idx(
+        spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, text string"),
+        0,
+    )
+    decontam = DecontamGate(
+        eval_idx, str(tmp_path / "acc"), str(tmp_path / "quar"),
+        min_hits=1,
+    )
+    sampler = DiversitySampleSink(
+        spark, str(tmp_path / "div_state"), "doc_id", "embedding",
+        quota=2, n_cells=4, n_partitions=4,
+    )
+    chain = ChainedGateSink(spark, [
+        GateStage("text-dedup", text_gate, "doc_id"),
+        DecontamStage("decontam", decontam),
+        DiversityStage("diversity", sampler, "doc_id", "embedding"),
+    ])
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(spool))
+        .writeStream.foreachBatch(chain)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the hand-wired chain test's batch-side laws, verbatim
+    all_ids = b0 + b1
+    classes = {}
+    for i in all_ids:
+        classes.setdefault(i % 8, []).append(i)
+    survivors_ids = set()
+    for members in classes.values():
+        in_b0 = [m for m in members if m in b0]
+        survivors_ids.add(min(in_b0) if in_b0 else min(members))
+    clean_ids = {i for i in survivors_ids if not _contam(i)}
+    assert {
+        r["doc"] for r in text_gate.dup_log().collect()
+    } == set(all_ids) - survivors_ids
+    qlog = decontam.quarantine_log()
+    assert {
+        r["doc_id"] for r in qlog.collect()
+    } == survivors_ids - clean_ids
+    from sqlserver_pg_cdc_spark.functions.vectors import norm
+
+    cents = spark.read.parquet(sampler._centroids_path()).select(
+        "cell_id", "cv", norm("cv").alias("cn")
+    )
+    want = {
+        (r["doc_id"], r["cell_id"])
+        for r in diversity_sample(
+            _docs(spark, sorted(clean_ids)).select("doc_id", "embedding"),
+            "doc_id", "embedding", 2, n_cells=4, centroids=cents,
+        ).collect()
+    }
+    assert {
+        (r["doc"], r["cell_id"]) for r in sampler.selection().collect()
+    } == want
+    # per-stage walls were recorded for both batches
+    from sqlserver_pg_cdc_spark.streaming import phases
+
+    snap = phases.snapshot("ChainedGateSink")
+    assert set(snap) >= {"text-dedup", "decontam", "diversity"}

@@ -477,8 +477,20 @@ def create_parser() -> argparse.ArgumentParser:
              "each stage handing its survivors on through its own "
              "exactly-once artifact",
     )
-    pipe.add_argument("--input", required=True,
-                      help="parquet batch to ingest through the chain")
+    pipe.add_argument("--input",
+                      help="parquet batch to ingest through the chain "
+                           "(required unless --retain-batches)")
+    pipe.add_argument("--retain-batches", type=int, default=None,
+                      metavar="N",
+                      help="instead of ingesting: one retention pass "
+                           "over EVERY configured stage's artifacts — "
+                           "gate dup logs and decontam generations "
+                           "keep the newest N batches replayable "
+                           "(older fold into the compacted "
+                           "generation), the diversity state purges "
+                           "eviction tombstones at or below "
+                           "latest_batch - N. Run quiesced; each "
+                           "stage's maintenance lock enforces it")
     pipe.add_argument("--state-root", required=True,
                       help="root dir; each stage keeps its state and "
                            "artifacts under <root>/<stage>/")
@@ -1965,12 +1977,55 @@ def cmd_pipeline(args) -> int:
             )
 
     marker = os.path.join(root, "__pipeline_next_batch.json")
-    batch_id = args.batch_id
-    if batch_id is None:
-        batch_id = 0
-        if os.path.exists(marker):
-            with open(marker) as f:
-                batch_id = int(json.load(f)["next_batch_id"])
+    next_id = 0
+    if os.path.exists(marker):
+        with open(marker) as f:
+            next_id = int(json.load(f)["next_batch_id"])
+
+    if args.retain_batches is not None:
+        # day-2 retention for the WHOLE chain in one command: in the
+        # chain every stage stamps lsn == batch id, so one N drives
+        # the gate logs, the decontam generations, AND the diversity
+        # tombstone horizon coherently
+        from sqlserver_pg_cdc_spark.streaming.batchlog import (
+            retain_batches,
+        )
+
+        retention: dict = {}
+        for st in built:
+            if isinstance(st, GateStage):
+                retention[st.name] = {
+                    "dups": retain_batches(
+                        spark, st.gate.dups_dir, args.retain_batches
+                    )
+                }
+            elif isinstance(st, DecontamStage):
+                retention[st.name] = {
+                    "accepted": retain_batches(
+                        spark, st.gate.accepted_dir, args.retain_batches
+                    ),
+                    "quarantine": retain_batches(
+                        spark, st.gate.quarantine_dir,
+                        args.retain_batches,
+                    ),
+                }
+            else:
+                wm = next_id - 1 - args.retain_batches
+                retention[st.name] = (
+                    st.sink.purge_tombstones(wm, deleted_col="__del")
+                    if wm >= 0
+                    else {"skipped": "no batches past the horizon"}
+                )
+        print(json.dumps({
+            "retain_batches": args.retain_batches,
+            "stages": stages,
+            "retention": retention,
+        }))
+        return 0
+
+    if not args.input:
+        raise SystemExit("--input is required unless --retain-batches")
+    batch_id = args.batch_id if args.batch_id is not None else next_id
 
     chain = ChainedGateSink(spark, built)
     phases.reset(chain._GATE_NAME)

@@ -257,3 +257,74 @@ def test_pipeline_cli_media_then_diversity(tmp_path, spark):
     )
     sel2 = sel2.filter(~F.coalesce(F.col("__del"), F.lit(False)))
     assert {r2["doc"] for r2 in sel2.collect()} == {1, 3, 5}
+
+
+def test_pipeline_cli_retain_batches(tmp_path, spark):
+    """`pipeline --retain-batches N`: one retention pass over every
+    configured stage — gate dup log and decontam generations keep the
+    newest N batches replayable, the diversity state purges eviction
+    tombstones past the horizon — without changing any stage's live
+    artifacts' CONTENT."""
+    from sqlserver_pg_cdc_spark.streaming.decontam import EvalGramIndexSink
+
+    eval_state = str(tmp_path / "eval_state")
+    EvalGramIndexSink(spark, eval_state, "doc_id", "text", k=8,
+                      n_partitions=4)(
+        spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, text string"),
+        0,
+    )
+    root = str(tmp_path / "chain")
+    base = [
+        "--state-root", root,
+        "--stages", "text-dedup,decontam,diversity",
+        "--eval-state", eval_state,
+        "--threshold", "0.5", "--num-hashes", "32", "--bands", "16",
+        "--quota", "2", "--cells", "4", "--partitions", "4",
+    ]
+    batches = [list(range(0, 30)), list(range(30, 60)),
+               list(range(60, 100))]
+    for i, ids in enumerate(batches):
+        _docs(spark, ids).write.parquet(str(tmp_path / f"b{i}"))
+        r = _run(base + ["--input", str(tmp_path / f"b{i}")])
+        assert r.returncode == 0, r.stderr[-2000:]
+    dup_before = {
+        (r["doc"], r["dup_of"])
+        for r in spark.read.parquet(
+            os.path.join(root, "text_dedup", "dups", "batch_*")
+        ).collect()
+    }
+    r = _run(base + ["--retain-batches", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(out["retention"]) == {
+        "text-dedup", "decontam", "diversity"
+    }
+    # gate log: only the newest generation stays as a batch dir; the
+    # compacted generation carries the older content verbatim
+    gens = sorted(
+        d for d in os.listdir(os.path.join(root, "text_dedup", "dups"))
+        if d.startswith("batch_")
+    )
+    assert gens == ["batch_2"]
+    from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
+
+    dup_after = {
+        (r2["doc"], r2["dup_of"])
+        for r2 in read_batch_log(
+            spark, os.path.join(root, "text_dedup", "dups")
+        ).collect()
+    }
+    assert dup_after == dup_before
+    # decontam generations compacted the same way
+    acc_gens = sorted(
+        d for d in os.listdir(os.path.join(root, "decontam", "accepted"))
+        if d.startswith("batch_")
+    )
+    assert acc_gens == ["batch_2"]
+    # diversity tombstones at or below the horizon are gone; the live
+    # selection is untouched
+    sel = spark.read.parquet(
+        os.path.join(root, "diversity", "state", "part_*")
+    )
+    dead = sel.filter(F.coalesce(F.col("__del"), F.lit(False)))
+    assert dead.filter(F.col("lsn") <= 1).count() == 0

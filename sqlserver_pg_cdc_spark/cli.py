@@ -511,6 +511,14 @@ def create_parser() -> argparse.ArgumentParser:
                            "per-row container sniff)")
     pipe.add_argument("--max-hamming", type=int, default=6,
                       help="media-dedup: near-dup Hamming bar")
+    pipe.add_argument("--media-granularity", choices=("clip", "frame"),
+                      default="clip",
+                      help="media-dedup with --media video: 'frame' "
+                           "rejects clips at >= --media-min-frames "
+                           "matching sampled frames (re-cut recall)")
+    pipe.add_argument("--media-min-frames", type=int, default=3,
+                      help="media-dedup frame granularity: matching "
+                           "frames that make a clip a duplicate")
     pipe.add_argument("--emb-threshold", type=float, default=0.95,
                       help="embedding-dedup: cosine near-dup bar")
     pipe.add_argument("--emb-dim", type=int, default=64,
@@ -1934,13 +1942,19 @@ def cmd_pipeline(args) -> int:
                 MediaDedupGateSink,
             )
 
+            extra = {}
+            if args.media_granularity != "clip":
+                extra = {
+                    "granularity": args.media_granularity,
+                    "min_match_frames": args.media_min_frames,
+                }
             gate = MediaDedupGateSink(
                 spark,
                 os.path.join(root, "media_dedup", "state"),
                 os.path.join(root, "media_dedup", "dups"),
                 args.id_col, args.payload_col,
                 media=args.media, max_hamming=args.max_hamming,
-                n_partitions=args.partitions,
+                n_partitions=args.partitions, **extra,
             )
             built.append(GateStage("media-dedup", gate, args.id_col))
         elif s == "decontam":

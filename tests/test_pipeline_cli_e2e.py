@@ -328,3 +328,48 @@ def test_pipeline_cli_retain_batches(tmp_path, spark):
     )
     dead = sel.filter(F.coalesce(F.col("__del"), F.lit(False)))
     assert dead.filter(F.col("lsn") <= 1).count() == 0
+
+
+def test_pipeline_cli_media_frame_granularity(tmp_path, spark):
+    """`pipeline --stages media-dedup --media video
+    --media-granularity frame`: the re-cut recall path inside the
+    chain — a trimmed/reordered clip rejects against the indexed
+    original across invocations."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mcv,
+    )
+    from sqlserver_pg_cdc_spark.workload import _RECUT_FRAMES, _recut_scene
+
+    orig = encode_mcv(
+        [_recut_scene(0, f) for f in range(8)], fps=10, gop=4, qscale=4
+    )
+    recut = encode_avi_mjpeg(
+        [encode_jpeg(48, 32, _recut_scene(0, f).tobytes())
+         for f in _RECUT_FRAMES],
+        48, 32, fps=10,
+    )
+    schema = "doc_id long, payload binary"
+    spark.createDataFrame([(1, orig)], schema).write.parquet(
+        str(tmp_path / "v0")
+    )
+    spark.createDataFrame([(2, recut)], schema).write.parquet(
+        str(tmp_path / "v1")
+    )
+    root = str(tmp_path / "chain")
+    base = [
+        "--state-root", root, "--stages", "media-dedup",
+        "--media", "video", "--media-granularity", "frame",
+        "--media-min-frames", "3", "--partitions", "4",
+    ]
+    for b in ("v0", "v1"):
+        r = _run(base + ["--input", str(tmp_path / b)])
+        assert r.returncode == 0, r.stderr[-2000:]
+    dup = {
+        r["doc"]: (r["dup_of"], r["hamming"], r["kind"])
+        for r in spark.read.parquet(
+            os.path.join(root, "media_dedup", "dups", "batch_*")
+        ).collect()
+    }
+    assert dup == {2: (1, 0, "corpus")}

@@ -55,6 +55,35 @@ def _image(cls: int) -> bytes:
     return encode_bmp(64, 64, px.tobytes())
 
 
+def _image_chain() -> list:
+    """Three lossless BMP block-checkers forming a pHash CHAIN:
+    ham(X,Y)=6, ham(Y,Z)=6 (direct at the gate's max_hamming 6),
+    ham(X,Z)=10 (transitive only). Found by search over 2-block
+    flips; BMP is lossless so the triple is bit-deterministic."""
+    from sqlserver_pg_cdc_spark.operators.multimodal import encode_bmp
+
+    X = np.array(
+        [[0, 0, 1, 1, 1, 0, 1, 0], [0, 0, 1, 1, 0, 0, 0, 1],
+         [1, 0, 0, 0, 1, 0, 1, 0], [1, 0, 1, 1, 0, 0, 0, 0],
+         [1, 1, 0, 1, 0, 1, 0, 1], [0, 1, 1, 1, 1, 0, 1, 0],
+         [0, 1, 1, 1, 1, 1, 0, 1], [1, 1, 1, 0, 0, 0, 1, 0]],
+        dtype=np.uint8,
+    )
+    Y = X.copy()
+    Y.flat[[31, 44]] ^= 1
+    Z = Y.copy()
+    Z.flat[[25, 60]] ^= 1
+
+    def enc(bits):
+        base = np.where(
+            np.kron(bits, np.ones((8, 8), dtype=np.uint8)) > 0, 225, 30
+        ).astype(np.uint8)
+        px = np.stack([base, base, base], axis=2)
+        return encode_bmp(64, 64, px.tobytes())
+
+    return [enc(X), enc(Y), enc(Z)]
+
+
 def _audio(cls: int) -> bytes:
     from sqlserver_pg_cdc_spark.operators.multimodal import encode_wav_pcm16
 
@@ -142,7 +171,8 @@ FAMILIES = {
         "make": _mk_media("image"),
         "schema": "doc_id long, payload binary",
         "content": _image,
-        "chain": None,
+        # ham(X,Y)=ham(Y,Z)=6 <= max_hamming 6 < ham(X,Z)=10
+        "chain": _image_chain(),
         "score": "hamming",
     },
     "audio": {

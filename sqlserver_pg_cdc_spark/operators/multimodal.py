@@ -2144,48 +2144,58 @@ def sample_video_frames(
     CAVLC/CABAC context tables; library absent here)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
+
+        def _frame_rows(b: bytes) -> "list[tuple] | None":
+            """Per-payload (frame_idx, ts_ms, w, h, mean) rows — pure
+            in the payload bytes, so memoizable across duplicate
+            payloads within the task."""
+            if decoder == "mcv":
+                need = (max(1, stride)) * max_frames
+                got = decode_mcv(b, max_frames=need)
+                if got is None:
+                    return None
+                vw, vh, vfps, fr = got
+                out = []
+                for n, rgb in enumerate(fr[:: max(1, stride)][:max_frames]):
+                    src_idx = n * max(1, stride)
+                    ts_ms = src_idx * 1000 // max(1, vfps)
+                    px_sum = int(rgb.astype(np.int64).sum())
+                    n_px = vw * vh * 3
+                    out.append(
+                        (src_idx, ts_ms, vw, vh, px_sum / (n_px * 255))
+                    )
+                return out
+            out = []
+            spans = split_fn(b)
+            for n, (s, e) in enumerate(spans[:: max(1, stride)][:max_frames]):
+                src_idx = n * max(1, stride)
+                ts_ms = src_idx * 1000 // max(1, fps)
+                parsed = decode_jpeg(b[s:e])
+                if parsed is None:
+                    out.append((src_idx, ts_ms, None, None, None))
+                else:
+                    w, h, ch, px_sum, n_px = parsed
+                    out.append((src_idx, ts_ms, w, h, px_sum / (n_px * 255)))
+            return out
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        frame_rows_of = _memo_by_payload(_frame_rows)
+
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
                     "compressed-codec video decoding requires ffmpeg-class "
                     "libraries; not available in this environment"
                 )
-            split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                if decoder == "mcv":
-                    need = (max(1, stride)) * max_frames
-                    got = decode_mcv(b, max_frames=need)
-                    if got is None:
-                        continue
-                    vw, vh, vfps, fr = got
-                    for n, rgb in enumerate(
-                        fr[:: max(1, stride)][:max_frames]
-                    ):
-                        src_idx = n * max(1, stride)
-                        ts_ms = src_idx * 1000 // max(1, vfps)
-                        px_sum = int(rgb.astype(np.int64).sum())
-                        n_px = vw * vh * 3
-                        rows.append(
-                            (doc_id, src_idx, ts_ms, vw, vh,
-                             px_sum / (n_px * 255))
-                        )
+                fr_rows = frame_rows_of(bytes(payload))
+                if fr_rows is None:
                     continue
-                spans = split_fn(b)
-                for n, (s, e) in enumerate(spans[:: max(1, stride)][:max_frames]):
-                    src_idx = n * max(1, stride)
-                    ts_ms = src_idx * 1000 // max(1, fps)
-                    parsed = decode_jpeg(b[s:e])
-                    if parsed is None:
-                        rows.append((doc_id, src_idx, ts_ms, None, None, None))
-                    else:
-                        w, h, ch, px_sum, n_px = parsed
-                        rows.append(
-                            (doc_id, src_idx, ts_ms, w, h, px_sum / (n_px * 255))
-                        )
+                rows.extend((doc_id, *t) for t in fr_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -2254,6 +2264,16 @@ def decode_images(
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decoded(b: bytes) -> tuple:
+            parsed = real[decoder](b)
+            if parsed is None:
+                return (None, None, None, None)
+            w, h, ch, px_sum, n_px = parsed
+            return (w, h, ch, px_sum / (n_px * 255))
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        decoded_of = _memo_by_payload(_decoded)
+
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
@@ -2266,12 +2286,7 @@ def decode_images(
                     rows.append((doc_id, None, None, None, None))
                     continue
                 if decoder in real:
-                    parsed = real[decoder](bytes(payload))
-                    if parsed is None:
-                        rows.append((doc_id, None, None, None, None))
-                    else:
-                        w, h, ch, px_sum, n_px = parsed
-                        rows.append((doc_id, w, h, ch, px_sum / (n_px * 255)))
+                    rows.append((doc_id, *decoded_of(bytes(payload))))
                     continue
                 w, h = _fake_dims(bytes(payload))
                 mean_pixel = sum(payload[:256]) / min(len(payload), 256) / 255.0
@@ -2314,6 +2329,47 @@ def sample_audio_frames(
     (magic/CRC/truncation) skips the document."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _frame_rows(b: bytes) -> "list[tuple] | None":
+            """Per-payload (frame_idx, offset_ms, rms) rows — pure in
+            the payload bytes, memoizable across duplicate payloads."""
+            if decoder in ("wav", "adpcm", "flac", "subband"):
+                parsed = (
+                    decode_wav_pcm16(b)
+                    if decoder == "wav"
+                    else decode_wav_adpcm(b)
+                    if decoder == "adpcm"
+                    else decode_flac(b)
+                    if decoder == "flac"
+                    else decode_subband(
+                        b, max_ms=frame_ms * max_frames
+                    )
+                )
+                if parsed is None:
+                    return None
+                rate, samples = parsed
+                spf = max(1, rate * frame_ms // 1000)
+                n_frames = min(max_frames, max(1, -(-len(samples) // spf)))
+                out = []
+                for i in range(n_frames):
+                    chunk = samples[i * spf : (i + 1) * spf]
+                    if len(chunk) == 0:
+                        break
+                    sq = int(np.sum(chunk.astype(np.int64) ** 2))
+                    # math.sqrt is correctly-rounded IEEE754, same as
+                    # SQL sqrt() — bit-identical for oracle hashing
+                    out.append((i, i * frame_ms, math.sqrt(sq / len(chunk))))
+                return out
+            out = []
+            n_frames = min(max_frames, max(1, len(b) // 64))
+            for i in range(n_frames):
+                chunk = b[i * 64 : (i + 1) * 64] or b"\0"
+                rms = (sum(x * x for x in chunk) / len(chunk)) ** 0.5
+                out.append((i, i * frame_ms, rms))
+            return out
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        frame_rows_of = _memo_by_payload(_frame_rows)
+
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
@@ -2324,40 +2380,10 @@ def sample_audio_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                if decoder in ("wav", "adpcm", "flac", "subband"):
-                    parsed = (
-                        decode_wav_pcm16(b)
-                        if decoder == "wav"
-                        else decode_wav_adpcm(b)
-                        if decoder == "adpcm"
-                        else decode_flac(b)
-                        if decoder == "flac"
-                        else decode_subband(
-                            b, max_ms=frame_ms * max_frames
-                        )
-                    )
-                    if parsed is None:
-                        continue
-                    rate, samples = parsed
-                    spf = max(1, rate * frame_ms // 1000)
-                    n_frames = min(max_frames, max(1, -(-len(samples) // spf)))
-                    for i in range(n_frames):
-                        chunk = samples[i * spf : (i + 1) * spf]
-                        if len(chunk) == 0:
-                            break
-                        sq = int(np.sum(chunk.astype(np.int64) ** 2))
-                        # math.sqrt is correctly-rounded IEEE754, same as
-                        # SQL sqrt() — bit-identical for oracle hashing
-                        rows.append(
-                            (doc_id, i, i * frame_ms, math.sqrt(sq / len(chunk)))
-                        )
+                fr_rows = frame_rows_of(bytes(payload))
+                if fr_rows is None:
                     continue
-                n_frames = min(max_frames, max(1, len(b) // 64))
-                for i in range(n_frames):
-                    chunk = b[i * 64 : (i + 1) * 64] or b"\0"
-                    rms = (sum(x * x for x in chunk) / len(chunk)) ** 0.5
-                    rows.append((doc_id, i, i * frame_ms, rms))
+                rows.extend((doc_id, *t) for t in fr_rows)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_offset_ms", "rms"]
             )
@@ -2429,6 +2455,48 @@ def resize_images(
         raise ValueError(f"unknown resize codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resized(b: bytes) -> "bytes | None":
+            """Per-payload decode -> resize -> re-encode — pure in the
+            payload bytes, memoizable across duplicate payloads."""
+            if codec == "gif":
+                got = _gif_frame(b)
+                if got is None:
+                    return None
+                idx2, rgb = got
+                sh, sw = idx2.shape
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                sampled = idx2[np.ix_(ys, xs)]
+                palette = [tuple(int(v) for v in c) for c in rgb]
+                return encode_gif(
+                    width, height, palette, sampled.reshape(-1).tobytes()
+                )
+            px = (
+                _bmp_pixels(b)
+                if codec == "bmp"
+                else _png_pixels(b)
+                if codec == "png"
+                else _jpeg_pixels(b)
+            )
+            if px is None:
+                return None
+            sh, sw = px.shape[0], px.shape[1]
+            ys = (np.arange(height) * sh) // height
+            xs = (np.arange(width) * sw) // width
+            out = px[np.ix_(ys, xs)]
+            if codec == "bmp":
+                return encode_bmp(width, height, out.tobytes())
+            if codec == "png":
+                return encode_png(
+                    width, height, out.tobytes(), channels=px.shape[2]
+                )
+            return encode_jpeg(
+                width, height, out.tobytes(), channels=px.shape[2]
+            )
+
+        # per-task decode memo: exact-duplicate payloads resize once
+        resized_of = _memo_by_payload(_resized)
+
         for pdf in it:
             if codec == "strict":
                 raise NotImplementedError(
@@ -2438,52 +2506,7 @@ def resize_images(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                if codec == "gif":
-                    got = _gif_frame(b) if b is not None else None
-                    if got is None:
-                        rows.append((doc_id, None, width, height))
-                        continue
-                    idx2, rgb = got
-                    sh, sw = idx2.shape
-                    ys = (np.arange(height) * sh) // height
-                    xs = (np.arange(width) * sw) // width
-                    sampled = idx2[np.ix_(ys, xs)]
-                    palette = [tuple(int(v) for v in c) for c in rgb]
-                    rows.append((
-                        doc_id,
-                        encode_gif(
-                            width, height, palette,
-                            sampled.reshape(-1).tobytes(),
-                        ),
-                        width, height,
-                    ))
-                    continue
-                px = None
-                if b is not None:
-                    px = (
-                        _bmp_pixels(b)
-                        if codec == "bmp"
-                        else _png_pixels(b)
-                        if codec == "png"
-                        else _jpeg_pixels(b)
-                    )
-                if px is None:
-                    rows.append((doc_id, None, width, height))
-                    continue
-                sh, sw = px.shape[0], px.shape[1]
-                ys = (np.arange(height) * sh) // height
-                xs = (np.arange(width) * sw) // width
-                out = px[np.ix_(ys, xs)]
-                if codec == "bmp":
-                    enc = encode_bmp(width, height, out.tobytes())
-                elif codec == "png":
-                    enc = encode_png(
-                        width, height, out.tobytes(), channels=px.shape[2]
-                    )
-                else:
-                    enc = encode_jpeg(
-                        width, height, out.tobytes(), channels=px.shape[2]
-                    )
+                enc = resized_of(b) if b is not None else None
                 rows.append((doc_id, enc, width, height))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "width", "height"]
@@ -3633,30 +3656,31 @@ def resample_audio(
         raise ValueError(f"unknown audio decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resampled(b: bytes) -> "tuple | None":
+            parsed = decoders[decoder](b)
+            if parsed is None:
+                return None
+            rate, samples = parsed
+            out = resample_pcm(samples, rate, target_rate)
+            return (encode_wav_pcm16(target_rate, out), len(out))
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        resampled_of = _memo_by_payload(_resampled)
+
         for pdf in it:
             if decoder == "strict":
                 raise NotImplementedError(
                     "compressed audio decoding requires an audio library; "
                     "not available in this environment"
                 )
-            dec = decoders[decoder]
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                parsed = dec(b) if b is not None else None
-                if parsed is None:
+                got = resampled_of(b) if b is not None else None
+                if got is None:
                     rows.append((doc_id, None, target_rate, None))
                     continue
-                rate, samples = parsed
-                out = resample_pcm(samples, rate, target_rate)
-                rows.append(
-                    (
-                        doc_id,
-                        encode_wav_pcm16(target_rate, out),
-                        target_rate,
-                        len(out),
-                    )
-                )
+                rows.append((doc_id, got[0], target_rate, got[1]))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "payload", "sample_rate", "n_samples"],
@@ -3729,34 +3753,44 @@ def video_thumbnails(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         step = max(1, stride)
+
+        def _thumb_rows(b: bytes) -> "list[tuple] | None":
+            """Per-payload (frame_idx, offset_ms, thumb, w, h) rows —
+            pure in the payload bytes, memoizable across duplicates."""
+            if decoder == "mcv":
+                got = decode_mcv(b, max_frames=step * max_frames)
+                if got is None:
+                    return None
+                _, _, vfps, fr = got
+                return [
+                    (n * step, n * step * 1000 // max(1, vfps),
+                     _thumb(rgb), width, height)
+                    for n, rgb in enumerate(fr[::step][:max_frames])
+                ]
+            split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
+            out = []
+            for n, (s0, e0) in enumerate(split_fn(b)[::step][:max_frames]):
+                src = n * step
+                px = _jpeg_pixels(b[s0:e0])
+                out.append(
+                    (src, src * 1000 // max(1, fps),
+                     _thumb(px) if px is not None else None,
+                     width, height)
+                )
+            return out
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        thumb_rows_of = _memo_by_payload(_thumb_rows)
+
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                if decoder == "mcv":
-                    got = decode_mcv(b, max_frames=step * max_frames)
-                    if got is None:
-                        continue
-                    _, _, vfps, fr = got
-                    for n, rgb in enumerate(fr[::step][:max_frames]):
-                        src = n * step
-                        rows.append(
-                            (doc_id, src, src * 1000 // max(1, vfps),
-                             _thumb(rgb), width, height)
-                        )
+                t_rows = thumb_rows_of(bytes(payload))
+                if t_rows is None:
                     continue
-                split_fn = split_avi_mjpeg if decoder == "avi" else split_mjpeg
-                spans = split_fn(b)
-                for n, (s0, e0) in enumerate(spans[::step][:max_frames]):
-                    src = n * step
-                    px = _jpeg_pixels(b[s0:e0])
-                    rows.append(
-                        (doc_id, src, src * 1000 // max(1, fps),
-                         _thumb(px) if px is not None else None,
-                         width, height)
-                    )
+                rows.extend((doc_id, *t) for t in t_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -3841,6 +3875,40 @@ def _dct2_int_matrix() -> "np.ndarray":
     return _DCT2_INT
 
 
+def _memo_by_payload(fn, max_entries: int = 4096):
+    """Wrap a pure ``payload bytes -> small result`` function (a
+    fingerprint, a (family, fp) tuple) with a PER-TASK bounded memo
+    keyed on a 16-byte BLAKE2 digest of the payload.
+
+    Decode is deterministic — identical bytes always produce the
+    identical fingerprint — so a batch carrying exact-duplicate
+    payloads (the normal crawl-ingest case: byte-identical re-uploads,
+    mirrored files, and this repo's class-payload contract fixtures)
+    pays ONE decode per distinct payload per task instead of one per
+    row (guide §4.5: amortize heavyweight per-row work across the
+    task). An all-distinct corpus pays one digest per row (memory-
+    bandwidth cheap next to any codec walk) and the memo caps at
+    ``max_entries`` small results, cleared when full — bounded memory
+    either way. The memo lives inside one mapInPandas task invocation
+    and never crosses tasks or runs: every query execution recomputes
+    from the payload bytes."""
+    cache: dict = {}
+
+    def wrapped(b: bytes):
+        k = hashlib.blake2b(b, digest_size=16).digest()
+        try:
+            return cache[k]
+        except KeyError:
+            pass
+        v = fn(b)
+        if len(cache) >= max_entries:
+            cache.clear()
+        cache[k] = v
+        return v
+
+    return wrapped
+
+
 def phash_images(
     df: DataFrame,
     id_col: str,
@@ -3884,16 +3952,20 @@ def phash_images(
                 return rgb[idx2]
             return mm.sniff_image_pixels(b)
 
+        def _hash_of(b: bytes) -> "int | None":
+            px = _pixels(b)
+            return mm.phash_pixels(px) if px is not None else None
+
+        # per-task decode memo: exact-duplicate payloads hash once
+        hash_of = mm._memo_by_payload(_hash_of)
+
         for pdf in it:
             ids = []
             hashes = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                px = _pixels(b) if b else None
                 ids.append(doc_id)
-                hashes.append(
-                    mm.phash_pixels(px) if px is not None else None
-                )
+                hashes.append(hash_of(b) if b else None)
             # the hash column MUST be the nullable Int64 extension
             # dtype: a plain DataFrame constructor infers float64 for
             # int+None tuples, and a 63-bit fingerprint near 2^63
@@ -4050,16 +4122,20 @@ def audio_fingerprints(
                 return mm.sniff_audio_samples(b)
             return got[1] if got is not None else None
 
+        def _afp_of(b: bytes) -> "int | None":
+            sm = _samples(b)
+            return mm.afp_samples(sm) if sm is not None else None
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        afp_of = mm._memo_by_payload(_afp_of)
+
         for pdf in it:
             ids = []
             prints = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                sm = _samples(b) if b else None
                 ids.append(doc_id)
-                prints.append(
-                    mm.afp_samples(sm) if sm is not None else None
-                )
+                prints.append(afp_of(b) if b else None)
             # nullable Int64: the >2^53 fingerprint must never ride a
             # float64-inferred column (the phash regression)
             out = {"doc_id": ids, "afp": pd.array(prints, dtype="Int64")}
@@ -4209,23 +4285,22 @@ def video_fingerprints(
         # worker-side module resolution (the phash_images discipline)
         from sqlserver_pg_cdc_spark.operators import multimodal as mm
 
+        def _vhash_of(b: bytes) -> "int | None":
+            fr = mm.sample_frames_for_vhash(
+                b, decoder=decoder, stride=stride, max_frames=max_frames,
+            )
+            return mm.vhash_frames(fr) if fr is not None else None
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        vhash_of = mm._memo_by_payload(_vhash_of)
+
         for pdf in it:
             ids = []
             prints = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                fr = (
-                    mm.sample_frames_for_vhash(
-                        b, decoder=decoder,
-                        stride=stride, max_frames=max_frames,
-                    )
-                    if b
-                    else None
-                )
                 ids.append(doc_id)
-                prints.append(
-                    mm.vhash_frames(fr) if fr is not None else None
-                )
+                prints.append(vhash_of(b) if b else None)
             # nullable Int64: the >2^53 fingerprint must never ride a
             # float64-inferred column (the phash regression)
             out = {"doc_id": ids, "vhash": pd.array(prints, dtype="Int64")}
@@ -4279,28 +4354,30 @@ def video_frame_fingerprints(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sqlserver_pg_cdc_spark.operators import multimodal as mm
 
+        def _fhashes_of(b: bytes) -> "list[int] | None":
+            fr = mm.sample_frames_for_vhash(
+                b, decoder=decoder, stride=stride, max_frames=max_frames,
+            )
+            if fr is None:
+                return None
+            hs = [
+                h for h in (mm.vhash_frames([f]) for f in fr)
+                if h is not None
+            ]
+            return hs or None
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        # (the memoized list is never mutated — it only rides into
+        # Arrow serialization)
+        fhashes_of = mm._memo_by_payload(_fhashes_of)
+
         for pdf in it:
             ids = []
             prints = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                fr = (
-                    mm.sample_frames_for_vhash(
-                        b, decoder=decoder,
-                        stride=stride, max_frames=max_frames,
-                    )
-                    if b
-                    else None
-                )
                 ids.append(doc_id)
-                if fr is None:
-                    prints.append(None)
-                else:
-                    hs = [
-                        h for h in (mm.vhash_frames([f]) for f in fr)
-                        if h is not None
-                    ]
-                    prints.append(hs or None)
+                prints.append(fhashes_of(b) if b else None)
             # array<long> elements are exact int64 end to end (no
             # scalar Int64-inference trap: object lists of python
             # ints cross Arrow as list<int64>)
@@ -4373,7 +4450,10 @@ def vframe_near_clip_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "fa", "b", "fb", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        # no .distinct(): a frame pair matched in several bands emits
+        # duplicate rows, but the aggregation below is duplicate-
+        # insensitive (countDistinct / min) — the dedup exchange was a
+        # full extra shuffle of the candidate set for nothing
     )
     return (
         frame_pairs.groupBy("a", "b")
@@ -4471,27 +4551,34 @@ def media_fingerprints(
         # worker-side module resolution (the phash_images discipline)
         from sqlserver_pg_cdc_spark.operators import multimodal as mm
 
+        def _fam_fp_of(b: bytes) -> "tuple[str | None, int | None]":
+            fam = mm.sniff_media_family(b)
+            fp = None
+            if fam == "image":
+                px = mm.sniff_image_pixels(b)
+                fp = mm.phash_pixels(px) if px is not None else None
+            elif fam == "audio":
+                sm = mm.sniff_audio_samples(b)
+                fp = mm.afp_samples(sm) if sm is not None else None
+            elif fam == "video":
+                fr = mm.sample_frames_for_vhash(
+                    b, stride=stride, max_frames=max_frames
+                )
+                fp = mm.vhash_frames(fr) if fr is not None else None
+            return (fam if fp is not None else None, fp)
+
+        # per-task decode memo: exact-duplicate payloads decode once
+        fam_fp_of = mm._memo_by_payload(_fam_fp_of)
+
         for pdf in it:
             ids = []
             fams = []
             prints = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else None
-                fam = mm.sniff_media_family(b)
-                fp = None
-                if fam == "image":
-                    px = mm.sniff_image_pixels(b)
-                    fp = mm.phash_pixels(px) if px is not None else None
-                elif fam == "audio":
-                    sm = mm.sniff_audio_samples(b)
-                    fp = mm.afp_samples(sm) if sm is not None else None
-                elif fam == "video":
-                    fr = mm.sample_frames_for_vhash(
-                        b, stride=stride, max_frames=max_frames
-                    )
-                    fp = mm.vhash_frames(fr) if fr is not None else None
+                fam, fp = fam_fp_of(b) if b else (None, None)
                 ids.append(doc_id)
-                fams.append(fam if fp is not None else None)
+                fams.append(fam)
                 prints.append(fp)
             out = {
                 "doc_id": ids,

@@ -90,6 +90,13 @@ class DiversitySampleSink(PartitionedParquetUpsertSink):
         self.quota = int(quota)
         self.n_cells = int(n_cells)
         self._centroids = centroids  # resolved/persisted on first batch
+        # collected epoch rows, filled by the first _resolve_centroids:
+        # the epoch is IMMUTABLE once written (sha-pinned, mismatch
+        # raises), so later folds of this sink instance reuse the rows
+        # instead of re-reading + re-hashing the parquet every batch —
+        # one centroid job per fold was pure fixed overhead. A new sink
+        # instance (reopen, rotate_epoch) still validates from disk.
+        self._epoch_rows: list | None = None
 
     # -- centroid epoch ------------------------------------------------------
 
@@ -126,6 +133,13 @@ class DiversitySampleSink(PartitionedParquetUpsertSink):
 
         from sqlserver_pg_cdc_spark.functions.vectors import norm
 
+        if self._epoch_rows is not None:
+            # epoch already validated by this instance: rebuild the
+            # (n_cells-row) frame locally — no parquet re-read, no
+            # re-hash, no extra job per fold
+            return self.spark.createDataFrame(
+                self._epoch_rows
+            ).select("cell_id", "cv", norm("cv").alias("cn"))
         os.makedirs(self.target_dir, exist_ok=True)
         pf = os.path.join(self.target_dir, self._PARAMS_FILE)
         cpath = self._centroids_path()
@@ -133,9 +147,8 @@ class DiversitySampleSink(PartitionedParquetUpsertSink):
             with open(pf) as f:
                 stored = json.load(f)
             cents = self.spark.read.parquet(cpath)
-            sha = self._centroid_sha(
-                sorted(cents.collect(), key=lambda r: r["cell_id"])
-            )
+            rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+            sha = self._centroid_sha(rows)
             mine = self._params(sha)
             if self._centroids is not None:
                 # an explicitly-passed epoch must MATCH the stored one,
@@ -157,6 +170,8 @@ class DiversitySampleSink(PartitionedParquetUpsertSink):
                     f"with different parameters than this sink: {diff} — "
                     "open it with the recorded parameters or rebuild"
                 )
+            if rows:  # an empty epoch cannot seed a schemaless local frame
+                self._epoch_rows = rows
             return cents.select(
                 "cell_id", "cv", norm("cv").alias("cn")
             )
@@ -173,11 +188,12 @@ class DiversitySampleSink(PartitionedParquetUpsertSink):
             )
         cents.select("cell_id", "cv").write.mode("overwrite").parquet(cpath)
         cents = self.spark.read.parquet(cpath)
-        sha = self._centroid_sha(
-            sorted(cents.collect(), key=lambda r: r["cell_id"])
-        )
+        rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+        sha = self._centroid_sha(rows)
         with open(pf, "w") as f:
             json.dump(self._params(sha), f)
+        if rows:  # an empty epoch cannot seed a schemaless local frame
+            self._epoch_rows = rows
         return cents.select("cell_id", "cv", norm("cv").alias("cn"))
 
     # -- the fold ------------------------------------------------------------

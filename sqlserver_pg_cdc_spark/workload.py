@@ -4370,17 +4370,29 @@ def q_video_phash_crossformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = video_fingerprints(
         enc, "doc_id", "payload", stride=1, max_frames=4
     ).filter(F.col("vhash").isNotNull()).localCheckpoint()
-    pairs = phash_near_pairs(fps, id_col="doc_id", hash_col="vhash",
+    # COLLAPSE identical fingerprints before pairing (guide §8: decide
+    # on small rows): docs sharing a vhash are pairwise Hamming-0 dups
+    # by definition, so the near-dup graph quotiented by equal vhash
+    # has the same components — pair + cluster one representative (the
+    # group minimum) per DISTINCT fingerprint, then label every doc
+    # through its group. Before: |class|^2 pairs (1.28M at sf0.1)
+    # pushed dup_components past its driver fast path into the
+    # iterative loop; after: pairs over distinct fingerprints only.
+    # Exactness: component = min doc over the merged cluster = min over
+    # group minima, and a pair-less group labels as its own minimum —
+    # identical to coalesce(component, doc_id) per doc.
+    reps = fps.groupBy("vhash").agg(F.min("doc_id").alias("doc_id"))
+    pairs = phash_near_pairs(reps, id_col="doc_id", hash_col="vhash",
                              max_hamming=6)
     comps = dup_components(pairs).select(
         F.col("doc").alias("doc_id"), "component"
     )
+    rep_lab = reps.join(comps, "doc_id", "left").select(
+        "vhash", F.coalesce("component", "doc_id").alias("dup_of")
+    )
     from pyspark.sql import Window
 
-    labeled = fps.join(comps, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("component", "doc_id").alias("dup_of"),
-    )
+    labeled = fps.join(rep_lab, "vhash").select("doc_id", "dup_of")
     w2 = Window.partitionBy("dup_of")
     return labeled.select(
         "doc_id", "dup_of",
@@ -4510,18 +4522,41 @@ def q_video_phash_recut(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = video_frame_fingerprints(
         enc, "doc_id", "payload", stride=1, max_frames=8
     ).filter(F.col("fhashes").isNotNull()).localCheckpoint()
+    # COLLAPSE identical fingerprint ARRAYS before pairing (guide §8):
+    # the ≥k-matching-frames law depends only on the two arrays, so the
+    # pair graph quotiented by equal fhashes has the same components —
+    # pair + cluster one representative (the group minimum) per
+    # DISTINCT array, then label every doc through its group. Two docs
+    # with the same array of length >= min_frames always pair (every
+    # frame matches itself at Hamming 0: n_frames = len >= k), so the
+    # group IS one cluster labeled by its minimum; an array SHORTER
+    # than min_frames can never pair with anything (n_frames <=
+    # countDistinct(frame_id) <= len < k — not even with an identical
+    # twin), so those docs stay singletons and bypass the quotient.
+    # Before: |class|^2 x shared-frames pairs (318k at sf0.1) pushed
+    # dup_components past its driver fast path into the iterative
+    # loop; after: pairs over distinct arrays only.
+    groups = frames.groupBy("fhashes").agg(F.min("doc_id").alias("rep"))
+    reps = groups.filter(F.size("fhashes") >= 3).select(
+        F.col("rep").alias("doc_id"), "fhashes"
+    )
     pairs = vframe_near_clip_pairs(
-        frames, id_col="doc_id", fhashes_col="fhashes",
+        reps, id_col="doc_id", fhashes_col="fhashes",
         max_hamming=6, min_frames=3,
     ).select("a", "b")
     comps = dup_components(pairs).select(
-        F.col("doc").alias("doc_id"), "component"
+        F.col("doc").alias("rep"), "component"
+    )
+    rep_lab = groups.join(comps, "rep", "left").select(
+        "fhashes",
+        F.when(
+            F.size("fhashes") >= 3, F.coalesce("component", "rep")
+        ).alias("grp_dup"),
     )
     from pyspark.sql import Window
 
-    labeled = frames.join(comps, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("component", "doc_id").alias("dup_of"),
+    labeled = frames.join(rep_lab, "fhashes").select(
+        "doc_id", F.coalesce("grp_dup", F.col("doc_id")).alias("dup_of")
     )
     w2 = Window.partitionBy("dup_of")
     return labeled.select(
@@ -5444,18 +5479,22 @@ def q_media_auto_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode, "doc_id long, payload binary"
         )
         gate(batch, i)
-        fps = gate.fingerprints()
-        if fps is None:  # degenerate corpus: nothing ever indexed
+        # THIS batch's accepted decodable docs are exactly the live
+        # state rows the gate stamped with lsn == batch id: the gate
+        # upserts only survivors (corpus/batch rejects never reach the
+        # index), the sink stamps lsn = batch_id, and the two batch
+        # populations are disjoint by construction (doc_id%4). Reading
+        # them back off the state replaces the old chain — a SECOND
+        # encode pass of the batch (mapInPandas is opaque: the
+        # ids-only semi-join still synthesized every payload), a dup-
+        # log read, and two joins — with one pruned state-slice scan
+        # (guide §2.3/§4.1: never re-run an opaque pass for its ids).
+        st = gate._live_state()
+        if st is None:  # degenerate corpus: nothing ever indexed
             continue
-        rejects = spark.read.parquet(gate._dup_batch_dir(i)).select(
-            F.col("doc")
-        )
         accepted = (
-            fps
-            .filter(F.col("fp").isNotNull())
-            .join(batch.select(F.col("doc_id").alias("doc")), "doc",
-                  "left_semi")
-            .join(rejects, "doc", "left_anti")
+            st
+            .filter(F.col("fp").isNotNull() & (F.col("lsn") == i))
             .join(emb, "doc")
             .select("doc", "family", "embedding")
             .persist()
@@ -5467,14 +5506,26 @@ def q_media_auto_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["family"]
             for r in accepted.select("family").distinct().collect()
         }
-        for fam, sink in sinks.items():
-            if fam in present:
-                sink(
-                    accepted.filter(F.col("family") == fam).select(
-                        "doc", "embedding"
-                    ),
-                    i,
-                )
+        # the three family folds are INDEPENDENT (separate sinks,
+        # separate state dirs, deterministic output regardless of
+        # interleave): overlap them so one fold's straggler tail
+        # back-fills with the next fold's tasks (guide §2.6) instead
+        # of running three fixed-overhead job chains end to end
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fold(fam_sink):
+            fam, sink = fam_sink
+            sink(
+                accepted.filter(F.col("family") == fam).select(
+                    "doc", "embedding"
+                ),
+                i,
+            )
+
+        todo = [(f, s) for f, s in sinks.items() if f in present]
+        if todo:
+            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                list(pool.map(_fold, todo))
         accepted.unpersist()
     frames = []
     for fam, sink in sinks.items():

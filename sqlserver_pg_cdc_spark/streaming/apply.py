@@ -1142,12 +1142,17 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
         # them plan over a LogicalRDD. Blocks are batch-sized, and a
         # Structured Streaming replay re-drives the whole batch, so the
         # non-replayable lineage changes nothing
+        # LAZY localCheckpoint: the very next statement is a FULL
+        # distinct().collect() over the frame (every partition computed
+        # — no limit/partial-job risk), so the checkpoint materializes
+        # inside that job instead of costing a separate eager pass —
+        # one batch materialization, not two, per upsert
         deduped = (
             self._cast_keys_to_stored(
                 latest_per_key(batch_df, self.pk_cols, self.lsn_col)
             )
             .withColumn("__p", self._part_expr())
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         try:
             touched = sorted(

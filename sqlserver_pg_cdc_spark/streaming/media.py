@@ -520,7 +520,9 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         return (
             joined.select("a", "fa", "b", "fb", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .distinct()
+            # no .distinct(): multi-band duplicates of one frame pair
+            # cannot move countDistinct/min below — the dedup exchange
+            # was a full extra shuffle of the candidate set for nothing
             .groupBy("a", "b")
             .agg(
                 F.least(

@@ -344,14 +344,19 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         )
         try:
             # partition-pruned fetch: when the colliding-doc set is
-            # bounded (limit(n+1) probe — the usual case: collisions
+            # bounded (limit(bound+1) probe — the usual case: collisions
             # are O(near-dups), not O(corpus)), open ONLY the state
             # partitions those docs hash to instead of scanning all
             # n_partitions directories; past the bound, fall back to
-            # the full-state semi-join
+            # the full-state semi-join. The probe limit IS the pruning
+            # bound below: collecting 10k ids to then prune only when
+            # len <= n_partitions moved thousands of rows to the driver
+            # per batch for a decision that needs at most bound+1
+            prune_bound = min(10_000, self.n_partitions)
             ids = [
                 r["b"]
-                for r in cands.select("b").distinct().limit(10_001).collect()
+                for r in cands.select("b").distinct()
+                .limit(prune_bound + 1).collect()
             ]
             stored = None
             # pruning pays only when the colliding-doc set is small
@@ -359,7 +364,7 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             # distinct ids the birthday bound says every partition is
             # hit anyway, and the probe's extra hash job + per-key
             # semi-join just add fixed cost over the full-state read
-            if ids and len(ids) <= min(10_000, self.n_partitions):
+            if ids and len(ids) <= prune_bound:
                 hit = self.read_keys(ids)
                 if hit is not None:
                     if "__del" in hit.columns:

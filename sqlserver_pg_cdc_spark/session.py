@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guard-limit collects (dup_components' driver fast path, the
+        # probe's partition-prune id fetch) EXPECT their frame to fit —
+        # the limit is a bound, not a seek — so executeTake's 1-partition
+        # first pass + 4x scale-up just turns one bounded collect into
+        # 2-4 scheduler round trips per batch. Scan a full wave of
+        # partitions in the first pass instead (scale-parameterized:
+        # matches shuffle parallelism, not a local constant)
+        .config(
+            "spark.sql.limit.initialNumPartitions", str(shuffle_partitions)
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

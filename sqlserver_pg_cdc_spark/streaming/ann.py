@@ -1025,9 +1025,12 @@ class AnnGateSink(GatedIndexMixin, AnnIndexSink):
             .filter(F.col("cosine") >= self.threshold)
             .persist()
         )
-        cross.count()
+        # no eager count: the clustering collect that follows in the
+        # gate template materializes cross (and cands through its
+        # lineage) in one job; cands is already in `blocks`, so the
+        # template's finally unpersists it at batch end — batch-sized
+        # id pairs, not worth an extra round trip to free early
         blocks.append(cross)
-        cands.unpersist()  # candidate blocks served their one join
         return cross
 
     def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
@@ -1069,7 +1072,7 @@ class AnnGateSink(GatedIndexMixin, AnnIndexSink):
             .filter(F.col("cosine") >= self.threshold)
             .persist()
         )
-        pairs.count()
+        # persisted but not eagerly counted — see _gate_cross_pairs
         blocks.append(pairs)
         return pairs
 

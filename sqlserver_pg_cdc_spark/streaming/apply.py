@@ -824,15 +824,24 @@ class HashPartitionedStateMixin:
 
     def _stamp_schema(self, df: DataFrame) -> None:
         """Record the ACTIVE (post-evolution) schema in __layout.json —
-        stamped on create and re-stamped on every evolution event, with
-        a version counter and a sha256 over (schema, version). The part
-        footers stay authoritative for reads (mergeSchema); the stamp
-        gives operators the state's shape without opening footers, AND
-        is a guarded identity: ``_check_layout`` refuses a marker whose
-        hash does not match its recorded schema (a tampered or
-        hand-edited stamp fails fast instead of misleading whoever
-        trusts it) — the same params-guard discipline the index sinks
-        apply to their LSH/centroid/codebook files."""
+        stamped on create and UNIONED on every write, with a version
+        counter and a sha256 over (schema, version).
+
+        The stamp is additive: a batch whose merge touched only
+        partitions that predate an evolution carries the NARROW schema,
+        but partitions written during the evolution still hold the wide
+        one — overwriting the stamp with the narrow ddl would shrink it
+        below what is on disk. Unioning keeps the invariant *stamp ⊇
+        every part footer* (every footer was written by a merge whose
+        schema was unioned in just before the swap; evolution is
+        additive-only — a type change DLQs in ``align_evolved_sides``,
+        so a name can never carry two types). ``schema_union: true``
+        marks stamps maintained under this invariant; ``_read_parts``
+        trusts only those for footer-free reads — a legacy stamp
+        (written by the old overwrite rule) keeps the mergeSchema read.
+        ``_check_layout`` still refuses a marker whose hash does not
+        match its recorded schema (a tampered or hand-edited stamp
+        fails fast instead of misleading whoever trusts it)."""
         import json
 
         marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
@@ -841,15 +850,55 @@ class HashPartitionedStateMixin:
         ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("schema") == ddl and "schema_sha256" in meta:
+        prev = meta.get("schema") or {}
+        if meta.get("schema_union"):
+            merged = dict(prev)
+            merged.update(ddl)
+        else:
+            # first write under the union rule: a legacy stamp (old
+            # overwrite semantics) may already be narrower than some
+            # footer, so it must not seed the union — start it from
+            # THIS batch's post-merge schema and leave schema_union
+            # unset; reads keep mergeSchema until a fresh state earns
+            # the flag from its very first write
+            merged = ddl
+        first_stamp = "schema" not in meta
+        if merged == prev and "schema_sha256" in meta and not first_stamp:
             return
-        meta["schema"] = ddl
+        meta["schema"] = merged
+        if first_stamp:
+            # a brand-new state's first stamp covers every byte ever
+            # written to it, so the union invariant holds from here on
+            meta["schema_union"] = True
         meta["schema_version"] = int(meta.get("schema_version", 0)) + 1
-        meta["schema_sha256"] = self._schema_sha(ddl, meta["schema_version"])
+        meta["schema_sha256"] = self._schema_sha(
+            merged, meta["schema_version"]
+        )
         tmp = f"{marker}.tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, marker)
+
+    def _stamped_schema(self) -> dict | None:
+        """The sha-verified union schema from __layout.json, or None
+        when the stamp is absent, legacy (no union flag), or fails its
+        hash check — callers fall back to footer reads."""
+        import json
+
+        marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            return None
+        ddl = meta.get("schema")
+        if not ddl or not meta.get("schema_union"):
+            return None
+        if meta.get("schema_sha256") != self._schema_sha(
+            ddl, meta.get("schema_version", 0)
+        ):
+            return None
+        return ddl
 
     def _sweep_batchtmps(self) -> None:
         """A crash between the partitionBy write and its finally block
@@ -940,23 +989,55 @@ class HashPartitionedStateMixin:
         return self._read_parts(parts)
 
     def _read_parts(self, parts: list[int]) -> DataFrame:
-        """Read a set of partition dirs with SCHEMA MERGING: after an
-        additive evolution, touched partitions carry the widened schema
-        while untouched ones keep the old — a plain read would pick one
-        footer's schema and silently drop (or never surface) the new
-        column for half the state. mergeSchema unions the footers;
-        pre-evolution rows read as NULL in added columns."""
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[self._part_dir(p) for p in parts]
-        )
+        """Read a set of partition dirs under the state's UNION schema:
+        after an additive evolution, touched partitions carry the
+        widened schema while untouched ones keep the old — a plain read
+        would pick one footer's schema and silently drop (or never
+        surface) the new column for half the state.
+
+        When the layout marker carries a sha-verified union stamp
+        (``_stamp_schema``: stamp ⊇ every footer by construction), the
+        read passes it explicitly — the parquet reader maps columns by
+        name and NULL-fills fields a footer lacks, the exact mergeSchema
+        semantics WITHOUT the footer-merging job Spark otherwise runs
+        per read (one scheduler round trip per state open, at any
+        scale). Legacy stamps (or a DDL the reader rejects) fall back to
+        mergeSchema."""
+        dirs = [self._part_dir(p) for p in parts]
+        ddl = self._stamped_schema()
+        if ddl:
+            try:
+                return self.spark.read.schema(
+                    ", ".join(f"`{n}` {t}" for n, t in ddl.items())
+                ).parquet(*dirs)
+            except Exception:
+                pass  # unparseable stamp: footers stay authoritative
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def _stored_pk_types(self) -> dict[str, str] | None:
-        """simpleString type of each pk column AS STORED, read from one
-        existing partition's parquet footer (authoritative — it is what
-        the write path hashed). None when no partitions exist yet."""
+        """simpleString type of each pk column AS STORED. None when no
+        partitions exist yet.
+
+        Source of truth order: the layout marker's sha-verified schema
+        stamp when it covers every pk column (pk types are immutable —
+        ``_cast_keys_to_stored`` raises on widening writes — so any
+        stamp epoch has the correct types; no footer open, no Spark
+        planning per probe), else one partition's parquet footer. Every
+        batch probes/casts through this 2-3 times, so the footer read
+        was a per-batch fixed cost at any data scale."""
         parts = self._existing_parts()
         if not parts:
             return None
+        import json
+
+        marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
+        try:
+            with open(marker) as f:
+                stamped = json.load(f).get("schema") or {}
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            stamped = {}
+        if all(c in stamped for c in self.pk_cols):
+            return {c: stamped[c] for c in self.pk_cols}
         schema = self.spark.read.parquet(self._part_dir(parts[0])).schema
         by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
         return {c: by_name[c] for c in self.pk_cols if c in by_name}

@@ -142,8 +142,18 @@ class GatedIndexMixin:
         # actions plan over a LogicalRDD instead of re-canonicalizing
         # the projection tree each time (~0.5 s of driver CPU per
         # action at ANY data size); blocks are batch-sized and a
-        # Structured Streaming replay re-drives the whole batch anyway
-        proj = self._project(batch_df, batch_id).localCheckpoint()
+        # Structured Streaming replay re-drives the whole batch anyway.
+        # LAZY: the projection (the family's signature/decode pass —
+        # the dominant per-batch compute) materializes inside the first
+        # probe/cluster action instead of paying a dedicated eager job;
+        # partitions a partial first action misses are checkpointed by
+        # the fill-in pass Spark runs at that job's end, so every later
+        # action still reads blocks only — one batch materialization
+        # either way, one fewer scheduled job per batch ("projection"
+        # phase time now rides inside "probe")
+        proj = self._project(batch_df, batch_id).localCheckpoint(
+            eager=False
+        )
         rec.mark("projection")
         blocks: list[DataFrame] = []
         sc = self._SCORE_COL

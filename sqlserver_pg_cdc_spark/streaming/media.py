@@ -442,6 +442,7 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         max_hamming: int,
         new_bands: DataFrame | None = None,
         idx: DataFrame | None = None,
+        eager: bool = True,
     ) -> DataFrame | None:
         """Probe with an ALREADY-computed (doc, fp) frame — the seam
         `MediaDedupGateSink` uses to share one decode pass across
@@ -450,7 +451,10 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         the cross-corpus and within-batch joins, and a caller that
         already read the index for a None check never replans the
         state read (round-10 ADVICE). Returns a persisted, materialized
-        (a, b, hamming) frame; the caller owns the unpersist."""
+        (a, b, hamming) frame; the caller owns the unpersist.
+        ``eager=False`` (the gate path) skips the materializing count —
+        the gate's clustering collect computes the frame into its
+        persist one action later anyway."""
         if idx is None:
             idx = self.index()
         if idx is None:
@@ -476,7 +480,8 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
                 ).filter(F.col("a") != F.col("b")),
                 max_hamming,
             ).persist()
-            res.count()
+            if eager:
+                res.count()
             return res
         nb = (
             new_bands
@@ -502,7 +507,8 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             .distinct()
             .persist()
         )
-        res.count()
+        if eager:
+            res.count()
         return res
 
     def _frame_pair_agg(
@@ -604,7 +610,8 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
 
     def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
         cross = self._near_dups_core(
-            surface["probe"], self.max_hamming, new_bands=surface["bands"]
+            surface["probe"], self.max_hamming,
+            new_bands=surface["bands"], eager=False,
         )
         if cross is not None:
             blocks.append(cross)
@@ -634,7 +641,8 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
                 ).filter(F.col("a") < F.col("b")),
                 self.max_hamming,
             ).persist()
-            pairs.count()
+            # persisted, not counted: the clustering collect that
+            # follows in the gate template materializes it in one job
             blocks.append(pairs)
             return pairs
         ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
@@ -656,6 +664,6 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
             .distinct()
             .persist()
         )
-        pairs.count()
+        # persisted, not counted — same rationale as the frame branch
         blocks.append(pairs)
         return pairs

@@ -325,13 +325,25 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         return self._near_dups_core(nsh, new_bands, threshold)
 
     def _near_dups_core(
-        self, nsh: DataFrame, new_bands: DataFrame, threshold: float
+        self,
+        nsh: DataFrame,
+        new_bands: DataFrame,
+        threshold: float,
+        defer_blocks: list | None = None,
     ) -> DataFrame | None:
         """Probe with ALREADY-computed (doc, sh) and (doc, band_id,
         band_key) frames for the new batch — the seam DedupGateSink uses
         to share one projection across probe/cluster/index. Returns a
         persisted, materialized (a, b, jaccard) frame; the caller owns
-        the unpersist."""
+        the unpersist.
+
+        ``defer_blocks`` (the gate path): the candidate frame is
+        appended there instead of being unpersisted here, and the
+        result is returned persisted but NOT eagerly counted — the
+        gate's next action (within-batch clustering) materializes both
+        in one job, dropping two scheduler round trips per batch. The
+        caller then owns BOTH unpersists (the gate template's finally
+        block)."""
         idx = self.index()
         if idx is None:
             return None
@@ -342,6 +354,8 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             .distinct()
             .persist()
         )
+        if defer_blocks is not None:
+            defer_blocks.append(cands)
         try:
             # partition-pruned fetch: when the colliding-doc set is
             # bounded (limit(bound+1) probe — the usual case: collisions
@@ -391,10 +405,12 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
                 .filter(F.col("jaccard") >= threshold)
             )
             result = result.persist()
-            result.count()
+            if defer_blocks is None:
+                result.count()
             return result
         finally:
-            cands.unpersist()
+            if defer_blocks is None:
+                cands.unpersist()
 
 
 class DedupGateSink(GatedIndexMixin, MinhashIndexSink):
@@ -459,7 +475,8 @@ class DedupGateSink(GatedIndexMixin, MinhashIndexSink):
 
     def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
         cross = self._near_dups_core(
-            surface["nsh"], surface["bands"], self.threshold
+            surface["nsh"], surface["bands"], self.threshold,
+            defer_blocks=blocks,
         )
         if cross is not None:
             blocks.append(cross)
@@ -499,6 +516,9 @@ class DedupGateSink(GatedIndexMixin, MinhashIndexSink):
             .filter(F.col("jaccard") >= self.threshold)
             .persist()
         )
-        pairs.count()
+        # persisted but NOT eagerly counted: the clustering collect
+        # that immediately follows in the gate template materializes it
+        # (and, through its lineage, the probe's candidate blocks) in
+        # one job — an eager count here was a pure extra round trip
         blocks.append(pairs)
         return pairs

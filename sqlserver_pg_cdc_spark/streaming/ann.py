@@ -1033,6 +1033,12 @@ class AnnGateSink(GatedIndexMixin, AnnIndexSink):
         blocks.append(cross)
         return cross
 
+    # no _gate_quotient here: the embedding quotient key would be the
+    # full vector — windowing the batch by it ships the same payload
+    # bytes the pair path's verify joins already pay once; a paired A/B
+    # measured the direct path faster (see the media gate for the
+    # family where the quotient key is a scalar and it pays)
+
     def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
         """LSH candidates from the SHARED band frame, exact cosine from
         the shared vectors."""

@@ -88,6 +88,40 @@ class GatedIndexMixin:
         persisted + materialized (appended to ``blocks``)."""
         raise NotImplementedError
 
+    def _gate_quotient(self, surface: dict) -> tuple | None:
+        """OPTIONAL duplicate-group quotient for the within-batch
+        clustering: ``(qf, key_cols)`` where ``qf`` is one
+        ``(doc, *key_cols)`` row per probe-able live doc and two docs
+        with EQUAL keys are guaranteed the same family score as each
+        key with itself (the key IS the scored payload — shingle set /
+        vector / fingerprint). Docs absent from ``qf`` bypass the
+        quotient (they are also absent from the band frames, so they
+        can never pair). None (the default) keeps the direct
+        all-members pair path.
+
+        Why: on a duplicate-heavy batch (the crawl-ingest norm) the
+        banded self-join emits |group|^2 candidate pairs per identical
+        group — the same explosion the round-12 video queries removed
+        by pairing one representative per distinct fingerprint. The
+        quotient is component-exact (equal keys share ALL band keys and
+        their mutual score equals the key's self-score, so when the
+        self-score passes the threshold an equal-key pair is always an
+        edge; when it fails — a zero vector, a sub-min_frames clip —
+        equal-key docs never edge DIRECTLY in the un-quotiented graph
+        either, and any indirect merge goes through a neighbor group
+        both docs share identically)."""
+        return None
+
+    def _gate_self_score(self, reps: DataFrame) -> DataFrame:
+        """(doc, <score>) of each quotient-group representative scored
+        against ITSELF with the family's exact pair expression,
+        FILTERED to rows that pass the family threshold — i.e. the
+        groups whose members mutually edge. Must compute through the
+        same expressions the pair path uses (a shortcut constant like
+        1.0 can diverge from the float the oracle mirrors). Only called
+        when ``_gate_quotient`` returns non-None."""
+        raise NotImplementedError
+
     # -- dup log ---------------------------------------------------------
 
     def _dup_batch_dir(self, batch_id: int) -> str:
@@ -201,13 +235,57 @@ class GatedIndexMixin:
                 remaining = live.join(corpus_dup_docs, "doc", "left_anti")
             # 2) within-batch rejects: family candidates + exact verify
             # off the SHARED surface, connected components, keep each
-            # cluster's minimum id
-            pairs = self._gate_batch_pairs(surface, corpus_dup_docs, blocks)
+            # cluster's minimum id. When the family exposes a quotient
+            # key, identical docs collapse to ONE representative (their
+            # group minimum) before the banded self-join — the pair set
+            # goes from |group|^2 to one row per distinct payload pair
+            # (see _gate_quotient) — and every decision is expanded
+            # back through the groups, provably unchanged.
+            qt = self._gate_quotient(surface)
+            member = None
+            if qt is not None:
+                qf, kcols = qt
+                rem_q = qf
+                if corpus_dup_docs is not None:
+                    rem_q = qf.join(corpus_dup_docs, "doc", "left_anti")
+                # group minimum WITHIN the remainder — identical to the
+                # component minimum the direct path elects when the
+                # group's self-edge passes
+                wq = Window.partitionBy(*kcols)
+                member = (
+                    rem_q.withColumn("__rep", F.min("doc").over(wq))
+                    .withColumn("__n", F.count(F.lit(1)).over(wq))
+                    .persist()
+                )
+                blocks.append(member)
+                # self-score ONLY for groups of >= 2: a singleton keeps
+                # itself whether or not its self-edge passes, and the
+                # direct path never evaluates a score expression for a
+                # candidate-less doc — a degenerate payload whose score
+                # expression cannot be evaluated (an ANSI 0/0 on a
+                # zero-norm vector) must not start failing as a
+                # singleton when it never paired with anything
+                selfsc = self._gate_self_score(
+                    member.filter(
+                        (F.col("doc") == F.col("__rep"))
+                        & (F.col("__n") >= 2)
+                    )
+                ).select(F.col("doc").alias("__rep"), F.col(sc).alias("__self"))
+                nonreps = member.filter(
+                    F.col("doc") != F.col("__rep")
+                ).select("doc")
+                rej2 = (
+                    nonreps
+                    if corpus_dup_docs is None
+                    else corpus_dup_docs.unionByName(nonreps)
+                )
+                pairs = self._gate_batch_pairs(surface, rej2, blocks)
+            else:
+                pairs = self._gate_batch_pairs(
+                    surface, corpus_dup_docs, blocks
+                )
             comps = dup_components(pairs)
             rec.mark("cluster")
-            losers = comps.filter(~F.col("keep")).select(
-                F.col("doc"), F.col("component").alias("dup_of")
-            )
             pj = pairs.select(
                 F.col("a").alias("doc"), F.col("b").alias("__pb"), sc
             ).unionByName(
@@ -215,19 +293,77 @@ class GatedIndexMixin:
                     F.col("b").alias("doc"), F.col("a").alias("__pb"), sc
                 )
             )
-            batch_dups = (
-                losers.join(
-                    pj,
-                    (losers["doc"] == pj["doc"])
-                    & (losers["dup_of"] == pj["__pb"]),
-                    "left",
+            if member is None:
+                losers = comps.filter(~F.col("keep")).select(
+                    F.col("doc"), F.col("component").alias("dup_of")
                 )
-                .select(
-                    losers.doc, losers.dup_of,
-                    F.col(sc),  # NULL when linked transitively
-                    F.lit("batch").alias("kind"),
+                batch_dups = (
+                    losers.join(
+                        pj,
+                        (losers["doc"] == pj["doc"])
+                        & (losers["dup_of"] == pj["__pb"]),
+                        "left",
+                    )
+                    .select(
+                        losers.doc, losers.dup_of,
+                        F.col(sc),  # NULL when linked transitively
+                        F.lit("batch").alias("kind"),
+                    )
                 )
-            )
+            else:
+                # expand rep-level components through the groups:
+                # - rep clustered -> every member takes its component
+                # - rep un-clustered, self-edge passes -> the group IS
+                #   a component (min = rep), exactly the complete
+                #   subgraph identical docs form on the direct path
+                # - rep un-clustered, self-edge fails (zero vector,
+                #   sub-min_frames clip) -> members are singletons,
+                #   exactly the direct path's no-edge outcome
+                repcomp = comps.select(
+                    F.col("doc").alias("__rep"), "component"
+                )
+                expanded = (
+                    member.select("doc", "__rep")
+                    .join(repcomp, "__rep", "left")
+                    .join(selfsc, "__rep", "left")
+                    .select(
+                        "doc", "__rep", "__self",
+                        F.coalesce(
+                            F.col("component"),
+                            F.when(
+                                F.col("__self").isNotNull(), F.col("__rep")
+                            ).otherwise(F.col("doc")),
+                        ).alias("component"),
+                    )
+                )
+                losers = expanded.filter(
+                    F.col("doc") != F.col("component")
+                ).select(
+                    "doc", F.col("component").alias("dup_of"),
+                    "__rep", "__self",
+                )
+                # direct-pair score through the quotient: a member's
+                # score against ITS OWN rep's group is the group's
+                # self-score; against another group it is the rep
+                # pair's score (band keys and the score are functions
+                # of the quotient key alone) — NULL when transitive,
+                # same as the direct path's missing pj row
+                batch_dups = (
+                    losers.join(
+                        pj,
+                        (losers["__rep"] == pj["doc"])
+                        & (losers["dup_of"] == pj["__pb"]),
+                        "left",
+                    )
+                    .select(
+                        losers["doc"], losers["dup_of"],
+                        F.when(
+                            losers["__rep"] == losers["dup_of"],
+                            losers["__self"],
+                        ).otherwise(pj[sc]).alias(sc),
+                        F.lit("batch").alias("kind"),
+                    )
+                )
             dup_frames.append(batch_dups)
             dups = dup_frames[0]
             for f in dup_frames[1:]:

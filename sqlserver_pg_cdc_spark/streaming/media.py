@@ -617,6 +617,38 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
             blocks.append(cross)
         return cross
 
+    def _gate_quotient(self, surface) -> tuple:
+        """Identical fingerprints WITHIN a family collapse to one
+        representative: the band keys are bit-slices of (family, fp),
+        and two equal fingerprints sit at Hamming 0 — always an edge
+        for scalar states (max_hamming >= 0); for frame states the
+        clip's self-match count is its own frame count, so clips
+        shorter than min_match_frames stay singletons (the direct
+        path's outcome for them too — they cannot pair with anything,
+        not even an identical twin)."""
+        return surface["probe"].select("doc", "family", "fp"), [
+            "family", "fp",
+        ]
+
+    def _gate_self_score(self, reps) -> DataFrame:
+        if self.granularity == "frame":
+            # the >=k matching-frames law vs an identical twin: every
+            # sampled frame matches itself at Hamming 0, so the matched
+            # count is the clip's own (posexplode-distinct) frame count
+            return reps.select(
+                "doc",
+                F.lit(0).cast("long").alias("hamming"),
+                F.size("fp").alias("__nf"),
+            ).filter(
+                F.col("__nf") >= self.min_match_frames
+            ).select("doc", "hamming")
+        ham = F.bit_count(
+            F.col("fp").bitwiseXOR(F.col("fp"))
+        ).cast("long")
+        return reps.select("doc", ham.alias("hamming")).filter(
+            F.col("hamming") <= self.max_hamming
+        )
+
     def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
         """Banded self-join + exact Hamming verify — fingerprints ride
         the band frame, so verification never refetches state. Under

@@ -482,6 +482,13 @@ class DedupGateSink(GatedIndexMixin, MinhashIndexSink):
             blocks.append(cross)
         return cross
 
+    # no _gate_quotient here: the text quotient key would be the full
+    # shingle ARRAY — windowing the batch by it ships the same heavy
+    # payload bytes the pair path's verify joins already pay once, and
+    # a paired A/B measured the direct path faster at every duplicate
+    # density the fixtures carry (exact-duplicate text belongs to the
+    # upstream exact-dedup stage, not this gate's near-dup machinery)
+
     def _gate_batch_pairs(self, surface, reject_docs, blocks) -> DataFrame:
         """LSH candidates from the SHARED band frame (self-join on the
         composite band key), exact Jaccard from the shared shingles."""

@@ -819,3 +819,29 @@ def test_ivfpq_drift_and_rotation(spark, tmp_path):
     key = lambda df: {(r["query_id"], r["rank"], r["id"]) for r in df.collect()}
     assert key(got) == key(want)
     assert os.path.exists(os.path.join(fresh.target_dir, fresh._BASELINE_FILE))
+
+
+def test_ann_gate_zero_vector_singleton_survives_quietly(spark, tmp_path):
+    """Degenerate payload: a zero vector's self-cosine is an ANSI 0/0,
+    so no gate path may evaluate a score for a doc that found no banded
+    candidate (the template's quotient, when a family enables one,
+    additionally skips self-scores for singleton groups). The zero
+    vector must survive un-gated while an identical non-zero pair in
+    the same batch still collapses to its minimum id."""
+    gate = _gate(spark, tmp_path)
+    z = [0.0] * 8
+    v = [1.0, 2.0, 0.5, 0.0, 3.0, 1.0, 0.25, 4.0]
+    # w shares no hyperplane bucket risk with z mattering: the law
+    # under test is only that the SINGLETON zero group is never scored
+    gate(
+        spark.createDataFrame(
+            [(1, z), (3, v), (4, v)],
+            "vec_id long, embedding array<double>",
+        ),
+        0,
+    )
+    dups = _dup_map(gate)
+    assert 1 not in dups  # zero singleton survives, nothing evaluated
+    assert dups[4] == (3, "batch", 0)
+    st = {r["doc"] for r in gate._live_state().collect()}
+    assert st == {1, 3}

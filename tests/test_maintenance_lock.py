@@ -422,9 +422,15 @@ def test_pre_family_media_state_names_the_migration(spark, tmp_path):
         ),
         0,
     )
-    # simulate the pre-change layout: rewrite every state partition
-    # without the family column
+    # simulate the pre-change layout faithfully: rewrite every state
+    # partition without the family column AND demote the layout marker
+    # to the legacy stamp shape (pre-round-12 markers carry no
+    # schema_union flag — the union-stamp fast read only trusts flagged
+    # markers, so a real legacy state always reads via mergeSchema and
+    # exposes the missing column; only the marker written by THIS
+    # version knows about family at all)
     import glob
+    import json
     import shutil
 
     for p in sorted(glob.glob(str(tmp_path / "fpx" / "part_*"))):
@@ -432,5 +438,12 @@ def test_pre_family_media_state_names_the_migration(spark, tmp_path):
         old.write.mode("overwrite").parquet(p + ".new")
         shutil.rmtree(p)
         os.rename(p + ".new", p)
+    marker = os.path.join(str(tmp_path / "fpx"), sink._LAYOUT_FILE)
+    with open(marker) as f:
+        meta = json.load(f)
+    for k in ("schema", "schema_union", "schema_sha256", "schema_version"):
+        meta.pop(k, None)
+    with open(marker, "w") as f:
+        json.dump(meta, f)
     with pytest.raises(ValueError, match="family"):
         sink.fingerprints()

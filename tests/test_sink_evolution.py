@@ -228,3 +228,62 @@ def test_pipeline_dlq_on_mid_stream_type_change(spark, tmp_path):
     st = {r["id"]: (r["name"], r["email"]) for r in sink.read_target().collect()}
     assert st == {1: ("a", None), 2: ("b", "b@x.com"), 4: ("d", "d@x.com")}
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_partitioned_stamp_unions_across_partial_evolution(spark, tmp_path):
+    """The layout marker's schema stamp must UNION each write's
+    post-merge schema, never overwrite: a post-evolution batch that
+    touches only pre-evolution partitions carries the narrow schema,
+    and an overwrite stamp would shrink below what evolved partitions
+    hold on disk — the footer-free explicit-schema read would then
+    silently drop the evolved column for the whole state."""
+    import json
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    target = str(tmp_path / "t")
+    sink = PartitionedParquetUpsertSink(spark, target, ["id"], n_partitions=4)
+    # seed keys across all partitions, old shape
+    sink(_b(spark, [(k, f"n{k}", 1) for k in range(16)], OLD), 0)
+    # evolution batch: ONLY key 1 gains the email column
+    sink(_b(spark, [(1, "n1b", "one@x.com", 2)], NEW), 1)
+    # pick a key living in a DIFFERENT partition than key 1 and upsert
+    # it old-shape: its merge never sees the email column
+    parts = {
+        r["id"]: r["p"]
+        for r in spark.range(16)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).cast("int").alias("p"),
+        )
+        .collect()
+    }
+    other = next(k for k in range(2, 16) if parts[k] != parts[1])
+    sink(_b(spark, [(other, "narrow", 3)], OLD), 2)
+    # stamp: union flag set, evolved column retained despite the
+    # narrow last write
+    with open(os.path.join(target, sink._LAYOUT_FILE)) as f:
+        meta = json.load(f)
+    assert meta.get("schema_union") is True
+    assert "email" in meta["schema"]
+    # footer-free read surfaces the evolved column with the evolved
+    # value, NULL elsewhere — byte-identical to a mergeSchema read
+    st = {r["id"]: (r["name"], r["email"]) for r in sink.read_target().collect()}
+    assert st[1] == ("n1b", "one@x.com")
+    assert st[other] == ("narrow", None)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        *[
+            os.path.join(target, d)
+            for d in os.listdir(target)
+            if d.startswith("part_") and "__" not in d
+        ]
+    )
+    got = sink.read_target()
+    assert sorted(got.columns) == sorted(merged.columns)
+    cols = sorted(got.columns)
+    assert (
+        got.select(*cols).exceptAll(merged.select(*cols)).count() == 0
+        and merged.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    )

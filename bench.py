@@ -224,16 +224,23 @@ def _bench_scd2_apply(spark, spool, payload_schema, work: str, tag: str,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    except ValueError:
+        cpus = 32
     spark = get_spark("bench")
 
     # previous committed round's per-query numbers, read BEFORE this run
-    # overwrites the sidecar — feeds the phantom-regression guard below
+    # overwrites the sidecar — feeds the phantom-regression guard below.
+    # Guarded on cpus too: a low-core scaling probe must neither consume
+    # nor pollute the canonical 32-core comparison series (r12 verdict
+    # #8 — the c8 run overwrote bench_result.json).
     prev_round: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_result.json")) as f:
             prev = json.load(f)
-        if prev.get("sf") == sf:
+        if prev.get("sf") == sf and prev.get("cpus", 32) == cpus:
             prev_round = {
                 k: v for k, v in prev.get("queries", {}).items()
                 if isinstance(v, (int, float))
@@ -590,6 +597,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "canary": canary,
         "cdc_apply_rows_per_sec": round(cdc_rows / cdc_s, 1) if cdc_s > 0 else None,
         "cdc_apply_flat_rows_per_sec": (
@@ -615,13 +623,22 @@ def main() -> None:
     # but `queries` holds only the slowest 20) that always fits whole inside
     # any reasonable tail capture — so the recorder can parse it whether it
     # keeps the whole stream or just the last couple of KB.
+    # Two sidecars (r12 verdict #8): the per-cpu-count map is ALWAYS
+    # written, so a low-core scaling probe leaves its own record; the
+    # canonical bench_result.json is only written by 32-core runs, so a
+    # two-config bench session keeps both full maps on disk instead of
+    # the scaling run overwriting the main one.
     full_line = json.dumps(out, separators=(",", ":"))
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_result.json"), "w") as f:
-            f.write(full_line + "\n")
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecars = [os.path.join(here, f"bench_result_c{cpus}.json")]
+    if cpus == 32:
+        sidecars.append(os.path.join(here, "bench_result.json"))
+    for path in sidecars:
+        try:
+            with open(path, "w") as f:
+                f.write(full_line + "\n")
+        except OSError:
+            pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     compact = dict(out, queries=slowest, n_queries=len(timings),
                    queries_full="bench_result.json")

@@ -3875,10 +3875,25 @@ def _dct2_int_matrix() -> "np.ndarray":
     return _DCT2_INT
 
 
-def _memo_by_payload(fn, max_entries: int = 4096):
-    """Wrap a pure ``payload bytes -> small result`` function (a
-    fingerprint, a (family, fp) tuple) with a PER-TASK bounded memo
-    keyed on a 16-byte BLAKE2 digest of the payload.
+def _memo_result_size(v) -> int:
+    """Rough retained-bytes estimate of a memoized result: exact for
+    the payload-sized cases (bytes in re-encoded outputs), constant for
+    scalars — only the order of magnitude matters for the budget."""
+    if v is None:
+        return 16
+    if isinstance(v, (bytes, bytearray, str)):
+        return len(v) + 48
+    if isinstance(v, (list, tuple)):
+        return 48 + sum(_memo_result_size(x) for x in v)
+    return 32
+
+
+def _memo_by_payload(
+    fn, max_entries: int = 4096, max_bytes: int = 64 * 1024 * 1024
+):
+    """Wrap a pure ``payload bytes -> result`` function (a fingerprint,
+    a (family, fp) tuple, a re-encoded payload) with a PER-TASK bounded
+    memo keyed on a 16-byte BLAKE2 digest of the payload.
 
     Decode is deterministic — identical bytes always produce the
     identical fingerprint — so a batch carrying exact-duplicate
@@ -3888,22 +3903,32 @@ def _memo_by_payload(fn, max_entries: int = 4096):
     row (guide §4.5: amortize heavyweight per-row work across the
     task). An all-distinct corpus pays one digest per row (memory-
     bandwidth cheap next to any codec walk) and the memo caps at
-    ``max_entries`` small results, cleared when full — bounded memory
-    either way. The memo lives inside one mapInPandas task invocation
-    and never crosses tasks or runs: every query execution recomputes
-    from the payload bytes."""
+    ``max_entries`` results AND ``max_bytes`` of estimated retained
+    result bytes, cleared when either trips — the byte budget matters
+    for the wrappers whose results are payload-sized (resize_images /
+    resample_audio / video_thumbnails re-encodes): on a distinct-heavy
+    real-media corpus the entry cap alone would let one task retain
+    gigabytes of re-encoded output (round-12 ADVICE). The memo lives
+    inside one mapInPandas task invocation and never crosses tasks or
+    runs: every query execution recomputes from the payload bytes."""
     cache: dict = {}
+    held = 0
 
     def wrapped(b: bytes):
+        nonlocal held
         k = hashlib.blake2b(b, digest_size=16).digest()
         try:
             return cache[k]
         except KeyError:
             pass
         v = fn(b)
-        if len(cache) >= max_entries:
+        sz = _memo_result_size(v)
+        if len(cache) >= max_entries or held + sz > max_bytes:
             cache.clear()
-        cache[k] = v
+            held = 0
+        if sz <= max_bytes:  # an over-budget single result is never held
+            cache[k] = v
+            held += sz
         return v
 
     return wrapped

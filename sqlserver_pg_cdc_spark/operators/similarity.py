@@ -313,6 +313,7 @@ def with_ivf_cell(
     vec_col: str,
     n_cells: int = 16,
     centroids: DataFrame | None = None,
+    centroid_rows: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF-flat cell assignment: every vector goes to its max-cosine
     cell. Returns (assigned, centroids).
@@ -322,13 +323,20 @@ def with_ivf_cell(
     partitioned by cell, queries probing only their nearest cells).
     Without it, the first ``n_cells`` vectors by id stand in as
     deterministic centroids — fine for tests and oracles, not for
-    production recall."""
+    production recall.
+
+    ``centroid_rows``: ALREADY-collected ``(cell_id, cv, cn)`` rows —
+    the seam for callers that hold the epoch on the driver (e.g.
+    `DiversitySampleSink`'s validated epoch cache): assignment then
+    costs ZERO Spark jobs here instead of a createDataFrame + collect
+    round trip per call. The rows must be exactly what collecting
+    ``centroids`` would return (same floats, same fields)."""
     from sqlserver_pg_cdc_spark.functions.vectors import norm
 
     # NULL vectors have no direction: exclude them from cells, centroid
     # seeds, and candidates on BOTH engines (the SQL twins filter too)
     vectors = vectors.filter(F.col(vec_col).isNotNull())
-    if centroids is None:
+    if centroids is None and centroid_rows is None:
         centroids = (
             vectors.orderBy(id_col).limit(n_cells)
             .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"),
@@ -344,7 +352,11 @@ def with_ivf_cell(
     # identical: same dot-fold order, same divide, and the fold keeps
     # the FIRST max (cells iterated by ascending cell_id), matching the
     # (cc DESC, cell_id ASC) window tiebreak.
-    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cents = (
+        sorted(centroid_rows, key=lambda r: r["cell_id"])
+        if centroid_rows is not None
+        else sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    )
     if not cents:  # empty corpus: no cells, no assignments
         assigned = vectors.select(
             F.col(id_col).alias("id"),

@@ -199,7 +199,13 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
+        # an under-parallelized batch would run the norm/banding
+        # projection on one task (guide §2.5); no-op at session width
+        self._upsert_projected(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
         """Upsert rows ALREADY in the stored (doc, v, nv, bands, lsn[,
@@ -411,9 +417,15 @@ class IvfIndexSink(PartitionedParquetUpsertSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        # widen an under-parallelized batch before the encode
+        # projection (guide §2.5); no-op at session width
+        super().__call__(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     # -- query surface ------------------------------------------------------
 
@@ -721,9 +733,15 @@ class PqIndexSink(PartitionedParquetUpsertSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        # widen an under-parallelized batch before the encode
+        # projection (guide §2.5); no-op at session width
+        super().__call__(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     # -- query surface ------------------------------------------------------
 
@@ -1293,9 +1311,15 @@ class IvfPqIndexSink(PartitionedParquetUpsertSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        # widen an under-parallelized batch before the encode
+        # projection (guide §2.5); no-op at session width
+        super().__call__(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     # -- query surface --------------------------------------------------------
 

@@ -178,6 +178,32 @@ def dedup_within_watermark(
     return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_ts")
 
 
+def widen_small_batch(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input widening for heavy per-row projections
+    (guide §2.5 "input skew — repartition immediately after the read").
+
+    A micro-batch arriving in FEWER partitions than the session's
+    parallelism — one parquet split, a 1-4-partition Kafka topic —
+    runs the family's projection (payload decode, shingle/minhash
+    HOFs, hyperplane banding: the dominant per-batch compute) almost
+    serially, because the projection executes map-side in whatever
+    parallelism the source scan produced. Round-robin repartition to
+    ``defaultParallelism`` exactly then; a batch already at or above
+    session parallelism (the 100 TB shape) passes through UNTOUCHED,
+    so no extra shuffle is ever added at scale. Row order within the
+    batch changes, which the sinks already tolerate (latest-per-key
+    ties are documented arbitrary; every downstream decision keys on
+    values, not arrival order), and sort-before-repartition keeps the
+    assignment deterministic under task retries."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(p) if n < p else df
+
+
 def latest_per_key(
     df: DataFrame,
     pk_cols: list[str],
@@ -822,6 +848,31 @@ class HashPartitionedStateMixin:
         ).encode()
         return hashlib.sha256(blob).hexdigest()
 
+    @staticmethod
+    def _schema_union_sha(ddl: dict, version: int) -> str:
+        """Rollback-proof twin of ``_schema_sha`` for union-maintained
+        stamps: the blob shape includes the union flag, so only a
+        union-aware writer can produce it. A pre-union binary writing
+        to this state rewrites ``schema``/``schema_version``/
+        ``schema_sha256`` under its overwrite rule (possibly NARROWING
+        the stamp below a footer) while preserving the unknown
+        ``schema_union*`` keys — the version bump then invalidates this
+        hash, ``_stamped_schema`` rejects the stamp, and reads fall
+        back to the footer-merge path instead of silently dropping the
+        evolved columns (round-12 ADVICE)."""
+        import hashlib
+        import json
+
+        blob = json.dumps(
+            {
+                "schema": ddl,
+                "schema_union": True,
+                "schema_version": int(version),
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(blob).hexdigest()
+
     def _stamp_schema(self, df: DataFrame) -> None:
         """Record the ACTIVE (post-evolution) schema in __layout.json —
         stamped on create and UNIONED on every write, with a version
@@ -863,7 +914,15 @@ class HashPartitionedStateMixin:
             # the flag from its very first write
             merged = ddl
         first_stamp = "schema" not in meta
-        if merged == prev and "schema_sha256" in meta and not first_stamp:
+        if (
+            merged == prev
+            and "schema_sha256" in meta
+            and not first_stamp
+            and (
+                not meta.get("schema_union")
+                or "schema_union_sha256" in meta
+            )  # upgrade a pre-rollback-guard union stamp in place
+        ):
             return
         meta["schema"] = merged
         if first_stamp:
@@ -874,6 +933,10 @@ class HashPartitionedStateMixin:
         meta["schema_sha256"] = self._schema_sha(
             merged, meta["schema_version"]
         )
+        if meta.get("schema_union"):
+            meta["schema_union_sha256"] = self._schema_union_sha(
+                merged, meta["schema_version"]
+            )
         tmp = f"{marker}.tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -881,8 +944,10 @@ class HashPartitionedStateMixin:
 
     def _stamped_schema(self) -> dict | None:
         """The sha-verified union schema from __layout.json, or None
-        when the stamp is absent, legacy (no union flag), or fails its
-        hash check — callers fall back to footer reads."""
+        when the stamp is absent, legacy (no union flag), fails its
+        hash check, or lacks a matching union-aware hash (a pre-union
+        binary rewrote it since — rollback guard, see
+        ``_schema_union_sha``) — callers fall back to footer reads."""
         import json
 
         marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
@@ -895,6 +960,10 @@ class HashPartitionedStateMixin:
         if not ddl or not meta.get("schema_union"):
             return None
         if meta.get("schema_sha256") != self._schema_sha(
+            ddl, meta.get("schema_version", 0)
+        ):
+            return None
+        if meta.get("schema_union_sha256") != self._schema_union_sha(
             ddl, meta.get("schema_version", 0)
         ):
             return None
@@ -1018,24 +1087,39 @@ class HashPartitionedStateMixin:
         """simpleString type of each pk column AS STORED. None when no
         partitions exist yet.
 
-        Source of truth order: the layout marker's sha-verified schema
+        Source of truth order: the layout marker's sha-VERIFIED schema
         stamp when it covers every pk column (pk types are immutable —
         ``_cast_keys_to_stored`` raises on widening writes — so any
         stamp epoch has the correct types; no footer open, no Spark
-        planning per probe), else one partition's parquet footer. Every
-        batch probes/casts through this 2-3 times, so the footer read
-        was a per-batch fixed cost at any data scale."""
+        planning per probe), else one partition's parquet footer. The
+        sha check matters (round-12 ADVICE): probe/read paths
+        (``read_keys``, ``_cast_keys_to_stored``) never pass through
+        ``_check_layout``, so a tampered or hand-edited marker would
+        otherwise feed wrong cast types into the xxhash64 partition
+        routing — silent lookup misses instead of the fail-fast every
+        other stamp consumer gets. The union flag is deliberately NOT
+        required here (unlike ``_stamped_schema``): pk types are
+        immutable, so even a legacy overwrite-era stamp carries the
+        correct pk types as long as its hash proves no one edited it.
+        Every batch probes/casts through this 2-3 times, so the footer
+        read was a per-batch fixed cost at any data scale."""
         parts = self._existing_parts()
         if not parts:
             return None
         import json
 
         marker = os.path.join(self.target_dir, self._LAYOUT_FILE)
+        stamped: dict = {}
         try:
             with open(marker) as f:
-                stamped = json.load(f).get("schema") or {}
+                meta = json.load(f)
         except (FileNotFoundError, NotADirectoryError, ValueError):
-            stamped = {}
+            meta = {}
+        ddl = meta.get("schema")
+        if ddl and meta.get("schema_sha256") == self._schema_sha(
+            ddl, meta.get("schema_version", 0)
+        ):
+            stamped = ddl
         if all(c in stamped for c in self.pk_cols):
             return {c: stamped[c] for c in self.pk_cols}
         schema = self.spark.read.parquet(self._part_dir(parts[0])).schema
@@ -1200,6 +1284,13 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
             raise ValueError("n_partitions must be >= 1")
         self.n_partitions = n_partitions
 
+    # Subclasses whose batches are one-row-per-key BY CONSTRUCTION
+    # (e.g. DiversitySampleSink's fold output) set this True to skip
+    # the within-batch latest-per-key window — one shuffle fewer per
+    # batch; latest_per_key over already-unique keys is the identity,
+    # so the merge result is unchanged.
+    _batch_preduplicated: bool = False
+
     def _apply(self, batch_df: DataFrame) -> None:
         from sqlserver_pg_cdc_spark.streaming.lock import writer_beacon
 
@@ -1228,10 +1319,13 @@ class PartitionedParquetUpsertSink(HashPartitionedStateMixin, ParquetUpsertSink)
         # — no limit/partial-job risk), so the checkpoint materializes
         # inside that job instead of costing a separate eager pass —
         # one batch materialization, not two, per upsert
+        reduced = (
+            batch_df
+            if self._batch_preduplicated
+            else latest_per_key(batch_df, self.pk_cols, self.lsn_col)
+        )
         deduped = (
-            self._cast_keys_to_stored(
-                latest_per_key(batch_df, self.pk_cols, self.lsn_col)
-            )
+            self._cast_keys_to_stored(reduced)
             .withColumn("__p", self._part_expr())
             .localCheckpoint(eager=False)
         )

@@ -85,12 +85,24 @@ def _batch_dirs(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def read_batch_log(spark: SparkSession, log_dir: str) -> DataFrame | None:
+def read_batch_log(
+    spark: SparkSession, log_dir: str, schema: str | None = None
+) -> DataFrame | None:
     """The full log: the compacted generation (if any) plus every batch
     generation ABOVE the compaction watermark. Batch dirs at or below
     the watermark are ignored — their rows are already in the compacted
     generation (they are crash leftovers or late replays of compacted
-    batches; counting them would double rows)."""
+    batches; counting them would double rows).
+
+    ``schema``: an explicit DDL for logs whose writer FIXES the column
+    set (the gate dup logs: the template writes the same five columns
+    every batch, id dtype pinned to the stored key dtype). The parquet
+    reader maps columns by name and NULL-fills absentees — the exact
+    mergeSchema semantics WITHOUT the footer-merge job Spark otherwise
+    schedules per log open (guide §6; the r12 layout-stamp discipline
+    applied to the last remaining footer job in the gate paths). Logs
+    with open-ended columns (the decontam gates' accepted/quarantine
+    logs carry arbitrary batch columns) keep the mergeSchema read."""
     if not os.path.isdir(log_dir):
         return None
     meta = _read_meta(log_dir)
@@ -106,6 +118,11 @@ def read_batch_log(spark: SparkSession, log_dir: str) -> DataFrame | None:
     )
     if not paths:
         return None
+    if schema:
+        try:
+            return spark.read.schema(schema).parquet(*paths)
+        except Exception:
+            pass  # unparseable ddl: footers stay authoritative
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 

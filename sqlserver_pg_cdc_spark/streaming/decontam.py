@@ -147,9 +147,15 @@ class EvalGramIndexSink(PartitionedParquetUpsertSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
         os.makedirs(self.target_dir, exist_ok=True)
         self._check_params(create=True)
-        super().__call__(self._project(batch_df, batch_id), batch_id)
+        # widen an under-parallelized batch before the shingle
+        # projection (guide §2.5); no-op at session width
+        super().__call__(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     # -- query surface ------------------------------------------------------
 

@@ -61,6 +61,7 @@ class GatedIndexMixin:
     _GATE_LABEL: str = "dedup gate"  # writer-beacon label stem
     _SCORE_COL: str = "score"  # dup-log similarity column name
     _SCORE_BEST_ASC: bool = False  # True when smaller score = closer
+    _SCORE_TYPE: str = "double"  # dup-log similarity dtype (DDL)
 
     # set by the concrete gate's __init__
     dups_dir: str
@@ -130,10 +131,22 @@ class GatedIndexMixin:
     def dup_log(self) -> DataFrame | None:
         """Every rejected doc with what it duplicated: (doc, dup_of,
         <score>, kind, __batch_id) — the compacted generation plus
-        every per-batch generation above the compaction watermark."""
+        every per-batch generation above the compaction watermark.
+
+        The template writes this FIXED five-column shape every batch
+        with the id dtype pinned to the stored key dtype, so when the
+        state's stamp answers the key type the read passes the full
+        DDL explicitly — no footer-merge job per log open (guide §6);
+        a stampless state (no batches yet, foreign log) falls back to
+        the mergeSchema read."""
         from sqlserver_pg_cdc_spark.streaming.batchlog import read_batch_log
 
-        return read_batch_log(self.spark, self.dups_dir)
+        t = (self._stored_pk_types() or {}).get("doc")
+        schema = (
+            f"doc {t}, dup_of {t}, {self._SCORE_COL} {self._SCORE_TYPE}, "
+            "kind string, __batch_id int"
+        ) if t else None
+        return read_batch_log(self.spark, self.dups_dir, schema=schema)
 
     def compact_dup_log(self, watermark_batch_id: int) -> dict:
         """Day-2 retention: fold closed ``batch_<id>`` generations at
@@ -184,10 +197,19 @@ class GatedIndexMixin:
         # the fill-in pass Spark runs at that job's end, so every later
         # action still reads blocks only — one batch materialization
         # either way, one fewer scheduled job per batch ("projection"
-        # phase time now rides inside "probe")
-        proj = self._project(batch_df, batch_id).localCheckpoint(
-            eager=False
+        # phase time now rides inside "probe").
+        # widen_small_batch: an under-parallelized batch (single scan
+        # split) would otherwise run the whole projection — and seed
+        # the checkpoint blocks every downstream tree reads — on ONE
+        # task (guide §2.5); no-op for batches already at session
+        # parallelism
+        from sqlserver_pg_cdc_spark.streaming.apply import (
+            widen_small_batch,
         )
+
+        proj = self._project(
+            widen_small_batch(batch_df), batch_id
+        ).localCheckpoint(eager=False)
         rec.mark("projection")
         blocks: list[DataFrame] = []
         sc = self._SCORE_COL

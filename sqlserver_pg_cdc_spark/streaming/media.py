@@ -359,7 +359,13 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
+        # an under-parallelized batch would run the payload-decode
+        # projection on one task (guide §2.5); no-op at session width
+        self._upsert_projected(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
         import os
@@ -443,6 +449,7 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         new_bands: DataFrame | None = None,
         idx: DataFrame | None = None,
         eager: bool = True,
+        dedup_pairs: bool = True,
     ) -> DataFrame | None:
         """Probe with an ALREADY-computed (doc, fp) frame — the seam
         `MediaDedupGateSink` uses to share one decode pass across
@@ -454,7 +461,14 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
         (a, b, hamming) frame; the caller owns the unpersist.
         ``eager=False`` (the gate path) skips the materializing count —
         the gate's clustering collect computes the frame into its
-        persist one action later anyway."""
+        persist one action later anyway. ``dedup_pairs=False`` (gate
+        path only) additionally drops the multi-band-duplicate
+        ``distinct`` — a full exchange of the verified pair set — when
+        the consumer is duplicate-insensitive: the gate reduces cross
+        pairs with a per-`a` row_number window, which picks one row
+        whether a pair matched in one band or four (guide §2.4). The
+        public ``near_dups`` contract (one row per pair) keeps the
+        distinct."""
         if idx is None:
             idx = self.index()
         if idx is None:
@@ -504,9 +518,10 @@ class FingerprintIndexSink(PartitionedParquetUpsertSink):
             .filter(F.col("a") != F.col("b"))
             .select("a", "b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .distinct()
-            .persist()
         )
+        if dedup_pairs:
+            res = res.distinct()
+        res = res.persist()
         if eager:
             res.count()
         return res
@@ -577,6 +592,7 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
     _GATE_LABEL = "media gate"
     _SCORE_COL = "hamming"
     _SCORE_BEST_ASC = True  # smaller Hamming = closer
+    _SCORE_TYPE = "bigint"  # hamming logs as long, not double
 
     def __init__(
         self,
@@ -611,7 +627,7 @@ class MediaDedupGateSink(GatedIndexMixin, FingerprintIndexSink):
     def _gate_cross_pairs(self, surface, blocks) -> DataFrame | None:
         cross = self._near_dups_core(
             surface["probe"], self.max_hamming,
-            new_bands=surface["bands"], eager=False,
+            new_bands=surface["bands"], eager=False, dedup_pairs=False,
         )
         if cross is not None:
             blocks.append(cross)

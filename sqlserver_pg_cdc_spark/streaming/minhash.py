@@ -250,7 +250,13 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
         return step4.select("doc", "sh", bands_col, *extra_names)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        self._upsert_projected(self._project(batch_df, batch_id), batch_id)
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
+        # an under-parallelized batch would run the shingle/minhash
+        # projection on one task (guide §2.5); no-op at session width
+        self._upsert_projected(
+            self._project(widen_small_batch(batch_df), batch_id), batch_id
+        )
 
     def _upsert_projected(self, proj_df: DataFrame, batch_id: int) -> None:
         """Upsert rows ALREADY in the stored (doc, sh, bands, lsn[,

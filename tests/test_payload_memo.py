@@ -43,6 +43,23 @@ class TestMemoByPayload:
         vals = [i.to_bytes(2, "big") for i in range(20)] * 2
         assert [memo(b) for b in vals] == [fn(b) for b in vals]
 
+    def test_byte_budget_bounds_payload_sized_results(self):
+        # round-12 ADVICE: wrappers whose results are PAYLOAD-sized
+        # (resize/resample/thumbnail re-encodes) must clear on a byte
+        # budget, not only on the entry cap — and results stay correct
+        # across evictions
+        def fn(b: bytes) -> bytes:
+            return b * 2
+
+        memo = mm._memo_by_payload(fn, max_entries=10_000, max_bytes=4096)
+        vals = [bytes([i % 251]) * 512 for i in range(64)] * 2
+        assert [memo(b) for b in vals] == [fn(b) for b in vals]
+        # a single over-budget result passes through without being held
+        big = bytes(16)
+        memo2 = mm._memo_by_payload(fn, max_bytes=8)
+        assert memo2(big) == fn(big)
+        assert memo2(big) == fn(big)
+
     def test_fingerprint_ops_identical_across_duplicate_payloads(self, spark):
         # two docs share payload bytes; two differ — the memo must not
         # leak one payload's fingerprint onto another

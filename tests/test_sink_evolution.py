@@ -287,3 +287,70 @@ def test_partitioned_stamp_unions_across_partial_evolution(spark, tmp_path):
         got.select(*cols).exceptAll(merged.select(*cols)).count() == 0
         and merged.select(*cols).exceptAll(got.select(*cols)).count() == 0
     )
+
+
+def test_stored_pk_types_ignores_unverified_stamp(spark, tmp_path):
+    """round-12 ADVICE: `_stored_pk_types` must trust the marker's
+    schema stamp only when its sha256 covers it — probe paths
+    (`_cast_keys_to_stored`) run before `_check_layout`'s tamper guard,
+    so a hand-edited stamp would otherwise feed a wrong pk cast type
+    into the xxhash64 partition routing (silent lookup misses)."""
+    import json
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    target = str(tmp_path / "t")
+    sink = PartitionedParquetUpsertSink(spark, target, ["id"], n_partitions=4)
+    sink(_b(spark, [(i, f"n{i}", 1) for i in range(8)], OLD), 0)
+    assert sink._stored_pk_types() == {"id": "bigint"}
+    marker = os.path.join(target, sink._LAYOUT_FILE)
+    with open(marker) as f:
+        meta = json.load(f)
+    # tamper the stamped pk type without re-hashing
+    meta["schema"]["id"] = "int"
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    # the unverified stamp is rejected; the footer stays authoritative
+    assert sink._stored_pk_types() == {"id": "bigint"}
+
+
+def test_stamped_schema_rejects_pre_union_rollback(spark, tmp_path):
+    """round-12 ADVICE: an OLD (pre-union) binary writing to a
+    union-flagged state rewrites schema/version/sha256 under its
+    overwrite rule — possibly NARROWING the stamp below a footer —
+    while preserving the unknown schema_union* keys. The footer-free
+    read must reject that stamp (the union-aware sha no longer
+    matches) and fall back to mergeSchema, so evolved columns that
+    remain in footers still surface."""
+    import json
+
+    from sqlserver_pg_cdc_spark.streaming.apply import (
+        PartitionedParquetUpsertSink,
+    )
+
+    target = str(tmp_path / "t")
+    sink = PartitionedParquetUpsertSink(spark, target, ["id"], n_partitions=4)
+    sink(_b(spark, [(i, f"n{i}", 1) for i in range(8)], OLD), 0)
+    sink(_b(spark, [(1, "n1b", "one@x.com", 2)], NEW), 1)  # evolution
+    assert sink._stamped_schema() is not None
+    marker = os.path.join(target, sink._LAYOUT_FILE)
+    with open(marker) as f:
+        meta = json.load(f)
+    # simulate the old binary's overwrite-rule stamp: narrowed schema,
+    # bumped version, valid PLAIN sha, union keys preserved untouched
+    narrowed = {"id": "bigint", "name": "string", "lsn": "long"}
+    meta["schema"] = narrowed
+    meta["schema_version"] = int(meta["schema_version"]) + 1
+    meta["schema_sha256"] = PartitionedParquetUpsertSink._schema_sha(
+        narrowed, meta["schema_version"]
+    )
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    # union-aware hash no longer matches -> no footer-free fast read
+    assert sink._stamped_schema() is None
+    # the mergeSchema fallback still surfaces the evolved column
+    st = {r["id"]: (r["name"], r["email"]) for r in sink.read_target().collect()}
+    assert st[1] == ("n1b", "one@x.com")
+    assert st[3] == ("n3", None)

@@ -1004,7 +1004,21 @@ def topk_ivfpq(
         dot(F.col("__cv"), F.col("v")).alias("corr"),
     )
     if books is None:
-        books = pq_codebooks(resid, "id", "r", m_sub, k_codes)
+        # codebooks are the first k_codes residuals by id: derive them
+        # from the corpus HEAD instead of letting pq_codebooks'
+        # TakeOrdered evaluate the full-corpus cell argmax + vsub just
+        # to keep k_codes rows (guide §1.2: don't compute things you
+        # throw away). Identical floats: assignment is per-row, so the
+        # head's residuals equal the head rows of the full residual
+        # frame.
+        seed = vectors.orderBy(id_col).limit(k_codes)
+        seed_assigned, _ = with_ivf_cell(
+            seed, id_col, vec_col, n_cells, centroids=cents
+        )
+        seed_resid = seed_assigned.join(F.broadcast(cvt), "cell_id").select(
+            "id", vsub("v", "__cv").alias("r")
+        )
+        books = pq_codebooks(seed_resid, "id", "r", m_sub, k_codes)
     if not books:  # empty corpus
         return queries.select(
             F.col(id_col).alias("query_id"),

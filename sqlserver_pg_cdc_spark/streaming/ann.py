@@ -258,12 +258,16 @@ class AnnIndexSink(PartitionedParquetUpsertSink):
         from sqlserver_pg_cdc_spark.operators.dedup import (
             embedding_incremental_near_dup,
         )
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
 
         corpus = self.vectors()
         if corpus is None:
             return None
+        # an under-parallelized probe batch would compute its band bits
+        # on one task (guide §2.5); no-op at session width
         return embedding_incremental_near_dup(
-            new_df, corpus, self.index(), self.id_col, self.vec_col,
+            widen_small_batch(new_df), corpus, self.index(), self.id_col,
+            self.vec_col,
             threshold=threshold, bands=self.bands,
             planes_per_band=self.planes_per_band, dim=self.dim, seed=self.seed,
         )

@@ -239,6 +239,11 @@ class DecontamGate:
     def _gated_call(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
+        # an under-parallelized corpus batch would tokenize/shingle on
+        # one task (guide §2.5); no-op at session width
+        batch_df = widen_small_batch(batch_df)
         id_col = self.eval_index.id_col
         report = self.eval_index.contamination(batch_df, self.min_hits)
         if report is None:
@@ -367,8 +372,13 @@ class SemanticDecontamGate:
         import os
 
         from sqlserver_pg_cdc_spark.streaming import phases as _phases
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
 
         rec = _phases.PhaseRecorder()
+        # an under-parallelized corpus batch would compute its
+        # hyperplane band bits on one task (guide §2.5); no-op at
+        # session width
+        batch_df = widen_small_batch(batch_df)
         id_col = self.eval_index.id_col
         pairs = self.eval_index.near_dups(batch_df, self.threshold)
         if pairs is None:

@@ -318,13 +318,18 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
 
         if self.index() is None:
             return None
+        from sqlserver_pg_cdc_spark.streaming.apply import widen_small_batch
+
         rows = self.num_hashes // self.bands
         # localCheckpoint: same plan-truncation rationale as the gate's
         # batch projection — the probe frame is batch-sized and feeds
-        # several downstream actions
+        # several downstream actions. Widened first (an
+        # under-parallelized probe batch would shingle on one task,
+        # guide §2.5) and LAZY: the probe's first bounded collect
+        # materializes it inside its own job (guide §1/§5)
         new_sh = shingle_frame(
-            new_df, self.id_col, self.text_col, self.k
-        ).localCheckpoint()
+            widen_small_batch(new_df), self.id_col, self.text_col, self.k
+        ).localCheckpoint(eager=False)
         nsh = new_sh.filter(F.size("sh") > 0)
         new_sig = minhash_signatures_from_shingles(nsh, self.num_hashes)
         new_bands = minhash_band_frame(new_sig, self.bands, rows)

@@ -3049,7 +3049,18 @@ def q_ann_topk_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_pg_cdc_spark.streaming.ann import IvfPqIndexSink
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = with_ivf_cell(emb, "vec_id", "embedding", 8)
+    # the epoch derives entirely from the corpus HEAD: centroids are the
+    # first n_cells vectors by id and the codebooks the first k_codes
+    # residuals by id — so seed both from one bounded take instead of
+    # running the 16-HOF cell argmax over the whole corpus just for
+    # pq_codebooks' TakeOrdered to keep 8 rows (guide §1.2: don't
+    # compute things you throw away). Identical floats: assignment is
+    # per-row and the head rows are the same rows.
+    seed = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(8)  # n_cells == k_codes == 8
+    )
+    assigned, cents = with_ivf_cell(seed, "vec_id", "embedding", 8)
     cvt = cents.select("cell_id", F.col("cv").alias("__cv"))
     resid = assigned.join(F.broadcast(cvt), "cell_id").select(
         "id", vsub("v", "__cv").alias("r")

@@ -6,6 +6,40 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 from sqlserver_pg_cdc_spark.session import get_spark  # noqa: E402
 
+# --- slow-tier marking (see pytest.ini) ------------------------------------
+# The subprocess CLI e2e tests each spawn a fresh JVM+SparkSession
+# (~20-40 s before any assertion); the listed property/sweep tests are
+# the suite's heaviest in-session items (40-150 s each, measured with
+# --durations). Everything else — every operator, sink, gate, oracle
+# and maintenance contract — stays in the default tier.
+_SLOW_FILES = {"test_pipeline_cli_e2e.py"}
+_SLOW_TESTS = {
+    # whole-catalog sweep over schema-only tables (the adversarial
+    # harness's `edge` sweep covers degenerate populations besides)
+    "test_every_catalog_query_runs_on_empty_tables",
+    # heaviest randomized property tests
+    "test_scd2_apply_invariants",
+    "test_split_transactions_partition_property",
+    "test_duplicate_spans_invariants",
+    "test_incremental_diff_equals_full_random",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        name = item.name.split("[")[0]
+        if (
+            fname in _SLOW_FILES
+            # scheduler CLI e2e: the test_cli_* items shell out to the
+            # CLI (fresh JVM each); the module's pure-python cron /
+            # retry / credentials / in-session units stay default-tier
+            or (fname == "test_scheduler_cli_e2e.py"
+                and name.startswith("test_cli_"))
+            or name in _SLOW_TESTS
+        ):
+            item.add_marker(pytest.mark.slow)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region",

@@ -376,27 +376,37 @@ class MinhashIndexSink(PartitionedParquetUpsertSink):
             # the full-state semi-join. The probe limit IS the pruning
             # bound below: collecting 10k ids to then prune only when
             # len <= n_partitions moved thousands of rows to the driver
-            # per batch for a decision that needs at most bound+1
-            prune_bound = min(10_000, self.n_partitions)
-            ids = [
-                r["b"]
-                for r in cands.select("b").distinct()
-                .limit(prune_bound + 1).collect()
-            ]
+            # per batch for a decision that needs at most bound+1.
+            # The probe itself only pays past a handful of partitions:
+            # at <= 8 dirs the most it can prune is a few bounded,
+            # footer-free directory reads, while the probe costs a
+            # scheduler round trip PLUS a separate plan+materialization
+            # of the candidate tree every batch (measured: 5 AQE jobs
+            # + ~1 s planning gap per text-gate batch at sf0.1) — so
+            # small layouts skip straight to the full semi-join; the
+            # production-scale layouts (32+ partitions) keep pruning.
             stored = None
-            # pruning pays only when the colliding-doc set is small
-            # relative to the partition count — past ~n_partitions
-            # distinct ids the birthday bound says every partition is
-            # hit anyway, and the probe's extra hash job + per-key
-            # semi-join just add fixed cost over the full-state read
-            if ids and len(ids) <= prune_bound:
-                hit = self.read_keys(ids)
-                if hit is not None:
-                    if "__del" in hit.columns:
-                        hit = hit.filter(
-                            ~F.coalesce(F.col("__del"), F.lit(False))
-                        )
-                    stored = hit.select("doc", "sh")
+            if self.n_partitions > 8:
+                prune_bound = min(10_000, self.n_partitions)
+                ids = [
+                    r["b"]
+                    for r in cands.select("b").distinct()
+                    .limit(prune_bound + 1).collect()
+                ]
+                # pruning pays only when the colliding-doc set is small
+                # relative to the partition count — past ~n_partitions
+                # distinct ids the birthday bound says every partition
+                # is hit anyway, and the probe's extra hash job +
+                # per-key semi-join just add fixed cost over the
+                # full-state read
+                if ids and len(ids) <= prune_bound:
+                    hit = self.read_keys(ids)
+                    if hit is not None:
+                        if "__del" in hit.columns:
+                            hit = hit.filter(
+                                ~F.coalesce(F.col("__del"), F.lit(False))
+                            )
+                        stored = hit.select("doc", "sh")
             if stored is None:
                 stored = self.shingles()
             b = stored.join(
